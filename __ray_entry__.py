@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in doctr_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2 + the training-data operator suite); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible one. The
+flagship correctness gate is ``ocr_roundtrip``: the full extraction
+pipeline (interleaved docs -> rasterize -> detect -> recognize ->
+builder -> assemble) must reconstruct each document's exact original
+text, oracled by a trivial SELECT.
 """
 
 from __future__ import annotations
@@ -18,27 +17,230 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from doctr_ray.functions.text import LANG_MARKERS, STOPWORDS
+
+N_ANN_QUERIES = 5
+ANN_K = 10
+
+
+# --------------------------------------------------------------- helpers
+
+def _docs_ds(sf_dir: str, limit: int | None = None):
+    from doctr_ray.corpus import docs_dataset
+
+    return docs_dataset(sf_dir, limit=limit)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _ann_queries(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = {}
+    for vid, emb in zip(
+        t["vec_id"].to_pylist()[:N_ANN_QUERIES], t["embedding"].to_pylist()[:N_ANN_QUERIES]
+    ):
+        out[int(vid)] = np.asarray(emb, dtype=np.float64)
+    return out
+
+
+# --------------------------------------------------------------- contract
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship extraction pipeline on sf0.001 (subset for smoke speed)."""
+    from doctr_ray.pipelines.ocr import ocr_spans
+
+    docs = _docs_ds("/root/testdata/sf0.001", limit=48)
+    return ocr_spans(docs)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from doctr_ray.functions.dedup import (
+        exact_dedup_groups,
+        exact_dedup_keep_first,
+        minhash_near_dups,
+        simhash_near_dups,
+    )
+    from doctr_ray.functions.relational import (
+        events_hourly,
+        pricing_summary,
+        supplier_balance_by_nation,
+        top_customer_revenue,
+    )
+    from doctr_ray.functions.similarity import ann_topk, ann_topk_lsh
+    from doctr_ray.functions.text import fingerprint, lang_id, quality_score, token_stats
+    from doctr_ray.pipelines.ocr import ocr_extracted_text, ocr_spans
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_ocr_roundtrip(sf_dir: str):
+        return ocr_extracted_text(_docs_ds(sf_dir))
+
+    def q_ocr_spans(sf_dir: str):
+        return ocr_spans(_docs_ds(sf_dir))
+
+    def q_ocr_spans_staged(sf_dir: str):
+        return ocr_spans(_docs_ds(sf_dir, limit=64), mode="staged", repartition_blocks=8)
+
+    def q_token_stats(sf_dir: str):
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            token_stats, batch_format="pyarrow"
+        )
+
+    def q_quality(sf_dir: str):
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            quality_score, batch_format="pyarrow"
+        )
+
+    def q_lang_id(sf_dir: str):
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            lang_id, batch_format="pyarrow"
+        )
+
+    def q_fingerprint(sf_dir: str):
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            fingerprint, batch_format="pyarrow"
+        )
+
+    def q_dedup_exact(sf_dir: str):
+        return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def q_dedup_keep_first(sf_dir: str):
+        ds = exact_dedup_keep_first(_read(sf_dir, "documents", ["doc_id", "text"]))
+        return ds.select_columns(["doc_id", "fp"])
+
+    def q_minhash_dups(sf_dir: str):
+        return minhash_near_dups(
+            _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+        )
+
+    def q_simhash_dups(sf_dir: str):
+        return simhash_near_dups(
+            _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=8
+        )
+
+    def q_ann_topk(sf_dir: str):
+        return ann_topk(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            _ann_queries(sf_dir),
+            k=ANN_K,
+        )
+
+    def q_ann_lsh(sf_dir: str):
+        return ann_topk_lsh(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            _ann_queries(sf_dir),
+            k=ANN_K,
+        )
+
+    return {
+        "ocr_roundtrip": q_ocr_roundtrip,
+        "ocr_spans": q_ocr_spans,
+        "ocr_spans_staged": q_ocr_spans_staged,
+        "doc_token_stats": q_token_stats,
+        "doc_quality": q_quality,
+        "doc_lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_keep_first": q_dedup_keep_first,
+        "dedup_minhash": q_minhash_dups,
+        "dedup_simhash": q_simhash_dups,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_lsh,
+        "pricing_summary": pricing_summary,
+        "top_customers": top_customer_revenue,
+        "events_hourly": events_hourly,
+        "supplier_balance": supplier_balance_by_nation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    marker_counts = ",\n           ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x IN ({', '.join(chr(39) + w + chr(39) for w in LANG_MARKERS[lang])}))) AS c_{lang}"
+        for lang in sorted(LANG_MARKERS)
+    )
+    return {
+        "ocr_roundtrip": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text FROM documents"
+        ),
+        "doc_token_stats": (
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+            "length(text) AS n_chars, "
+            "CAST(round((length(text) - (len(string_split(text, ' ')) - 1)) * 1000000.0 "
+            "/ len(string_split(text, ' '))) AS BIGINT) AS avg_token_len_e6 FROM documents"
+        ),
+        "doc_quality": (
+            "WITH b AS (SELECT doc_id, "
+            f"CAST(round(len(list_filter(string_split(text, ' '), x -> x IN ({stop_list}))) * 1000000.0 "
+            "/ greatest(len(string_split(text, ' ')), 1)) AS BIGINT) AS stopword_ratio_e6, "
+            "CAST(round(len(list_filter(string_split(text, ' '), x -> length(x) < 3)) * 1000000.0 "
+            "/ greatest(len(string_split(text, ' ')), 1)) AS BIGINT) AS short_token_ratio_e6 "
+            "FROM documents) "
+            "SELECT doc_id, stopword_ratio_e6, short_token_ratio_e6, "
+            "least(greatest(1000000 - short_token_ratio_e6, 0), 1000000) AS quality_e6 FROM b"
+        ),
+        "doc_lang_id": (
+            "WITH c AS (SELECT doc_id,\n           "
+            + marker_counts
+            + "\n      FROM documents)\n"
+            "SELECT doc_id, CASE "
+            "WHEN greatest(c_de, c_en, c_es, c_fr, c_zh) = 0 THEN 'und' "
+            "WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de' "
+            "WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' "
+            "WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es' "
+            "WHEN c_fr >= c_zh THEN 'fr' "
+            "ELSE 'zh' END AS pred_lang FROM c"
+        ),
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "dedup_exact": (
+            "SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_dups "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_keep_first": (
+            "SELECT doc_id, fp FROM ("
+            "SELECT doc_id, md5(text) AS fp, "
+            "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn "
+            "FROM documents) WHERE rn = 1"
+        ),
+        "ann_topk": (
+            f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            f"WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {N_ANN_QUERIES})), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_e6 "
+            "FROM embeddings e CROSS JOIN q) "
+            "SELECT query_id, vec_id, cosine_e6, rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id "
+            f"ORDER BY cosine_e6 DESC, vec_id) AS rank FROM s) WHERE rank <= {ANN_K}"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty, "
+            "CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_c, "
+            "CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS sum_revenue_c4, "
+            "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_customers": (
+            "SELECT c.c_custkey, c.c_name, c.c_mktsegment, "
+            "CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_c "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_custkey, c.c_name, c.c_mktsegment "
+            "ORDER BY revenue_c DESC, c.c_custkey LIMIT 20"
+        ),
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events, "
+            "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c FROM events GROUP BY 1, 2"
+        ),
+        "supplier_balance": (
+            "SELECT n.n_name, CAST(round(sum(s.s_acctbal) * 100) AS BIGINT) AS total_acctbal_c, "
+            "count(*) AS n_suppliers FROM supplier s "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name"
+        ),
+        # ocr_spans / ocr_spans_staged / dedup_minhash / dedup_simhash /
+        # ann_topk_lsh: not SQL-expressible (chunking is engine-defined /
+        # LSH is approximate) -> rows-only checks.
+    }

@@ -1,0 +1,179 @@
+"""Benchmark driver — headline: pages/sec end-to-end extraction.
+
+Runs the flagship OCR pipeline (interleaved docs derived from
+``$GRAFT_SF_DIR`` documents, default /root/testdata/sf0.1) plus the
+other headline operators, and prints ONE JSON line::
+
+    {"metric": "e2e_ocr_sec", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "pages": P,
+     "pages_per_sec": ...}
+
+``--scaling`` runs the headline pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the north
+rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def count_corpus_pages(sf_dir: str) -> int:
+    """Total rasterized pages of the derived corpus (cheap layout math)."""
+    import pyarrow.parquet as pq
+
+    from doctr_ray.corpus import doc_spans
+    from doctr_ray.media import count_pages
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pages = 0
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for s in doc_spans(str(did), text or ""):
+            if s["kind"] == "media":
+                pages += count_pages(s["media_ref"])
+    return pages
+
+
+def bench_ocr(sf_dir: str) -> tuple[float, int]:
+    from doctr_ray.corpus import docs_dataset
+    from doctr_ray.pipelines.ocr import ocr_extracted_text
+
+    # warm the page cache (untimed read)
+    docs_dataset(sf_dir).count()
+    t0 = time.monotonic()
+    out = ocr_extracted_text(docs_dataset(sf_dir))
+    n = out.count()
+    wall = time.monotonic() - t0
+    assert n > 0
+    return wall, n
+
+
+def bench_query(fn, sf_dir: str) -> float:
+    t0 = time.monotonic()
+    res = fn(sf_dir)
+    # consume
+    if hasattr(res, "count"):
+        res.count()
+    return time.monotonic() - t0
+
+
+def run_once() -> dict:
+    _init_ray(NUM_CPUS)
+    import __ray_entry__ as entrymod
+
+    pages = count_corpus_pages(SF_DIR)
+    ocr_sec, n_docs = bench_ocr(SF_DIR)
+
+    q = entrymod.queries()
+    timings: dict[str, float] = {"ocr_roundtrip": round(ocr_sec, 3)}
+    for name in (
+        "doc_token_stats",
+        "doc_fingerprint",
+        "dedup_exact",
+        "dedup_minhash",
+        "ann_topk",
+        "pricing_summary",
+        "events_hourly",
+    ):
+        try:
+            timings[name] = round(bench_query(q[name], SF_DIR), 3)
+        except Exception as e:  # keep the bench alive; report the failure
+            timings[name] = -1.0
+            print(f"# bench query {name} failed: {e}", file=sys.stderr)
+
+    return {
+        "metric": "e2e_ocr_sec",
+        "value": round(ocr_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "pages": pages,
+        "pages_per_sec": round(pages / ocr_sec, 2),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py"),
+             "--ocr-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "pages_per_sec_8": lo["pages_per_sec"],
+        "pages_per_sec_32": hi["pages_per_sec"],
+        "pages": lo["pages"],
+        "sf": SF_DIR,
+    }
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        result = run_scaling()
+    elif "--ocr-only" in sys.argv:
+        _init_ray(NUM_CPUS)
+        pages = count_corpus_pages(SF_DIR)
+        ocr_sec, n_docs = bench_ocr(SF_DIR)
+        result = {
+            "metric": "e2e_ocr_sec",
+            "value": round(ocr_sec, 3),
+            "unit": "sec",
+            "queries": {"ocr_roundtrip": round(ocr_sec, 3)},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "docs": n_docs,
+            "pages": pages,
+            "pages_per_sec": round(pages / ocr_sec, 2),
+        }
+    else:
+        result = run_once()
+    print(json.dumps(result))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

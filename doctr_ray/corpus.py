@@ -1,0 +1,127 @@
+"""Interleaved text+media docs corpus, derived from a documents table.
+
+Produces the north-rule input shape (BASELINE.json ``input_hint``)::
+
+    docs(doc_id: string,
+         spans: list<struct<kind: string, text: string,
+                            media_ref: string, offset: int32>>)
+
+deterministically from any ``documents(doc_id, text, ...)`` table: each
+document's token stream is cut into chunks; a deterministic per-chunk
+hash decides whether a chunk stays a native ``kind='text'`` span or
+becomes a ``kind='media'`` span whose ``synth://`` media_ref renders the
+chunk's words (doctr_ray.media). Because media assets are
+self-describing, OCR-ing them recovers the chunk text exactly — so the
+full extraction pipeline has a strict SQL oracle: concatenating all
+output span texts per doc equals the original ``documents.text``.
+
+Span ``offset`` is the character offset of the chunk in the original
+text. Page sizes vary deterministically per chunk (3 size classes) to
+exercise size-bucketed batching and skew handling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from .media import encode_media_ref
+
+SPANS_TYPE = pa.list_(
+    pa.struct(
+        [
+            pa.field("kind", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("media_ref", pa.string()),
+            pa.field("offset", pa.int32()),
+        ]
+    )
+)
+
+DOCS_SCHEMA = pa.schema([pa.field("doc_id", pa.string()), pa.field("spans", SPANS_TYPE)])
+
+# (page_w, page_h) size classes — deliberately skewed page dimensions
+PAGE_SIZES = [(640, 480), (800, 600), (480, 360)]
+
+
+def _h(*parts: object) -> int:
+    """Stable 64-bit hash (Python's builtin hash is salted per process)."""
+    m = hashlib.md5("|".join(str(p) for p in parts).encode()).digest()
+    return int.from_bytes(m[:8], "little")
+
+
+def doc_spans(doc_id: str, text: str, media_fraction: float = 0.4) -> list[dict]:
+    """Deterministic chunking of one document into interleaved spans."""
+    tokens = text.split(" ")
+    spans: list[dict] = []
+    i = 0
+    chunk_idx = 0
+    char_off = 0
+    while i < len(tokens):
+        size = 6 + _h(doc_id, chunk_idx, "size") % 12  # 6..17 tokens
+        chunk = tokens[i : i + size]
+        chunk_text = " ".join(chunk)
+        is_media = (_h(doc_id, chunk_idx, "kind") % 1000) < media_fraction * 1000
+        if is_media and chunk_text:
+            pw, ph = PAGE_SIZES[_h(doc_id, chunk_idx, "page") % len(PAGE_SIZES)]
+            spans.append(
+                {
+                    "kind": "media",
+                    "text": "",
+                    "media_ref": encode_media_ref(chunk_text, pw, ph),
+                    "offset": char_off,
+                }
+            )
+        else:
+            spans.append(
+                {"kind": "text", "text": chunk_text, "media_ref": "", "offset": char_off}
+            )
+        char_off += len(chunk_text) + 1  # the joining space
+        i += size
+        chunk_idx += 1
+    return spans
+
+
+def documents_to_docs(batch: pa.Table, media_fraction: float = 0.4) -> pa.Table:
+    """``map_batches`` kernel: documents(doc_id, text) -> docs(doc_id, spans)."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out_ids = [str(d) for d in doc_ids]
+    out_spans = [doc_spans(str(d), t or "", media_fraction) for d, t in zip(doc_ids, texts)]
+    return pa.Table.from_arrays(
+        [pa.array(out_ids, pa.string()), pa.array(out_spans, SPANS_TYPE)],
+        schema=DOCS_SCHEMA,
+    )
+
+
+def docs_dataset(sf_dir: str, media_fraction: float = 0.4, limit: int | None = None):
+    """Ray Dataset of interleaved docs derived from ``{sf_dir}/documents.parquet``."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if limit is not None:
+        ds = ds.limit(limit)
+    return ds.map_batches(
+        lambda b: documents_to_docs(b, media_fraction),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+
+
+def expected_full_text(text: str) -> str:
+    """What the extraction pipeline must reconstruct for this document."""
+    return " ".join(t for t in text.split(" ") if t) if text else ""
+
+
+def make_inline_docs(rows: list[tuple[str, str]], media_fraction: float = 0.4) -> pa.Table:
+    """Small in-memory docs table from (doc_id, text) pairs — test helper."""
+    t = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.string()),
+            pa.array([r[1] for r in rows], pa.string()),
+        ],
+        names=["doc_id", "text"],
+    )
+    return documents_to_docs(t, media_fraction)

@@ -1,0 +1,202 @@
+"""Relational operators over the TPC-H-ish tables — breadth proof.
+
+Each pipeline is Ray-Data-idiomatic: column-pruned reads, vectorized
+pyarrow.compute kernels in ``map_batches``, per-batch partial
+aggregation before the (small) ``groupby`` shuffle, broadcast lookups
+instead of shuffle joins for dimension tables. Matching SQL oracles in
+__ray_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary over lineitem.
+
+    Partial per-batch aggregation (one row per key per batch) before the
+    groupby — the shuffle moves O(batches x keys) tiny rows, not 600k.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = batch.append_column("revenue", rev)
+        df = t.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_revenue=("revenue", "sum"),
+                n_rows=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_revenue", alias_name="sum_revenue"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+    def _fixed_point(batch: pa.Table) -> pa.Table:
+        # int64 fixed-point (qty is integral, money has 2 decimals,
+        # revenue 4) — float rounding is ulp-unstable across engines
+        df = batch.to_pandas()
+        df["sum_qty"] = np.round(df["sum_qty"]).astype(np.int64)
+        df["sum_base_price_c"] = np.round(df["sum_base_price"] * 100).astype(np.int64)
+        df["sum_revenue_c4"] = np.round(df["sum_revenue"] * 10000).astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price_c", "sum_revenue_c4", "n_rows"]],
+            preserve_index=False,
+        )
+
+    return agg.map_batches(_fixed_point, batch_format="pyarrow")
+
+
+def top_customer_revenue(sf_dir: str, limit: int = 20):
+    """Revenue per customer via a broadcast dimension join.
+
+    orders is aggregated per custkey (partial per batch, then groupby);
+    the customer dimension is broadcast with ``ray.put`` and joined
+    inside ``map_batches`` — no all-to-all join shuffle.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", as_index=False)["o_totalprice"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"))
+    )
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    cref = ray.put(cust.set_index("c_custkey"))
+
+    def join_dim(batch: pa.Table) -> pa.Table:
+        dim = ray.get(cref)
+        df = batch.to_pandas()
+        df = df.join(dim, on="o_custkey", how="inner")
+        df = df.rename(columns={"o_custkey": "c_custkey"})
+        df["revenue_c"] = np.round(df["revenue"] * 100).astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["c_custkey", "c_name", "c_mktsegment", "revenue_c"]], preserve_index=False
+        )
+
+    joined = per_cust.map_batches(join_dim, batch_format="pyarrow")
+    return joined.sort(["revenue_c", "c_custkey"], descending=[True, False]).limit(limit)
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the events stream table.
+
+    Window = (event_type, hour bucket); implemented as a vectorized
+    per-batch partial count/sum then a small groupby — the streaming-
+    shaped workload pattern (ray_guide: groupby over time buckets).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )
+
+    def _fixed_point(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["hour"].astype("datetime64[us]")  # match duckdb precision
+        df["sum_value_c"] = np.round(df["sum_value"] * 100).astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["event_type", "hour", "n_events", "sum_value_c"]], preserve_index=False
+        )
+
+    return agg.map_batches(_fixed_point, batch_format="pyarrow")
+
+
+def supplier_balance_by_nation(sf_dir: str):
+    """supplier x nation broadcast join -> per-nation account balance."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(nref)
+        df = batch.to_pandas()
+        df["n_name"] = df["s_nationkey"].map(lookup)
+        return pa.Table.from_pandas(df[["n_name", "s_acctbal"]], preserve_index=False)
+
+    agg = (
+        sup.map_batches(add_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("s_acctbal", alias_name="total_acctbal"),
+            Count(alias_name="n_suppliers"),
+        )
+    )
+
+    def _fixed_point(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["total_acctbal_c"] = np.round(df["total_acctbal"] * 100).astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["n_name", "total_acctbal_c", "n_suppliers"]], preserve_index=False
+        )
+
+    return agg.map_batches(_fixed_point, batch_format="pyarrow")

@@ -1,0 +1,180 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the exact baseline: each ``map_batches``
+task computes one numpy matmul of its batch against a broadcast query
+matrix (``ray.put`` once, read per actor — never re-shipped per batch),
+emits per-batch partial top-k, and a final tiny merge keeps the global
+top-k. The scale path is LSH bucketing (random hyperplane signs) that
+prunes candidates to matching buckets before the same exact scoring.
+
+Results carry cosine in int64 micro-units (``cosine_e6``) so the DuckDB
+oracle (list_cosine_similarity) hash-matches exactly — float rounding
+differs by ulps between engines, fixed-point does not.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceScorer:
+    """Actor-pool stage: score batch embeddings against broadcast queries.
+
+    ``__init__`` pulls the query matrix from the object store once per
+    actor (the broadcast-small-side pattern).
+    """
+
+    def __init__(self, queries_ref) -> None:
+        import ray
+
+        q = ray.get(queries_ref)  # dict: query_id -> np.ndarray
+        self.qids = list(q.keys())
+        self.Q = _normalize(np.stack([q[k] for k in self.qids]).astype(np.float64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_pylist()
+        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        sims = _normalize(emb) @ self.Q.T  # (B, Q)
+        out = {
+            "query_id": np.repeat(self.qids, len(vec_ids)),
+            "vec_id": np.tile(vec_ids, len(self.qids)),
+            # int64 micro-units: deterministic across engines (float
+            # round() differs by ulps between numpy and duckdb)
+            "cosine_e6": np.round(sims.T.reshape(-1) * 1e6).astype(np.int64),
+        }
+        return pa.Table.from_pydict(out)
+
+
+def ann_topk(
+    embeddings_ds,
+    queries: dict[int, np.ndarray],
+    k: int = 10,
+):
+    """Exact cosine top-k for each query vector.
+
+    Returns Dataset(query_id, vec_id, cosine, rank) with rank 1..k by
+    (-cosine, vec_id) — a total, deterministic order that the SQL
+    oracle reproduces with ROW_NUMBER().
+    """
+    import ray
+
+    qref = ray.put({int(k_): np.asarray(v, dtype=np.float64) for k_, v in queries.items()})
+    scored = embeddings_ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_args=(qref,),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 2),
+    )
+
+    # per-batch partial top-k, then per-query global top-k (tiny shuffle)
+    def _partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = (
+            df.sort_values(["query_id", "cosine_e6", "vec_id"], ascending=[True, False, True])
+            .groupby("query_id", sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine_e6", "vec_id"], ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        scored.map_batches(_partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_final_topk, batch_format="pandas")
+    )
+
+
+class LshBucketer:
+    """Random-hyperplane LSH: vec -> bucket id (sign bits of H projections).
+
+    The scale path for ANN: co-bucket near vectors, score only within
+    the query's bucket(s). Plane matrix is seeded + built once per actor.
+    """
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 13) -> None:
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+
+    def bucket_of(self, v: np.ndarray) -> int:
+        return int(((self.planes @ v) > 0).dot(1 << np.arange(self.planes.shape[0])))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        signs = (emb @ self.planes.T) > 0
+        buckets = signs.dot(1 << np.arange(self.planes.shape[0])).astype(np.int64)
+        return batch.append_column("bucket", pa.array(buckets, pa.int64()))
+
+
+def ann_topk_lsh(
+    embeddings_ds,
+    queries: dict[int, np.ndarray],
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+):
+    """Approximate top-k: score only vectors in each query's LSH bucket.
+
+    Recall < 1 by construction (bucket boundaries); tests assert
+    recall@k against :func:`ann_topk` rather than equality.
+    """
+    import ray
+
+    bucketer = LshBucketer(dim, n_planes)
+    q_buckets = {qid: bucketer.bucket_of(np.asarray(v)) for qid, v in queries.items()}
+    qref = ray.put(
+        {int(k_): np.asarray(v, dtype=np.float64) for k_, v in queries.items()}
+    )
+    bref = ray.put(q_buckets)
+
+    bucketed = embeddings_ds.map_batches(
+        LshBucketer,
+        fn_constructor_args=(dim, n_planes),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 2),
+    )
+
+    class _ScoreInBucket:
+        def __init__(self) -> None:
+            q = ray.get(qref)
+            self.buckets = ray.get(bref)
+            self.q = {qid: v / (np.linalg.norm(v) or 1.0) for qid, v in q.items()}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            out = {"query_id": [], "vec_id": [], "cosine_e6": []}
+            emb = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            emb = _normalize(emb)
+            for qid, qb in self.buckets.items():
+                mask = (df["bucket"] == qb).to_numpy()
+                if not mask.any():
+                    continue
+                sims = emb[mask] @ self.q[qid]
+                out["query_id"].extend([qid] * int(mask.sum()))
+                out["vec_id"].extend(df.loc[mask, "vec_id"].tolist())
+                out["cosine_e6"].extend(np.round(sims * 1e6).astype(np.int64).tolist())
+            return pa.Table.from_pydict(out)
+
+    def _final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine_e6", "vec_id"], ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        bucketed.map_batches(_ScoreInBucket, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("query_id")
+        .map_groups(_final_topk, batch_format="pandas")
+    )

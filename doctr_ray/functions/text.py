@@ -1,0 +1,107 @@
+"""Text-analysis operators over a documents table — vectorized map_batches
+kernels, each with a matching DuckDB-expressible definition so the driver
+can oracle-check them (see __ray_entry__.oracle_sql).
+
+Components a large-scale training-data pipeline needs alongside
+extraction: token counting, quality scoring, language ID, document
+fingerprinting. The reference's analogs are its text utilities
+(reference: models/_utils.py:202-218 get_language via langdetect;
+utils/metrics.py:46-120 TextMatch normalizations) — here re-expressed
+as deterministic, SQL-mirrorable batch kernels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Marker stopword sets per language. Deliberately tiny and deterministic
+# (langdetect is unavailable); the SQL oracle reproduces the same argmax.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "value", "row"),
+    "de": ("und", "der", "das", "nicht"),
+    "es": ("el", "la", "los", "una"),
+    "fr": ("le", "les", "des", "une"),
+    "zh": ("de", "shi", "bu", "wo"),
+}
+LANG_ORDER = sorted(LANG_MARKERS)  # deterministic tie-break: lexicographic
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens (single-space split), n_chars, avg_token_len.
+
+    Whitespace tokenization; avg_token_len rounded to 6 decimals to be
+    float-stable against the SQL oracle.
+    """
+    texts = batch["text"]
+    toks = pc.split_pattern(texts, " ")
+    n_tokens = pc.list_value_length(toks).cast(pa.int64())
+    n_chars = pc.utf8_length(texts).cast(pa.int64())
+    # mean token length in fixed-point micro-units: float rounding differs
+    # by ulps between engines, int64 micro-units hash-match exactly
+    import numpy as np
+
+    nt = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+    nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+    avg_e6 = np.round((nc - (nt - 1)) * 1e6 / nt).astype(np.int64)
+    return pa.Table.from_arrays(
+        [batch["doc_id"], n_tokens, n_chars, pa.array(avg_e6, pa.int64())],
+        names=["doc_id", "n_tokens", "n_chars", "avg_token_len_e6"],
+    )
+
+
+def quality_score(batch: pa.Table) -> pa.Table:
+    """doc_id, stopword_ratio, short_token_ratio, quality heuristic.
+
+    Ratios of a fixed stopword list and of tokens shorter than 3 chars;
+    quality = 1 - short_token_ratio clipped into [0,1], rounded —
+    a deterministic stand-in for model-based quality scoring.
+    """
+    import numpy as np
+
+    df = batch.to_pandas()
+    toks = df["text"].str.split(" ")
+    n = toks.map(len).clip(lower=1).astype(np.float64)
+    stop = toks.map(lambda ws: sum(w in STOPWORDS for w in ws))
+    short = toks.map(lambda ws: sum(len(w) < 3 for w in ws))
+    # fixed-point micro-unit ratios (deterministic across engines)
+    stop_e6 = np.round(stop * 1e6 / n).astype(np.int64)
+    short_e6 = np.round(short * 1e6 / n).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "stopword_ratio_e6": stop_e6,
+            "short_token_ratio_e6": short_e6,
+            "quality_e6": np.clip(1_000_000 - short_e6, 0, 1_000_000),
+        }
+    )
+
+
+def lang_id(batch: pa.Table) -> pa.Table:
+    """doc_id, pred_lang — argmax of marker-word counts, lexicographic
+    tie-break, 'und' when no marker hits (get_language analog)."""
+    df = batch.to_pandas()
+    toks = df["text"].str.split(" ")
+
+    def pred(ws: list[str]) -> str:
+        best_lang, best_n = "und", 0
+        for lang in LANG_ORDER:
+            m = LANG_MARKERS[lang]
+            c = sum(w in m for w in ws)
+            if c > best_n:
+                best_lang, best_n = lang, c
+        return best_lang
+
+    return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": toks.map(pred)})
+
+
+def fingerprint(batch: pa.Table) -> pa.Table:
+    """doc_id, fp — md5 of the raw text (exact-dedup key; SQL: md5(text))."""
+    df = batch.to_pandas()
+    fp = df["text"].map(lambda t: hashlib.md5((t or "").encode("utf-8")).hexdigest())
+    return pd.DataFrame({"doc_id": df["doc_id"], "fp": fp})

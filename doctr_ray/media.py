@@ -1,0 +1,174 @@
+"""Synthetic media assets and the rasterize stage kernel.
+
+The reference's media ingestion is ``DocumentFile.from_pdf/from_images``
+-> pdfium/cv2 rasterization to ``np.ndarray`` pages
+(reference: io/pdf.py:16-43, io/image/base.py:16-54, io/reader.py:24-79).
+This sandbox has no pdfium/cv2, so real decoding is stubbed in
+:mod:`doctr_ray.sources.readers`; *synthetic* media are first-class: a
+``media_ref`` of the form::
+
+    synth://v1/{page_w}x{page_h}/c{cols}/{base64url(text)}
+
+is a self-describing asset whose pages are rendered deterministically
+with the procedural bitmap font (:mod:`doctr_ray.glyphs`). Layout is a
+greedy word-wrap into 1 or 2 columns with fixed margins/leading, filling
+pages top-to-bottom — the ground truth (per-word text + pixel box) falls
+out of the same code path, which is what makes the OCR round-trip
+exactly checkable.
+
+Pages are grayscale uint8 (255 background, 0 ink). The reference uses
+RGB (io/pdf.py:41); grayscale is an intentional 3x memory saving for the
+object store — the detection/recognition kernels only need luminance.
+"""
+
+from __future__ import annotations
+
+import base64
+from dataclasses import dataclass
+
+import numpy as np
+
+from .glyphs import CHAR_H, SCALE, render_word, word_width
+
+# Scaled layout metrics (px at SCALE=2).
+MARGIN = 8 * SCALE       # 16
+WORD_GAP = 4 * SCALE     # 8  — must exceed 2*detection dilation radius
+LINE_LEAD = 5 * SCALE    # 10 — vertical gap between line boxes
+LINE_PITCH = CHAR_H + LINE_LEAD  # 24
+COL_GAP = 12 * SCALE     # 24 — gutter between columns (2-col layout)
+
+DEFAULT_PAGE_W = 640
+DEFAULT_PAGE_H = 480
+
+SYNTH_PREFIX = "synth://v1/"
+
+
+def encode_media_ref(
+    text: str,
+    page_w: int = DEFAULT_PAGE_W,
+    page_h: int = DEFAULT_PAGE_H,
+    cols: int = 1,
+) -> str:
+    payload = base64.urlsafe_b64encode(text.encode("utf-8")).decode("ascii")
+    return f"{SYNTH_PREFIX}{page_w}x{page_h}/c{cols}/{payload}"
+
+
+def decode_media_ref(media_ref: str) -> tuple[str, int, int, int]:
+    """-> (text, page_w, page_h, cols). Raises ValueError on foreign refs."""
+    if not media_ref.startswith(SYNTH_PREFIX):
+        raise ValueError(f"not a synth media_ref: {media_ref[:40]!r}")
+    rest = media_ref[len(SYNTH_PREFIX) :]
+    dims, colspec, payload = rest.split("/", 2)
+    w, h = dims.split("x")
+    text = base64.urlsafe_b64decode(payload.encode("ascii")).decode("utf-8")
+    return text, int(w), int(h), int(colspec.lstrip("c"))
+
+
+@dataclass
+class PageGT:
+    """One rendered page + its ground truth."""
+
+    image: np.ndarray                         # (H, W) uint8, 255 bg / 0 ink
+    words: list[tuple[str, int, int, int, int]]  # (text, x0, y0, x1, y1) px, exclusive
+
+
+def _layout_columns(page_w: int, cols: int) -> list[tuple[int, int]]:
+    """[(x_start, x_end)] for each column's content area."""
+    content_w = page_w - 2 * MARGIN
+    if cols <= 1:
+        return [(MARGIN, MARGIN + content_w)]
+    col_w = (content_w - COL_GAP) // 2
+    return [(MARGIN, MARGIN + col_w), (MARGIN + col_w + COL_GAP, MARGIN + col_w + COL_GAP + col_w)]
+
+
+def rasterize_synth(media_ref: str, scale: int = SCALE) -> list[PageGT]:
+    """Render a synth:// asset into pages with word ground truth.
+
+    Greedy wrap: words fill a line until the column width is exceeded,
+    lines fill a column until the page height is exceeded, columns fill
+    left-to-right (cols=2), then a new page starts. Words wider than a
+    column are hard-truncated to fit (cannot happen with the synthetic
+    corpora's short tokens; asserted in tests).
+    """
+    text, page_w, page_h, cols = decode_media_ref(media_ref)
+    words = [w for w in text.split(" ") if w]
+    col_spans = _layout_columns(page_w, cols)
+    max_lines = max(1, (page_h - 2 * MARGIN + LINE_LEAD) // LINE_PITCH)
+
+    pages: list[PageGT] = []
+    placed: list[tuple[str, int, int, int, int]] = []
+    img = np.full((page_h, page_w), 255, dtype=np.uint8)
+    col_i, line_i = 0, 0
+    x = col_spans[0][0]
+
+    def flush_page() -> None:
+        nonlocal img, placed, col_i, line_i, x
+        pages.append(PageGT(image=img, words=placed))
+        img = np.full((page_h, page_w), 255, dtype=np.uint8)
+        placed = []
+        col_i, line_i = 0, 0
+        x = col_spans[0][0]
+
+    for w in words:
+        ww = word_width(w, scale)
+        cx0, cx1 = col_spans[col_i]
+        if ww > cx1 - cx0:  # pathological long word: truncate to fit
+            keep = max(1, (cx1 - cx0 + 1 * scale) // (6 * scale))
+            w = w[:keep]
+            ww = word_width(w, scale)
+        if x + ww > cx1:  # wrap line
+            line_i += 1
+            x = cx0
+            if line_i >= max_lines:  # wrap column
+                col_i += 1
+                line_i = 0
+                if col_i >= len(col_spans):  # wrap page
+                    flush_page()
+                else:
+                    x = col_spans[col_i][0]
+        y = MARGIN + line_i * LINE_PITCH
+        mask = render_word(w, scale)
+        img[y : y + mask.shape[0], x : x + ww][mask.astype(bool)] = 0
+        placed.append((w, x, y, x + ww, y + mask.shape[0]))
+        x += ww + WORD_GAP
+
+    if placed or not pages:
+        flush_page()
+    return pages
+
+
+def count_pages(media_ref: str, scale: int = SCALE) -> int:
+    """Number of pages :func:`rasterize_synth` would produce — same wrap
+    arithmetic, no pixel painting (cheap; used by bench for pages/s)."""
+    text, page_w, page_h, cols = decode_media_ref(media_ref)
+    words = [w for w in text.split(" ") if w]
+    col_spans = _layout_columns(page_w, cols)
+    max_lines = max(1, (page_h - 2 * MARGIN + LINE_LEAD) // LINE_PITCH)
+    pages, col_i, line_i = 1, 0, 0
+    x = col_spans[0][0]
+    for w in words:
+        ww = word_width(w, scale)
+        cx0, cx1 = col_spans[col_i]
+        if ww > cx1 - cx0:
+            keep = max(1, (cx1 - cx0 + 1 * scale) // (6 * scale))
+            ww = word_width(w[:keep], scale)
+        if x + ww > cx1:
+            line_i += 1
+            x = cx0
+            if line_i >= max_lines:
+                col_i += 1
+                line_i = 0
+                if col_i >= len(col_spans):
+                    pages += 1
+                    col_i = 0
+                    x = col_spans[0][0]
+                else:
+                    x = col_spans[col_i][0]
+        x += ww + WORD_GAP
+    return pages
+
+
+def synth_ground_truth_text(media_ref: str) -> str:
+    """The exact text the OCR pipeline must recover from this asset."""
+    text, _, _, _ = decode_media_ref(media_ref)
+    return " ".join(w for w in text.split(" ") if w)

@@ -1,0 +1,557 @@
+"""The flagship extraction pipeline: interleaved docs -> ordered spans.
+
+Ray-Data-native re-expression of the reference's ``ocr_predictor`` flow
+(reference: models/predictor/pytorch.py:91-206 — detection -> crop
+fan-out -> recognition -> per-page fan-in -> builder), replacing the
+reference's implicit list-order bookkeeping
+(models/predictor/base.py:217-233) with explicit key columns
+``(doc_id, offset, page_idx, word_idx, part_idx)`` and keyed groupbys.
+
+Stage graph (staged mode)::
+
+    docs ─ explode spans ─┬─ text/media marker rows ──────────────┐
+                          └─ media rows ─ rasterize (tasks)       │
+                               ─ repartition + size-bucket        │
+                               ─ detect (actor pool)              │
+                               ─ crop fan-out (tasks)             │
+                               ─ recognize (actor pool)           │
+                               ─ merge split crops (bypass or     │
+                                 tiny groupby on split rows only) │
+                          ┌───────────────────────────────────────┘
+    union ─ groupby(doc_id) ─ assemble (builder + reading order +
+                              interleave by offset) ─ spans_out
+
+Fused mode collapses rasterize..merge into ONE actor-pool stage
+(``OcrMediaWorker``): page images and crops never enter the object
+store, eliminating two stage boundaries of multi-MB binary traffic.
+Both modes produce identical rows (asserted in tests); fused is the
+default for throughput, staged exists for stage-level debugging and
+mirrors the reference's predictor decomposition 1:1.
+
+Scale notes (100 TB design):
+- the unit of distributed work is a *media row* (then page row), not a
+  document — doc-level skew (many media per doc) spreads immediately;
+- the only all-to-all shuffle is the final ``groupby(doc_id)`` over
+  small word/text rows (images and crops are long gone by then);
+- split-crop merge shuffles ONLY rows with part_count > 1 (rare), the
+  rest bypass via a vectorized filter;
+- explicit ``repartition`` + within-batch size sorting before detection
+  keeps detector batches shape-homogeneous (north-rule requirement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..builder import build_page, page_text
+from ..detection import detect_page
+from ..geometry import extract_crops
+from ..media import rasterize_synth
+from ..recognition import GlyphRecognizer, merge_multi_strings, split_crop_spans
+
+# ---------------------------------------------------------------- schemas
+
+WORK_FIELDS = [
+    ("doc_id", pa.string()),
+    ("kind", pa.string()),          # text | media | word
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("offset", pa.int32()),
+    ("page_idx", pa.int32()),
+    ("word_idx", pa.int32()),
+    ("x0", pa.float32()),
+    ("y0", pa.float32()),
+    ("x1", pa.float32()),
+    ("y1", pa.float32()),
+    ("score", pa.float32()),
+    ("confidence", pa.float32()),
+    # split-crop bookkeeping: parts are merged at assembly (no extra shuffle)
+    ("part_idx", pa.int32()),
+    ("part_count", pa.int32()),
+    ("ov", pa.float32()),
+    ("last_ov", pa.float32()),
+]
+WORK_SCHEMA = pa.schema([pa.field(n, t) for n, t in WORK_FIELDS])
+_WORK_DEFAULTS = {"part_idx": 0, "part_count": 1}
+
+SPANS_OUT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("ord", pa.int32()),
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+    ]
+)
+
+
+def _work_table(cols: dict[str, list]) -> pa.Table:
+    n = len(cols["doc_id"])
+    arrays = []
+    for name, typ in WORK_FIELDS:
+        if name in cols:
+            arrays.append(pa.array(cols[name], typ))
+        elif typ == pa.string():
+            arrays.append(pa.array([""] * n, typ))
+        elif typ == pa.int32():
+            arrays.append(pa.array([_WORK_DEFAULTS.get(name, -1)] * n, typ))
+        else:
+            arrays.append(pa.array([0.0] * n, typ))
+    return pa.Table.from_arrays(arrays, schema=WORK_SCHEMA)
+
+
+# ---------------------------------------------------------------- explode
+
+def explode_spans(batch: pa.Table) -> pa.Table:
+    """docs(doc_id, spans) -> one work row per span (kind text|media)."""
+    doc_ids = batch["doc_id"].to_pylist()
+    spans_col = batch["spans"].to_pylist()
+    out: dict[str, list] = {"doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": []}
+    for did, spans in zip(doc_ids, spans_col):
+        if not spans:
+            # marker so empty docs still appear in the output (assembly
+            # emits them with zero spans / empty full_text)
+            out["doc_id"].append(did)
+            out["kind"].append("empty")
+            out["text"].append("")
+            out["media_ref"].append("")
+            out["offset"].append(0)
+            continue
+        for s in spans:
+            out["doc_id"].append(did)
+            out["kind"].append(s["kind"])
+            out["text"].append(s["text"] or "")
+            out["media_ref"].append(s["media_ref"] or "")
+            out["offset"].append(s["offset"])
+    return _work_table(out)
+
+
+# ---------------------------------------------------------------- kernels
+
+def process_media_row(
+    doc_id: str, media_ref: str, offset: int, recognizer: GlyphRecognizer
+) -> dict[str, list]:
+    """One media asset -> word rows (rasterize→detect→crop→recognize→merge).
+
+    The per-asset composition of the staged kernels; used by the fused
+    worker. Split-crop parts are merged locally (no shuffle).
+    """
+    out: dict[str, list] = {
+        "doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": [],
+        "page_idx": [], "word_idx": [], "x0": [], "y0": [], "x1": [], "y1": [],
+        "score": [], "confidence": [],
+    }
+    pages = rasterize_synth(media_ref)
+    for page_idx, page in enumerate(pages):
+        abs_boxes, rel = detect_page(page.image)
+        crops = extract_crops(page.image, abs_boxes)
+        flat_crops: list[np.ndarray] = []
+        plan: list[tuple[int, int, float, float]] = []  # (word_i, n_parts, ov, last_ov)
+        for wi, crop in enumerate(crops):
+            h, w = crop.shape[:2]
+            spans, ov, last_ov = split_crop_spans(w, h)
+            plan.append((wi, len(spans), ov, last_ov))
+            for x0c, x1c in spans:
+                flat_crops.append(crop[:, x0c:x1c])
+        preds = recognizer.recognize_batch(flat_crops)
+        pos = 0
+        for wi, n_parts, ov, last_ov in plan:
+            parts = preds[pos : pos + n_parts]
+            pos += n_parts
+            if n_parts == 1:
+                text, conf = parts[0]
+            else:
+                text = merge_multi_strings([t for t, _ in parts], ov, last_ov)
+                conf = float(np.mean([c for _, c in parts]))
+            out["doc_id"].append(doc_id)
+            out["kind"].append("word")
+            out["text"].append(text)
+            out["media_ref"].append(media_ref)
+            out["offset"].append(offset)
+            out["page_idx"].append(page_idx)
+            out["word_idx"].append(wi)
+            out["x0"].append(float(rel[wi, 0]))
+            out["y0"].append(float(rel[wi, 1]))
+            out["x1"].append(float(rel[wi, 2]))
+            out["y1"].append(float(rel[wi, 3]))
+            out["score"].append(float(rel[wi, 4]))
+            out["confidence"].append(float(conf))
+    return out
+
+
+class OcrMediaWorker:
+    """Fused actor-pool stage: media work rows -> word work rows.
+
+    Recognizer templates built once per actor (``__init__``), the analog
+    of loading detection+recognition weights once per worker
+    (reference models/utils/pytorch.py:41).
+    """
+
+    def __init__(self) -> None:
+        self.recognizer = GlyphRecognizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        refs = batch["media_ref"].to_pylist()
+        offsets = batch["offset"].to_pylist()
+        merged: dict[str, list] = {}
+        for did, ref, off in zip(doc_ids, refs, offsets):
+            rows = process_media_row(did, ref, off, self.recognizer)
+            if not merged:
+                merged = {k: [] for k in rows}
+            for k, v in rows.items():
+                merged[k].extend(v)
+        return _work_table(merged if merged else {"doc_id": []})
+
+
+# ------------------------------------------------------------- staged mode
+
+PAGES_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+        pa.field("page_idx", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("width", pa.int32()),
+        pa.field("image", pa.binary()),
+    ]
+)
+
+
+def rasterize_batch(batch: pa.Table) -> pa.Table:
+    """media work rows -> page rows with raw grayscale image bytes.
+
+    reference: io/pdf.py:16-43 (pdfium rasterize, one doc -> N pages).
+    """
+    cols: dict[str, list] = {k.name: [] for k in PAGES_SCHEMA}
+    for did, ref, off in zip(
+        batch["doc_id"].to_pylist(), batch["media_ref"].to_pylist(), batch["offset"].to_pylist()
+    ):
+        for pi, page in enumerate(rasterize_synth(ref)):
+            cols["doc_id"].append(did)
+            cols["media_ref"].append(ref)
+            cols["offset"].append(off)
+            cols["page_idx"].append(pi)
+            cols["height"].append(page.image.shape[0])
+            cols["width"].append(page.image.shape[1])
+            cols["image"].append(page.image.tobytes())
+    return pa.Table.from_arrays(
+        [pa.array(cols[f.name], f.type) for f in PAGES_SCHEMA], schema=PAGES_SCHEMA
+    )
+
+
+def size_bucket_batch(batch: pa.Table) -> pa.Table:
+    """Sort rows within a batch by pixel count -> shape-homogeneous
+    detector batches (the north rule's size-bucketed batching)."""
+    px = pc.multiply(batch["height"], batch["width"])
+    return batch.take(pc.sort_indices(px))
+
+
+class DetectStage:
+    """Actor-pool detection stage: page rows -> + boxes blob.
+
+    Stateless in this engine (the DB "model" is procedural) but run as
+    an actor pool to mirror the reference's DetectionPredictor topology
+    (detection/predictor/pytorch.py:19-75)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        boxes_blobs: list[bytes] = []
+        n_words: list[int] = []
+        for img_buf, h, w in zip(
+            batch["image"].to_pylist(), batch["height"].to_pylist(), batch["width"].to_pylist()
+        ):
+            img = np.frombuffer(img_buf, dtype=np.uint8).reshape(h, w)
+            abs_boxes, rel = detect_page(img)
+            blob = np.concatenate(
+                [abs_boxes.astype(np.int32).reshape(-1, 4).astype(np.float32), rel[:, 4:5]], axis=1
+            ) if len(abs_boxes) else np.zeros((0, 5), np.float32)
+            boxes_blobs.append(blob.tobytes())
+            n_words.append(len(abs_boxes))
+        return batch.append_column("boxes", pa.array(boxes_blobs, pa.binary())).append_column(
+            "n_words", pa.array(n_words, pa.int32())
+        )
+
+
+CROPS_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+        pa.field("page_idx", pa.int32()),
+        pa.field("word_idx", pa.int32()),
+        pa.field("part_idx", pa.int32()),
+        pa.field("part_count", pa.int32()),
+        pa.field("ov", pa.float32()),
+        pa.field("last_ov", pa.float32()),
+        pa.field("crop", pa.binary()),
+        pa.field("crop_h", pa.int32()),
+        pa.field("crop_w", pa.int32()),
+        pa.field("x0", pa.float32()),
+        pa.field("y0", pa.float32()),
+        pa.field("x1", pa.float32()),
+        pa.field("y1", pa.float32()),
+        pa.field("score", pa.float32()),
+    ]
+)
+
+
+def crop_batch(batch: pa.Table) -> pa.Table:
+    """page+boxes rows -> crop rows (fan-out); page image dropped here.
+
+    reference: models/predictor/base.py:163-196 (_prepare_crops) +
+    recognition/predictor/_utils.py:16-107 (split wide crops).
+    """
+    cols: dict[str, list] = {f.name: [] for f in CROPS_SCHEMA}
+    for row in range(batch.num_rows):
+        h = batch["height"][row].as_py()
+        w = batch["width"][row].as_py()
+        img = np.frombuffer(batch["image"][row].as_py(), dtype=np.uint8).reshape(h, w)
+        blob = np.frombuffer(batch["boxes"][row].as_py(), dtype=np.float32).reshape(-1, 5)
+        abs_boxes = blob[:, :4].astype(np.int32)
+        scores = blob[:, 4]
+        crops = extract_crops(img, abs_boxes)
+        did = batch["doc_id"][row].as_py()
+        ref = batch["media_ref"][row].as_py()
+        off = batch["offset"][row].as_py()
+        pi = batch["page_idx"][row].as_py()
+        for wi, crop in enumerate(crops):
+            ch, cw = crop.shape[:2]
+            if ch == 0 or cw == 0:  # zero-size filter, predictor/base.py:188-196
+                continue
+            spans, ov, last_ov = split_crop_spans(cw, ch)
+            for p_idx, (cx0, cx1) in enumerate(spans):
+                part = np.ascontiguousarray(crop[:, cx0:cx1])
+                cols["doc_id"].append(did)
+                cols["media_ref"].append(ref)
+                cols["offset"].append(off)
+                cols["page_idx"].append(pi)
+                cols["word_idx"].append(wi)
+                cols["part_idx"].append(p_idx)
+                cols["part_count"].append(len(spans))
+                cols["ov"].append(ov)
+                cols["last_ov"].append(last_ov)
+                cols["crop"].append(part.tobytes())
+                cols["crop_h"].append(part.shape[0])
+                cols["crop_w"].append(part.shape[1])
+                cols["x0"].append(float(abs_boxes[wi, 0] / w))
+                cols["y0"].append(float(abs_boxes[wi, 1] / h))
+                cols["x1"].append(float(abs_boxes[wi, 2] / w))
+                cols["y1"].append(float(abs_boxes[wi, 3] / h))
+                cols["score"].append(float(scores[wi]))
+    return pa.Table.from_arrays(
+        [pa.array(cols[f.name], f.type) for f in CROPS_SCHEMA], schema=CROPS_SCHEMA
+    )
+
+
+class RecognizeStage:
+    """Actor-pool recognition stage: crop rows -> + (text, confidence).
+
+    reference: recognition/predictor/pytorch.py:44-85; templates loaded
+    once per actor."""
+
+    def __init__(self) -> None:
+        self.recognizer = GlyphRecognizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        crops = [
+            np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
+            for buf, h, w in zip(
+                batch["crop"].to_pylist(), batch["crop_h"].to_pylist(), batch["crop_w"].to_pylist()
+            )
+        ]
+        preds = self.recognizer.recognize_batch(crops)
+        out = batch.drop_columns(["crop", "crop_h", "crop_w"])
+        out = out.append_column("text", pa.array([t for t, _ in preds], pa.string()))
+        return out.append_column(
+            "confidence", pa.array([float(c) for _, c in preds], pa.float32())
+        )
+
+
+def _recognized_to_work(batch: pa.Table) -> pa.Table:
+    """Recognized crop rows -> word work rows (parts carried through;
+    merged at assembly so no extra shuffle / DAG fork is needed)."""
+    n = batch.num_rows
+    return _work_table(
+        {
+            "doc_id": batch["doc_id"].to_pylist(),
+            "kind": ["word"] * n,
+            "text": batch["text"].to_pylist(),
+            "media_ref": batch["media_ref"].to_pylist(),
+            "offset": batch["offset"].to_pylist(),
+            "page_idx": batch["page_idx"].to_pylist(),
+            "word_idx": batch["word_idx"].to_pylist(),
+            "x0": batch["x0"].to_pylist(),
+            "y0": batch["y0"].to_pylist(),
+            "x1": batch["x1"].to_pylist(),
+            "y1": batch["y1"].to_pylist(),
+            "score": batch["score"].to_pylist(),
+            "confidence": batch["confidence"].to_pylist(),
+            "part_idx": batch["part_idx"].to_pylist(),
+            "part_count": batch["part_count"].to_pylist(),
+            "ov": batch["ov"].to_pylist(),
+            "last_ov": batch["last_ov"].to_pylist(),
+        }
+    )
+
+
+def _merge_word_parts(words: pd.DataFrame) -> pd.DataFrame:
+    """Merge split-crop parts into whole words (remap_preds analog,
+    reference: recognition/predictor/_utils.py:110-136). Runs inside the
+    per-doc assembly group — the parts are already co-located."""
+    if "part_count" not in words.columns or not (words["part_count"] > 1).any():
+        return words
+    singles = words[words["part_count"] <= 1]
+    multi = words[words["part_count"] > 1]
+    merged_rows = []
+    for _, g in multi.groupby(["media_ref", "offset", "page_idx", "word_idx"], sort=False):
+        g = g.sort_values("part_idx")
+        first = g.iloc[0].copy()
+        first["text"] = merge_multi_strings(
+            list(g["text"]), float(g["ov"].iloc[0]), float(g["last_ov"].iloc[0])
+        )
+        first["confidence"] = g["confidence"].mean()
+        merged_rows.append(first)
+    return pd.concat([singles, pd.DataFrame(merged_rows)], ignore_index=True)
+
+
+# ------------------------------------------------------------- assembly
+
+def _assemble_doc(g: pd.DataFrame) -> list[dict]:
+    """One document's work rows -> ordered output spans.
+
+    Text spans pass through; each media marker's word rows are built
+    per page (builder + reading order) and linearized, pages in order
+    (the reference's per-page builder + per-doc collection,
+    models/builder.py:699-811). Output order = span offset.
+    """
+    spans: list[dict] = []
+    for _, r in g[g["kind"] == "text"].iterrows():
+        spans.append(
+            {
+                "kind": "text",
+                "text": r["text"],
+                "media_ref": "",
+                "offset": int(r["offset"]),
+            }
+        )
+    media = g[g["kind"] == "media"]
+    words = _merge_word_parts(g[g["kind"] == "word"])
+    for _, m in media.iterrows():
+        off = int(m["offset"])
+        w = words[(words["offset"] == off) & (words["media_ref"] == m["media_ref"])]
+        page_texts: list[str] = []
+        for pi in sorted(w["page_idx"].unique()):
+            pw = w[w["page_idx"] == pi]
+            boxes = pw[["x0", "y0", "x1", "y1"]].to_numpy(dtype=np.float32)
+            texts = list(pw["text"])
+            confs = list(pw["confidence"])
+            objs = pw["score"].to_numpy(dtype=np.float32)
+            built = build_page(boxes, texts, confs, objs)
+            pt = page_text(built, texts, word_sep=" ", line_sep=" ")
+            if pt:
+                page_texts.append(pt)
+        spans.append(
+            {
+                "kind": "ocr_text",
+                "text": " ".join(page_texts),
+                "media_ref": m["media_ref"],
+                "offset": off,
+            }
+        )
+    spans.sort(key=lambda s: s["offset"])
+    return spans
+
+
+def assemble_spans_group(g: pd.DataFrame) -> pd.DataFrame:
+    spans = _assemble_doc(g)
+    did = g["doc_id"].iloc[0]
+    return pd.DataFrame(
+        {
+            "doc_id": [did] * len(spans),
+            "ord": np.arange(len(spans), dtype=np.int32),
+            "kind": [s["kind"] for s in spans],
+            "text": [s["text"] for s in spans],
+            "media_ref": [s["media_ref"] for s in spans],
+            "offset": np.array([s["offset"] for s in spans], dtype=np.int32),
+        }
+    )
+
+
+def assemble_text_group(g: pd.DataFrame) -> pd.DataFrame:
+    spans = _assemble_doc(g)
+    full = " ".join(s["text"] for s in spans if s["text"])
+    return pd.DataFrame({"doc_id": [g["doc_id"].iloc[0]], "full_text": [full]})
+
+
+# ------------------------------------------------------------- pipelines
+
+def default_pool() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds that leave CPU headroom for the
+    task stages (a pool reserving every CPU starves the reads/sort and
+    deadlocks the stream — observed at num_cpus=4)."""
+    try:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    except Exception:
+        n = 4
+    return (1, max(1, min(n - 2, (n * 3) // 4)))
+
+
+def ocr_work_rows(
+    docs_ds,
+    mode: str = "fused",
+    detect_concurrency: int | tuple | None = None,
+    recognize_concurrency: int | tuple | None = None,
+    repartition_blocks: int | None = None,
+):
+    """docs Dataset -> unioned work rows (text/media markers + words)."""
+    work = docs_ds.map_batches(explode_spans, batch_format="pyarrow", batch_size=256)
+    markers = work  # explode emits only text/media marker rows
+    media = work.filter(expr="kind == 'media'")
+    if mode == "fused":
+        words = media.map_batches(
+            OcrMediaWorker,
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=recognize_concurrency or default_pool(),
+        )
+    elif mode == "staged":
+        pages = media.map_batches(rasterize_batch, batch_format="pyarrow", batch_size=16)
+        if repartition_blocks:
+            pages = pages.repartition(repartition_blocks)
+        pages = pages.map_batches(size_bucket_batch, batch_format="pyarrow", batch_size=32)
+        det = pages.map_batches(
+            DetectStage,
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=detect_concurrency or (1, max(1, default_pool()[1] // 2)),
+        )
+        crops = det.map_batches(crop_batch, batch_format="pyarrow", batch_size=8)
+        rec = crops.map_batches(
+            RecognizeStage,
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=recognize_concurrency or (1, max(1, default_pool()[1] // 2)),
+        )
+        words = rec.map_batches(_recognized_to_work, batch_format="pyarrow")
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+    return markers.union(words)
+
+
+def ocr_spans(docs_ds, mode: str = "fused", **kw):
+    """Full pipeline -> spans_out rows (doc_id, ord, kind, text, media_ref, offset)."""
+    work = ocr_work_rows(docs_ds, mode=mode, **kw)
+    return work.groupby("doc_id").map_groups(assemble_spans_group, batch_format="pandas")
+
+
+def ocr_extracted_text(docs_ds, mode: str = "fused", **kw):
+    """Full pipeline -> one row per doc (doc_id, full_text)."""
+    work = ocr_work_rows(docs_ds, mode=mode, **kw)
+    return work.groupby("doc_id").map_groups(assemble_text_group, batch_format="pandas")

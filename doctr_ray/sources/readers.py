@@ -1,0 +1,71 @@
+"""Media readers / dispatch — the DocumentFile surface.
+
+Mirrors the reference's reader dispatch (reference: io/reader.py:24-79
+``DocumentFile.from_pdf/from_url/from_images``; io/pdf.py:16-43
+``read_pdf`` via pypdfium2 at scale=2; io/image/base.py:16-54
+``read_img_as_numpy`` via cv2; io/html.py:11-26 ``read_html`` via
+weasyprint). None of those decoders exist in this container, so each
+real-format branch is a clearly-marked stub raising
+``NotImplementedError`` with the exact dependency needed; the
+``synth://`` branch is fully implemented and is what every pipeline and
+test exercises. The Ray-side plumbing (one media row in -> N page rows
+out, binary image column + height/width metadata) is identical for all
+branches, so dropping in a real decoder later changes no schema.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..media import SYNTH_PREFIX, PageGT, rasterize_synth
+
+
+def read_pdf(file: bytes | str, scale: int = 2) -> list[np.ndarray]:
+    """Rasterize all pages of a real PDF. STUB — needs pypdfium2.
+
+    reference: io/pdf.py:16-43 (scale=2 -> 144 dpi, RGB uint8).
+    """
+    raise NotImplementedError(
+        "real PDF rasterization requires pypdfium2 (not in this container); "
+        "use synth:// media refs or plug a decoder into rasterize_media"
+    )
+
+
+def read_image(data: bytes, output_size: tuple[int, int] | None = None) -> np.ndarray:
+    """Decode an encoded image (PNG/JPEG). STUB — needs cv2/PIL.
+
+    reference: io/image/base.py:16-54.
+    """
+    raise NotImplementedError(
+        "real image decoding requires cv2 or PIL (not in this container)"
+    )
+
+
+def read_html(url: str) -> bytes:
+    """URL -> PDF bytes. STUB — needs weasyprint + network.
+
+    reference: io/html.py:11-26.
+    """
+    raise NotImplementedError("read_html requires weasyprint and network access")
+
+
+def read_raw_gray(data: bytes, height: int, width: int) -> np.ndarray:
+    """Zero-copy view of raw grayscale page bytes (the engine's internal
+    page encoding; see pipelines/ocr.PAGES_SCHEMA)."""
+    return np.frombuffer(data, dtype=np.uint8).reshape(height, width)
+
+
+def rasterize_media(media_ref: str) -> list[PageGT]:
+    """Dispatch a media_ref to its reader (DocumentFile analog).
+
+    synth:// -> deterministic in-repo renderer (fully implemented);
+    anything else -> the matching stub above.
+    """
+    if media_ref.startswith(SYNTH_PREFIX):
+        return rasterize_synth(media_ref)
+    if media_ref.lower().endswith(".pdf") or media_ref.startswith("pdf://"):
+        read_pdf(media_ref)
+    if media_ref.startswith("http://") or media_ref.startswith("https://"):
+        read_html(media_ref)
+    read_image(b"")
+    raise AssertionError("unreachable")

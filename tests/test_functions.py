@@ -1,0 +1,179 @@
+"""Text-analysis, dedup, and similarity operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from doctr_ray.functions.dedup import (
+    MinHasher,
+    exact_dedup_groups,
+    exact_dedup_keep_first,
+    minhash_near_dups,
+    ngram_jaccard,
+    shingles,
+    simhash64,
+    simhash_near_dups,
+)
+from doctr_ray.functions.similarity import ann_topk, ann_topk_lsh
+from doctr_ray.functions.text import fingerprint, lang_id, quality_score, token_stats
+
+
+def _docs_table(rows):
+    return pa.Table.from_pydict(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+    )
+
+
+# --------------------------------------------------------------- text fns
+
+def test_token_stats():
+    t = _docs_table([(1, "a bb ccc"), (2, "hello")])
+    out = token_stats(t).to_pydict()
+    assert out["n_tokens"] == [3, 1]
+    assert out["n_chars"] == [8, 5]
+    assert out["avg_token_len_e6"] == [2_000_000, 5_000_000]
+
+
+def test_quality_score():
+    t = _docs_table([(1, "the a to xx yyy"), (2, "wonderful documents")])
+    out = quality_score(t)
+    assert out["stopword_ratio_e6"].tolist() == [600_000, 0]
+    assert out["short_token_ratio_e6"].tolist() == [600_000, 0]  # a, to, xx
+    assert out["quality_e6"].tolist() == [400_000, 1_000_000]
+
+
+def test_lang_id():
+    t = _docs_table(
+        [
+            (1, "the value of the row"),
+            (2, "und der das"),
+            (3, "xyz qqq"),
+            (4, "le les une des"),
+        ]
+    )
+    out = lang_id(t)
+    assert out["pred_lang"].tolist() == ["en", "de", "und", "fr"]
+
+
+def test_fingerprint_matches_md5():
+    import hashlib
+
+    t = _docs_table([(1, "abc")])
+    out = fingerprint(t)
+    assert out["fp"][0] == hashlib.md5(b"abc").hexdigest()
+
+
+# --------------------------------------------------------------- dedup
+
+def test_shingles_and_jaccard():
+    assert shingles("a b c d", 3) == ["a b c", "b c d"]
+    assert shingles("a b", 3) == ["a b"]
+    assert shingles("", 3) == []
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c", "x y z") == 0.0
+
+
+def test_exact_dedup(ray_session):
+    rows = [(1, "same text here"), (2, "same text here"), (3, "unique text")]
+    ds = rd.from_arrow(_docs_table(rows))
+    groups = exact_dedup_groups(ds).to_pandas()
+    assert len(groups) == 2
+    dup = groups[groups["n_dups"] == 2].iloc[0]
+    assert dup["keeper_id"] == 1
+    kept = exact_dedup_keep_first(ds).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 3]
+
+
+def test_minhash_signature_similarity():
+    mh = MinHasher(num_perm=128)
+    base = " ".join(f"tok{i}" for i in range(50))
+    near = " ".join(f"tok{i}" for i in range(48)) + " other words"
+    far = " ".join(f"zzz{i}" for i in range(50))
+    s1, s2, s3 = mh.signature(base), mh.signature(near), mh.signature(far)
+    sim_near = (s1 == s2).mean()
+    sim_far = (s1 == s3).mean()
+    assert sim_near > 0.6 > sim_far
+
+
+def test_minhash_near_dups_finds_planted_pair(ray_session):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base + " extra"
+    rows = [(1, base), (2, near)] + [
+        (10 + i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(8)
+    ]
+    ds = rd.from_arrow(_docs_table(rows))
+    out = minhash_near_dups(ds, threshold=0.8).to_pandas()
+    assert {(1, 2)} == set(zip(out["a"], out["b"]))
+    assert (out["jaccard"] >= 0.8).all()
+
+
+def test_simhash_properties():
+    a = simhash64("the quick brown fox jumps over the lazy dog")
+    b = simhash64("the quick brown fox jumps over the lazy cat")
+    c = simhash64("completely different content entirely unrelated words")
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(a, b) < ham(a, c)
+    assert simhash64("") == 0
+    assert simhash64("stable words") == simhash64("stable words")
+
+
+def test_simhash_near_dups(ray_session):
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [(1, base), (2, base + " tiny change")] + [
+        (10 + i, " ".join(f"q{i}r{j}" for j in range(30))) for i in range(6)
+    ]
+    ds = rd.from_arrow(_docs_table(rows))
+    out = simhash_near_dups(ds, max_hamming=6).to_pandas()
+    assert (1, 2) in set(zip(out["a"], out["b"]))
+
+
+# --------------------------------------------------------------- similarity
+
+@pytest.fixture(scope="module")
+def emb_table():
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((100, 16))
+    return pa.Table.from_pydict(
+        {
+            "vec_id": list(range(100)),
+            "embedding": [v.astype(np.float32).tolist() for v in vecs],
+        }
+    ), vecs
+
+
+def test_ann_topk_exact(ray_session, emb_table):
+    table, vecs = emb_table
+    queries = {0: vecs[0], 7: vecs[7]}
+    out = ann_topk(rd.from_arrow(table), queries, k=5).to_pandas()
+    for qid, q in queries.items():
+        got = out[out["query_id"] == qid].sort_values("rank")
+        sims = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ (q / np.linalg.norm(q))
+        # numpy brute force reference (same fixed-point micro-units)
+        order = sorted(range(100), key=lambda i: (-round(sims[i] * 1e6), i))[:5]
+        assert got["vec_id"].tolist() == order
+        assert got["rank"].tolist() == [1, 2, 3, 4, 5]
+        assert got.iloc[0]["vec_id"] == qid and got.iloc[0]["cosine_e6"] == 1_000_000
+
+
+def test_ann_topk_lsh_recall(ray_session, emb_table):
+    table, vecs = emb_table
+    queries = {0: vecs[0], 5: vecs[5], 9: vecs[9]}
+    exact = ann_topk(rd.from_arrow(table), queries, k=5).to_pandas()
+    approx = ann_topk_lsh(
+        rd.from_arrow(table), queries, k=5, dim=16, n_planes=4
+    ).to_pandas()
+    # the query vector itself always lands in its own bucket -> rank 1
+    for qid in queries:
+        g = approx[approx["query_id"] == qid].sort_values("rank")
+        assert len(g) >= 1 and g.iloc[0]["vec_id"] == qid
+    # recall against exact top-5
+    hits = total = 0
+    for qid in queries:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.2  # bucketing trades recall for pruning

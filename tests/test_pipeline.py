@@ -1,0 +1,117 @@
+"""End-to-end pipeline: fused vs staged equality + exact text round-trip."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from doctr_ray.corpus import (
+    doc_spans,
+    expected_full_text,
+    make_inline_docs,
+)
+from doctr_ray.pipelines.ocr import ocr_extracted_text, ocr_spans
+
+WORDS = "alpha beta gamma delta word table merge batch window value part key".split()
+
+
+def _docs_rows(n=12):
+    rows = []
+    for i in range(n):
+        k = i * 7 % 40 + 3
+        rows.append((f"doc-{i:03d}", " ".join(WORDS[j % len(WORDS)] for j in range(k))))
+    rows.append(("doc-empty", ""))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def docs_rows():
+    return _docs_rows()
+
+
+def test_doc_spans_deterministic_and_interleaved(docs_rows):
+    did, text = docs_rows[3]
+    a = doc_spans(did, text)
+    b = doc_spans(did, text)
+    assert a == b
+    kinds = {s["kind"] for r in docs_rows for s in doc_spans(r[0], r[1])}
+    assert kinds == {"text", "media"}
+    # offsets are ascending and start at 0
+    offs = [s["offset"] for s in a]
+    assert offs == sorted(offs) and offs[0] == 0
+
+
+def test_ocr_extracted_text_exact_roundtrip(ray_session, docs_rows):
+    docs = make_inline_docs(docs_rows)
+    out = ocr_extracted_text(rd.from_arrow(docs)).to_pandas()
+    exp = {d: expected_full_text(t) for d, t in docs_rows}
+    got = dict(zip(out["doc_id"], out["full_text"]))
+    assert got == exp
+
+
+def test_ocr_spans_shape_and_order(ray_session, docs_rows):
+    docs = make_inline_docs(docs_rows)
+    sp = ocr_spans(rd.from_arrow(docs)).to_pandas()
+    assert set(sp.columns) == {"doc_id", "ord", "kind", "text", "media_ref", "offset"}
+    assert set(sp["kind"].unique()) <= {"text", "ocr_text"}
+    for did, g in sp.groupby("doc_id"):
+        g = g.sort_values("ord")
+        assert list(g["ord"]) == list(range(len(g)))
+        assert list(g["offset"]) == sorted(g["offset"])
+    # every media span became an ocr_text span with its media_ref kept
+    n_media = sum(
+        1 for d, t in docs_rows for s in doc_spans(d, t) if s["kind"] == "media"
+    )
+    assert (sp["kind"] == "ocr_text").sum() == n_media
+    assert (sp.loc[sp["kind"] == "ocr_text", "media_ref"] != "").all()
+
+
+def test_staged_equals_fused(ray_session, docs_rows):
+    docs = make_inline_docs(docs_rows[:8])
+    a = (
+        ocr_spans(rd.from_arrow(docs), mode="fused")
+        .to_pandas()
+        .sort_values(["doc_id", "ord"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ocr_spans(rd.from_arrow(docs), mode="staged", repartition_blocks=4)
+        .to_pandas()
+        .sort_values(["doc_id", "ord"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_staged_with_wide_crops(ray_session):
+    """Force the split-crop groupby path through the staged pipeline."""
+    long_word = "abcdefghijklmnopqrstuvwxyz0123456789"
+    rows = [("doc-wide", " ".join([long_word] * 6 + WORDS))]
+    docs = make_inline_docs(rows, media_fraction=1.0)
+    out = ocr_extracted_text(rd.from_arrow(docs), mode="staged").to_pandas()
+    assert out["full_text"][0] == expected_full_text(rows[0][1])
+
+
+def test_empty_spans_doc_not_dropped(ray_session):
+    import pyarrow as pa
+
+    from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+
+    t = pa.Table.from_arrays(
+        [
+            pa.array(["empty-spans", "one-text"], pa.string()),
+            pa.array(
+                [[], [{"kind": "text", "text": "hello world", "media_ref": "", "offset": 0}]],
+                SPANS_TYPE,
+            ),
+        ],
+        schema=DOCS_SCHEMA,
+    )
+    out = ocr_extracted_text(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert dict(zip(out["doc_id"], out["full_text"])) == {
+        "empty-spans": "",
+        "one-text": "hello world",
+    }
+    sp = ocr_spans(rd.from_arrow(t)).to_pandas()
+    assert set(sp["doc_id"]) == {"one-text"}  # zero spans for the empty doc
