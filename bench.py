@@ -44,8 +44,16 @@ def _init_ray(num_cpus: int) -> None:
     ctx.execution_options.verbose_progress = False
 
 
+# Headline workload: every chunk becomes a media asset (media_fraction
+# 1.0) and each source doc derives 2 distinct docs — ~5x the OCR work
+# of the correctness corpus, so per-execution fixed costs (actor pool
+# spin-up, shuffle setup) amortize the way they would on a long job.
+BENCH_MEDIA_FRACTION = 1.0
+BENCH_COPIES = 2
+
+
 def count_corpus_pages(sf_dir: str) -> int:
-    """Total rasterized pages of the derived corpus (cheap layout math)."""
+    """Total rasterized pages of the benchmark corpus (cheap layout math)."""
     import pyarrow.parquet as pq
 
     from doctr_ray.corpus import doc_spans
@@ -54,9 +62,11 @@ def count_corpus_pages(sf_dir: str) -> int:
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pages = 0
     for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        for s in doc_spans(str(did), text or ""):
-            if s["kind"] == "media":
-                pages += count_pages(s["media_ref"])
+        for c in range(BENCH_COPIES):
+            docid = str(did) if BENCH_COPIES == 1 else f"{did}-c{c}"
+            for s in doc_spans(docid, text or "", BENCH_MEDIA_FRACTION):
+                if s["kind"] == "media":
+                    pages += count_pages(s["media_ref"])
     return pages
 
 
@@ -64,10 +74,18 @@ def bench_ocr(sf_dir: str) -> tuple[float, int]:
     from doctr_ray.corpus import docs_dataset
     from doctr_ray.pipelines.ocr import ocr_extracted_text
 
-    # warm the page cache (untimed read)
-    docs_dataset(sf_dir).count()
+    def corpus(limit=None):
+        return docs_dataset(
+            sf_dir, media_fraction=BENCH_MEDIA_FRACTION, limit=limit, copies=BENCH_COPIES
+        )
+
+    # warm the page cache AND the worker pool (untimed: Ray worker
+    # processes import numpy/doctr_ray on first use — measuring that
+    # would benchmark import time, not the pipeline)
+    corpus().count()
+    ocr_extracted_text(corpus(limit=32)).count()
     t0 = time.monotonic()
-    out = ocr_extracted_text(docs_dataset(sf_dir))
+    out = ocr_extracted_text(corpus())
     n = out.count()
     wall = time.monotonic() - t0
     assert n > 0

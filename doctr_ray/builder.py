@@ -204,12 +204,16 @@ def build_page(
     do_resolve_lines: bool = True,
     do_resolve_blocks: bool = False,
     paragraph_break: float = PARAGRAPH_BREAK,
+    keep_reading_order: bool = False,
 ) -> BuiltPage:
     """Assemble one page, mirroring ``DocumentBuilder.__call__``'s
     word->line->block path (reference: models/builder.py:582-811).
 
     ``do_resolve_blocks`` defaults False like the reference
     (builder.py:55), yielding one block per page.
+    ``keep_reading_order`` re-orders the resolved lines with the
+    column-aware reading-order module (reference: builder.py:659-689
+    _apply_reading_order) — columns read fully before the next.
     """
     boxes = np.asarray(boxes, dtype=np.float32)
     n = len(boxes)
@@ -222,6 +226,12 @@ def build_page(
     else:
         idxs, sboxes = sort_boxes(boxes, shape)
         lines = [[int(i) for i in idxs]]
+    if keep_reading_order and len(lines) > 1:
+        from .reading_order import sort_reading_order
+
+        line_boxes = np.stack([resolve_enclosing_bbox(sboxes[line]) for line in lines])
+        line_texts = [" ".join(texts[w] for w in line) for line in lines]
+        lines = [lines[i] for i in sort_reading_order(line_boxes, line_texts)]
     blocks = resolve_blocks(sboxes, lines) if do_resolve_blocks else ([list(lines)] if lines else [])
 
     order: list[int] = []

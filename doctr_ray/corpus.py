@@ -84,19 +84,36 @@ def doc_spans(doc_id: str, text: str, media_fraction: float = 0.4) -> list[dict]
     return spans
 
 
-def documents_to_docs(batch: pa.Table, media_fraction: float = 0.4) -> pa.Table:
-    """``map_batches`` kernel: documents(doc_id, text) -> docs(doc_id, spans)."""
+def documents_to_docs(
+    batch: pa.Table, media_fraction: float = 0.4, copies: int = 1
+) -> pa.Table:
+    """``map_batches`` kernel: documents(doc_id, text) -> docs(doc_id, spans).
+
+    ``copies > 1`` derives several distinct docs per source row
+    (suffixed doc_ids -> different deterministic chunkings) — used by
+    the benchmark to scale the workload without new input data.
+    """
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
-    out_ids = [str(d) for d in doc_ids]
-    out_spans = [doc_spans(str(d), t or "", media_fraction) for d, t in zip(doc_ids, texts)]
+    out_ids: list[str] = []
+    out_spans: list[list[dict]] = []
+    for d, t in zip(doc_ids, texts):
+        for c in range(copies):
+            did = str(d) if copies == 1 else f"{d}-c{c}"
+            out_ids.append(did)
+            out_spans.append(doc_spans(did, t or "", media_fraction))
     return pa.Table.from_arrays(
         [pa.array(out_ids, pa.string()), pa.array(out_spans, SPANS_TYPE)],
         schema=DOCS_SCHEMA,
     )
 
 
-def docs_dataset(sf_dir: str, media_fraction: float = 0.4, limit: int | None = None):
+def docs_dataset(
+    sf_dir: str,
+    media_fraction: float = 0.4,
+    limit: int | None = None,
+    copies: int = 1,
+):
     """Ray Dataset of interleaved docs derived from ``{sf_dir}/documents.parquet``."""
     import ray.data as rd
 
@@ -104,7 +121,7 @@ def docs_dataset(sf_dir: str, media_fraction: float = 0.4, limit: int | None = N
     if limit is not None:
         ds = ds.limit(limit)
     return ds.map_batches(
-        lambda b: documents_to_docs(b, media_fraction),
+        lambda b: documents_to_docs(b, media_fraction, copies),
         batch_format="pyarrow",
         batch_size=256,
     )

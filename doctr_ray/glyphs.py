@@ -82,12 +82,11 @@ def glyph(ch: str, scale: int = SCALE) -> np.ndarray:
     return np.kron(g, np.ones((scale, scale), dtype=np.uint8))
 
 
-def render_word(word: str, scale: int = SCALE) -> np.ndarray:
-    """Render a word as an ink mask (uint8 {0,1}).
+import functools
 
-    Shape: (CHAR_H, len(word)*CHAR_PITCH - CHAR_SPACE) at default scale.
-    Fixed-pitch: glyph cells separated by ``CHAR_SPACE`` blank columns.
-    """
+
+@functools.lru_cache(maxsize=8192)
+def _render_word_cached(word: str, scale: int) -> np.ndarray:
     if not word:
         return np.zeros((GLYPH_H * scale, 0), dtype=np.uint8)
     cw, sp = GLYPH_W * scale, 1 * scale
@@ -95,7 +94,19 @@ def render_word(word: str, scale: int = SCALE) -> np.ndarray:
     for i, ch in enumerate(word):
         x = i * (cw + sp)
         out[:, x : x + cw] = glyph(ch, scale)
+    out.setflags(write=False)  # cached: callers must not mutate
     return out
+
+
+def render_word(word: str, scale: int = SCALE) -> np.ndarray:
+    """Render a word as an ink mask (uint8 {0,1}).
+
+    Shape: (CHAR_H, len(word)*CHAR_PITCH - CHAR_SPACE) at default scale.
+    Fixed-pitch: glyph cells separated by ``CHAR_SPACE`` blank columns.
+    LRU-cached (vocabulary words repeat heavily); the returned array is
+    read-only.
+    """
+    return _render_word_cached(word, scale)
 
 
 def word_width(word: str, scale: int = SCALE) -> int:

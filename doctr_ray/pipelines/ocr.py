@@ -183,21 +183,101 @@ def process_media_row(
     return out
 
 
+def media_to_ocr_span(
+    doc_id: str,
+    media_ref: str,
+    offset: int,
+    recognizer: GlyphRecognizer,
+    keep_reading_order: bool = False,
+) -> tuple[str, float]:
+    """One media asset -> its final OCR text span (builder applied
+    per page inside the worker — the whole media is local, so the
+    words never need to shuffle). Returns (text, mean_confidence)."""
+    rows = process_media_row(doc_id, media_ref, offset, recognizer)
+    texts = rows["text"]
+    if not texts:
+        return "", 0.0
+    page_idx = np.asarray(rows["page_idx"])
+    boxes = np.stack(
+        [rows["x0"], rows["y0"], rows["x1"], rows["y1"]], axis=1
+    ).astype(np.float32)
+    page_texts: list[str] = []
+    for pi in np.unique(page_idx):
+        m = page_idx == pi
+        p_texts = [texts[i] for i in np.flatnonzero(m)]
+        built = build_page(
+            boxes[m],
+            p_texts,
+            [rows["confidence"][i] for i in np.flatnonzero(m)],
+            np.asarray(rows["score"])[m],
+            keep_reading_order=keep_reading_order,
+        )
+        pt = page_text(built, p_texts, word_sep=" ", line_sep=" ")
+        if pt:
+            page_texts.append(pt)
+    conf = float(np.mean(rows["confidence"])) if rows["confidence"] else 0.0
+    return " ".join(page_texts), conf
+
+
 class OcrMediaWorker:
-    """Fused actor-pool stage: media work rows -> word work rows.
+    """Fused actor-pool stage: media work rows -> output rows.
 
     Recognizer templates built once per actor (``__init__``), the analog
     of loading detection+recognition weights once per worker
     (reference models/utils/pytorch.py:41).
+
+    ``emit="spans"`` (default) runs the per-page builder inside the
+    worker and emits ONE ``kind='ocr_text'`` row per media asset — the
+    final doc_id shuffle then moves span rows, not word rows (20x+
+    smaller). ``emit="words"`` emits per-word rows (the staged-parity
+    path used by tests).
     """
 
-    def __init__(self) -> None:
+    def __init__(
+        self,
+        emit: str = "spans",
+        keep_reading_order: bool = False,
+        passthrough: bool = False,
+    ) -> None:
         self.recognizer = GlyphRecognizer()
+        self.emit = emit
+        self.keep_reading_order = keep_reading_order
+        self.passthrough = passthrough
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.passthrough:
+            # single-chain mode: non-media marker rows pass through
+            # untouched, media rows are OCR'd — no DAG fork, the
+            # upstream explode executes exactly once
+            is_media = pc.equal(batch["kind"], pa.scalar("media"))
+            markers = batch.filter(pc.invert(is_media))
+            media = batch.filter(is_media)
+            if media.num_rows == 0:
+                return markers
+            processed = self._process(media)
+            return pa.concat_tables([markers, processed], promote_options="default")
+        return self._process(batch)
+
+    def _process(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         refs = batch["media_ref"].to_pylist()
         offsets = batch["offset"].to_pylist()
+        if self.emit == "spans":
+            out: dict[str, list] = {
+                "doc_id": [], "kind": [], "text": [], "media_ref": [],
+                "offset": [], "confidence": [],
+            }
+            for did, ref, off in zip(doc_ids, refs, offsets):
+                text, conf = media_to_ocr_span(
+                    did, ref, off, self.recognizer, self.keep_reading_order
+                )
+                out["doc_id"].append(did)
+                out["kind"].append("ocr_text")
+                out["text"].append(text)
+                out["media_ref"].append(ref)
+                out["offset"].append(off)
+                out["confidence"].append(conf)
+            return _work_table(out)
         merged: dict[str, list] = {}
         for did, ref, off in zip(doc_ids, refs, offsets):
             rows = process_media_row(did, ref, off, self.recognizer)
@@ -421,7 +501,7 @@ def _merge_word_parts(words: pd.DataFrame) -> pd.DataFrame:
 
 # ------------------------------------------------------------- assembly
 
-def _assemble_doc(g: pd.DataFrame) -> list[dict]:
+def _assemble_doc(g: pd.DataFrame, keep_reading_order: bool = False) -> list[dict]:
     """One document's work rows -> ordered output spans.
 
     Text spans pass through; each media marker's word rows are built
@@ -430,20 +510,23 @@ def _assemble_doc(g: pd.DataFrame) -> list[dict]:
     models/builder.py:699-811). Output order = span offset.
     """
     spans: list[dict] = []
-    for _, r in g[g["kind"] == "text"].iterrows():
-        spans.append(
-            {
-                "kind": "text",
-                "text": r["text"],
-                "media_ref": "",
-                "offset": int(r["offset"]),
-            }
-        )
-    media = g[g["kind"] == "media"]
-    words = _merge_word_parts(g[g["kind"] == "word"])
-    for _, m in media.iterrows():
-        off = int(m["offset"])
-        w = words[(words["offset"] == off) & (words["media_ref"] == m["media_ref"])]
+    kinds = g["kind"].to_numpy()
+    for text, off in zip(
+        g["text"].to_numpy()[kinds == "text"], g["offset"].to_numpy()[kinds == "text"]
+    ):
+        spans.append({"kind": "text", "text": text, "media_ref": "", "offset": int(off)})
+    # pre-built OCR spans (fused emit="spans" path: builder already ran
+    # inside the worker)
+    pre = kinds == "ocr_text"
+    for text, ref, off in zip(
+        g["text"].to_numpy()[pre], g["media_ref"].to_numpy()[pre], g["offset"].to_numpy()[pre]
+    ):
+        spans.append({"kind": "ocr_text", "text": text, "media_ref": ref, "offset": int(off)})
+    media = g[kinds == "media"]
+    words = _merge_word_parts(g[kinds == "word"])
+    for m_ref, m_off in zip(media["media_ref"].to_numpy(), media["offset"].to_numpy()):
+        off = int(m_off)
+        w = words[(words["offset"] == off) & (words["media_ref"] == m_ref)]
         page_texts: list[str] = []
         for pi in sorted(w["page_idx"].unique()):
             pw = w[w["page_idx"] == pi]
@@ -451,7 +534,9 @@ def _assemble_doc(g: pd.DataFrame) -> list[dict]:
             texts = list(pw["text"])
             confs = list(pw["confidence"])
             objs = pw["score"].to_numpy(dtype=np.float32)
-            built = build_page(boxes, texts, confs, objs)
+            built = build_page(
+                boxes, texts, confs, objs, keep_reading_order=keep_reading_order
+            )
             pt = page_text(built, texts, word_sep=" ", line_sep=" ")
             if pt:
                 page_texts.append(pt)
@@ -459,7 +544,7 @@ def _assemble_doc(g: pd.DataFrame) -> list[dict]:
             {
                 "kind": "ocr_text",
                 "text": " ".join(page_texts),
-                "media_ref": m["media_ref"],
+                "media_ref": m_ref,
                 "offset": off,
             }
         )
@@ -467,8 +552,8 @@ def _assemble_doc(g: pd.DataFrame) -> list[dict]:
     return spans
 
 
-def assemble_spans_group(g: pd.DataFrame) -> pd.DataFrame:
-    spans = _assemble_doc(g)
+def assemble_spans_group(g: pd.DataFrame, keep_reading_order: bool = False) -> pd.DataFrame:
+    spans = _assemble_doc(g, keep_reading_order)
     did = g["doc_id"].iloc[0]
     return pd.DataFrame(
         {
@@ -482,25 +567,29 @@ def assemble_spans_group(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def assemble_text_group(g: pd.DataFrame) -> pd.DataFrame:
-    spans = _assemble_doc(g)
+def assemble_text_group(g: pd.DataFrame, keep_reading_order: bool = False) -> pd.DataFrame:
+    spans = _assemble_doc(g, keep_reading_order)
     full = " ".join(s["text"] for s in spans if s["text"])
     return pd.DataFrame({"doc_id": [g["doc_id"].iloc[0]], "full_text": [full]})
 
 
 # ------------------------------------------------------------- pipelines
 
-def default_pool() -> tuple[int, int]:
-    """Autoscaling actor-pool bounds that leave CPU headroom for the
-    task stages (a pool reserving every CPU starves the reads/sort and
-    deadlocks the stream — observed at num_cpus=4)."""
+def default_pool() -> int:
+    """Fixed actor-pool size with CPU headroom for the task stages.
+
+    Two failure modes bound this number: a pool reserving every CPU
+    starves the task stages and deadlocks the stream (observed at
+    num_cpus=4), and an autoscaling (1, N) pool ramps up so slowly it
+    doubles the wall time of a 30 s job (observed at num_cpus=32:
+    fixed 22 -> 18.5 s, autoscale (1,22) -> 40 s)."""
     try:
         import ray
 
         n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     except Exception:
         n = 4
-    return (1, max(1, min(n - 2, (n * 3) // 4)))
+    return max(1, min(n - 2, (n * 3) // 4))
 
 
 def ocr_work_rows(
@@ -509,19 +598,28 @@ def ocr_work_rows(
     detect_concurrency: int | tuple | None = None,
     recognize_concurrency: int | tuple | None = None,
     repartition_blocks: int | None = None,
+    keep_reading_order: bool = False,
 ):
     """docs Dataset -> unioned work rows (text/media markers + words)."""
     work = docs_ds.map_batches(explode_spans, batch_format="pyarrow", batch_size=256)
-    markers = work  # explode emits only text/media marker rows
-    media = work.filter(expr="kind == 'media'")
     if mode == "fused":
-        words = media.map_batches(
+        # single linear chain: the worker forwards text/empty marker
+        # rows and replaces media rows with finished ocr_text spans —
+        # no fork (a forked Dataset re-executes its upstream per branch)
+        return work.map_batches(
             OcrMediaWorker,
+            fn_constructor_kwargs={
+                "emit": "spans",
+                "keep_reading_order": keep_reading_order,
+                "passthrough": True,
+            },
             batch_format="pyarrow",
-            batch_size=16,
+            batch_size=32,
             concurrency=recognize_concurrency or default_pool(),
         )
-    elif mode == "staged":
+    media = work.filter(expr="kind == 'media'")
+    if mode == "staged":
+        markers = work  # media markers needed: assembly builds from word rows
         pages = media.map_batches(rasterize_batch, batch_format="pyarrow", batch_size=16)
         if repartition_blocks:
             pages = pages.repartition(repartition_blocks)
@@ -530,14 +628,14 @@ def ocr_work_rows(
             DetectStage,
             batch_format="pyarrow",
             batch_size=8,
-            concurrency=detect_concurrency or (1, max(1, default_pool()[1] // 2)),
+            concurrency=detect_concurrency or max(1, default_pool() // 2),
         )
         crops = det.map_batches(crop_batch, batch_format="pyarrow", batch_size=8)
         rec = crops.map_batches(
             RecognizeStage,
             batch_format="pyarrow",
             batch_size=1024,
-            concurrency=recognize_concurrency or (1, max(1, default_pool()[1] // 2)),
+            concurrency=recognize_concurrency or max(1, default_pool() // 2),
         )
         words = rec.map_batches(_recognized_to_work, batch_format="pyarrow")
     else:
@@ -545,13 +643,88 @@ def ocr_work_rows(
     return markers.union(words)
 
 
-def ocr_spans(docs_ds, mode: str = "fused", **kw):
+ASSEMBLY_BUCKETS = 64
+
+
+def _add_bucket(batch: pa.Table, buckets: int = ASSEMBLY_BUCKETS) -> pa.Table:
+    """Stable hash bucket of doc_id — the assembly groupby shuffles on
+    ~`buckets` keys instead of one key per document, so the reducer
+    runs a few dozen vectorized tasks, not one python call per doc."""
+    import hashlib
+
+    b = [
+        int.from_bytes(hashlib.md5(d.encode()).digest()[:4], "little") % buckets
+        for d in batch["doc_id"].to_pylist()
+    ]
+    return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+
+def _assemble_bucket(
+    g: pd.DataFrame, keep_reading_order: bool, emit: str
+) -> pd.DataFrame:
+    """Assemble every document of one hash bucket.
+
+    Docs whose rows are already span-shaped (fused path: kinds in
+    {text, empty, ocr_text}) are assembled fully vectorized; docs with
+    word/media rows (staged path) fall back to the per-doc builder.
+    """
+    kinds = g["kind"]
+    slow_ids = set(g.loc[kinds.isin(["word", "media"]), "doc_id"].unique())
+    out_frames: list[pd.DataFrame] = []
+
+    fast = g[~g["doc_id"].isin(slow_ids)] if slow_ids else g
+    if len(fast):
+        f = fast[fast["kind"] != "empty"].sort_values(
+            ["doc_id", "offset"], kind="stable"
+        )
+        if emit == "spans":
+            if len(f):
+                spans = f[["doc_id", "kind", "text", "media_ref", "offset"]].copy()
+                spans["ord"] = spans.groupby("doc_id", sort=False).cumcount().astype(np.int32)
+                out_frames.append(
+                    spans[["doc_id", "ord", "kind", "text", "media_ref", "offset"]]
+                )
+        else:
+            nonempty = f[f["text"] != ""]
+            joined = nonempty.groupby("doc_id", sort=False)["text"].agg(" ".join)
+            all_ids = pd.Index(fast["doc_id"].unique(), name="doc_id")
+            full = joined.reindex(all_ids, fill_value="")
+            out_frames.append(
+                pd.DataFrame({"doc_id": full.index, "full_text": full.values})
+            )
+    for did in sorted(slow_ids):
+        sub = g[g["doc_id"] == did]
+        if emit == "spans":
+            out_frames.append(assemble_spans_group(sub, keep_reading_order))
+        else:
+            out_frames.append(assemble_text_group(sub, keep_reading_order))
+    if not out_frames:
+        cols = (
+            ["doc_id", "ord", "kind", "text", "media_ref", "offset"]
+            if emit == "spans"
+            else ["doc_id", "full_text"]
+        )
+        return pd.DataFrame({c: [] for c in cols})
+    return pd.concat(out_frames, ignore_index=True)
+
+
+def _assembled(docs_ds, mode, keep_reading_order, emit, **kw):
+    import functools
+
+    work = ocr_work_rows(docs_ds, mode=mode, keep_reading_order=keep_reading_order, **kw)
+    work = work.map_batches(_add_bucket, batch_format="pyarrow")
+    fn = functools.partial(
+        _assemble_bucket, keep_reading_order=keep_reading_order, emit=emit
+    )
+    out = work.groupby("bucket").map_groups(fn, batch_format="pandas")
+    return out
+
+
+def ocr_spans(docs_ds, mode: str = "fused", keep_reading_order: bool = False, **kw):
     """Full pipeline -> spans_out rows (doc_id, ord, kind, text, media_ref, offset)."""
-    work = ocr_work_rows(docs_ds, mode=mode, **kw)
-    return work.groupby("doc_id").map_groups(assemble_spans_group, batch_format="pandas")
+    return _assembled(docs_ds, mode, keep_reading_order, "spans", **kw)
 
 
-def ocr_extracted_text(docs_ds, mode: str = "fused", **kw):
+def ocr_extracted_text(docs_ds, mode: str = "fused", keep_reading_order: bool = False, **kw):
     """Full pipeline -> one row per doc (doc_id, full_text)."""
-    work = ocr_work_rows(docs_ds, mode=mode, **kw)
-    return work.groupby("doc_id").map_groups(assemble_text_group, batch_format="pandas")
+    return _assembled(docs_ds, mode, keep_reading_order, "text", **kw)

@@ -136,18 +136,20 @@ class GlyphRecognizer:
         self.cell_px = float(CHAR_H * CHAR_W)
 
     def _cells(self, crop: np.ndarray) -> np.ndarray:
-        """Crop (H,W) uint8 -> (n_chars, CHAR_H*CHAR_W) float32 ink cells."""
+        """Crop (H,W) uint8 -> (n_chars, CHAR_H*CHAR_W) float32 ink cells.
+
+        Vectorized: pad the crop to a whole number of pitch cells and
+        reshape — one slice per crop instead of one per character."""
         h, w = crop.shape[:2]
         if h != CHAR_H:  # nearest-neighbor vertical rescale (robustness path)
             idx = (np.arange(CHAR_H) * h / CHAR_H).astype(np.int64)
             crop = crop[idx]
         n = max(1, round((w + CHAR_SPACE) / CHAR_PITCH))
-        cells = np.zeros((n, CHAR_H, CHAR_W), dtype=np.float32)
-        for i in range(n):
-            x0 = i * CHAR_PITCH
-            cell = crop[:, x0 : x0 + CHAR_W]
-            cells[i, :, : cell.shape[1]] = cell < INK_THRESH
-        return cells.reshape(n, -1)
+        padded = np.zeros((CHAR_H, n * CHAR_PITCH), dtype=np.float32)
+        padded[:, :w] = crop < INK_THRESH
+        # (H, n, pitch) -> (n, H, char_w)
+        cells = padded.reshape(CHAR_H, n, CHAR_PITCH).transpose(1, 0, 2)[:, :, :CHAR_W]
+        return np.ascontiguousarray(cells).reshape(n, -1)
 
     def recognize_batch(self, crops: list[np.ndarray]) -> list[tuple[str, float]]:
         """Batch of crops -> [(text, confidence)].

@@ -1,0 +1,92 @@
+"""Job entry point: partitioned, resumable extraction over a docs table.
+
+The ``ray job submit`` surface (reference analog: cli/main.py:17-66 /
+scripts/analyze.py — parse args, build predictor, run, dump results;
+here: read docs parquet -> hash-partitioned OCR pipeline -> per-
+partition parquet + lineage/metrics manifests, resumable)::
+
+    python -m doctr_ray.run --input /root/testdata/sf0.01 \
+        --output /tmp/spans_out --partitions 8 [--resume] [--staged]
+
+Owns its Ray session (guarded init) — the library itself never calls
+ray.init (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="sf_dir containing documents.parquet")
+    ap.add_argument("--output", required=True, help="output directory (partitioned)")
+    ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument("--limit", type=int, default=None, help="limit input docs")
+    ap.add_argument("--staged", action="store_true", help="use the staged pipeline")
+    ap.add_argument(
+        "--no-resume",
+        action="store_true",
+        help="ignore existing partition manifests (default: resume)",
+    )
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from doctr_ray.corpus import docs_dataset
+    from doctr_ray.pipelines.ocr import ocr_spans
+    from doctr_ray.state.checkpoint import run_partitioned
+
+    if args.no_resume:
+        import glob as g
+        import shutil
+
+        for p in g.glob(f"{args.output}/part=*"):
+            shutil.rmtree(p, ignore_errors=True)
+
+    mode = "staged" if args.staged else "fused"
+
+    def factory():
+        return docs_dataset(args.input, limit=args.limit)
+
+    def pipeline(ds):
+        return ocr_spans(ds, mode=mode)
+
+    pipeline.__name__ = f"ocr_spans[{mode}]"
+
+    results = run_partitioned(
+        factory,
+        pipeline,
+        args.output,
+        num_partitions=args.partitions,
+        lineage_extra={"input": args.input, "limit": args.limit, "mode": mode},
+    )
+    summary = {
+        "partitions": len(results),
+        "skipped": sum(r.skipped for r in results),
+        "rows": sum(r.metrics.get("rows", 0) for r in results),
+        "wall_sec": round(sum(r.metrics.get("wall_sec", 0) for r in results if not r.skipped), 3),
+        "output": args.output,
+    }
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,102 @@
+"""Reading-order module: direction, XY-cut columns, segments, 2-col e2e."""
+
+import numpy as np
+import pytest
+
+from doctr_ray.reading_order import (
+    detect_text_direction,
+    resolve_reading_segments,
+    sort_reading_order,
+    xy_cut_order,
+)
+
+
+def test_detect_text_direction():
+    assert detect_text_direction(["hello", "world"]) == "ltr"
+    assert detect_text_direction(["مرحبا"]) == "rtl"  # Arabic
+    assert detect_text_direction([]) == "ltr"
+
+
+def test_title_over_two_columns():
+    # mirrors the reference doctest (reading_order/base.py:394-402):
+    # right column, title, left column -> order [title, left, right]
+    boxes = np.array(
+        [
+            [0.55, 0.2, 0.9, 0.8],   # right column
+            [0.1, 0.05, 0.9, 0.15],  # full-width title
+            [0.1, 0.2, 0.45, 0.8],   # left column
+        ]
+    )
+    assert sort_reading_order(boxes) == [1, 2, 0]
+
+
+def test_two_column_order():
+    boxes = np.array(
+        [
+            [0.1, 0.1, 0.4, 0.2],   # L1
+            [0.6, 0.1, 0.9, 0.2],   # R1
+            [0.1, 0.3, 0.4, 0.4],   # L2
+            [0.6, 0.3, 0.9, 0.4],   # R2
+        ]
+    )
+    assert sort_reading_order(boxes) == [0, 2, 1, 3]
+
+
+def test_rtl_columns_reversed():
+    boxes = np.array(
+        [
+            [0.1, 0.1, 0.4, 0.2],
+            [0.6, 0.1, 0.9, 0.2],
+        ]
+    )
+    assert xy_cut_order(boxes, rtl=True) == [1, 0]
+
+
+def test_no_cut_falls_back_to_sort_key():
+    # overlapping elements, no clean gap -> builder sort key order
+    boxes = np.array(
+        [
+            [0.1, 0.5, 0.6, 0.6],
+            [0.4, 0.1, 0.9, 0.2],
+        ]
+    )
+    assert sort_reading_order(boxes) == [1, 0]
+
+
+def test_reading_segments():
+    boxes = np.array(
+        [
+            [0.1, 0.10, 0.5, 0.15],
+            [0.1, 0.16, 0.5, 0.21],  # tight below -> same segment
+            [0.1, 0.60, 0.5, 0.65],  # far -> new segment
+        ]
+    )
+    assert resolve_reading_segments(boxes, [0, 1, 2]) == [[0, 1], [2]]
+
+
+def test_two_column_page_roundtrip(ray_session):
+    """e2e: a 2-column synth page reads left column fully before right
+    only with keep_reading_order=True."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+    from doctr_ray.media import encode_media_ref
+    from doctr_ray.pipelines.ocr import ocr_extracted_text
+
+    text = " ".join(f"w{i:02d}" for i in range(40))
+    ref = encode_media_ref(text, 640, 160, cols=2)  # short page -> both columns used
+    t = pa.Table.from_arrays(
+        [
+            pa.array(["doc-2col"], pa.string()),
+            pa.array(
+                [[{"kind": "media", "text": "", "media_ref": ref, "offset": 0}]],
+                SPANS_TYPE,
+            ),
+        ],
+        schema=DOCS_SCHEMA,
+    )
+    out = ocr_extracted_text(rd.from_arrow(t), keep_reading_order=True).to_pandas()
+    assert out["full_text"][0] == text
+    out2 = ocr_extracted_text(rd.from_arrow(t), keep_reading_order=False).to_pandas()
+    assert out2["full_text"][0] != text  # interleaves columns row-wise
