@@ -86,6 +86,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_ocr_spans_staged(sf_dir: str):
         return ocr_spans(_docs_ds(sf_dir, limit=64), mode="staged", repartition_blocks=8)
 
+    def q_kie(sf_dir: str):
+        from doctr_ray.corpus import documents_to_docs
+        from doctr_ray.media import encode_media_ref
+        from doctr_ray.pipelines.kie import kie_predictions
+        import pyarrow as pa
+
+        # derive a small artefact-bearing corpus from documents
+        def to_docs(batch: pa.Table) -> pa.Table:
+            from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+
+            ids, spans = [], []
+            for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+                toks = (t or "").split(" ")[:20]
+                ids.append(str(d))
+                spans.append(
+                    [
+                        {
+                            "kind": "media",
+                            "text": "",
+                            "media_ref": encode_media_ref(
+                                " ".join(toks), artefacts=1 + int(d) % 3
+                            ),
+                            "offset": 0,
+                        }
+                    ]
+                )
+            return pa.Table.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
+                schema=DOCS_SCHEMA,
+            )
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"]).limit(100).map_batches(
+            to_docs, batch_format="pyarrow"
+        )
+        return kie_predictions(docs)
+
+    def q_kie_word_text(sf_dir: str):
+        ds = q_kie(sf_dir)
+        return (
+            ds.filter(expr="class_name == 'words'")
+            .select_columns(["doc_id", "rank", "value"])
+        )
+
     def q_token_stats(sf_dir: str):
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             token_stats, batch_format="pyarrow"
@@ -141,6 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_roundtrip": q_ocr_roundtrip,
         "ocr_spans": q_ocr_spans,
         "ocr_spans_staged": q_ocr_spans_staged,
+        "kie_predictions": q_kie,
+        "kie_word_text": q_kie_word_text,
         "doc_token_stats": q_token_stats,
         "doc_quality": q_quality,
         "doc_lang_id": q_lang_id,
@@ -197,6 +242,15 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'zh' END AS pred_lang FROM c"
         ),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "kie_word_text": (
+            # the engine renders the first 20 tokens of each of the
+            # first 100 documents; KIE must read them back in order
+            "WITH d AS (SELECT doc_id, string_split(text, ' ')[1:20] AS toks "
+            "FROM documents ORDER BY doc_id LIMIT 100) "
+            "SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, "
+            "CAST(s.i - 1 AS INT) AS rank, d.toks[s.i] AS value "
+            "FROM d CROSS JOIN generate_series(1, 20) s(i) WHERE s.i <= len(d.toks)"
+        ),
         "dedup_exact": (
             "SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_dups "
             "FROM documents GROUP BY md5(text)"

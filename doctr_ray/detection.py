@@ -198,13 +198,19 @@ def detect_page(image: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     n = len(abs_boxes)
     rel = np.zeros((n, 5), dtype=np.float32)
     if n:
-        # score = component ink density over its (dilated) area — the
-        # box_score analog, computed from the run data already produced
-        # by the labeling pass (no separate integral-image sweep)
-        dil_area = (abs_boxes[:, 2] - abs_boxes[:, 0] + 2 * DILATE_X).astype(np.int64) * (
-            abs_boxes[:, 3] - abs_boxes[:, 1] + 2 * DILATE_Y
+        # score = mean ORIGINAL ink inside the tight box (box_score
+        # analog, detection/core.py:34-64). Computed by direct per-box
+        # sums — boxes are small and disjoint, this beats a full-page
+        # integral image; the dilated-run ink_sums can't be used (the
+        # dilation fills glyph gaps -> every component scores ~1.0,
+        # which would break density-based class separation in KIE).
+        scores = np.empty(n, dtype=np.float32)
+        areas = np.maximum(
+            (abs_boxes[:, 2] - abs_boxes[:, 0]) * (abs_boxes[:, 3] - abs_boxes[:, 1]), 1
         )
-        scores = (ink_sums / np.maximum(dil_area, 1)).astype(np.float32)
+        for i, (x0, y0, x1, y1) in enumerate(abs_boxes):
+            scores[i] = ink[y0:y1, x0:x1].sum()
+        scores /= areas
         rel[:, 0] = abs_boxes[:, 0] / W
         rel[:, 1] = abs_boxes[:, 1] / H
         rel[:, 2] = abs_boxes[:, 2] / W

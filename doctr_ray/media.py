@@ -48,20 +48,32 @@ def encode_media_ref(
     page_w: int = DEFAULT_PAGE_W,
     page_h: int = DEFAULT_PAGE_H,
     cols: int = 1,
+    artefacts: int = 0,
 ) -> str:
     payload = base64.urlsafe_b64encode(text.encode("utf-8")).decode("ascii")
-    return f"{SYNTH_PREFIX}{page_w}x{page_h}/c{cols}/{payload}"
+    art = f"a{artefacts}" if artefacts else ""
+    return f"{SYNTH_PREFIX}{page_w}x{page_h}/c{cols}{art}/{payload}"
 
 
-def decode_media_ref(media_ref: str) -> tuple[str, int, int, int]:
-    """-> (text, page_w, page_h, cols). Raises ValueError on foreign refs."""
+def decode_media_ref(media_ref: str) -> tuple[str, int, int, int, int]:
+    """-> (text, page_w, page_h, cols, artefacts). Raises on foreign refs."""
     if not media_ref.startswith(SYNTH_PREFIX):
         raise ValueError(f"not a synth media_ref: {media_ref[:40]!r}")
     rest = media_ref[len(SYNTH_PREFIX) :]
     dims, colspec, payload = rest.split("/", 2)
     w, h = dims.split("x")
+    colspec = colspec.lstrip("c")
+    if "a" in colspec:
+        cols_s, art_s = colspec.split("a")
+    else:
+        cols_s, art_s = colspec, "0"
     text = base64.urlsafe_b64decode(payload.encode("ascii")).decode("utf-8")
-    return text, int(w), int(h), int(colspec.lstrip("c"))
+    return text, int(w), int(h), int(cols_s), int(art_s)
+
+
+ART_W = 20 * SCALE   # artefact rectangle size (px)
+ART_H = 10 * SCALE
+ART_BAND = ART_H + 4 * SCALE  # bottom band reserved when artefacts present
 
 
 @dataclass
@@ -70,6 +82,11 @@ class PageGT:
 
     image: np.ndarray                         # (H, W) uint8, 255 bg / 0 ink
     words: list[tuple[str, int, int, int, int]]  # (text, x0, y0, x1, y1) px, exclusive
+    artefacts: list[tuple[int, int, int, int]] = None  # solid boxes (x0,y0,x1,y1)
+
+    def __post_init__(self):
+        if self.artefacts is None:
+            self.artefacts = []
 
 
 def _layout_columns(page_w: int, cols: int) -> list[tuple[int, int]]:
@@ -90,10 +107,11 @@ def rasterize_synth(media_ref: str, scale: int = SCALE) -> list[PageGT]:
     column are hard-truncated to fit (cannot happen with the synthetic
     corpora's short tokens; asserted in tests).
     """
-    text, page_w, page_h, cols = decode_media_ref(media_ref)
+    text, page_w, page_h, cols, n_art = decode_media_ref(media_ref)
     words = [w for w in text.split(" ") if w]
     col_spans = _layout_columns(page_w, cols)
-    max_lines = max(1, (page_h - 2 * MARGIN + LINE_LEAD) // LINE_PITCH)
+    usable_h = page_h - (ART_BAND if n_art else 0)
+    max_lines = max(1, (usable_h - 2 * MARGIN + LINE_LEAD) // LINE_PITCH)
 
     pages: list[PageGT] = []
     placed: list[tuple[str, int, int, int, int]] = []
@@ -134,16 +152,28 @@ def rasterize_synth(media_ref: str, scale: int = SCALE) -> list[PageGT]:
 
     if placed or not pages:
         flush_page()
+    # artefacts: solid rectangles in the reserved bottom band of page 0
+    # (deterministic positions; never overlap text)
+    if n_art:
+        img0 = pages[0].image
+        y0 = page_h - ART_BAND + 2 * SCALE
+        for i in range(n_art):
+            x0 = MARGIN + i * (ART_W + 4 * SCALE)
+            if x0 + ART_W > page_w - MARGIN:
+                break
+            img0[y0 : y0 + ART_H, x0 : x0 + ART_W] = 0
+            pages[0].artefacts.append((x0, y0, x0 + ART_W, y0 + ART_H))
     return pages
 
 
 def count_pages(media_ref: str, scale: int = SCALE) -> int:
     """Number of pages :func:`rasterize_synth` would produce — same wrap
     arithmetic, no pixel painting (cheap; used by bench for pages/s)."""
-    text, page_w, page_h, cols = decode_media_ref(media_ref)
+    text, page_w, page_h, cols, n_art = decode_media_ref(media_ref)
     words = [w for w in text.split(" ") if w]
     col_spans = _layout_columns(page_w, cols)
-    max_lines = max(1, (page_h - 2 * MARGIN + LINE_LEAD) // LINE_PITCH)
+    usable_h = page_h - (ART_BAND if n_art else 0)
+    max_lines = max(1, (usable_h - 2 * MARGIN + LINE_LEAD) // LINE_PITCH)
     pages, col_i, line_i = 1, 0, 0
     x = col_spans[0][0]
     for w in words:
@@ -170,5 +200,5 @@ def count_pages(media_ref: str, scale: int = SCALE) -> int:
 
 def synth_ground_truth_text(media_ref: str) -> str:
     """The exact text the OCR pipeline must recover from this asset."""
-    text, _, _, _ = decode_media_ref(media_ref)
+    text = decode_media_ref(media_ref)[0]
     return " ".join(w for w in text.split(" ") if w)

@@ -602,6 +602,13 @@ def ocr_work_rows(
 ):
     """docs Dataset -> unioned work rows (text/media markers + words)."""
     work = docs_ds.map_batches(explode_spans, batch_format="pyarrow", batch_size=256)
+    # explicit repartition: upstream map_batches coalesces blocks to
+    # satisfy batch_size (observed: 64 read blocks -> 16), which caps
+    # the actor pool at 16 concurrent tasks. Split into >= several
+    # waves per actor so the pool saturates and stragglers even out.
+    if repartition_blocks is None:
+        repartition_blocks = max(64, default_pool() * 8)
+    work = work.repartition(repartition_blocks)
     if mode == "fused":
         # single linear chain: the worker forwards text/empty marker
         # rows and replaces media rows with finished ocr_text spans —

@@ -13,8 +13,23 @@ from doctr_ray.media import (
 
 def test_media_ref_roundtrip():
     ref = encode_media_ref("hello world", 800, 600, cols=2)
-    text, w, h, cols = decode_media_ref(ref)
-    assert (text, w, h, cols) == ("hello world", 800, 600, 2)
+    text, w, h, cols, art = decode_media_ref(ref)
+    assert (text, w, h, cols, art) == ("hello world", 800, 600, 2, 0)
+    ref2 = encode_media_ref("x", artefacts=3)
+    assert decode_media_ref(ref2)[4] == 3
+
+
+def test_artefacts_rendered():
+    ref = encode_media_ref("hello world words", artefacts=2)
+    pages = rasterize_synth(ref)
+    p = pages[0]
+    assert len(p.artefacts) == 2
+    for x0, y0, x1, y1 in p.artefacts:
+        assert (p.image[y0:y1, x0:x1] == 0).all()  # solid ink
+    # artefacts never overlap word boxes
+    for _, wx0, wy0, wx1, wy1 in p.words:
+        for ax0, ay0, ax1, ay1 in p.artefacts:
+            assert wy1 <= ay0 or wy0 >= ay1 or wx1 <= ax0 or wx0 >= ax1
 
 
 def test_foreign_ref_rejected():
