@@ -122,6 +122,113 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return kie_predictions(docs)
 
+    def q_ocr_rotated(sf_dir: str):
+        """Rotated scans: every media rendered at a 90-degree multiple;
+        detect_orientation recovers the upright text exactly."""
+        import pyarrow as pa
+
+        from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+        from doctr_ray.media import encode_media_ref
+
+        def to_docs(batch: pa.Table) -> pa.Table:
+            ids, spans = [], []
+            for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+                toks = (t or "").split(" ")[:30]
+                ids.append(str(d))
+                spans.append(
+                    [
+                        {
+                            "kind": "media",
+                            "text": "",
+                            "media_ref": encode_media_ref(
+                                " ".join(toks), rotation=90 * (int(d) % 4)
+                            ),
+                            "offset": 0,
+                        }
+                    ]
+                )
+            return pa.Table.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
+                schema=DOCS_SCHEMA,
+            )
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"]).limit(100).map_batches(
+            to_docs, batch_format="pyarrow"
+        )
+        return ocr_extracted_text(docs, detect_orientation=True)
+
+    def q_table_grids(sf_dir: str):
+        """Bordered-grid tables: R x C derived from doc_id, cells filled
+        row-major from the document's tokens; extraction must recover
+        the exact logical grid."""
+        import pyarrow as pa
+
+        from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+        from doctr_ray.media import encode_media_ref
+        from doctr_ray.pipelines.ocr import default_pool, explode_spans
+        from doctr_ray.recognition import GlyphRecognizer
+        from doctr_ray.tables import extract_tables
+
+        def to_docs(batch: pa.Table) -> pa.Table:
+            ids, spans = [], []
+            for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+                R, C = 2 + int(d) % 2, 2 + int(d) % 3
+                toks = (t or "").split(" ")[: R * C]
+                ids.append(str(d))
+                spans.append(
+                    [
+                        {
+                            "kind": "media",
+                            "text": "",
+                            "media_ref": encode_media_ref(" ".join(toks), table=(R, C)),
+                            "offset": 0,
+                        }
+                    ]
+                )
+            return pa.Table.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
+                schema=DOCS_SCHEMA,
+            )
+
+        class TableWorker:
+            def __init__(self) -> None:
+                self.rec = GlyphRecognizer()
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                from doctr_ray.media import rasterize_synth
+
+                out = {"doc_id": [], "row": [], "col": [], "value": []}
+                for did, ref in zip(
+                    batch["doc_id"].to_pylist(), batch["media_ref"].to_pylist()
+                ):
+                    for page in rasterize_synth(ref):
+                        tables, _ = extract_tables(page.image, self.rec)
+                        for t in tables:
+                            for c in t.cells:
+                                out["doc_id"].append(did)
+                                out["row"].append(c.row)
+                                out["col"].append(c.col)
+                                out["value"].append(c.value)
+                return pa.Table.from_pydict(
+                    {
+                        "doc_id": pa.array(out["doc_id"], pa.string()),
+                        "row": pa.array(out["row"], pa.int32()),
+                        "col": pa.array(out["col"], pa.int32()),
+                        "value": pa.array(out["value"], pa.string()),
+                    }
+                )
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"]).limit(80).map_batches(
+            to_docs, batch_format="pyarrow"
+        )
+        media = docs.map_batches(explode_spans, batch_format="pyarrow").filter(
+            expr="kind == 'media'"
+        )
+        return media.map_batches(
+            TableWorker, batch_format="pyarrow", batch_size=16,
+            concurrency=max(1, default_pool() // 2),
+        )
+
     def q_kie_word_text(sf_dir: str):
         ds = q_kie(sf_dir)
         return (
@@ -166,6 +273,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=8
         )
 
+    def q_dedup_embedding(sf_dir: str):
+        from doctr_ray.functions.dedup import embedding_near_dups
+
+        return embedding_near_dups(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            threshold=0.5,
+            n_planes=0,  # exact within-bucket verify (oracle = O(n^2) join)
+        )
+
     def q_ann_topk(sf_dir: str):
         return ann_topk(
             _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
@@ -186,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_spans_staged": q_ocr_spans_staged,
         "kie_predictions": q_kie,
         "kie_word_text": q_kie_word_text,
+        "ocr_rotated": q_ocr_rotated,
+        "table_grids": q_table_grids,
         "doc_token_stats": q_token_stats,
         "doc_quality": q_quality,
         "doc_lang_id": q_lang_id,
@@ -194,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_minhash": q_minhash_dups,
         "dedup_simhash": q_simhash_dups,
+        "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_lsh,
         "pricing_summary": pricing_summary,
@@ -242,6 +361,21 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'zh' END AS pred_lang FROM c"
         ),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "ocr_rotated": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "array_to_string(string_split(text, ' ')[1:30], ' ') AS full_text "
+            "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 100)"
+        ),
+        "table_grids": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+            "2 + doc_id % 2 AS R, 2 + doc_id % 3 AS C "
+            "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 80)) "
+            "SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, "
+            "CAST((s.i - 1) // d.C AS INT) AS row, "
+            "CAST((s.i - 1) % d.C AS INT) AS col, d.toks[s.i] AS value "
+            "FROM d CROSS JOIN generate_series(1, 20) s(i) "
+            "WHERE s.i <= d.R * d.C AND s.i <= len(d.toks)"
+        ),
         "kie_word_text": (
             # the engine renders the first 20 tokens of each of the
             # first 100 documents; KIE must read them back in order
@@ -260,6 +394,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(text) AS fp, "
             "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn "
             "FROM documents) WHERE rn = 1"
+        ),
+        "dedup_embedding": (
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_e6 "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5"
         ),
         "ann_topk": (
             f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "

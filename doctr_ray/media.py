@@ -43,37 +43,54 @@ DEFAULT_PAGE_H = 480
 SYNTH_PREFIX = "synth://v1/"
 
 
+_SPEC_RE = None
+
+
 def encode_media_ref(
     text: str,
     page_w: int = DEFAULT_PAGE_W,
     page_h: int = DEFAULT_PAGE_H,
     cols: int = 1,
     artefacts: int = 0,
+    rotation: int = 0,
+    table: tuple[int, int] | None = None,
 ) -> str:
     payload = base64.urlsafe_b64encode(text.encode("utf-8")).decode("ascii")
     art = f"a{artefacts}" if artefacts else ""
-    return f"{SYNTH_PREFIX}{page_w}x{page_h}/c{cols}{art}/{payload}"
+    rot = f"r{rotation}" if rotation else ""
+    tab = f"t{table[0]}x{table[1]}" if table else ""
+    return f"{SYNTH_PREFIX}{page_w}x{page_h}/c{cols}{art}{rot}{tab}/{payload}"
 
 
-def decode_media_ref(media_ref: str) -> tuple[str, int, int, int, int]:
-    """-> (text, page_w, page_h, cols, artefacts). Raises on foreign refs."""
+def decode_media_ref(
+    media_ref: str,
+) -> tuple[str, int, int, int, int, int, tuple[int, int] | None]:
+    """-> (text, page_w, page_h, cols, artefacts, rotation, table).
+    Raises on foreign refs."""
+    global _SPEC_RE
+    if _SPEC_RE is None:
+        import re
+
+        _SPEC_RE = re.compile(r"^c(\d+)(?:a(\d+))?(?:r(\d+))?(?:t(\d+)x(\d+))?$")
     if not media_ref.startswith(SYNTH_PREFIX):
         raise ValueError(f"not a synth media_ref: {media_ref[:40]!r}")
     rest = media_ref[len(SYNTH_PREFIX) :]
     dims, colspec, payload = rest.split("/", 2)
     w, h = dims.split("x")
-    colspec = colspec.lstrip("c")
-    if "a" in colspec:
-        cols_s, art_s = colspec.split("a")
-    else:
-        cols_s, art_s = colspec, "0"
+    m = _SPEC_RE.match(colspec)
+    if m is None:
+        raise ValueError(f"bad media spec: {colspec!r}")
+    cols_s, art_s, rot_s, tr, tc = m.groups()
+    table = (int(tr), int(tc)) if tr else None
     text = base64.urlsafe_b64decode(payload.encode("ascii")).decode("utf-8")
-    return text, int(w), int(h), int(cols_s), int(art_s)
+    return text, int(w), int(h), int(cols_s), int(art_s or 0), int(rot_s or 0), table
 
 
 ART_W = 20 * SCALE   # artefact rectangle size (px)
 ART_H = 10 * SCALE
 ART_BAND = ART_H + 4 * SCALE  # bottom band reserved when artefacts present
+CELL_PAD = 3 * SCALE  # cell inner padding (> 2*detection dilation radius)
+LINE_T = 1 * SCALE    # table grid line thickness
 
 
 @dataclass
@@ -83,6 +100,7 @@ class PageGT:
     image: np.ndarray                         # (H, W) uint8, 255 bg / 0 ink
     words: list[tuple[str, int, int, int, int]]  # (text, x0, y0, x1, y1) px, exclusive
     artefacts: list[tuple[int, int, int, int]] = None  # solid boxes (x0,y0,x1,y1)
+    table: dict | None = None  # {num_rows, num_cols, cells:[(text,row,col)], box}
 
     def __post_init__(self):
         if self.artefacts is None:
@@ -107,7 +125,7 @@ def rasterize_synth(media_ref: str, scale: int = SCALE) -> list[PageGT]:
     column are hard-truncated to fit (cannot happen with the synthetic
     corpora's short tokens; asserted in tests).
     """
-    text, page_w, page_h, cols, n_art = decode_media_ref(media_ref)
+    text, page_w, page_h, cols, n_art, rotation, table = decode_media_ref(media_ref)
     words = [w for w in text.split(" ") if w]
     col_spans = _layout_columns(page_w, cols)
     usable_h = page_h - (ART_BAND if n_art else 0)
@@ -119,9 +137,44 @@ def rasterize_synth(media_ref: str, scale: int = SCALE) -> list[PageGT]:
     col_i, line_i = 0, 0
     x = col_spans[0][0]
 
+    table_gt: dict | None = None
+    if table is not None:
+        R, C = table
+        cell_words, words = words[: R * C], words[R * C :]
+        cw_inner = max([word_width(w) for w in cell_words], default=CHAR_H * 4)
+        cell_w = cw_inner + 2 * CELL_PAD
+        cell_h = CHAR_H + 2 * CELL_PAD
+        table_w = C * cell_w + (C + 1) * LINE_T
+        table_h = R * cell_h + (R + 1) * LINE_T
+        tx0, ty0 = MARGIN, MARGIN
+        # lattice
+        for i in range(R + 1):
+            y = ty0 + i * (cell_h + LINE_T)
+            img[y : y + LINE_T, tx0 : tx0 + table_w] = 0
+        for j in range(C + 1):
+            xg = tx0 + j * (cell_w + LINE_T)
+            img[ty0 : ty0 + table_h, xg : xg + LINE_T] = 0
+        cells_gt = []
+        for i, w in enumerate(cell_words):
+            r_, c_ = i // C, i % C
+            wx = tx0 + LINE_T + c_ * (cell_w + LINE_T) + CELL_PAD
+            wy = ty0 + LINE_T + r_ * (cell_h + LINE_T) + CELL_PAD
+            mask = render_word(w, scale)
+            img[wy : wy + mask.shape[0], wx : wx + mask.shape[1]][mask.astype(bool)] = 0
+            cells_gt.append((w, r_, c_))
+        table_gt = {
+            "num_rows": R,
+            "num_cols": C,
+            "cells": cells_gt,
+            "box": (tx0, ty0, tx0 + table_w, ty0 + table_h),
+        }
+        # body text flows below the table on page 0
+        line_i = (table_h + LINE_LEAD + LINE_PITCH - 1) // LINE_PITCH
+
     def flush_page() -> None:
-        nonlocal img, placed, col_i, line_i, x
-        pages.append(PageGT(image=img, words=placed))
+        nonlocal img, placed, col_i, line_i, x, table_gt
+        pages.append(PageGT(image=img, words=placed, table=table_gt))
+        table_gt = None
         img = np.full((page_h, page_w), 255, dtype=np.uint8)
         placed = []
         col_i, line_i = 0, 0
@@ -163,13 +216,24 @@ def rasterize_synth(media_ref: str, scale: int = SCALE) -> list[PageGT]:
                 break
             img0[y0 : y0 + ART_H, x0 : x0 + ART_W] = 0
             pages[0].artefacts.append((x0, y0, x0 + ART_W, y0 + ART_H))
+    if rotation:
+        # rotated scans: image stored rotated; GT boxes stay in the
+        # upright frame (the pipeline's detect_orientation path must
+        # recover the upright page before extracting)
+        k = (rotation // 90) % 4
+        for p in pages:
+            p.image = np.ascontiguousarray(np.rot90(p.image, k))
     return pages
 
 
 def count_pages(media_ref: str, scale: int = SCALE) -> int:
     """Number of pages :func:`rasterize_synth` would produce — same wrap
     arithmetic, no pixel painting (cheap; used by bench for pages/s)."""
-    text, page_w, page_h, cols, n_art = decode_media_ref(media_ref)
+    text, page_w, page_h, cols, n_art, _rot, _table = decode_media_ref(media_ref)
+    if _table is not None:
+        words_all = [w for w in text.split(" ") if w]
+        # cell words live on page 0's table; count_pages only needs the flow
+        text = " ".join(words_all[_table[0] * _table[1] :])
     words = [w for w in text.split(" ") if w]
     col_spans = _layout_columns(page_w, cols)
     usable_h = page_h - (ART_BAND if n_art else 0)

@@ -133,12 +133,21 @@ def explode_spans(batch: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------- kernels
 
 def process_media_row(
-    doc_id: str, media_ref: str, offset: int, recognizer: GlyphRecognizer
+    doc_id: str,
+    media_ref: str,
+    offset: int,
+    recognizer: GlyphRecognizer,
+    detect_orientation: bool = False,
+    loc_preds_hook=None,
 ) -> dict[str, list]:
     """One media asset -> word rows (rasterize→detect→crop→recognize→merge).
 
     The per-asset composition of the staged kernels; used by the fused
     worker. Split-crop parts are merged locally (no shuffle).
+    ``detect_orientation`` estimates each page's 90-degree rotation and
+    re-runs detection on the deskewed page (the reference's
+    detect_orientation/straighten loop, models/predictor/pytorch.py:
+    117-142); output geometry is in the upright frame.
     """
     out: dict[str, list] = {
         "doc_id": [], "kind": [], "text": [], "media_ref": [], "offset": [],
@@ -147,8 +156,19 @@ def process_media_row(
     }
     pages = rasterize_synth(media_ref)
     for page_idx, page in enumerate(pages):
-        abs_boxes, rel = detect_page(page.image)
-        crops = extract_crops(page.image, abs_boxes)
+        image = page.image
+        if detect_orientation:
+            from ..orientation import deskew_page, estimate_page_rotation
+
+            rot = estimate_page_rotation(image, recognizer)
+            if rot:
+                image = deskew_page(image, rot)
+        abs_boxes, rel = detect_page(image)
+        if loc_preds_hook is not None:
+            # user hook between detection and cropping (reference:
+            # OCRPredictor.add_hook, models/predictor/base.py:310-316)
+            abs_boxes, rel = loc_preds_hook(abs_boxes, rel)
+        crops = extract_crops(image, abs_boxes)
         flat_crops: list[np.ndarray] = []
         plan: list[tuple[int, int, float, float]] = []  # (word_i, n_parts, ov, last_ov)
         for wi, crop in enumerate(crops):
@@ -189,11 +209,12 @@ def media_to_ocr_span(
     offset: int,
     recognizer: GlyphRecognizer,
     keep_reading_order: bool = False,
+    detect_orientation: bool = False,
 ) -> tuple[str, float]:
     """One media asset -> its final OCR text span (builder applied
     per page inside the worker — the whole media is local, so the
     words never need to shuffle). Returns (text, mean_confidence)."""
-    rows = process_media_row(doc_id, media_ref, offset, recognizer)
+    rows = process_media_row(doc_id, media_ref, offset, recognizer, detect_orientation)
     texts = rows["text"]
     if not texts:
         return "", 0.0
@@ -238,11 +259,13 @@ class OcrMediaWorker:
         emit: str = "spans",
         keep_reading_order: bool = False,
         passthrough: bool = False,
+        detect_orientation: bool = False,
     ) -> None:
         self.recognizer = GlyphRecognizer()
         self.emit = emit
         self.keep_reading_order = keep_reading_order
         self.passthrough = passthrough
+        self.detect_orientation = detect_orientation
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.passthrough:
@@ -269,7 +292,8 @@ class OcrMediaWorker:
             }
             for did, ref, off in zip(doc_ids, refs, offsets):
                 text, conf = media_to_ocr_span(
-                    did, ref, off, self.recognizer, self.keep_reading_order
+                    did, ref, off, self.recognizer, self.keep_reading_order,
+                    self.detect_orientation,
                 )
                 out["doc_id"].append(did)
                 out["kind"].append("ocr_text")
@@ -280,7 +304,7 @@ class OcrMediaWorker:
             return _work_table(out)
         merged: dict[str, list] = {}
         for did, ref, off in zip(doc_ids, refs, offsets):
-            rows = process_media_row(did, ref, off, self.recognizer)
+            rows = process_media_row(did, ref, off, self.recognizer, self.detect_orientation)
             if not merged:
                 merged = {k: [] for k in rows}
             for k, v in rows.items():
@@ -589,7 +613,9 @@ def default_pool() -> int:
         n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     except Exception:
         n = 4
-    return max(1, min(n - 2, (n * 3) // 4))
+    # constant 3/4 fraction across cluster sizes (a varying fraction
+    # skews N-vs-4N scaling measurements); never the whole node
+    return max(1, min(n - 1, (n * 3) // 4))
 
 
 def ocr_work_rows(
@@ -599,6 +625,7 @@ def ocr_work_rows(
     recognize_concurrency: int | tuple | None = None,
     repartition_blocks: int | None = None,
     keep_reading_order: bool = False,
+    detect_orientation: bool = False,
 ):
     """docs Dataset -> unioned work rows (text/media markers + words)."""
     work = docs_ds.map_batches(explode_spans, batch_format="pyarrow", batch_size=256)
@@ -619,6 +646,7 @@ def ocr_work_rows(
                 "emit": "spans",
                 "keep_reading_order": keep_reading_order,
                 "passthrough": True,
+                "detect_orientation": detect_orientation,
             },
             batch_format="pyarrow",
             batch_size=32,
@@ -733,5 +761,8 @@ def ocr_spans(docs_ds, mode: str = "fused", keep_reading_order: bool = False, **
 
 
 def ocr_extracted_text(docs_ds, mode: str = "fused", keep_reading_order: bool = False, **kw):
-    """Full pipeline -> one row per doc (doc_id, full_text)."""
+    """Full pipeline -> one row per doc (doc_id, full_text).
+
+    Extra kwargs reach :func:`ocr_work_rows` (e.g.
+    ``detect_orientation=True`` for rotated scans)."""
     return _assembled(docs_ds, mode, keep_reading_order, "text", **kw)

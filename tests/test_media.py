@@ -13,10 +13,10 @@ from doctr_ray.media import (
 
 def test_media_ref_roundtrip():
     ref = encode_media_ref("hello world", 800, 600, cols=2)
-    text, w, h, cols, art = decode_media_ref(ref)
-    assert (text, w, h, cols, art) == ("hello world", 800, 600, 2, 0)
-    ref2 = encode_media_ref("x", artefacts=3)
-    assert decode_media_ref(ref2)[4] == 3
+    text, w, h, cols, art, rot, table = decode_media_ref(ref)
+    assert (text, w, h, cols, art, rot, table) == ("hello world", 800, 600, 2, 0, 0, None)
+    ref2 = encode_media_ref("x", artefacts=3, rotation=90, table=(2, 4))
+    assert decode_media_ref(ref2)[4:] == (3, 90, (2, 4))
 
 
 def test_artefacts_rendered():

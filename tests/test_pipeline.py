@@ -115,3 +115,20 @@ def test_empty_spans_doc_not_dropped(ray_session):
     }
     sp = ocr_spans(rd.from_arrow(t)).to_pandas()
     assert set(sp["doc_id"]) == {"one-text"}  # zero spans for the empty doc
+
+
+def test_loc_preds_hook():
+    """User hook between detection and cropping (add_hook analog)."""
+    from doctr_ray.media import encode_media_ref
+    from doctr_ray.pipelines.ocr import process_media_row
+    from doctr_ray.recognition import GlyphRecognizer
+
+    rec = GlyphRecognizer()
+    ref = encode_media_ref("alpha beta gamma")
+
+    def drop_first(abs_boxes, rel):
+        return abs_boxes[1:], rel[1:]
+
+    base = process_media_row("d", ref, 0, rec)
+    hooked = process_media_row("d", ref, 0, rec, loc_preds_hook=drop_first)
+    assert len(hooked["text"]) == len(base["text"]) - 1
