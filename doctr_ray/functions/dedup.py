@@ -74,15 +74,45 @@ def exact_dedup_keep_first(docs_ds):
 
 # ------------------------------------------------------------ shingles / hashes
 
-def _stable_u64(tokens: np.ndarray) -> np.ndarray:
-    """Deterministic 64-bit hashes of a string array (md5-based)."""
-    return np.array(
-        [
-            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
-            for t in tokens
-        ],
-        dtype=np.uint64,
-    )
+import functools
+
+
+@functools.lru_cache(maxsize=1 << 17)
+def _tok_u64(token: str) -> int:
+    """Deterministic 64-bit hash of one token (md5-based; cached —
+    corpora have small vocabularies, so md5 runs once per distinct
+    token, not once per occurrence)."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "little")
+
+
+def _stable_u64(tokens) -> np.ndarray:
+    """Deterministic 64-bit hashes of a sequence of strings."""
+    return np.array([_tok_u64(t) for t in tokens], dtype=np.uint64)
+
+
+# odd multipliers for positional mixing of shingle token hashes
+_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9], dtype=np.uint64)
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Vectorized 64-bit hashes of word k-shingles: per-token cached
+    md5 hashes combined positionally with odd-multiplier mixing —
+    equivalent distribution to hashing each shingle string, ~100x
+    cheaper (no per-shingle md5)."""
+    toks = [t for t in text.split(" ") if t]
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    th = _stable_u64(toks)
+    if len(toks) < k:
+        out = np.zeros(1, dtype=np.uint64)
+        for i, h in enumerate(th):
+            out ^= h * _MIX[i % len(_MIX)]
+        return out
+    with np.errstate(over="ignore"):
+        acc = th[: len(th) - k + 1] * _MIX[0]
+        for j in range(1, k):
+            acc = acc ^ (th[j : len(th) - k + 1 + j] * _MIX[j % len(_MIX)])
+    return acc
 
 
 def shingles(text: str, k: int = 3) -> list[str]:
@@ -123,10 +153,9 @@ class MinHasher:
         self.b = rng.randint(0, (1 << 31) - 1, size=num_perm).astype(np.uint64)
 
     def signature(self, text: str, k: int = 3) -> np.ndarray:
-        sh = shingles(text, k)
-        if not sh:
+        x = _shingle_hashes(text, k)
+        if len(x) == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        x = _stable_u64(np.array(sh))
         # (P, S) permuted values; mod 2^61-1 keeps arithmetic in uint64
         v = (self.a[:, None] * (x[None, :] % self.MERSENNE) + self.b[:, None]) % self.MERSENNE
         return v.min(axis=1)

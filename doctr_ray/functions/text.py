@@ -100,6 +100,24 @@ def lang_id(batch: pa.Table) -> pa.Table:
     return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": toks.map(pred)})
 
 
+def get_language(text: str) -> tuple[str, float]:
+    """(lang, confidence) for one text — the per-page language hook
+    (reference: models/_utils.py:202-218 get_language via langdetect;
+    here the same marker-count heuristic as :func:`lang_id`, with
+    confidence = winning share of marker hits)."""
+    ws = text.split(" ")
+    counts = {
+        lang: sum(w in LANG_MARKERS[lang] for w in ws) for lang in LANG_ORDER
+    }
+    best_lang, best_n = "und", 0
+    for lang in LANG_ORDER:
+        if counts[lang] > best_n:
+            best_lang, best_n = lang, counts[lang]
+    total = sum(counts.values())
+    conf = best_n / total if total else 0.0
+    return best_lang, round(conf, 6)
+
+
 def fingerprint(batch: pa.Table) -> pa.Table:
     """doc_id, fp — md5 of the raw text (exact-dedup key; SQL: md5(text))."""
     df = batch.to_pandas()

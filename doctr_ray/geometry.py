@@ -116,6 +116,64 @@ def extract_crops(img: np.ndarray, abs_boxes: np.ndarray) -> list[np.ndarray]:
     return [img[y0:y1, x0:x1] for x0, y0, x1, y1 in abs_boxes]
 
 
+def mask_regions(image: np.ndarray, rel_boxes: np.ndarray, fill: int = 255) -> np.ndarray:
+    """Blank out regions (ignore_regions) before detection.
+
+    reference: models/_utils.py:221-258 mask_boxes — fill layout regions
+    with a constant so the detector skips them. Returns a copy.
+    """
+    out = image.copy()
+    h, w = image.shape[:2]
+    for x0, y0, x1, y1 in rel_to_abs(np.asarray(rel_boxes, dtype=np.float32).reshape(-1, 4), (h, w)):
+        out[max(0, y0) : y1, max(0, x0) : x1] = fill
+    return out
+
+
+def resize_aspect_pad(
+    image: np.ndarray, target: tuple[int, int], pad_value: int = 255, symmetric: bool = True
+) -> tuple[np.ndarray, tuple[int, int, int, int]]:
+    """Aspect-preserving nearest-neighbor resize with padding.
+
+    reference: transforms/modules/pytorch.py:31-225 Resize
+    (preserve_aspect_ratio + symmetric_pad; the reference uses bilinear
+    +antialias — nearest-neighbor here, the deterministic stand-in).
+    Returns (resized, (top, bottom, left, right) padding).
+    """
+    th, tw = target
+    h, w = image.shape[:2]
+    scale = min(th / h, tw / w)
+    nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+    ys = (np.arange(nh) * h / nh).astype(np.int64)
+    xs = (np.arange(nw) * w / nw).astype(np.int64)
+    resized = image[ys][:, xs]
+    pad_v, pad_h = th - nh, tw - nw
+    if symmetric:
+        top, left = int(np.ceil(pad_v / 2)), int(np.ceil(pad_h / 2))
+    else:
+        top, left = 0, 0
+    bottom, right = pad_v - top, pad_h - left
+    out = np.full((th, tw), pad_value, dtype=image.dtype)
+    out[top : top + nh, left : left + nw] = resized
+    return out, (top, bottom, left, right)
+
+
+def remove_padding_coords(
+    rel_boxes: np.ndarray, target: tuple[int, int], padding: tuple[int, int, int, int]
+) -> np.ndarray:
+    """Map model-space relative coords back through the resize padding.
+
+    reference: models/detection/_utils/base.py:12-79 _remove_padding.
+    """
+    th, tw = target
+    top, bottom, left, right = padding
+    b = np.asarray(rel_boxes, dtype=np.float32).reshape(-1, 4).copy()
+    content_w = (tw - left - right) / tw
+    content_h = (th - top - bottom) / th
+    b[:, [0, 2]] = np.clip((b[:, [0, 2]] - left / tw) / content_w, 0, 1)
+    b[:, [1, 3]] = np.clip((b[:, [1, 3]] - top / th) / content_h, 0, 1)
+    return b
+
+
 def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pairwise IoU of (N,4) x (M,4) straight boxes.
 

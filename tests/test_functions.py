@@ -177,3 +177,11 @@ def test_ann_topk_lsh_recall(ray_session, emb_table):
         hits += len(e & a)
         total += len(e)
     assert hits / total >= 0.2  # bucketing trades recall for pruning
+
+
+def test_get_language():
+    from doctr_ray.functions.text import get_language
+
+    lang, conf = get_language("the value of the row")
+    assert lang == "en" and conf > 0.5
+    assert get_language("xyz qqq")[0] == "und"

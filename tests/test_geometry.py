@@ -1,0 +1,90 @@
+"""Geometry kernels (reference utils/geometry.py, models/_utils.py)."""
+
+import numpy as np
+import pytest
+
+from doctr_ray.geometry import (
+    box_iou,
+    estimate_page_angle,
+    extract_crops,
+    mask_regions,
+    rel_to_abs,
+    remove_padding_coords,
+    resize_aspect_pad,
+    resolve_enclosing_bbox,
+    rotate_boxes,
+)
+
+
+def test_resolve_enclosing_bbox():
+    b = np.array([[0.1, 0.2, 0.3, 0.4], [0.2, 0.1, 0.5, 0.3]])
+    assert resolve_enclosing_bbox(b).tolist() == [0.1, 0.1, 0.5, 0.4]
+
+
+def test_rotate_boxes_noop_below_min_angle():
+    b = np.array([[0.1, 0.1, 0.3, 0.2]], dtype=np.float32)
+    out = rotate_boxes(b, angle=0.5, orig_shape=(100, 100))
+    assert out.shape == (1, 4, 2)  # expanded to polygons, unrotated
+    np.testing.assert_allclose(out[0, 0], [0.1, 0.1])
+    np.testing.assert_allclose(out[0, 2], [0.3, 0.2])
+
+
+def test_rotate_boxes_180():
+    b = np.array([[0.1, 0.1, 0.3, 0.2]], dtype=np.float32)
+    out = rotate_boxes(b, angle=180.0, orig_shape=(100, 100))
+    # 180-degree rotation about the center maps (x,y) -> (1-x, 1-y)
+    xs, ys = out[0, :, 0], out[0, :, 1]
+    assert xs.min() == pytest.approx(0.7, abs=1e-5)
+    assert xs.max() == pytest.approx(0.9, abs=1e-5)
+    assert ys.min() == pytest.approx(0.8, abs=1e-5)
+
+
+def test_estimate_page_angle():
+    # horizontal polys -> 0; tilted -> the tilt
+    polys = np.array([[[0, 0], [10, 0], [10, 2], [0, 2]]], dtype=np.float64)
+    assert estimate_page_angle(polys) == pytest.approx(0.0)
+    tilt = np.array([[[0, 10], [10, 0], [11, 1], [1, 11]]], dtype=np.float64)
+    assert estimate_page_angle(tilt) == pytest.approx(45.0, abs=1.0)
+
+
+def test_rel_to_abs_and_extract_crops():
+    img = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    rel = np.array([[0.2, 0.1, 0.5, 0.4]], dtype=np.float32)
+    ab = rel_to_abs(rel, (10, 10))
+    assert ab.tolist() == [[2, 1, 5, 4]]
+    crops = extract_crops(img, ab)
+    assert crops[0].shape == (3, 3)
+    assert crops[0][0, 0] == img[1, 2]
+
+
+def test_box_iou():
+    a = np.array([[0, 0, 2, 2]], dtype=np.float64)
+    b = np.array([[1, 1, 3, 3], [5, 5, 6, 6]], dtype=np.float64)
+    iou = box_iou(a, b)
+    assert iou[0, 0] == pytest.approx(1 / 7)
+    assert iou[0, 1] == 0.0
+
+
+def test_mask_regions():
+    img = np.zeros((10, 10), dtype=np.uint8)
+    out = mask_regions(img, np.array([[0.0, 0.0, 0.5, 0.5]]))
+    assert (out[:5, :5] == 255).all()
+    assert (out[5:, 5:] == 0).all()
+    assert (img == 0).all()  # original untouched
+
+
+def test_resize_aspect_pad_and_remove_padding():
+    img = np.full((10, 20), 7, dtype=np.uint8)
+    out, pad = resize_aspect_pad(img, (32, 32), pad_value=0)
+    assert out.shape == (32, 32)
+    top, bottom, left, right = pad
+    assert left == right == 0  # width-bound
+    assert top + bottom == 32 - 16
+    # content occupies rows [top, top+16)
+    assert (out[top : top + 16] == 7).all()
+    # a box spanning the content maps back to the full original
+    content_box = np.array(
+        [[0.0, top / 32, 1.0, (top + 16) / 32]], dtype=np.float32
+    )
+    back = remove_padding_coords(content_box, (32, 32), pad)
+    np.testing.assert_allclose(back, [[0, 0, 1, 1]], atol=1e-6)
