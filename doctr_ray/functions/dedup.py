@@ -212,29 +212,59 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16):
         lambda b: explode_bands(b, num_perm, bands), batch_format="pyarrow"
     )
 
-    MAX_BUCKET = 256  # salt guard: beyond this it's boilerplate, cap the pairs
+    MAX_BUCKET = 256   # salt guard: beyond this it's boilerplate, cap the pairs
+    COARSE = 64        # shuffle key granularity: one vectorized reducer
+                       # per coarse bucket, not one python call per LSH
+                       # bucket (most LSH buckets are singletons)
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())[:MAX_BUCKET]
+    def _coarse(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "coarse", pc.cast(pc.bit_wise_and(batch["band_hash"], COARSE - 1), pa.int32())
+        )
+
+    def _pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+        for _, bucket in g.groupby(["band", "band_hash"], sort=False):
+            if len(bucket) < 2:
+                continue
+            ids = sorted(bucket["doc_id"].tolist())[:MAX_BUCKET]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        df = pd.DataFrame({"a": out_a, "b": out_b})
+        return df.drop_duplicates()
 
-    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
-        _pairs, batch_format="pandas"
+    pairs = (
+        bands_ds.map_batches(_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(_pairs_of_partition, batch_format="pandas")
     )
 
     def _dedup_pairs(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    # batch-local dedup first, then a global unique via groupby
-    pairs = pairs.map_batches(_dedup_pairs, batch_format="pyarrow")
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # cross-coarse-bucket duplicates: same pair found via different
+    # bands can land in different coarse buckets -> one small dedup
+    # shuffle over the (a-hash) key
+    def _pair_bucket(batch: pa.Table) -> pa.Table:
+        b = [
+            int.from_bytes(hashlib.md5(str(a).encode()).digest()[:4], "little") % COARSE
+            for a in batch["a"].to_pylist()
+        ]
+        return batch.append_column("pb", pa.array(b, pa.int32()))
+
+    return (
+        pairs.map_batches(_dedup_pairs, batch_format="pyarrow")
+        .map_batches(_pair_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(
+            lambda g: g.drop_duplicates(subset=["a", "b"]).drop(columns=["pb"]),
+            batch_format="pandas",
+        )
     )
 
 

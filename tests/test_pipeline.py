@@ -132,3 +132,39 @@ def test_loc_preds_hook():
     base = process_media_row("d", ref, 0, rec)
     hooked = process_media_row("d", ref, 0, rec, loc_preds_hook=drop_first)
     assert len(hooked["text"]) == len(base["text"]) - 1
+
+
+def test_skewed_doc_sizes(ray_session):
+    """One doc with ~50x the media of the others: the unit of work is
+    the media row, so the hot doc spreads across the pool and the
+    output is still exact."""
+    import pyarrow as pa
+
+    from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+    from doctr_ray.media import encode_media_ref
+
+    ids, spans = [], []
+    # 50-media monster doc
+    monster = []
+    off = 0
+    for i in range(50):
+        chunk = f"chunk{i:02d} words here"
+        monster.append(
+            {"kind": "media", "text": "", "media_ref": encode_media_ref(chunk), "offset": off}
+        )
+        off += len(chunk) + 1
+    ids.append("doc-monster")
+    spans.append(monster)
+    for i in range(5):
+        ids.append(f"doc-small-{i}")
+        spans.append(
+            [{"kind": "media", "text": "", "media_ref": encode_media_ref(f"tiny {i}"), "offset": 0}]
+        )
+    t = pa.Table.from_arrays(
+        [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)], schema=DOCS_SCHEMA
+    )
+    out = ocr_extracted_text(rd.from_arrow(t)).to_pandas()
+    got = dict(zip(out["doc_id"], out["full_text"]))
+    assert got["doc-monster"] == " ".join(f"chunk{i:02d} words here" for i in range(50))
+    for i in range(5):
+        assert got[f"doc-small-{i}"] == f"tiny {i}"
