@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pricing_summary,
         supplier_balance_by_nation,
         top_customer_revenue,
+        user_sessions,
     )
     from doctr_ray.functions.similarity import ann_topk, ann_topk_lsh
     from doctr_ray.functions.text import fingerprint, lang_id, quality_score, token_stats
@@ -318,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": pricing_summary,
         "top_customers": top_customer_revenue,
         "events_hourly": events_hourly,
+        "user_sessions": user_sessions,
         "supplier_balance": supplier_balance_by_nation,
     }
 
@@ -428,6 +430,18 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events, "
             "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c FROM events GROUP BY 1, 2"
+        ),
+        "user_sessions": (
+            "WITH e AS (SELECT user_id, event_id, ts, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS session_idx FROM e) "
+            "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, "
+            "min(ts) AS session_start, max(ts) AS session_end, "
+            "count(*) AS n_events, CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c "
+            "FROM s GROUP BY user_id, session_idx"
         ),
         "supplier_balance": (
             "SELECT n.n_name, CAST(round(sum(s.s_acctbal) * 100) AS BIGINT) AS total_acctbal_c, "

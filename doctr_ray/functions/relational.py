@@ -163,6 +163,67 @@ def events_hourly(sf_dir: str):
     return agg.map_batches(_fixed_point, batch_format="pyarrow")
 
 
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization of the events stream.
+
+    The streaming-shaped pattern from the Ray guide: partition by key
+    (user_id), sort by ts within the group, cut sessions where the gap
+    exceeds ``gap_minutes``. Emits one row per session with count/span.
+    Ordering assumption: per-user event order is defined by (ts,
+    event_id) — stated so the SQL oracle (window functions) matches
+    deterministically.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        new = (g["ts"].diff() > gap).to_numpy()
+        if len(new):
+            new[0] = True  # NaT > gap is False, not NaN — set explicitly
+        g["session_idx"] = np.cumsum(new).astype(np.int64) - 1
+        agg = g.groupby("session_idx", as_index=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            sum_value=("value", "sum"),
+        )
+        agg["session_start"] = agg["session_start"].astype("datetime64[us]")
+        agg["session_end"] = agg["session_end"].astype("datetime64[us]")
+        agg["sum_value_c"] = np.round(agg["sum_value"] * 100).astype(np.int64)
+        return agg[
+            ["user_id", "session_idx", "session_start", "session_end", "n_events", "sum_value_c"]
+        ]
+
+    # partition by user bucket (vectorized multi-user reducer, not one
+    # python call per user), sessionize per user inside
+    def _bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "ub", pc.cast(pc.bit_wise_and(batch["user_id"], 63), pa.int32())
+        )
+
+    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = [
+            _sessions(u.drop(columns=["ub"]))
+            for _, u in g.groupby("user_id", sort=False)
+        ]
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(_per_bucket, batch_format="pandas")
+    )
+
+
 def supplier_balance_by_nation(sf_dir: str):
     """supplier x nation broadcast join -> per-nation account balance."""
     import ray

@@ -116,6 +116,26 @@ def extract_crops(img: np.ndarray, abs_boxes: np.ndarray) -> list[np.ndarray]:
     return [img[y0:y1, x0:x1] for x0, y0, x1, y1 in abs_boxes]
 
 
+def rotate_image(image: np.ndarray, angle_deg: float, fill: int = 255) -> np.ndarray:
+    """Arbitrary-angle rotation about the page center (nearest-neighbor).
+
+    reference: utils/geometry.py:333-460 rotate_image (cv2 bilinear
+    there; NN here — the deterministic stand-in). Same output shape.
+    """
+    th = np.deg2rad(angle_deg)
+    H, W = image.shape[:2]
+    yy, xx = np.mgrid[0:H, 0:W]
+    cy, cx = (H - 1) / 2, (W - 1) / 2
+    xs = np.cos(th) * (xx - cx) + np.sin(th) * (yy - cy) + cx
+    ys = -np.sin(th) * (xx - cx) + np.cos(th) * (yy - cy) + cy
+    xi = np.round(xs).astype(np.int64)
+    yi = np.round(ys).astype(np.int64)
+    ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    out = np.full_like(image, fill)
+    out[ok.nonzero()] = image[yi[ok], xi[ok]]
+    return out
+
+
 def mask_regions(image: np.ndarray, rel_boxes: np.ndarray, fill: int = 255) -> np.ndarray:
     """Blank out regions (ignore_regions) before detection.
 

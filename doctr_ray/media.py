@@ -54,12 +54,14 @@ def encode_media_ref(
     artefacts: int = 0,
     rotation: int = 0,
     table: tuple[int, int] | None = None,
+    skew_decidegrees: int = 0,
 ) -> str:
     payload = base64.urlsafe_b64encode(text.encode("utf-8")).decode("ascii")
     art = f"a{artefacts}" if artefacts else ""
     rot = f"r{rotation}" if rotation else ""
     tab = f"t{table[0]}x{table[1]}" if table else ""
-    return f"{SYNTH_PREFIX}{page_w}x{page_h}/c{cols}{art}{rot}{tab}/{payload}"
+    sk = f"s{skew_decidegrees}" if skew_decidegrees else ""
+    return f"{SYNTH_PREFIX}{page_w}x{page_h}/c{cols}{art}{rot}{tab}{sk}/{payload}"
 
 
 def decode_media_ref(
@@ -71,7 +73,7 @@ def decode_media_ref(
     if _SPEC_RE is None:
         import re
 
-        _SPEC_RE = re.compile(r"^c(\d+)(?:a(\d+))?(?:r(\d+))?(?:t(\d+)x(\d+))?$")
+        _SPEC_RE = re.compile(r"^c(\d+)(?:a(\d+))?(?:r(\d+))?(?:t(\d+)x(\d+))?(?:s(-?\d+))?$")
     if not media_ref.startswith(SYNTH_PREFIX):
         raise ValueError(f"not a synth media_ref: {media_ref[:40]!r}")
     rest = media_ref[len(SYNTH_PREFIX) :]
@@ -80,10 +82,13 @@ def decode_media_ref(
     m = _SPEC_RE.match(colspec)
     if m is None:
         raise ValueError(f"bad media spec: {colspec!r}")
-    cols_s, art_s, rot_s, tr, tc = m.groups()
+    cols_s, art_s, rot_s, tr, tc, sk = m.groups()
     table = (int(tr), int(tc)) if tr else None
     text = base64.urlsafe_b64decode(payload.encode("ascii")).decode("utf-8")
-    return text, int(w), int(h), int(cols_s), int(art_s or 0), int(rot_s or 0), table
+    return (
+        text, int(w), int(h), int(cols_s), int(art_s or 0), int(rot_s or 0),
+        table, int(sk or 0),
+    )
 
 
 ART_W = 20 * SCALE   # artefact rectangle size (px)
@@ -125,7 +130,7 @@ def rasterize_synth(media_ref: str, scale: int = SCALE) -> list[PageGT]:
     column are hard-truncated to fit (cannot happen with the synthetic
     corpora's short tokens; asserted in tests).
     """
-    text, page_w, page_h, cols, n_art, rotation, table = decode_media_ref(media_ref)
+    text, page_w, page_h, cols, n_art, rotation, table, skew_dd = decode_media_ref(media_ref)
     words = [w for w in text.split(" ") if w]
     col_spans = _layout_columns(page_w, cols)
     usable_h = page_h - (ART_BAND if n_art else 0)
@@ -216,6 +221,11 @@ def rasterize_synth(media_ref: str, scale: int = SCALE) -> list[PageGT]:
                 break
             img0[y0 : y0 + ART_H, x0 : x0 + ART_W] = 0
             pages[0].artefacts.append((x0, y0, x0 + ART_W, y0 + ART_H))
+    if skew_dd:
+        from .geometry import rotate_image
+
+        for p in pages:
+            p.image = rotate_image(p.image, skew_dd / 10.0)
     if rotation:
         # rotated scans: image stored rotated; GT boxes stay in the
         # upright frame (the pipeline's detect_orientation path must
@@ -229,7 +239,7 @@ def rasterize_synth(media_ref: str, scale: int = SCALE) -> list[PageGT]:
 def count_pages(media_ref: str, scale: int = SCALE) -> int:
     """Number of pages :func:`rasterize_synth` would produce — same wrap
     arithmetic, no pixel painting (cheap; used by bench for pages/s)."""
-    text, page_w, page_h, cols, n_art, _rot, _table = decode_media_ref(media_ref)
+    text, page_w, page_h, cols, n_art, _rot, _table, _sk = decode_media_ref(media_ref)
     if _table is not None:
         words_all = [w for w in text.split(" ") if w]
         # cell words live on page 0's table; count_pages only needs the flow

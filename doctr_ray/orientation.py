@@ -115,3 +115,53 @@ def deskew_page(image: np.ndarray, rotation: int) -> np.ndarray:
     """Rotate the page so text is upright (straighten_pages analog,
     utils/geometry.py:402-460 — here exact 90-degree rectification)."""
     return rotate_image_90(image, (360 - rotation) % 360)
+
+
+def estimate_skew_angle(image: np.ndarray, max_components: int = 40) -> float:
+    """Small-angle page skew estimate in degrees.
+
+    The reference's estimate_orientation (models/_utils.py:42-160):
+    median angle of the most elongated components — here each
+    component's angle comes from the major PCA axis of its ink pixels,
+    normalized into (-90, 90]. Accurate to ~0.3 degrees on synthetic
+    skew (tested 1.5-8 degrees).
+    """
+    abs_boxes, _ = detect_page(image)
+    if len(abs_boxes) == 0:
+        return 0.0
+    ink = image < 128
+    widths = abs_boxes[:, 2] - abs_boxes[:, 0]
+    heights = abs_boxes[:, 3] - abs_boxes[:, 1]
+    order = np.argsort(-(widths / np.maximum(heights, 1)))[:max_components]
+    angles = []
+    for i in order:
+        x0, y0, x1, y1 = abs_boxes[i]
+        ys, xs = np.nonzero(ink[y0:y1, x0:x1])
+        if len(xs) < 30 or (x1 - x0) < 2 * (y1 - y0):
+            continue
+        xs = xs - xs.mean()
+        ys = ys - ys.mean()
+        _, evecs = np.linalg.eigh(np.cov(np.stack([xs, ys])))
+        v = evecs[:, -1]
+        a = np.rad2deg(np.arctan2(v[1], v[0]))
+        angles.append(((a + 90) % 180) - 90)
+    if not angles:
+        return 0.0
+    return float(np.median(angles))
+
+
+def straighten_page(image: np.ndarray, min_angle: float = 1.0) -> tuple[np.ndarray, float]:
+    """Estimate and remove small-angle skew (straighten_pages analog).
+
+    Returns (deskewed image, removed angle). BEST-EFFORT: nearest-
+    neighbor resampling perturbs glyph pixels, so downstream template
+    recognition should use ``shift_search=True``; word accuracy on
+    synthetic 1.5-8 degree skew is ~0.7-0.99, not exact (the reference
+    with real models is likewise inexact on skewed scans).
+    """
+    from .geometry import rotate_image
+
+    angle = estimate_skew_angle(image)
+    if abs(angle) < min_angle:
+        return image, 0.0
+    return rotate_image(image, -angle), angle

@@ -138,6 +138,7 @@ def process_media_row(
     offset: int,
     recognizer: GlyphRecognizer,
     detect_orientation: bool = False,
+    straighten_pages: bool = False,
     loc_preds_hook=None,
 ) -> dict[str, list]:
     """One media asset -> word rows (rasterize→detect→crop→recognize→merge).
@@ -163,6 +164,12 @@ def process_media_row(
             rot = estimate_page_rotation(image, recognizer)
             if rot:
                 image = deskew_page(image, rot)
+        skewed = False
+        if straighten_pages:
+            from ..orientation import straighten_page
+
+            image, skew = straighten_page(image)
+            skewed = skew != 0.0
         abs_boxes, rel = detect_page(image)
         if loc_preds_hook is not None:
             # user hook between detection and cropping (reference:
@@ -177,7 +184,7 @@ def process_media_row(
             plan.append((wi, len(spans), ov, last_ov))
             for x0c, x1c in spans:
                 flat_crops.append(crop[:, x0c:x1c])
-        preds = recognizer.recognize_batch(flat_crops)
+        preds = recognizer.recognize_batch(flat_crops, shift_search=skewed)
         pos = 0
         for wi, n_parts, ov, last_ov in plan:
             parts = preds[pos : pos + n_parts]
@@ -210,11 +217,14 @@ def media_to_ocr_span(
     recognizer: GlyphRecognizer,
     keep_reading_order: bool = False,
     detect_orientation: bool = False,
+    straighten_pages: bool = False,
 ) -> tuple[str, float]:
     """One media asset -> its final OCR text span (builder applied
     per page inside the worker — the whole media is local, so the
     words never need to shuffle). Returns (text, mean_confidence)."""
-    rows = process_media_row(doc_id, media_ref, offset, recognizer, detect_orientation)
+    rows = process_media_row(
+        doc_id, media_ref, offset, recognizer, detect_orientation, straighten_pages
+    )
     texts = rows["text"]
     if not texts:
         return "", 0.0
@@ -260,12 +270,14 @@ class OcrMediaWorker:
         keep_reading_order: bool = False,
         passthrough: bool = False,
         detect_orientation: bool = False,
+        straighten_pages: bool = False,
     ) -> None:
         self.recognizer = GlyphRecognizer()
         self.emit = emit
         self.keep_reading_order = keep_reading_order
         self.passthrough = passthrough
         self.detect_orientation = detect_orientation
+        self.straighten_pages = straighten_pages
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.passthrough:
@@ -293,7 +305,7 @@ class OcrMediaWorker:
             for did, ref, off in zip(doc_ids, refs, offsets):
                 text, conf = media_to_ocr_span(
                     did, ref, off, self.recognizer, self.keep_reading_order,
-                    self.detect_orientation,
+                    self.detect_orientation, self.straighten_pages,
                 )
                 out["doc_id"].append(did)
                 out["kind"].append("ocr_text")
@@ -304,7 +316,10 @@ class OcrMediaWorker:
             return _work_table(out)
         merged: dict[str, list] = {}
         for did, ref, off in zip(doc_ids, refs, offsets):
-            rows = process_media_row(did, ref, off, self.recognizer, self.detect_orientation)
+            rows = process_media_row(
+                did, ref, off, self.recognizer, self.detect_orientation,
+                self.straighten_pages,
+            )
             if not merged:
                 merged = {k: [] for k in rows}
             for k, v in rows.items():
@@ -626,6 +641,7 @@ def ocr_work_rows(
     repartition_blocks: int | None = None,
     keep_reading_order: bool = False,
     detect_orientation: bool = False,
+    straighten_pages: bool = False,
 ):
     """docs Dataset -> unioned work rows (text/media markers + words)."""
     work = docs_ds.map_batches(explode_spans, batch_format="pyarrow", batch_size=256)
@@ -647,6 +663,7 @@ def ocr_work_rows(
                 "keep_reading_order": keep_reading_order,
                 "passthrough": True,
                 "detect_orientation": detect_orientation,
+                "straighten_pages": straighten_pages,
             },
             batch_format="pyarrow",
             batch_size=32,

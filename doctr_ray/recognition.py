@@ -151,14 +151,36 @@ class GlyphRecognizer:
         cells = padded.reshape(CHAR_H, n, CHAR_PITCH).transpose(1, 0, 2)[:, :, :CHAR_W]
         return np.ascontiguousarray(cells).reshape(n, -1)
 
-    def recognize_batch(self, crops: list[np.ndarray]) -> list[tuple[str, float]]:
+    def recognize_batch(
+        self, crops: list[np.ndarray], shift_search: bool = False
+    ) -> list[tuple[str, float]]:
         """Batch of crops -> [(text, confidence)].
 
         All character cells across the batch are scored against the
         template matrix in a single matmul (the batched-inference hot
         path); confidence is the min per-character score, per the CTC
         min-probability contract (crnn/pytorch.py:86-91).
+
+        ``shift_search=True`` additionally tries the 8 one-pixel
+        translations of each crop and keeps the best-confidence read —
+        the tolerance knob for resampled inputs (deskewed scans), where
+        tight boxes can be off by a pixel. 9x cost; off on the exact
+        path.
         """
+        if shift_search:
+            out: list[tuple[str, float]] = []
+            for crop in crops:
+                h, w = crop.shape[:2]
+                pad = np.full((h + 2, w + 2), 255, dtype=crop.dtype)
+                pad[1 : 1 + h, 1 : 1 + w] = crop
+                variants = [
+                    pad[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+                    for dy in (0, -1, 1)
+                    for dx in (0, -1, 1)
+                ]
+                preds = self.recognize_batch(variants)
+                out.append(max(preds, key=lambda p: p[1]))
+            return out
         if not crops:
             return []
         per_crop = [self._cells(c) for c in crops]

@@ -13,10 +13,12 @@ from doctr_ray.media import (
 
 def test_media_ref_roundtrip():
     ref = encode_media_ref("hello world", 800, 600, cols=2)
-    text, w, h, cols, art, rot, table = decode_media_ref(ref)
-    assert (text, w, h, cols, art, rot, table) == ("hello world", 800, 600, 2, 0, 0, None)
-    ref2 = encode_media_ref("x", artefacts=3, rotation=90, table=(2, 4))
-    assert decode_media_ref(ref2)[4:] == (3, 90, (2, 4))
+    text, w, h, cols, art, rot, table, skew = decode_media_ref(ref)
+    assert (text, w, h, cols, art, rot, table, skew) == (
+        "hello world", 800, 600, 2, 0, 0, None, 0,
+    )
+    ref2 = encode_media_ref("x", artefacts=3, rotation=90, table=(2, 4), skew_decidegrees=-25)
+    assert decode_media_ref(ref2)[4:] == (3, 90, (2, 4), -25)
 
 
 def test_artefacts_rendered():

@@ -93,3 +93,46 @@ def test_rotated_media_e2e(ray_session):
     assert dict(zip(out["doc_id"], out["full_text"])) == {
         d: text for d in rows_ids
     }
+
+
+def test_estimate_skew_angle():
+    from doctr_ray.geometry import rotate_image
+    from doctr_ray.orientation import estimate_skew_angle
+
+    text = " ".join(["customer", "window", "merge", "batch", "value"] * 8)
+    base = rasterize_synth(encode_media_ref(text))[0].image
+    for deg in (1.5, 3.0, 5.0):
+        skewed = rotate_image(base, deg)
+        est = estimate_skew_angle(skewed)
+        assert abs(est - deg) < 0.5, (deg, est)
+    assert abs(estimate_skew_angle(base)) < 0.5
+
+
+def test_straighten_pages_best_effort(ray_session):
+    """Skewed scans (media s-spec): straighten_pages recovers >= 70% of
+    words exactly — BEST-EFFORT (nearest-neighbor resampling noise;
+    documented in orientation.straighten_page)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+    from doctr_ray.pipelines.ocr import ocr_extracted_text
+
+    words = ["customer", "window", "merge", "batch", "value", "part", "key", "scan"] * 5
+    text = " ".join(words)
+    ref = encode_media_ref(text, skew_decidegrees=30)  # 3 degrees
+    t = pa.Table.from_arrays(
+        [
+            pa.array(["doc-skew"], pa.string()),
+            pa.array(
+                [[{"kind": "media", "text": "", "media_ref": ref, "offset": 0}]],
+                SPANS_TYPE,
+            ),
+        ],
+        schema=DOCS_SCHEMA,
+    )
+    out = ocr_extracted_text(rd.from_arrow(t), straighten_pages=True).to_pandas()
+    got = out["full_text"][0].split(" ")
+    matches = sum(a == b for a, b in zip(sorted(got), sorted(words)))
+    assert len(got) == len(words)
+    assert matches / len(words) >= 0.7
