@@ -257,6 +257,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fingerprint, batch_format="pyarrow"
         )
 
+    def q_top_tokens(sf_dir: str):
+        from doctr_ray.functions.text import top_tokens
+
+        return top_tokens(_read(sf_dir, "documents", ["doc_id", "text"]), k=20)
+
+    def q_ocr_markdown(sf_dir: str):
+        """Markdown rendering of extracted docs (exporter surface)."""
+        from doctr_ray.exporters import escape_markdown
+
+        spans = ocr_spans(_docs_ds(sf_dir, limit=100))
+
+        def to_md(batch):
+            import pandas as pd
+
+            df = batch
+            out = []
+            for did, g in df.groupby("doc_id", sort=False):
+                g = g.sort_values("ord")
+                body = "\n\n".join(
+                    escape_markdown(t) for t in g["text"] if t
+                )
+                out.append({"doc_id": did, "markdown": body})
+            return pd.DataFrame(out)
+
+        return spans.map_batches(to_md, batch_format="pandas", batch_size=None)
+
     def q_dedup_exact(sf_dir: str):
         return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -309,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": q_quality,
         "doc_lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
+        "top_tokens": q_top_tokens,
+        "ocr_markdown": q_ocr_markdown,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_minhash": q_minhash_dups,
@@ -363,6 +391,11 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'zh' END AS pred_lang FROM c"
         ),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "top_tokens": (
+            "SELECT token, count(*) AS n FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+            "WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
         "ocr_rotated": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "array_to_string(string_split(text, ' ')[1:30], ' ') AS full_text "

@@ -195,14 +195,16 @@ def detect_page(image: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     padded = np.zeros((H, W + 2), dtype=np.int8)
     padded[:, 1:-1] = image < INK_THRESH
     d = np.diff(padded, axis=1)
-    rows, starts = np.nonzero(d == 1)
-    rows_e, ends = np.nonzero(d == -1)
-    n = len(starts)
-    if n == 0:
+    # ONE nonzero pass (starts and ends interleave per row); split by sign
+    rows_all, cols_all = np.nonzero(d)
+    if len(cols_all) == 0:
         return np.zeros((0, 4), dtype=np.int32), np.zeros((0, 5), dtype=np.float32)
-    rows = rows.astype(np.int64)
-    starts = starts.astype(np.int64)
-    ends = ends.astype(np.int64)
+    sign = d[rows_all, cols_all]
+    pos = sign == 1
+    rows = rows_all[pos].astype(np.int64)
+    starts = cols_all[pos].astype(np.int64)
+    ends = cols_all[~pos].astype(np.int64)
+    n = len(starts)
 
     # horizontal dilation in run space: expand by DILATE_X and merge
     # same-row runs whose gap closed (original runs are sorted/disjoint,

@@ -118,6 +118,35 @@ def get_language(text: str) -> tuple[str, float]:
     return best_lang, round(conf, 6)
 
 
+def top_tokens(docs_ds, k: int = 20):
+    """Top-k tokens by corpus frequency.
+
+    The pre-aggregation pattern: per-batch token counts (one row per
+    token per batch) -> small groupby(token) sum -> global top-k. The
+    shuffle moves distinct-token partials, never raw tokens.
+    Deterministic tie-break: (count desc, token asc).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import collections
+
+        c: collections.Counter = collections.Counter()
+        for t in batch["text"].to_pylist():
+            c.update((t or "").split(" "))
+        c.pop("", None)
+        return pa.Table.from_pydict(
+            {"token": list(c.keys()), "n": list(c.values())}
+        )
+
+    agg = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
 def fingerprint(batch: pa.Table) -> pa.Table:
     """doc_id, fp — md5 of the raw text (exact-dedup key; SQL: md5(text))."""
     df = batch.to_pandas()
