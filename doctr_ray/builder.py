@@ -226,6 +226,12 @@ def build_page(
     else:
         idxs, sboxes = sort_boxes(boxes, shape)
         lines = [[int(i) for i in idxs]]
+    # rtl scripts read words right-to-left within a line (reference:
+    # io/exporters.py:219-250 ordered_line_words, auto per-page bidi)
+    from .reading_order import detect_text_direction
+
+    if detect_text_direction(texts) == "rtl":
+        lines = [list(reversed(line)) for line in lines]
     if keep_reading_order and len(lines) > 1:
         from .reading_order import sort_reading_order
 

@@ -114,6 +114,116 @@ def sort_reading_order(
     return xy_cut_order(np.asarray(boxes, dtype=np.float64), rtl=(direction == "rtl"))
 
 
+# layout-label ordering groups (reference base.py:382-457: header first,
+# body + floats, footnotes, footer last)
+_HEADER_LABELS = {"Page-header", "Title"}
+_FOOTER_LABELS = {"Page-footer"}
+_FOOTNOTE_LABELS = {"Footnote"}
+_FLOAT_LABELS = {"Picture", "Table", "Formula"}
+CAPTION_LABEL = "Caption"
+CAPTION_MAX_DIST = 0.1  # y_gap + 2*x_gap threshold (base.py:283-315)
+
+
+def _caption_distance(cap: np.ndarray, flt: np.ndarray) -> float:
+    """Distance used to attach a caption to its float
+    (reference base.py:283-315: vertical gap + 2x horizontal gap)."""
+    y_gap = max(flt[1] - cap[3], cap[1] - flt[3], 0.0)
+    x_gap = max(flt[0] - cap[2], cap[0] - flt[2], 0.0)
+    return float(y_gap + 2.0 * x_gap)
+
+
+def sort_with_labels(
+    boxes: np.ndarray,
+    labels: list[str],
+    texts: list[str] | None = None,
+    direction: str | None = None,
+) -> list[int]:
+    """Label-aware reading order: headers first, body + floats in
+    column order with captions attached to their float, footnotes,
+    then footers (reference: base.py:382-457 sort_reading_order with
+    label groups + _attach_captions).
+    """
+    boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    n = len(boxes)
+    if n == 0:
+        return []
+    if direction is None:
+        direction = detect_text_direction(texts or [])
+    rtl = direction == "rtl"
+    group_of = np.full(n, 1, dtype=np.int64)  # default: body
+    for i, lab in enumerate(labels):
+        if lab in _HEADER_LABELS:
+            group_of[i] = 0
+        elif lab in _FOOTNOTE_LABELS:
+            group_of[i] = 2
+        elif lab in _FOOTER_LABELS:
+            group_of[i] = 3
+    order: list[int] = []
+    for g in (0, 1, 2, 3):
+        idx = np.flatnonzero(group_of == g)
+        if len(idx) == 0:
+            continue
+        sub = [int(idx[i]) for i in xy_cut_order(boxes[idx], rtl=rtl)]
+        if g == 1:
+            sub = _attach_captions(boxes, labels, sub)
+        order.extend(sub)
+    return order
+
+
+def _attach_captions(boxes: np.ndarray, labels: list[str], order: list[int]) -> list[int]:
+    """Move each caption to immediately follow its nearest float
+    (within CAPTION_MAX_DIST); unattached captions keep their slot."""
+    captions = [i for i in order if labels[i] == CAPTION_LABEL]
+    floats = [i for i in order if labels[i] in _FLOAT_LABELS]
+    if not captions or not floats:
+        return order
+    attach: dict[int, list[int]] = {}
+    attached = set()
+    for c in captions:
+        dists = [(_caption_distance(boxes[c], boxes[f]), f) for f in floats]
+        d, f = min(dists)
+        if d <= CAPTION_MAX_DIST:
+            attach.setdefault(f, []).append(c)
+            attached.add(c)
+    out: list[int] = []
+    for i in order:
+        if i in attached:
+            continue
+        out.append(i)
+        for c in attach.get(i, []):
+            out.append(c)
+    return out
+
+
+def assign_layout_labels(
+    element_boxes: np.ndarray,
+    region_boxes: np.ndarray,
+    region_labels: list[str],
+    min_coverage: float = 0.5,
+    default: str = "Text",
+) -> list[str]:
+    """Assign each element the label of the layout region covering it
+    most (argmax area-coverage, threshold 0.5) — reference
+    base.py:534-578 / io/exporters.py:71-89. Fully vectorized."""
+    e = np.asarray(element_boxes, dtype=np.float64).reshape(-1, 4)
+    r = np.asarray(region_boxes, dtype=np.float64).reshape(-1, 4)
+    if len(e) == 0:
+        return []
+    if len(r) == 0:
+        return [default] * len(e)
+    lt = np.maximum(e[:, None, :2], r[None, :, :2])
+    rb = np.minimum(e[:, None, 2:], r[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    areas = np.maximum((e[:, 2] - e[:, 0]) * (e[:, 3] - e[:, 1]), 1e-12)
+    coverage = inter / areas[:, None]
+    best = coverage.argmax(axis=1)
+    out = []
+    for i, j in enumerate(best):
+        out.append(region_labels[j] if coverage[i, j] >= min_coverage else default)
+    return out
+
+
 def resolve_reading_segments(
     boxes: np.ndarray, order: list[int], gap_factor: float = 0.8
 ) -> list[list[int]]:

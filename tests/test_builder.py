@@ -166,3 +166,20 @@ def test_builder_full_page_order_roundtrip():
     built = build_page(rel[:, :4], texts, [1.0] * len(texts), shape=page.image.shape)
     ordered = [texts[i] for i in built.order]
     assert ordered == [w[0] for w in page.words]
+
+
+def test_rtl_line_word_order():
+    """RTL scripts read right-to-left within a line (ordered_line_words
+    analog, io/exporters.py:219-250)."""
+    boxes = _boxes(
+        [
+            [0.1, 0.1, 0.2, 0.14],
+            [0.21, 0.1, 0.31, 0.14],
+            [0.32, 0.1, 0.42, 0.14],
+        ]
+    )
+    arabic = ["مرحبا", "يا", "عالم"]
+    built = build_page(boxes, arabic, [1.0] * 3)
+    assert built.order == [2, 1, 0]
+    latin = build_page(boxes, ["a", "b", "c"], [1.0] * 3)
+    assert latin.order == [0, 1, 2]

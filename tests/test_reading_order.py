@@ -100,3 +100,77 @@ def test_two_column_page_roundtrip(ray_session):
     assert out["full_text"][0] == text
     out2 = ocr_extracted_text(rd.from_arrow(t), keep_reading_order=False).to_pandas()
     assert out2["full_text"][0] != text  # interleaves columns row-wise
+
+
+def test_sort_with_labels_header_footer():
+    import numpy as np
+
+    from doctr_ray.reading_order import sort_with_labels
+
+    boxes = np.array(
+        [
+            [0.1, 0.90, 0.9, 0.95],  # footer (top of list to prove reorder)
+            [0.1, 0.45, 0.9, 0.55],  # body
+            [0.1, 0.05, 0.9, 0.10],  # header
+            [0.1, 0.80, 0.9, 0.85],  # footnote
+        ]
+    )
+    labels = ["Page-footer", "Text", "Page-header", "Footnote"]
+    assert sort_with_labels(boxes, labels) == [2, 1, 3, 0]
+
+
+def test_sort_with_labels_caption_attach():
+    import numpy as np
+
+    from doctr_ray.reading_order import sort_with_labels
+
+    boxes = np.array(
+        [
+            [0.1, 0.10, 0.9, 0.20],  # body text above
+            [0.1, 0.30, 0.9, 0.60],  # Picture (float)
+            [0.1, 0.62, 0.9, 0.66],  # its caption (just below)
+            [0.1, 0.70, 0.9, 0.80],  # body text below
+        ]
+    )
+    labels = ["Text", "Picture", "Caption", "Text"]
+    order = sort_with_labels(boxes, labels)
+    # caption immediately follows the picture regardless of base order
+    pi, ci = order.index(1), order.index(2)
+    assert ci == pi + 1
+    assert order[0] == 0 and order[-1] == 3
+
+
+def test_sort_with_labels_far_caption_not_attached():
+    import numpy as np
+
+    from doctr_ray.reading_order import sort_with_labels
+
+    boxes = np.array(
+        [
+            [0.1, 0.05, 0.9, 0.30],  # Picture
+            [0.1, 0.85, 0.9, 0.90],  # far Caption (gap 0.55 > 0.1)
+        ]
+    )
+    order = sort_with_labels(boxes, ["Picture", "Caption"])
+    assert order == [0, 1]  # positional order kept, no attach semantics
+
+
+def test_assign_layout_labels():
+    import numpy as np
+
+    from doctr_ray.reading_order import assign_layout_labels
+
+    regions = np.array([[0.0, 0.0, 1.0, 0.2], [0.0, 0.8, 1.0, 1.0]])
+    labels = ["Page-header", "Page-footer"]
+    elements = np.array(
+        [
+            [0.1, 0.05, 0.3, 0.15],  # inside header
+            [0.1, 0.85, 0.3, 0.95],  # inside footer
+            [0.1, 0.45, 0.3, 0.55],  # covered by neither
+            [0.1, 0.15, 0.3, 0.30],  # straddles header, coverage 1/3 < 0.5
+        ]
+    )
+    got = assign_layout_labels(elements, regions, labels)
+    assert got == ["Page-header", "Page-footer", "Text", "Text"]
+    assert assign_layout_labels(np.zeros((0, 4)), regions, labels) == []
+    assert assign_layout_labels(elements[:1], np.zeros((0, 4)), []) == ["Text"]
