@@ -158,6 +158,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ocr_extracted_text(docs, detect_orientation=True)
 
+    def q_training_set(sf_dir: str):
+        from doctr_ray.pipelines.ocr import recognition_training_set
+
+        ds = recognition_training_set(_docs_ds(sf_dir, limit=60))
+        return ds.select_columns(["media_ref", "page_idx", "word_idx", "label", "width", "height"])
+
     def q_table_grids(sf_dir: str):
         """Bordered-grid tables: R x C derived from doc_id, cells filled
         row-major from the document's tokens; extraction must recover
@@ -331,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kie_word_text": q_kie_word_text,
         "ocr_rotated": q_ocr_rotated,
         "table_grids": q_table_grids,
+        "recognition_training_set": q_training_set,
         "doc_token_stats": q_token_stats,
         "doc_quality": q_quality,
         "doc_lang_id": q_lang_id,

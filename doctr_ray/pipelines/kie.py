@@ -5,10 +5,11 @@ models/kie_predictor/pytorch.py — detection keeps a per-class dict
 ``{class: boxes}``, crops/recognition run per class, and
 ``KIEDocumentBuilder`` emits flat per-class ``Prediction`` lists sorted
 by ``_sort_boxes`` — models/builder.py:814-970). This engine's
-deterministic detector distinguishes two classes by component ink
-density: ``words`` (glyph texture, density well below 1) and
-``artefacts`` (solid regions). The topology is the fused single-chain
-OCR pipeline with a ``class_name`` key column added (SURVEY.md §3.3).
+deterministic detector distinguishes two classes by line-height
+conformity (see :func:`classify_components`): ``words`` (components at
+the font's CHAR_H line height) and ``artefacts`` (anything taller or
+shorter). The topology is the fused single-chain OCR pipeline with a
+``class_name`` key column added (SURVEY.md §3.3).
 """
 
 from __future__ import annotations

@@ -772,6 +772,61 @@ def _assembled(docs_ds, mode, keep_reading_order, emit, **kw):
     return out
 
 
+TRAINING_SCHEMA = pa.schema(
+    [
+        pa.field("media_ref", pa.string()),
+        pa.field("page_idx", pa.int32()),
+        pa.field("word_idx", pa.int32()),
+        pa.field("label", pa.string()),
+        pa.field("crop", pa.binary()),
+        pa.field("height", pa.int32()),
+        pa.field("width", pa.int32()),
+    ]
+)
+
+
+def recognition_training_set(docs_ds, concurrency: int | tuple | None = None):
+    """Media assets -> labeled word crops (the RecognitionDataset /
+    DetectionDataset loader analog, reference doctr/datasets/*: training
+    corpora as (img, target) samples). Ground-truth labels come from
+    the synth renderer; crops are detector outputs, so the samples
+    reflect the real extraction geometry. Binary crop column + size
+    metadata — the multimodal-column layout from the north brief.
+    """
+
+    def make_samples(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {f.name: [] for f in TRAINING_SCHEMA}
+        for ref in batch["media_ref"].to_pylist():
+            for pi, page in enumerate(rasterize_synth(ref)):
+                gt = {(x0, y0, x1, y1): t for t, x0, y0, x1, y1 in page.words}
+                abs_boxes, _ = detect_page(page.image)
+                for wi, box in enumerate(abs_boxes):
+                    label = gt.get(tuple(int(v) for v in box))
+                    if label is None:
+                        continue  # artefact/table component: no text label
+                    crop = page.image[box[1] : box[3], box[0] : box[2]]
+                    cols["media_ref"].append(ref)
+                    cols["page_idx"].append(pi)
+                    cols["word_idx"].append(wi)
+                    cols["label"].append(label)
+                    cols["crop"].append(np.ascontiguousarray(crop).tobytes())
+                    cols["height"].append(crop.shape[0])
+                    cols["width"].append(crop.shape[1])
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in TRAINING_SCHEMA],
+            schema=TRAINING_SCHEMA,
+        )
+
+    work = docs_ds.map_batches(explode_spans, batch_format="pyarrow", batch_size=256)
+    media = work.filter(expr="kind == 'media'").repartition(max(64, default_pool() * 4))
+    return media.map_batches(
+        make_samples,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+    )
+
+
 def ocr_spans(docs_ds, mode: str = "fused", keep_reading_order: bool = False, **kw):
     """Full pipeline -> spans_out rows (doc_id, ord, kind, text, media_ref, offset)."""
     return _assembled(docs_ds, mode, keep_reading_order, "spans", **kw)

@@ -27,6 +27,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--limit", type=int, default=None, help="limit input docs")
     ap.add_argument("--staged", action="store_true", help="use the staged pipeline")
     ap.add_argument(
+        "--detect-orientation", action="store_true",
+        help="recover 90-degree page rotations before extraction",
+    )
+    ap.add_argument(
+        "--keep-reading-order", action="store_true",
+        help="column-aware reading order (XY-cut) instead of row order",
+    )
+    ap.add_argument(
         "--no-resume",
         action="store_true",
         help="ignore existing partition manifests (default: resume)",
@@ -65,7 +73,12 @@ def main(argv: list[str] | None = None) -> int:
         return docs_dataset(args.input, limit=args.limit)
 
     def pipeline(ds):
-        return ocr_spans(ds, mode=mode)
+        return ocr_spans(
+            ds,
+            mode=mode,
+            keep_reading_order=args.keep_reading_order,
+            detect_orientation=args.detect_orientation,
+        )
 
     pipeline.__name__ = f"ocr_spans[{mode}]"
 

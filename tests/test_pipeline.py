@@ -168,3 +168,29 @@ def test_skewed_doc_sizes(ray_session):
     assert got["doc-monster"] == " ".join(f"chunk{i:02d} words here" for i in range(50))
     for i in range(5):
         assert got[f"doc-small-{i}"] == f"tiny {i}"
+
+
+def test_recognition_training_set(ray_session):
+    """Labeled word crops for training-data export (loader analog)."""
+    import numpy as np
+
+    from doctr_ray.pipelines.ocr import recognition_training_set
+
+    rows = _docs_rows(6)
+    docs = make_inline_docs(rows, media_fraction=1.0)
+    out = recognition_training_set(rd.from_arrow(docs)).to_pandas()
+    assert len(out) > 0
+    assert set(out.columns) == {
+        "media_ref", "page_idx", "word_idx", "label", "crop", "height", "width",
+    }
+    # every crop decodes and recognizes back to its label
+    from doctr_ray.recognition import GlyphRecognizer
+
+    rec = GlyphRecognizer()
+    sample = out.head(20)
+    crops = [
+        np.frombuffer(b, dtype=np.uint8).reshape(h, w)
+        for b, h, w in zip(sample["crop"], sample["height"], sample["width"])
+    ]
+    preds = rec.recognize_batch(crops)
+    assert [t for t, _ in preds] == list(sample["label"])
