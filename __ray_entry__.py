@@ -158,6 +158,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ocr_extracted_text(docs, detect_orientation=True)
 
+    def q_page_hocr(sf_dir: str):
+        from doctr_ray.pipelines.ocr import ocr_page_exports
+
+        return ocr_page_exports(_docs_ds(sf_dir, limit=60), fmt="hocr")
+
     def q_training_set(sf_dir: str):
         from doctr_ray.pipelines.ocr import recognition_training_set
 
@@ -338,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_rotated": q_ocr_rotated,
         "table_grids": q_table_grids,
         "recognition_training_set": q_training_set,
+        "ocr_page_hocr": q_page_hocr,
         "doc_token_stats": q_token_stats,
         "doc_quality": q_quality,
         "doc_lang_id": q_lang_id,

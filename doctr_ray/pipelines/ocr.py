@@ -772,6 +772,77 @@ def _assembled(docs_ds, mode, keep_reading_order, emit, **kw):
     return out
 
 
+def ocr_page_exports(docs_ds, fmt: str = "json", concurrency: int | tuple | None = None):
+    """Media assets -> one row per page with the structured export.
+
+    ``fmt``: 'json' (Page.export()-shaped dict, io/elements.py:424-512),
+    'hocr', 'markdown', 'html', or 'text' — the exporter family
+    (io/exporters.py) applied right after the per-page builder inside
+    the worker. Output: (doc_id, media_ref, page_idx, content:string).
+    """
+    import json as _json
+
+    from ..exporters import render_hocr, render_html, render_markdown, render_text
+
+    renderers = {
+        "json": lambda e, shape, pi: _json.dumps(e, sort_keys=True),
+        "hocr": lambda e, shape, pi: render_hocr(e, shape, pi),
+        "markdown": lambda e, shape, pi: render_markdown(e),
+        "html": lambda e, shape, pi: render_html(e),
+        "text": lambda e, shape, pi: render_text(e),
+    }
+    if fmt not in renderers:
+        raise ValueError(f"unknown fmt: {fmt}")
+    render = renderers[fmt]
+
+    class PageExportWorker:
+        def __init__(self) -> None:
+            self.recognizer = GlyphRecognizer()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "media_ref": [], "page_idx": [], "content": []}
+            for did, ref, off in zip(
+                batch["doc_id"].to_pylist(),
+                batch["media_ref"].to_pylist(),
+                batch["offset"].to_pylist(),
+            ):
+                rows = process_media_row(did, ref, off, self.recognizer)
+                page_idx = np.asarray(rows["page_idx"])
+                boxes = (
+                    np.stack([rows["x0"], rows["y0"], rows["x1"], rows["y1"]], axis=1)
+                    .astype(np.float32)
+                    if rows["text"]
+                    else np.zeros((0, 4), np.float32)
+                )
+                pages = rasterize_synth(ref)
+                for pi, page in enumerate(pages):
+                    m = page_idx == pi
+                    idx = np.flatnonzero(m)
+                    texts = [rows["text"][i] for i in idx]
+                    built = build_page(
+                        boxes[m],
+                        texts,
+                        [rows["confidence"][i] for i in idx],
+                        np.asarray(rows["score"])[m] if len(idx) else None,
+                    )
+                    out["doc_id"].append(did)
+                    out["media_ref"].append(ref)
+                    out["page_idx"].append(pi)
+                    out["content"].append(
+                        render(built.export, page.image.shape[:2], pi)
+                    )
+            return pa.Table.from_pydict(out)
+
+    work = docs_ds.map_batches(explode_spans, batch_format="pyarrow", batch_size=256)
+    media = work.filter(expr="kind == 'media'").repartition(max(64, default_pool() * 4))
+    return media.map_batches(
+        PageExportWorker,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency or max(1, default_pool() // 2),
+    )
+
+
 TRAINING_SCHEMA = pa.schema(
     [
         pa.field("media_ref", pa.string()),

@@ -194,3 +194,23 @@ def test_recognition_training_set(ray_session):
     ]
     preds = rec.recognize_batch(crops)
     assert [t for t, _ in preds] == list(sample["label"])
+
+
+@pytest.mark.parametrize("fmt,needle", [("hocr", "ocrx_word"), ("json", '"blocks"'), ("text", " ")])
+def test_ocr_page_exports(ray_session, fmt, needle):
+    from doctr_ray.pipelines.ocr import ocr_page_exports
+
+    rows = _docs_rows(4)
+    docs = make_inline_docs(rows, media_fraction=1.0)
+    out = ocr_page_exports(rd.from_arrow(docs), fmt=fmt).to_pandas()
+    assert len(out) > 0
+    assert set(out.columns) == {"doc_id", "media_ref", "page_idx", "content"}
+    assert out["content"].str.contains(needle, regex=False).all()
+    if fmt == "json":
+        import json
+
+        export = json.loads(out["content"][0])
+        from doctr_ray.elements import Page
+
+        p = Page.from_dict({"blocks": export["blocks"]})
+        assert p.render()  # parses back through the element model
