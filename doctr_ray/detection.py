@@ -56,39 +56,6 @@ def dilate(mask: np.ndarray, rx: int = DILATE_X, ry: int = DILATE_Y) -> np.ndarr
     return out
 
 
-def _find_runs(row: np.ndarray) -> np.ndarray:
-    """(K,2) [start, end) column runs of True in a 1-D boolean row."""
-    d = np.diff(row.astype(np.int8), prepend=0, append=0)
-    starts = np.flatnonzero(d == 1)
-    ends = np.flatnonzero(d == -1)
-    return np.stack([starts, ends], axis=1)
-
-
-class _UnionFind:
-    __slots__ = ("parent",)
-
-    def __init__(self) -> None:
-        self.parent: list[int] = []
-
-    def make(self) -> int:
-        self.parent.append(len(self.parent))
-        return len(self.parent) - 1
-
-    def find(self, a: int) -> int:
-        p = self.parent
-        root = a
-        while p[root] != root:
-            root = p[root]
-        while p[a] != root:  # path compression
-            p[a], a = root, p[a]
-        return root
-
-    def union(self, a: int, b: int) -> None:
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.parent[max(ra, rb)] = min(ra, rb)
-
-
 def connected_component_boxes(mask: np.ndarray, with_ink: bool = False):
     """8-connected component bounding boxes of a boolean mask.
 
