@@ -668,6 +668,11 @@ def ocr_work_rows(
             batch_format="pyarrow",
             batch_size=32,
             concurrency=recognize_concurrency or default_pool(),
+            # every stage is deterministic + idempotent, so task retry /
+            # actor restart after preemption is safe (tested: actor
+            # hard-killed mid-stream, output identical)
+            max_restarts=3,
+            max_task_retries=3,
         )
     media = work.filter(expr="kind == 'media'")
     if mode == "staged":

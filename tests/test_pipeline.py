@@ -214,3 +214,50 @@ def test_ocr_page_exports(ray_session, fmt, needle):
 
         p = Page.from_dict({"blocks": export["blocks"]})
         assert p.render()  # parses back through the element model
+
+
+def test_actor_death_retry_exact(ray_session, tmp_path):
+    """A worker actor hard-killed mid-stream: Ray restarts it and the
+    output is still exact (deterministic + idempotent stages)."""
+    import functools
+    import os
+
+    from doctr_ray.pipelines.ocr import (
+        OcrMediaWorker,
+        _add_bucket,
+        _assemble_bucket,
+        explode_spans,
+    )
+
+    marker = str(tmp_path / "crashed-once")
+
+    class CrashyWorker(OcrMediaWorker):
+        def __call__(self, batch):
+            if not os.path.exists(marker):
+                open(marker, "w").write("x")
+                os._exit(1)
+            return super().__call__(batch)
+
+    rows = [(f"d{i}", " ".join(["alpha", "beta", "gamma", "delta"] * (i + 2))) for i in range(8)]
+    docs = make_inline_docs(rows, media_fraction=1.0)
+    work = rd.from_arrow(docs).map_batches(explode_spans, batch_format="pyarrow").repartition(8)
+    out = (
+        work.map_batches(
+            CrashyWorker,
+            fn_constructor_kwargs={"emit": "spans", "passthrough": True},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=2,
+            max_task_retries=-1,
+            max_restarts=-1,
+        )
+        .map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            functools.partial(_assemble_bucket, keep_reading_order=False, emit="text"),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    exp = {d: expected_full_text(t) for d, t in rows}
+    assert dict(zip(out["doc_id"], out["full_text"])) == exp
