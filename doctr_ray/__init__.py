@@ -29,3 +29,25 @@ real and tested.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API (keeps `import doctr_ray` light; Ray and the
+    pipeline modules load on first use)."""
+    _api = {
+        "ocr_spans": ("doctr_ray.pipelines.ocr", "ocr_spans"),
+        "ocr_extracted_text": ("doctr_ray.pipelines.ocr", "ocr_extracted_text"),
+        "ocr_page_exports": ("doctr_ray.pipelines.ocr", "ocr_page_exports"),
+        "recognition_training_set": ("doctr_ray.pipelines.ocr", "recognition_training_set"),
+        "kie_predictions": ("doctr_ray.pipelines.kie", "kie_predictions"),
+        "docs_dataset": ("doctr_ray.corpus", "docs_dataset"),
+        "run_partitioned": ("doctr_ray.state.checkpoint", "run_partitioned"),
+        "Document": ("doctr_ray.elements", "Document"),
+        "Page": ("doctr_ray.elements", "Page"),
+    }
+    if name in _api:
+        import importlib
+
+        mod, attr = _api[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'doctr_ray' has no attribute {name!r}")
