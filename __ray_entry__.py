@@ -158,6 +158,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ocr_extracted_text(docs, detect_orientation=True)
 
+    def q_ocr_eval(sf_dir: str):
+        """In-pipeline evaluation: extraction output vs ground truth as
+        mergeable TextMatch partial counts (utils/metrics.py analog at
+        dataset scale — one streaming pass, no driver loop)."""
+        import pyarrow as pa
+
+        from doctr_ray.metrics import text_match_partial
+
+        got = ocr_extracted_text(_docs_ds(sf_dir, limit=200))
+        import ray
+
+        gt = {
+            str(d): t
+            for d, t in zip(
+                *[
+                    _read(sf_dir, "documents", ["doc_id", "text"])
+                    .limit(200)
+                    .to_pandas()[c]
+                    for c in ("doc_id", "text")
+                ]
+            )
+        }
+        ref = ray.put(gt)
+
+        def add_gt(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(ref)
+            gts = [lookup.get(d, "") for d in batch["doc_id"].to_pylist()]
+            return pa.Table.from_pydict(
+                {"pred": batch["full_text"].to_pylist(), "gt": gts}
+            )
+
+        partials = got.map_batches(add_gt, batch_format="pyarrow").map_batches(
+            text_match_partial, batch_format="pyarrow"
+        )
+        from ray.data.aggregate import Sum
+
+        agg = partials.aggregate(Sum("raw"), Sum("caseless"), Sum("total"))
+        return pa.Table.from_pydict(
+            {
+                "raw_matches": [agg["sum(raw)"]],
+                "caseless_matches": [agg["sum(caseless)"]],
+                "total": [agg["sum(total)"]],
+            }
+        )
+
     def q_page_hocr(sf_dir: str):
         from doctr_ray.pipelines.ocr import ocr_page_exports
 
@@ -344,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_grids": q_table_grids,
         "recognition_training_set": q_training_set,
         "ocr_page_hocr": q_page_hocr,
+        "ocr_eval": q_ocr_eval,
         "doc_token_stats": q_token_stats,
         "doc_quality": q_quality,
         "doc_lang_id": q_lang_id,
@@ -408,6 +454,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, count(*) AS n FROM "
             "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
             "WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
+        "ocr_eval": (
+            # extraction is exact by construction -> every document must
+            # match its ground truth at every tolerance level
+            "SELECT count(*) AS raw_matches, count(*) AS caseless_matches, "
+            "count(*) AS total FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 200)"
         ),
         "ocr_rotated": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "

@@ -55,6 +55,29 @@ def read_raw_gray(data: bytes, height: int, width: int) -> np.ndarray:
     return np.frombuffer(data, dtype=np.uint8).reshape(height, width)
 
 
+def docs_source(path: str, columns: list[str] | None = None):
+    """Read a docs table (doc_id, spans) from Lance or Parquet.
+
+    The north-rule input is a Lance table; this container has no
+    ``lance``/``pylance`` wheel, so the Lance branch is import-guarded —
+    on a real cluster ``ray.data.read_lance`` streams fragments with
+    column pruning exactly like the parquet branch does row groups.
+    """
+    import ray.data as rd
+
+    if path.endswith(".lance") or path.endswith(".lance/"):
+        try:
+            import lance  # noqa: F401
+
+            return rd.read_lance(path, columns=columns)
+        except ImportError as e:
+            raise NotImplementedError(
+                "Lance support requires the 'lance' package (not in this "
+                "container); use the parquet mirror of the table"
+            ) from e
+    return rd.read_parquet(path, columns=columns)
+
+
 def rasterize_media(media_ref: str) -> list[PageGT]:
     """Dispatch a media_ref to its reader (DocumentFile analog).
 
