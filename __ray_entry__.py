@@ -356,6 +356,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=8
         )
 
+    def q_dedup_jaccard(sf_dir: str):
+        from doctr_ray.functions.dedup import jaccard_pairs_exact
+
+        return jaccard_pairs_exact(
+            _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+        )
+
     def q_dedup_embedding(sf_dir: str):
         from doctr_ray.functions.dedup import embedding_near_dups
 
@@ -401,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_minhash_dups,
         "dedup_simhash": q_simhash_dups,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_jaccard": q_dedup_jaccard,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_lsh,
         "pricing_summary": pricing_summary,
@@ -494,6 +502,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(text) AS fp, "
             "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn "
             "FROM documents) WHERE rn = 1"
+        ),
+        "dedup_jaccard": (
+            # exact all-pairs word-3-gram Jaccard >= 0.5
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "g AS (SELECT doc_id, list_distinct(list(toks[s.i] || ' ' || toks[s.i + 1] || ' ' || toks[s.i + 2])) AS sh "
+            "FROM d CROSS JOIN generate_series(1, 200) s(i) WHERE s.i + 2 <= len(toks) GROUP BY doc_id), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+            "len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) + len(b.sh) AS tot "
+            "FROM g a JOIN g b ON a.doc_id < b.doc_id) "
+            "SELECT a, b, CAST(round(inter * 1000000.0 / (tot - inter)) AS BIGINT) AS jaccard_e6 "
+            "FROM p WHERE inter * 1.0 / (tot - inter) >= 0.5"
         ),
         "dedup_embedding": (
             "SELECT a.vec_id AS a, b.vec_id AS b, "

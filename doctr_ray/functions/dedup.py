@@ -325,6 +325,59 @@ def add_simhash(batch: pa.Table) -> pa.Table:
     )
 
 
+def jaccard_pairs_exact(docs_ds, threshold: float = 0.5, k: int = 3):
+    """EXACT all-pairs n-gram Jaccard >= threshold.
+
+    Small-corpus ground-truth operator (and the oracle target the
+    probabilistic MinHash path approximates): shingle sets are computed
+    distributed, broadcast once via ``ray.put``, and each task compares
+    its docs against all higher ids — O(n^2) comparisons spread over
+    the cluster. At 100 TB use :func:`minhash_near_dups`; this exists
+    to *measure* its recall. Emits (a, b, jaccard_e6), a < b.
+    """
+    import ray
+
+    def _shingle_sets(batch: pa.Table) -> pa.Table:
+        ids, sets_ = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ids.append(d)
+            sets_.append(list(set(shingles(t or "", k))))
+        return pa.Table.from_pydict({"doc_id": ids, "sh": sets_})
+
+    sets_ds = docs_ds.map_batches(_shingle_sets, batch_format="pyarrow")
+    all_sets: dict = {}
+    for b in sets_ds.iter_batches(batch_format="pyarrow"):
+        all_sets.update(zip(b["doc_id"].to_pylist(), (set(s) for s in b["sh"].to_pylist())))
+    ref = ray.put(all_sets)
+    ordered = sorted(all_sets)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        out = {"a": [], "b": [], "jaccard_e6": []}
+        for a in batch["doc_id"].to_pylist():
+            sa = lookup[a]
+            for b_ in ordered:
+                if not (b_ > a):
+                    continue
+                sb = lookup[b_]
+                if not sa and not sb:
+                    j = 1.0
+                elif not sa or not sb:
+                    j = 0.0
+                else:
+                    inter = len(sa & sb)
+                    j = inter / (len(sa) + len(sb) - inter)
+                if j >= threshold:
+                    out["a"].append(a)
+                    out["b"].append(b_)
+                    out["jaccard_e6"].append(int(round(j * 1e6)))
+        return pa.Table.from_pydict(out)
+
+    return sets_ds.select_columns(["doc_id"]).map_batches(
+        _pairs, batch_format="pyarrow", batch_size=64
+    )
+
+
 def embedding_near_dups(embeddings_ds, threshold: float = 0.95, n_planes: int = 6, seed: int = 13):
     """Near-duplicate vectors by cosine similarity >= threshold.
 

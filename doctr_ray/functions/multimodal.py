@@ -1,0 +1,128 @@
+"""Multimodal binary columns — opaque payloads with typed metadata.
+
+The large-scale training-data pattern from the north brief: image/
+audio/video payloads travel as Arrow ``binary`` columns with typed
+metadata columns; decode / feature-extract / resize / frame-sample run
+as actor-pool ``map_batches`` stages. The real decoders (PIL/cv2 for
+images, ffmpeg/torchaudio for audio/video) are absent from this
+container, so decode is STUBBED exactly as the brief prescribes: a
+clearly-marked ``NotImplementedError`` on the real branch and a
+deterministic fake (seeded by the payload's own hash) that keeps every
+piece of Ray-side plumbing — schemas, batch sizes, actor signature,
+output layout — real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def binary_features(batch: pa.Table, col: str = "payload") -> pa.Table:
+    """Cheap vectorized features of an opaque binary column:
+    size, sha256, magic (first-4-bytes hex) for format sniffing."""
+    payloads = batch[col].to_pylist()
+    return batch.append_column(
+        "size_bytes", pa.array([len(p or b"") for p in payloads], pa.int64())
+    ).append_column(
+        "sha256", pa.array([hashlib.sha256(p or b"").hexdigest() for p in payloads])
+    ).append_column(
+        "magic", pa.array([(p or b"")[:4].hex() for p in payloads])
+    )
+
+
+def decode_image_real(payload: bytes) -> np.ndarray:
+    """Decode an encoded (PNG/JPEG) image. STUB — needs PIL or cv2."""
+    raise NotImplementedError(
+        "real image decoding requires PIL or cv2 (not in this container)"
+    )
+
+
+def decode_audio_real(payload: bytes) -> np.ndarray:
+    """Decode an audio payload to PCM. STUB — needs soundfile/torchaudio."""
+    raise NotImplementedError(
+        "real audio decoding requires soundfile/torchaudio (not in this container)"
+    )
+
+
+def _fake_frames(payload: bytes, n_frames: int, h: int, w: int) -> np.ndarray:
+    """Deterministic fake decode: frames seeded by the payload hash —
+    stable across processes/retries, so the pipeline stays idempotent."""
+    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:4], "little")
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(n_frames, h, w), dtype=np.uint8)
+
+
+class FrameSampler:
+    """Actor-pool stage: video payloads -> sampled frame rows.
+
+    ``__init__`` would load the codec once per actor; ``__call__``
+    decodes each payload and emits ``stride``-sampled frames as binary
+    rows with shape metadata. With ``use_real_decoder=True`` the real
+    branch raises the stub error; the deterministic fake keeps the
+    fan-out (one payload row -> N frame rows), batch shapes, and
+    downstream schema real.
+    """
+
+    def __init__(
+        self,
+        stride: int = 10,
+        frame_h: int = 32,
+        frame_w: int = 32,
+        source_frames: int = 50,
+        use_real_decoder: bool = False,
+    ) -> None:
+        self.stride = stride
+        self.shape = (frame_h, frame_w)
+        self.source_frames = source_frames
+        self.use_real_decoder = use_real_decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "frame_idx": [], "frame": [], "height": [], "width": []}
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if self.use_real_decoder:
+                decode_image_real(payload)  # NotImplementedError (stub)
+            frames = _fake_frames(payload, self.source_frames, *self.shape)
+            for fi in range(0, len(frames), self.stride):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(fi)
+                out["frame"].append(frames[fi].tobytes())
+                out["height"].append(self.shape[0])
+                out["width"].append(self.shape[1])
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(out["media_id"]),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "frame": pa.array(out["frame"], pa.binary()),
+                "height": pa.array(out["height"], pa.int32()),
+                "width": pa.array(out["width"], pa.int32()),
+            }
+        )
+
+
+def resize_frames(batch: pa.Table, target: tuple[int, int]) -> pa.Table:
+    """Frame rows -> nearest-neighbor resized frames (vectorized per
+    frame via index gather; the Resize-stage analog for binary frames)."""
+    th, tw = target
+    frames, hs, ws = (
+        batch["frame"].to_pylist(),
+        batch["height"].to_pylist(),
+        batch["width"].to_pylist(),
+    )
+    out = []
+    for buf, h, w in zip(frames, hs, ws):
+        f = np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
+        ys = (np.arange(th) * h / th).astype(np.int64)
+        xs = (np.arange(tw) * w / tw).astype(np.int64)
+        out.append(np.ascontiguousarray(f[ys][:, xs]).tobytes())
+    t = batch.drop_columns(["frame", "height", "width"])
+    return (
+        t.append_column("frame", pa.array(out, pa.binary()))
+        .append_column("height", pa.array([th] * len(out), pa.int32()))
+        .append_column("width", pa.array([tw] * len(out), pa.int32()))
+    )

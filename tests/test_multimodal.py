@@ -1,0 +1,77 @@
+"""Multimodal binary-column stages: features, frame sampling, resize."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from doctr_ray.functions.multimodal import (
+    FrameSampler,
+    binary_features,
+    decode_audio_real,
+    decode_image_real,
+    resize_frames,
+)
+
+
+def _media_table(n=4):
+    return pa.Table.from_pydict(
+        {
+            "media_id": [f"m{i}" for i in range(n)],
+            "payload": [bytes([i]) * (100 + i * 50) for i in range(n)],
+        }
+    )
+
+
+def test_binary_features():
+    out = binary_features(_media_table())
+    assert out["size_bytes"].to_pylist() == [100, 150, 200, 250]
+    assert len(set(out["sha256"].to_pylist())) == 4
+    assert out["magic"][0].as_py() == "00000000"
+
+
+def test_real_decoders_are_clear_stubs():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio_real(b"RIFF")
+
+
+def test_frame_sampler_deterministic_fanout(ray_session):
+    ds = rd.from_arrow(_media_table())
+    out = ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"stride": 10, "source_frames": 50},
+        batch_format="pyarrow",
+        batch_size=2,
+        concurrency=2,
+    ).to_pandas()
+    # 4 payloads x 5 sampled frames
+    assert len(out) == 20
+    assert sorted(out["frame_idx"].unique()) == [0, 10, 20, 30, 40]
+    # deterministic across runs (idempotent under retries)
+    out2 = (
+        rd.from_arrow(_media_table())
+        .map_batches(
+            FrameSampler,
+            fn_constructor_kwargs={"stride": 10, "source_frames": 50},
+            batch_format="pyarrow",
+            batch_size=2,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    key = ["media_id", "frame_idx"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = out2.sort_values(key).reset_index(drop=True)
+    assert (a["frame"] == b["frame"]).all()
+
+
+def test_resize_frames():
+    sampler = FrameSampler(stride=25, frame_h=32, frame_w=32, source_frames=50)
+    frames = sampler(_media_table(2))
+    resized = resize_frames(frames, (8, 16))
+    assert resized["height"].to_pylist() == [8] * resized.num_rows
+    f = np.frombuffer(resized["frame"][0].as_py(), dtype=np.uint8)
+    assert f.size == 8 * 16
