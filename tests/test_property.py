@@ -1,0 +1,77 @@
+"""Property-based exactness: random corpora through the pure OCR path.
+
+Hypothesis generates random token sequences (engine charset), page
+geometries, and span chunkings; the rasterize -> detect -> recognize ->
+build -> linearize path must reconstruct the text exactly every time.
+This exceeds the reference's test strategy (no property tests there,
+SURVEY.md §5) and guards the exactness invariant the driver's oracle
+relies on.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from doctr_ray.glyphs import VOCAB
+from doctr_ray.media import encode_media_ref, rasterize_synth, count_pages
+from doctr_ray.pipelines.ocr import media_to_ocr_span
+from doctr_ray.recognition import GlyphRecognizer
+
+# words from the engine charset, 1..12 chars (colwidth-safe everywhere)
+_word = st.text(alphabet=VOCAB, min_size=1, max_size=12)
+_words = st.lists(_word, min_size=0, max_size=120)
+_page = st.sampled_from([(640, 480), (480, 360), (800, 600), (400, 300)])
+
+
+@pytest.fixture(scope="module")
+def rec():
+    return GlyphRecognizer()
+
+
+@settings(max_examples=40, deadline=None)
+@given(words=_words, page=_page)
+def test_roundtrip_random_corpus(words, page, rec):
+    text = " ".join(words)
+    ref = encode_media_ref(text, *page)
+    got, _conf = media_to_ocr_span("d", ref, 0, rec)
+    assert got == " ".join(w for w in words if w)
+
+
+@settings(max_examples=20, deadline=None)
+@given(words=st.lists(_word, min_size=5, max_size=60), page=_page)
+def test_artefact_classification_random(words, page, rec):
+    """On any random page, artefact components are always separable
+    from text components (the KIE class invariant)."""
+    ref = encode_media_ref(" ".join(words), *page, artefacts=2)
+    from doctr_ray.detection import detect_page
+    from doctr_ray.pipelines.kie import classify_components
+
+    page_img = rasterize_synth(ref)[0].image
+    _, rel = detect_page(page_img)
+    classes = classify_components(rel, page_img.shape)
+    assert (classes == "artefacts").sum() == 2
+    assert (classes == "words").sum() == len(rel) - 2
+
+
+@settings(max_examples=30, deadline=None)
+@given(words=_words, page=_page)
+def test_count_pages_matches_rasterize_random(words, page, rec):
+    ref = encode_media_ref(" ".join(words), *page)
+    assert count_pages(ref) == len(rasterize_synth(ref))
+
+
+@settings(max_examples=25, deadline=None)
+@given(word=st.text(alphabet=VOCAB, min_size=1, max_size=40))
+def test_wide_word_split_merge_random(word, rec):
+    """Any single word, however wide, splits and merges back exactly."""
+    from doctr_ray.glyphs import render_word
+    from doctr_ray.recognition import merge_multi_strings, split_crop_spans
+
+    crop = ((1 - render_word(word)) * 255).astype(np.uint8)
+    h, w = crop.shape
+    spans, ov, last = split_crop_spans(w, h)
+    preds = rec.recognize_batch([crop[:, a:b] for a, b in spans])
+    if len(spans) == 1:
+        assert preds[0][0] == word
+    else:
+        assert merge_multi_strings([t for t, _ in preds], ov, last) == word
