@@ -379,6 +379,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=ANN_K,
         )
 
+    def q_ann_ivf(sf_dir: str):
+        from doctr_ray.functions.similarity import ann_topk_ivf
+
+        return ann_topk_ivf(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            _ann_queries(sf_dir),
+            k=ANN_K,
+        )
+
     def q_ann_lsh(sf_dir: str):
         return ann_topk_lsh(
             _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
@@ -411,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard": q_dedup_jaccard,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_lsh,
+        "ann_topk_ivf": q_ann_ivf,
         "pricing_summary": pricing_summary,
         "top_customers": top_customer_revenue,
         "events_hourly": events_hourly,

@@ -65,38 +65,74 @@ def _find_cut(lo: np.ndarray, hi: np.ndarray, min_gap: float) -> float | None:
     return best_pos
 
 
-def xy_cut_order(boxes: np.ndarray, rtl: bool = False, _depth: int = 0) -> list[int]:
+def xy_cut_order(
+    boxes: np.ndarray, rtl: bool = False, _depth: int = 0, prefer: str = "vertical"
+) -> list[int]:
     """Recursive XY-cut reading order of (N,4) relative boxes.
 
-    Vertical cuts first (columns: read one column fully before the
-    next; right-to-left for rtl), then horizontal cuts (bands top to
-    bottom), then the builder sort key within an uncuttable block.
+    By default vertical cuts first (columns: read one column fully
+    before the next; right-to-left for rtl), then horizontal cuts
+    (bands top to bottom), then the builder sort key within an
+    uncuttable block. ``prefer='horizontal'`` tries band cuts first —
+    used by the canonical ttb frame where "lines" are the outer axis.
     """
     n = len(boxes)
     if n <= 1:
         return list(range(n))
     idx = np.arange(n)
-    if _depth < 16:
-        # vertical cut -> columns
+
+    def v_cut():
         cut = _find_cut(boxes[:, 0], boxes[:, 2], MIN_GAP)
         if cut is not None:
             left = idx[boxes[:, 0] < cut]
             right = idx[boxes[:, 0] >= cut]
             if len(left) and len(right):
                 first, second = (right, left) if rtl else (left, right)
-                return [int(first[i]) for i in xy_cut_order(boxes[first], rtl, _depth + 1)] + [
-                    int(second[i]) for i in xy_cut_order(boxes[second], rtl, _depth + 1)
+                return [
+                    int(first[i]) for i in xy_cut_order(boxes[first], rtl, _depth + 1, prefer)
+                ] + [
+                    int(second[i]) for i in xy_cut_order(boxes[second], rtl, _depth + 1, prefer)
                 ]
-        # horizontal cut -> bands
+        return None
+
+    def h_cut():
         hcut = _find_cut(boxes[:, 1], boxes[:, 3], MIN_GAP)
         if hcut is not None:
             top = idx[boxes[:, 1] < hcut]
             bot = idx[boxes[:, 1] >= hcut]
             if len(top) and len(bot):
-                return [int(top[i]) for i in xy_cut_order(boxes[top], rtl, _depth + 1)] + [
-                    int(bot[i]) for i in xy_cut_order(boxes[bot], rtl, _depth + 1)
+                return [
+                    int(top[i]) for i in xy_cut_order(boxes[top], rtl, _depth + 1, prefer)
+                ] + [
+                    int(bot[i]) for i in xy_cut_order(boxes[bot], rtl, _depth + 1, prefer)
                 ]
+        return None
+
+    if _depth < 16:
+        cuts = (v_cut, h_cut) if prefer == "vertical" else (h_cut, v_cut)
+        for c in cuts:
+            result = c()
+            if result is not None:
+                return result
     return _sort_key_order(boxes)
+
+
+def _to_canonical_ltr(boxes: np.ndarray, direction: str) -> np.ndarray:
+    """Map boxes into the canonical ltr frame so one ordering algorithm
+    serves every direction (reference: base.py:138-155 _to_canonical_ltr).
+
+    'rtl' mirrors x; 'ttb' (vertical, columns read right-to-left) swaps
+    axes and mirrors the new x.
+    """
+    b = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    if direction == "rtl":
+        return np.stack([1 - b[:, 2], b[:, 1], 1 - b[:, 0], b[:, 3]], axis=1)
+    if direction == "ttb":
+        # within-column flow (y) becomes within-line flow (x'); columns
+        # read right-to-left, so the rightmost column maps to the top
+        # line: x' = y, y' = 1 - x
+        return np.stack([b[:, 1], 1 - b[:, 2], b[:, 3], 1 - b[:, 0]], axis=1)
+    return b
 
 
 def sort_reading_order(
@@ -105,13 +141,19 @@ def sort_reading_order(
     """Reading-ordered indices of (N,4) relative element boxes.
 
     Direction is auto-detected from ``texts`` when not given
-    (reference: base.py:382-457).
+    (reference: base.py:382-457). 'ltr' | 'rtl' | 'ttb' supported; rtl
+    and ttb are handled by canonicalizing boxes into the ltr frame
+    (base.py:138-155).
     """
     if len(boxes) == 0:
         return []
     if direction is None:
         direction = detect_text_direction(texts or [])
-    return xy_cut_order(np.asarray(boxes, dtype=np.float64), rtl=(direction == "rtl"))
+    if direction == "rtl":
+        return xy_cut_order(np.asarray(boxes, dtype=np.float64), rtl=True)
+    if direction == "ttb":
+        return xy_cut_order(_to_canonical_ltr(boxes, "ttb"), rtl=False, prefer="horizontal")
+    return xy_cut_order(np.asarray(boxes, dtype=np.float64), rtl=False)
 
 
 # layout-label ordering groups (reference base.py:382-457: header first,

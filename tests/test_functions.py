@@ -185,3 +185,22 @@ def test_get_language():
     lang, conf = get_language("the value of the row")
     assert lang == "en" and conf > 0.5
     assert get_language("xyz qqq")[0] == "und"
+
+
+def test_ann_topk_ivf_recall(ray_session, emb_table):
+    from doctr_ray.functions.similarity import ann_topk_ivf
+
+    table, vecs = emb_table
+    queries = {0: vecs[0], 5: vecs[5], 9: vecs[9]}
+    exact = ann_topk(rd.from_arrow(table), queries, k=5).to_pandas()
+    approx = ann_topk_ivf(
+        rd.from_arrow(table), queries, k=5, n_centroids=8, n_probe=4
+    ).to_pandas()
+    hits = total = 0
+    for qid in queries:
+        g = approx[approx["query_id"] == qid].sort_values("rank")
+        assert g.iloc[0]["vec_id"] == qid  # own cell always probed
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        hits += len(e & set(g["vec_id"]))
+        total += len(e)
+    assert hits / total >= 0.5  # probing half the cells

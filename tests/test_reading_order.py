@@ -174,3 +174,31 @@ def test_assign_layout_labels():
     assert got == ["Page-header", "Page-footer", "Text", "Text"]
     assert assign_layout_labels(np.zeros((0, 4)), regions, labels) == []
     assert assign_layout_labels(elements[:1], np.zeros((0, 4)), []) == ["Text"]
+
+
+def test_ttb_vertical_order():
+    """Vertical text: columns read right-to-left, cells top-to-bottom
+    within a column (ttb direction, reference base.py:138-155)."""
+    import numpy as np
+
+    from doctr_ray.reading_order import sort_reading_order
+
+    boxes = np.array(
+        [
+            [0.1, 0.1, 0.2, 0.3],  # left col, top      -> 3rd
+            [0.1, 0.5, 0.2, 0.7],  # left col, bottom   -> 4th
+            [0.7, 0.1, 0.8, 0.3],  # right col, top     -> 1st
+            [0.7, 0.5, 0.8, 0.7],  # right col, bottom  -> 2nd
+        ]
+    )
+    assert sort_reading_order(boxes, direction="ttb") == [2, 3, 0, 1]
+
+
+def test_rtl_direction_explicit():
+    import numpy as np
+
+    from doctr_ray.reading_order import sort_reading_order
+
+    boxes = np.array([[0.1, 0.1, 0.3, 0.2], [0.6, 0.1, 0.8, 0.2]])
+    assert sort_reading_order(boxes, direction="rtl") == [1, 0]
+    assert sort_reading_order(boxes, direction="ltr") == [0, 1]
