@@ -908,6 +908,42 @@ def ocr_spans(docs_ds, mode: str = "fused", keep_reading_order: bool = False, **
     return _assembled(docs_ds, mode, keep_reading_order, "spans", **kw)
 
 
+def spans_to_docs_table(spans_ds):
+    """Exploded span rows -> the F7 output shape: one row per document
+    with ``spans: list<struct<kind, text, media_ref, offset>>`` ordered
+    by ``ord`` (FIXTURES.md F7 / BASELINE.json input_hint symmetry —
+    output schema mirrors the input schema)."""
+    from ..corpus import DOCS_SCHEMA, SPANS_TYPE
+
+    def _collect(g: pd.DataFrame) -> pa.Table:
+        ids, spans = [], []
+        for did, sub in g.groupby("doc_id", sort=False):
+            sub = sub.sort_values("ord")
+            ids.append(did)
+            spans.append(
+                [
+                    {
+                        "kind": k,
+                        "text": t,
+                        "media_ref": mr,
+                        "offset": int(o),
+                    }
+                    for k, t, mr, o in zip(
+                        sub["kind"], sub["text"], sub["media_ref"], sub["offset"]
+                    )
+                ]
+            )
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
+            schema=DOCS_SCHEMA,
+        )
+
+    # span rows of one doc are produced by one assembly bucket -> the
+    # same bucketing co-locates them for the list build
+    bucketed = spans_ds.map_batches(_add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(_collect, batch_format="pandas")
+
+
 def ocr_extracted_text(docs_ds, mode: str = "fused", keep_reading_order: bool = False, **kw):
     """Full pipeline -> one row per doc (doc_id, full_text).
 

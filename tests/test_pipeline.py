@@ -261,3 +261,21 @@ def test_actor_death_retry_exact(ray_session, tmp_path):
     )
     exp = {d: expected_full_text(t) for d, t in rows}
     assert dict(zip(out["doc_id"], out["full_text"])) == exp
+
+
+def test_spans_to_docs_table_roundtrip(ray_session, docs_rows):
+    """Output docs table mirrors the input schema (F7); a doc whose
+    spans are all native text round-trips identically."""
+    from doctr_ray.pipelines.ocr import spans_to_docs_table
+
+    docs = make_inline_docs(docs_rows[:6], media_fraction=0.0)  # text-only
+    spans = ocr_spans(rd.from_arrow(docs))
+    out = spans_to_docs_table(spans).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    src = (
+        rd.from_arrow(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == list(src["doc_id"])
+    for a, b in zip(out["spans"], src["spans"]):
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in a
+        ] == [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in b]
