@@ -313,6 +313,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fingerprint, batch_format="pyarrow"
         )
 
+    def q_html_main_content(sf_dir: str):
+        """North-rule clause 1: HTML boilerplate strip via DOM
+        heuristics — synthesized pages (article + nav/header/ads/
+        footer boilerplate) must yield the exact document text."""
+        from doctr_ray.functions.html_extract import html_main_content
+
+        return html_main_content(_read(sf_dir, "documents", ["doc_id", "text"]))
+
     def q_top_tokens(sf_dir: str):
         from doctr_ray.functions.text import top_tokens
 
@@ -411,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "top_tokens": q_top_tokens,
+        "html_main_content": q_html_main_content,
         "ocr_markdown": q_ocr_markdown,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
@@ -472,6 +481,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, count(*) AS n FROM "
             "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
             "WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
+        "html_main_content": (
+            "SELECT doc_id, text AS main_text FROM documents"
         ),
         "ocr_eval": (
             # extraction is exact by construction -> every document must

@@ -1,0 +1,56 @@
+"""HTML main-content extraction: boilerplate strip via DOM heuristics."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from doctr_ray.functions.html_extract import (
+    extract_main_content,
+    html_main_content,
+    synthesize_html,
+)
+
+
+def test_extract_strips_boilerplate():
+    html = synthesize_html("the actual article body with several words here", "d1")
+    got = extract_main_content(html)
+    assert got == "the actual article body with several words here"
+    # boilerplate really was present in the page
+    assert "<nav>" in html and "<footer>" in html and "buy thing" in html
+
+
+def test_extract_handles_entities_and_junk():
+    html = (
+        "<html><body><nav><a href='/'>home</a><a href='/x'>other</a></nav>"
+        "<div><p>rock &amp; roll content paragraph with enough words to win "
+        "the scoring easily over the navigation</p></div>"
+        "<footer>c 2020</footer></body></html>"
+    )
+    got = extract_main_content(html)
+    assert got.startswith("rock & roll content")
+    assert "home" not in got and "2020" not in got
+
+
+def test_extract_malformed_html():
+    assert extract_main_content("<div><p>unclosed tags galore") == "unclosed tags galore"
+    assert extract_main_content("") == ""
+    assert extract_main_content("no tags at all just text") == "no tags at all just text"
+
+
+def test_link_dense_block_rejected():
+    html = (
+        "<html><body>"
+        "<div><a href='1'>one</a> <a href='2'>two</a> <a href='3'>three four five six</a></div>"
+        "<div>plain prose paragraph with plenty of ordinary words to score highest</div>"
+        "</body></html>"
+    )
+    got = extract_main_content(html)
+    assert "plain prose" in got and "one" not in got
+
+
+def test_html_main_content_pipeline(ray_session):
+    rows = {"doc_id": [1, 2], "text": ["alpha beta gamma delta", "epsilon zeta eta"]}
+    ds = rd.from_arrow(pa.Table.from_pydict(rows))
+    out = html_main_content(ds).to_pandas().sort_values("doc_id")
+    assert list(out["main_text"]) == rows["text"]
