@@ -41,6 +41,25 @@ DEFAULT_PAGE_W = 640
 DEFAULT_PAGE_H = 480
 
 SYNTH_PREFIX = "synth://v1/"
+HTML_PREFIX = "synthhtml://v1/"
+
+
+def encode_html_media_ref(text: str, doc_seed: str = "h") -> str:
+    """Self-describing HTML asset: the text is served as a full page
+    with deterministic boilerplate (functions/html_extract.synthesize_html)."""
+    payload = base64.urlsafe_b64encode(text.encode("utf-8")).decode("ascii")
+    return f"{HTML_PREFIX}{doc_seed}/{payload}"
+
+
+def fetch_html(media_ref: str) -> str:
+    """Materialize the HTML page behind a synthhtml:// ref."""
+    if not media_ref.startswith(HTML_PREFIX):
+        raise ValueError(f"not a synthhtml media_ref: {media_ref[:40]!r}")
+    seed, payload = media_ref[len(HTML_PREFIX):].split("/", 1)
+    text = base64.urlsafe_b64decode(payload.encode("ascii")).decode("utf-8")
+    from .functions.html_extract import synthesize_html
+
+    return synthesize_html(text, seed)
 
 
 _SPEC_RE = None

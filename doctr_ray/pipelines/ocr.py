@@ -221,7 +221,18 @@ def media_to_ocr_span(
 ) -> tuple[str, float]:
     """One media asset -> its final OCR text span (builder applied
     per page inside the worker — the whole media is local, so the
-    words never need to shuffle). Returns (text, mean_confidence)."""
+    words never need to shuffle). Returns (text, mean_confidence).
+
+    HTML assets (synthhtml://) dispatch to the DOM main-content
+    extractor instead of the raster OCR path — one interleaved document
+    can mix native text, scanned pages, and web pages."""
+    from ..media import HTML_PREFIX
+
+    if media_ref.startswith(HTML_PREFIX):
+        from ..functions.html_extract import extract_main_content
+        from ..media import fetch_html
+
+        return extract_main_content(fetch_html(media_ref)), 1.0
     rows = process_media_row(
         doc_id, media_ref, offset, recognizer, detect_orientation, straighten_pages
     )

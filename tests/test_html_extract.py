@@ -54,3 +54,26 @@ def test_html_main_content_pipeline(ray_session):
     ds = rd.from_arrow(pa.Table.from_pydict(rows))
     out = html_main_content(ds).to_pandas().sort_values("doc_id")
     assert list(out["main_text"]) == rows["text"]
+
+
+def test_interleaved_html_and_raster_media(ray_session):
+    """One document mixing native text, an OCR'd raster page, and an
+    HTML asset — the full_text round-trip stays exact."""
+    import pyarrow as pa
+
+    from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+    from doctr_ray.media import encode_html_media_ref, encode_media_ref
+    from doctr_ray.pipelines.ocr import ocr_extracted_text
+
+    chunks = ["native words first", "rasterized page words here", "html served content words"]
+    spans = [
+        {"kind": "text", "text": chunks[0], "media_ref": "", "offset": 0},
+        {"kind": "media", "text": "", "media_ref": encode_media_ref(chunks[1]), "offset": 20},
+        {"kind": "media", "text": "", "media_ref": encode_html_media_ref(chunks[2], "d7"), "offset": 50},
+    ]
+    t = pa.Table.from_arrays(
+        [pa.array(["doc-mixed"], pa.string()), pa.array([spans], SPANS_TYPE)],
+        schema=DOCS_SCHEMA,
+    )
+    out = ocr_extracted_text(rd.from_arrow(t)).to_pandas()
+    assert out["full_text"][0] == " ".join(chunks)
