@@ -117,11 +117,21 @@ def run_once() -> dict:
     for name in (
         "doc_token_stats",
         "doc_fingerprint",
+        "doc_lang_id",
+        "top_tokens",
+        "html_main_content",
         "dedup_exact",
         "dedup_minhash",
+        "dedup_simhash",
+        "dedup_embedding",
         "ann_topk",
+        "ann_topk_ivf",
         "pricing_summary",
+        "top_customers",
         "events_hourly",
+        "user_sessions",
+        "kie_word_text",
+        "table_grids",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)
