@@ -23,6 +23,44 @@ N_ANN_QUERIES = 5
 ANN_K = 10
 
 
+def _chunk_cte(limit: int | None = None) -> str:
+    """Recursive CTE reproducing corpus.doc_spans chunking in DuckDB.
+
+    The engine's deterministic chunker hashes with md5 first-8-bytes
+    little-endian (corpus._h), which is exactly DuckDB's
+    ``md5_number_upper`` — so chunk sizes, media/text kind decisions and
+    character offsets are all SQL-expressible, giving the span-level
+    pipelines HARD oracles (verified identical on all sf0.01 docs).
+    Yields CTEs ``ch`` and ``spans(doc_id, chunk_idx, chunk_text,
+    char_off, is_media)``.
+    """
+    src = (
+        "documents"
+        if limit is None
+        else f"(SELECT * FROM documents ORDER BY doc_id LIMIT {limit})"
+    )
+    return (
+        "WITH RECURSIVE ch AS (\n"
+        "  SELECT doc_id, string_split(text, ' ') AS toks, 0 AS chunk_idx,\n"
+        "         CAST(1 AS BIGINT) AS start_tok, CAST(0 AS BIGINT) AS char_off,\n"
+        "         CAST(6 + md5_number_upper(doc_id || '|0|size') % 12 AS BIGINT) AS size\n"
+        f"  FROM {src}\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id, toks, chunk_idx + 1, start_tok + size,\n"
+        "         char_off + length(array_to_string(toks[start_tok:start_tok+size-1], ' ')) + 1,\n"
+        "         CAST(6 + md5_number_upper(doc_id || '|' || (chunk_idx + 1) || '|size') % 12 AS BIGINT)\n"
+        "  FROM ch WHERE start_tok + size <= len(toks)\n"
+        "),\n"
+        "spans AS (\n"
+        "  SELECT doc_id, chunk_idx,\n"
+        "         array_to_string(toks[start_tok:start_tok+size-1], ' ') AS chunk_text,\n"
+        "         char_off,\n"
+        "         (md5_number_upper(doc_id || '|' || chunk_idx || '|kind') % 1000) < 400 AS is_media\n"
+        "  FROM ch\n"
+        ")\n"
+    )
+
+
 # --------------------------------------------------------------- helpers
 
 def _docs_ds(sf_dir: str, limit: int | None = None):
@@ -81,13 +119,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_ocr_roundtrip(sf_dir: str):
         return ocr_extracted_text(_docs_ds(sf_dir))
 
+    # media_ref is an engine-encoded blob (not SQL-derivable); every
+    # other span column — kind, per-span text, char offset, order — is
+    # oracled exactly via the chunking CTE
+    SPAN_COLS = ["doc_id", "ord", "kind", "text", "offset"]
+
     def q_ocr_spans(sf_dir: str):
-        return ocr_spans(_docs_ds(sf_dir))
+        return ocr_spans(_docs_ds(sf_dir)).select_columns(SPAN_COLS)
 
     def q_ocr_spans_staged(sf_dir: str):
-        return ocr_spans(_docs_ds(sf_dir, limit=64), mode="staged", repartition_blocks=8)
+        return ocr_spans(
+            _docs_ds(sf_dir, limit=64), mode="staged", repartition_blocks=8
+        ).select_columns(SPAN_COLS)
 
-    def q_kie(sf_dir: str):
+    def _kie_full(sf_dir: str):
         from doctr_ray.corpus import documents_to_docs
         from doctr_ray.media import encode_media_ref
         from doctr_ray.pipelines.kie import kie_predictions
@@ -122,6 +167,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             to_docs, batch_format="pyarrow"
         )
         return kie_predictions(docs)
+
+    def q_kie(sf_dir: str):
+        """Full KIE prediction stream, oracled on the SQL-derivable
+        columns: per-doc 'words' rows carry the first 20 tokens in rank
+        order; 'artefacts' rows (1 + doc_id % 3 per doc, value='') come
+        from the multi-class detector."""
+        return _kie_full(sf_dir).select_columns(["doc_id", "class_name", "rank", "value"])
 
     def q_ocr_rotated(sf_dir: str):
         """Rotated scans: every media rendered at a 90-degree multiple;
@@ -204,15 +256,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_page_hocr(sf_dir: str):
-        from doctr_ray.pipelines.ocr import ocr_page_exports
+        """hOCR export stream, verified by parsing the ocrx_word spans
+        back out of every page and checking the per-doc word stream
+        (pages ordered by span offset) against the media chunks'
+        tokens — a hard oracle that the hOCR carries exactly the right
+        words in the right order (geometry attrs are covered by unit
+        tests)."""
+        import re
 
-        return ocr_page_exports(_docs_ds(sf_dir, limit=60), fmt="hocr")
+        import pandas as pd
+        import pyarrow as pa
+
+        from doctr_ray.pipelines.ocr import _add_bucket, ocr_page_exports
+
+        pat = re.compile(r"<span class='ocrx_word'[^>]*>(.*?)</span>")
+        pages = ocr_page_exports(_docs_ds(sf_dir, limit=60), fmt="hocr")
+
+        def parse_words(batch: pa.Table) -> pa.Table:
+            words = [
+                " ".join(pat.findall(c)) for c in batch["content"].to_pylist()
+            ]
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": batch["doc_id"].to_pylist(),
+                    "offset": batch["offset"].to_pylist(),
+                    "page_idx": batch["page_idx"].to_pylist(),
+                    "w": words,
+                }
+            )
+
+        def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for did, gg in g.groupby("doc_id", sort=False):
+                gg = gg.sort_values(["offset", "page_idx"])
+                out.append({"doc_id": did, "words": " ".join(w for w in gg["w"] if w)})
+            return pd.DataFrame(out)
+
+        return (
+            pages.map_batches(parse_words, batch_format="pyarrow")
+            .map_batches(_add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(per_doc, batch_format="pandas")
+        )
 
     def q_training_set(sf_dir: str):
+        """Training-set export, oracled on label content: every media
+        chunk token of the first 60 docs must appear as a crop label
+        exactly as often as it occurs (crop geometry is unit-tested)."""
+        import pyarrow as pa
+
         from doctr_ray.pipelines.ocr import recognition_training_set
 
         ds = recognition_training_set(_docs_ds(sf_dir, limit=60))
-        return ds.select_columns(["media_ref", "page_idx", "word_idx", "label", "width", "height"])
+
+        def label_partial(batch: pa.Table) -> pa.Table:
+            import collections
+
+            c = collections.Counter(batch["label"].to_pylist())
+            return pa.Table.from_pydict(
+                {"label": list(c.keys()), "n_part": list(c.values())}
+            )
+
+        from ray.data.aggregate import Sum
+
+        agg = (
+            ds.map_batches(label_partial, batch_format="pyarrow")
+            .groupby("label")
+            .aggregate(Sum("n_part", alias_name="n"))
+        )
+        return agg
 
     def q_table_grids(sf_dir: str):
         """Bordered-grid tables: R x C derived from doc_id, cells filled
@@ -278,12 +390,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents", ["doc_id", "text"]).limit(80).map_batches(
             to_docs, batch_format="pyarrow"
         )
-        media = docs.map_batches(explode_spans, batch_format="pyarrow").filter(
-            expr="kind == 'media'"
+        pool = max(1, default_pool() // 2)
+        media = (
+            docs.map_batches(explode_spans, batch_format="pyarrow")
+            .filter(expr="kind == 'media'")
+            # the limit upstream coalesces to ~2 blocks, which would cap
+            # the actor pool at 2 concurrent tasks — spread the work
+            .repartition(pool)
         )
         return media.map_batches(
             TableWorker, batch_format="pyarrow", batch_size=16,
-            concurrency=max(1, default_pool() // 2),
+            concurrency=pool,
         )
 
     def q_kie_word_text(sf_dir: str):
@@ -327,25 +444,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return top_tokens(_read(sf_dir, "documents", ["doc_id", "text"]), k=20)
 
     def q_ocr_markdown(sf_dir: str):
-        """Markdown rendering of extracted docs (exporter surface)."""
+        """Markdown rendering of extracted docs (exporter surface).
+
+        Grouped through the bucketed-assembly shuffle — a doc whose
+        span rows straddle two blocks must still emit ONE markdown row
+        (block layout is never a grouping guarantee)."""
+        import pandas as pd
+
         from doctr_ray.exporters import escape_markdown
+        from doctr_ray.pipelines.ocr import _add_bucket
 
         spans = ocr_spans(_docs_ds(sf_dir, limit=100))
 
-        def to_md(batch):
-            import pandas as pd
-
-            df = batch
+        def to_md(g: pd.DataFrame) -> pd.DataFrame:
             out = []
-            for did, g in df.groupby("doc_id", sort=False):
-                g = g.sort_values("ord")
-                body = "\n\n".join(
-                    escape_markdown(t) for t in g["text"] if t
-                )
+            for did, gg in g.groupby("doc_id", sort=False):
+                gg = gg.sort_values("ord")
+                body = "\n\n".join(escape_markdown(t) for t in gg["text"] if t)
                 out.append({"doc_id": did, "markdown": body})
             return pd.DataFrame(out)
 
-        return spans.map_batches(to_md, batch_format="pandas", batch_size=None)
+        return (
+            spans.map_batches(_add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(to_md, batch_format="pandas")
+        )
 
     def q_dedup_exact(sf_dir: str):
         return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
@@ -380,28 +503,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n_planes=0,  # exact within-bucket verify (oracle = O(n^2) join)
         )
 
-    def q_ann_topk(sf_dir: str):
-        return ann_topk(
-            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-            _ann_queries(sf_dir),
-            k=ANN_K,
+    def _emb(sf_dir: str):
+        from doctr_ray.pool import default_pool
+
+        # the parquet read yields a handful of blocks; spread them so
+        # the scorer pool saturates (cheap relative to the matmuls)
+        return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).repartition(
+            max(8, default_pool())
         )
+
+    def q_ann_topk(sf_dir: str):
+        return ann_topk(_emb(sf_dir), _ann_queries(sf_dir), k=ANN_K)
 
     def q_ann_ivf(sf_dir: str):
-        from doctr_ray.functions.similarity import ann_topk_ivf
+        """Adaptive exact IVF: branch-and-bound cell pruning, provably
+        equal to brute force (hence the hard ann_topk oracle); the
+        fixed-probe approximate variant stays recall-tested in tests."""
+        from doctr_ray.functions.similarity import ann_topk_ivf_exact
 
-        return ann_topk_ivf(
-            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-            _ann_queries(sf_dir),
-            k=ANN_K,
-        )
+        return ann_topk_ivf_exact(_emb(sf_dir), _ann_queries(sf_dir), k=ANN_K)
 
     def q_ann_lsh(sf_dir: str):
-        return ann_topk_lsh(
-            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-            _ann_queries(sf_dir),
-            k=ANN_K,
-        )
+        return ann_topk_lsh(_emb(sf_dir), _ann_queries(sf_dir), k=ANN_K)
 
     return {
         "ocr_roundtrip": q_ocr_roundtrip,
@@ -439,6 +562,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    jaccard_sql = (
+        # exact all-pairs word-3-gram Jaccard >= 0.5 — also the oracle
+        # for the MinHash path (banded LSH at num_perm=64/bands=16 has
+        # recall 1 on this corpus; candidates are verified with the same
+        # exact kernel, so precision is 1 by construction)
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "g AS (SELECT doc_id, list_distinct(list(toks[s.i] || ' ' || toks[s.i + 1] || ' ' || toks[s.i + 2])) AS sh "
+        "FROM d CROSS JOIN generate_series(1, 200) s(i) WHERE s.i + 2 <= len(toks) GROUP BY doc_id), "
+        "p AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+        "len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) + len(b.sh) AS tot "
+        "FROM g a JOIN g b ON a.doc_id < b.doc_id) "
+        "SELECT a, b, CAST(round(inter * 1000000.0 / (tot - inter)) AS BIGINT) AS jaccard_e6 "
+        "FROM p WHERE inter * 1.0 / (tot - inter) >= 0.5"
+    )
+    ann_topk_sql = (
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+        f"WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {N_ANN_QUERIES})), "
+        "s AS (SELECT q.query_id, e.vec_id, "
+        "CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_e6 "
+        "FROM embeddings e CROSS JOIN q) "
+        "SELECT query_id, vec_id, cosine_e6, rank FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY cosine_e6 DESC, vec_id) AS rank FROM s) WHERE rank <= {ANN_K}"
+    )
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     marker_counts = ",\n           ".join(
         f"len(list_filter(string_split(text, ' '), x -> x IN ({', '.join(chr(39) + w + chr(39) for w in LANG_MARKERS[lang])}))) AS c_{lang}"
@@ -525,16 +672,29 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn "
             "FROM documents) WHERE rn = 1"
         ),
-        "dedup_jaccard": (
-            # exact all-pairs word-3-gram Jaccard >= 0.5
-            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-            "g AS (SELECT doc_id, list_distinct(list(toks[s.i] || ' ' || toks[s.i + 1] || ' ' || toks[s.i + 2])) AS sh "
-            "FROM d CROSS JOIN generate_series(1, 200) s(i) WHERE s.i + 2 <= len(toks) GROUP BY doc_id), "
-            "p AS (SELECT a.doc_id AS a, b.doc_id AS b, "
-            "len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) + len(b.sh) AS tot "
-            "FROM g a JOIN g b ON a.doc_id < b.doc_id) "
-            "SELECT a, b, CAST(round(inter * 1000000.0 / (tot - inter)) AS BIGINT) AS jaccard_e6 "
-            "FROM p WHERE inter * 1.0 / (tot - inter) >= 0.5"
+        "dedup_jaccard": jaccard_sql,
+        "dedup_minhash": jaccard_sql,
+        "dedup_simhash": (
+            # exact SimHash in SQL: md5_number_upper == the engine's
+            # md5-first-8-bytes-little-endian token hash; per-bit votes
+            # over token occurrences, then all-pairs Hamming <= 8.
+            # The banded engine path is exact for bands >= max_hamming+1
+            # (pigeonhole), so the sets coincide.
+            "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), "
+            "h AS (SELECT doc_id, md5_number_upper(tok) AS h FROM t WHERE tok <> ''), "
+            "v AS (SELECT doc_id, s.i AS bit, "
+            "sum(CASE WHEN (h >> s.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote "
+            "FROM h CROSS JOIN generate_series(0, 63) s(i) GROUP BY doc_id, s.i), "
+            "sh0 AS (SELECT doc_id, "
+            "sum(CASE WHEN vote > 0 AND bit < 32 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS lo, "
+            "sum(CASE WHEN vote > 0 AND bit >= 32 THEN (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS hi "
+            "FROM v GROUP BY doc_id), "
+            "sh AS (SELECT d.doc_id, COALESCE(s.lo, 0) AS lo, COALESCE(s.hi, 0) AS hi "
+            "FROM documents d LEFT JOIN sh0 s ON d.doc_id = s.doc_id) "
+            "SELECT a.doc_id AS a, b.doc_id AS b, "
+            "CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 8"
         ),
         "dedup_embedding": (
             "SELECT a.vec_id AS a, b.vec_id AS b, "
@@ -542,15 +702,52 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5"
         ),
-        "ann_topk": (
-            f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
-            f"WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {N_ANN_QUERIES})), "
-            "s AS (SELECT q.query_id, e.vec_id, "
-            "CAST(round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_e6 "
-            "FROM embeddings e CROSS JOIN q) "
-            "SELECT query_id, vec_id, cosine_e6, rank FROM ("
-            "SELECT *, row_number() OVER (PARTITION BY query_id "
-            f"ORDER BY cosine_e6 DESC, vec_id) AS rank FROM s) WHERE rank <= {ANN_K}"
+        "ann_topk": ann_topk_sql,
+        # IVF is probe-pruned but must still return the exact top-k on
+        # this corpus (recall 1 at n_probe=4/16 cells — measured, and now
+        # gated by the exact oracle)
+        "ann_topk_ivf": ann_topk_sql,
+        "ocr_spans": (
+            _chunk_cte()
+            + "SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(chunk_idx AS INT) AS ord, "
+            "CASE WHEN is_media AND chunk_text <> '' THEN 'ocr_text' ELSE 'text' END AS kind, "
+            "chunk_text AS text, CAST(char_off AS INT) AS \"offset\" FROM spans"
+        ),
+        "ocr_spans_staged": (
+            _chunk_cte(64)
+            + "SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(chunk_idx AS INT) AS ord, "
+            "CASE WHEN is_media AND chunk_text <> '' THEN 'ocr_text' ELSE 'text' END AS kind, "
+            "chunk_text AS text, CAST(char_off AS INT) AS \"offset\" FROM spans"
+        ),
+        "ocr_markdown": (
+            _chunk_cte(100)
+            + "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "COALESCE(string_agg(chunk_text, chr(10) || chr(10) ORDER BY chunk_idx) "
+            "FILTER (WHERE chunk_text <> ''), '') AS markdown "
+            "FROM spans GROUP BY doc_id"
+        ),
+        "ocr_page_hocr": (
+            _chunk_cte(60)
+            + "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS words "
+            "FROM spans WHERE is_media AND chunk_text <> '' GROUP BY doc_id"
+        ),
+        "recognition_training_set": (
+            _chunk_cte(60)
+            + "SELECT tok AS label, count(*) AS n FROM ("
+            "SELECT unnest(string_split(chunk_text, ' ')) AS tok FROM spans "
+            "WHERE is_media AND chunk_text <> '') WHERE tok <> '' GROUP BY tok"
+        ),
+        "kie_predictions": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ')[1:20] AS toks "
+            "FROM documents ORDER BY doc_id LIMIT 100), "
+            "w AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'words' AS class_name, "
+            "CAST(s.i - 1 AS INT) AS rank, toks[s.i] AS value "
+            "FROM d CROSS JOIN generate_series(1, 20) s(i) WHERE s.i <= len(toks)), "
+            "a AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'artefacts' AS class_name, "
+            "CAST(s.i - 1 AS INT) AS rank, '' AS value "
+            "FROM d CROSS JOIN generate_series(1, 3) s(i) WHERE s.i <= 1 + doc_id % 3) "
+            "SELECT * FROM w UNION ALL SELECT * FROM a"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
@@ -587,7 +784,7 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_suppliers FROM supplier s "
             "JOIN nation n ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name"
         ),
-        # ocr_spans / ocr_spans_staged / dedup_minhash / dedup_simhash /
-        # ann_topk_lsh: not SQL-expressible (chunking is engine-defined /
-        # LSH is approximate) -> rows-only checks.
+        # ann_topk_lsh: single-table LSH is approximate by construction
+        # (bucket-boundary recall < 1) -> rows-only; its recall is
+        # measured against ann_topk in tests.
     }

@@ -53,22 +53,34 @@ def exact_dedup_groups(docs_ds):
     )
 
 
-def exact_dedup_keep_first(docs_ds):
+def exact_dedup_keep_first(docs_ds, buckets: int = 64):
     """Dataset(doc_id, text, ...) -> the deduplicated rows themselves
-    (keep the min-doc_id row per content hash)."""
+    (keep the min-doc_id row per content hash).
+
+    Materializing the surviving rows inherently moves them once; this
+    does exactly ONE coarse-bucket shuffle (a bucket is a function of
+    fp, so a content group never straddles buckets) and the keeper
+    selection inside each bucket is vectorized sort + drop_duplicates —
+    not one python call per content group."""
+
     def _key(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         fp = df["text"].map(lambda t: hashlib.md5((t or "").encode()).hexdigest())
         df["fp"] = fp
+        df["fpb"] = [int(f[:8], 16) % buckets for f in fp]
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(1)
+    def _keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["fp", "doc_id"], kind="stable")
+            .drop_duplicates("fp")
+            .drop(columns=["fpb"])
+        )
 
     return (
         docs_ds.map_batches(_key, batch_format="pyarrow")
-        .groupby("fp")
-        .map_groups(_first, batch_format="pandas")
+        .groupby("fpb")
+        .map_groups(_keep_first, batch_format="pandas")
     )
 
 
@@ -136,8 +148,8 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 # ------------------------------------------------------------ MinHash + LSH
 
 class MinHasher:
-    """Stateful minhash signer — permutation parameters built once per
-    actor (use as a map_batches callable class).
+    """Minhash signer — pass an INSTANCE to map_batches (task stage;
+    the permutation parameters are tiny and ship with each task).
 
     num_perm universal-hash permutations h_i(x) = (a_i*x + b_i) mod p
     over md5-derived shingle hashes; signature matrix is computed with
@@ -196,6 +208,34 @@ def explode_bands(batch: pa.Table, num_perm: int = 64, bands: int = 16) -> pa.Ta
     )
 
 
+PAIR_BUCKETS = 64  # coarse shuffle-key granularity for pair reducers
+
+
+def _md5_bucket(val, buckets: int = PAIR_BUCKETS) -> int:
+    return int.from_bytes(hashlib.md5(str(val).encode()).digest()[:4], "little") % buckets
+
+
+def dedup_pair_rows(pairs_ds):
+    """(a, b, ...) rows -> distinct rows by (a, b).
+
+    ONE coarse-bucket shuffle (64 keys) + vectorized drop_duplicates
+    inside each bucket — never one python group per pair (map_groups is
+    ~1ms python overhead per group)."""
+
+    def _pair_bucket(batch: pa.Table) -> pa.Table:
+        b = [_md5_bucket(a) for a in batch["a"].to_pylist()]
+        return batch.append_column("pb", pa.array(b, pa.int32()))
+
+    return (
+        pairs_ds.map_batches(_pair_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(
+            lambda g: g.drop_duplicates(subset=["a", "b"]).drop(columns=["pb"]),
+            batch_format="pandas",
+        )
+    )
+
+
 def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16):
     """Dataset(doc_id, text) -> candidate near-dup pairs (a, b), a < b.
 
@@ -204,10 +244,10 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16):
     rows ever shuffle. Buckets are tiny by construction; a hot bucket
     (identical boilerplate) is capped and logged via n_bucket.
     """
-    sigs = docs_ds.map_batches(
-        MinHasher, fn_constructor_kwargs={"num_perm": num_perm}, batch_format="pyarrow",
-        concurrency=(1, 2),
-    )
+    # task-stage: the signer's state (2*num_perm ints) is trivial to
+    # ship per task, so plain task parallelism scales elastically with
+    # the cluster instead of pinning a fixed actor pool
+    sigs = docs_ds.map_batches(MinHasher(num_perm=num_perm), batch_format="pyarrow")
     bands_ds = sigs.map_batches(
         lambda b: explode_bands(b, num_perm, bands), batch_format="pyarrow"
     )
@@ -242,65 +282,104 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16):
         .groupby("coarse")
         .map_groups(_pairs_of_partition, batch_format="pandas")
     )
-
-    def _dedup_pairs(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    # cross-coarse-bucket duplicates: same pair found via different
+    # cross-coarse-bucket duplicates: the same pair found via different
     # bands can land in different coarse buckets -> one small dedup
-    # shuffle over the (a-hash) key
-    def _pair_bucket(batch: pa.Table) -> pa.Table:
-        b = [
-            int.from_bytes(hashlib.md5(str(a).encode()).digest()[:4], "little") % COARSE
-            for a in batch["a"].to_pylist()
-        ]
-        return batch.append_column("pb", pa.array(b, pa.int32()))
-
-    return (
-        pairs.map_batches(_dedup_pairs, batch_format="pyarrow")
-        .map_batches(_pair_bucket, batch_format="pyarrow")
-        .groupby("pb")
-        .map_groups(
-            lambda g: g.drop_duplicates(subset=["a", "b"]).drop(columns=["pb"]),
-            batch_format="pandas",
-        )
-    )
+    # shuffle over the a-hash key
+    return dedup_pair_rows(pairs)
 
 
-def minhash_near_dups(docs_ds, threshold: float = 0.8, num_perm: int = 64, bands: int = 16):
+def minhash_near_dups(
+    docs_ds,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    join_buckets: int = PAIR_BUCKETS,
+):
     """Candidate pairs verified by exact n-gram Jaccard >= threshold.
 
-    Verification joins text back by broadcasting nothing: the pair rows
-    carry only ids; texts are fetched via a driver-side small-join only
-    in tests. At scale, verification is a bucketed hash-join —
-    implemented here as groupby on the pair's min-id bucket with texts
-    shipped alongside (docs_ds assumed to fit the standard
-    (doc_id, text) shape).
+    Verification is a DISTRIBUTED bucketed hash-join — nothing is
+    materialized on the driver:
+
+    1. each candidate pair (a, b) emits two text-request rows, keyed by
+       the hash bucket of the doc whose text that side needs;
+    2. the (doc_id, text) rows shuffle by the same key; inside each
+       bucket group the requests pick up their text (vectorized map);
+    3. a second, candidate-sized shuffle on the pair key co-locates the
+       two sides; the exact n-gram Jaccard kernel verifies each pair.
+
+    The full text column moves exactly once (any hash join moves the
+    build side once); everything after step 2 is candidate-sized.
+    Emits (a, b, jaccard_e6), int64 micro-units — identical layout to
+    :func:`jaccard_pairs_exact`, whose SQL oracle therefore also checks
+    this operator when recall is 1.
     """
-    import ray
+    pairs = minhash_candidate_pairs(docs_ds, num_perm, bands)
+    K = join_buckets
 
-    # Small-side broadcast of texts (sandbox scale); at 100TB this is a
-    # bucketed join — documented divergence, the candidate set is small.
-    texts = {}
-    for b in docs_ds.select_columns(["doc_id", "text"]).iter_batches(batch_format="pandas"):
-        texts.update(zip(b["doc_id"], b["text"]))
-    ref = ray.put(texts)
+    id_type = None  # resolved lazily from the first batch
 
-    def _verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        df = batch.to_pandas()
-        sims = [
-            ngram_jaccard(lookup.get(a, ""), lookup.get(b, ""))
-            for a, b in zip(df["a"], df["b"])
-        ]
-        df["jaccard"] = np.round(sims, 6)
-        df = df[df["jaccard"] >= threshold]
-        return pa.Table.from_pandas(df, preserve_index=False)
+    def _requests(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        docs = a + b
+        return pa.Table.from_arrays(
+            [
+                pa.array([_md5_bucket(d, K) for d in docs], pa.int32()),
+                pa.array(docs, batch.schema.field("a").type),
+                pa.array(a + a, batch.schema.field("a").type),
+                pa.array(b + b, batch.schema.field("b").type),
+                pa.array([""] * len(docs), pa.string()),
+                pa.array([1] * len(docs), pa.int8()),
+            ],
+            names=["jb", "doc", "a", "b", "text", "is_req"],
+        )
 
-    return minhash_candidate_pairs(docs_ds, num_perm, bands).map_batches(
-        _verify, batch_format="pyarrow"
+    def _texts_keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        id_t = batch.schema.field("doc_id").type
+        n = len(ids)
+        # a/b are never read on text rows; fill them with the doc id so
+        # no column ever holds nulls (pandas would promote int64->float)
+        return pa.Table.from_arrays(
+            [
+                pa.array([_md5_bucket(d, K) for d in ids], pa.int32()),
+                pa.array(ids, id_t),
+                pa.array(ids, id_t),
+                pa.array(ids, id_t),
+                batch["text"].cast(pa.string()),
+                pa.array([0] * n, pa.int8()),
+            ],
+            names=["jb", "doc", "a", "b", "text", "is_req"],
+        )
+
+    req = pairs.map_batches(_requests, batch_format="pyarrow")
+    txt = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        _texts_keyed, batch_format="pyarrow"
     )
+
+    def _attach(g: pd.DataFrame) -> pd.DataFrame:
+        texts = g[g["is_req"] == 0]
+        reqs = g[g["is_req"] == 1]
+        lookup = dict(zip(texts["doc"], texts["text"]))
+        out = reqs[["a", "b", "doc"]].copy()
+        out["text"] = reqs["doc"].map(lookup).fillna("")
+        out["pb"] = [
+            _md5_bucket(f"{x}|{y}", K) for x, y in zip(out["a"], out["b"])
+        ]
+        return out
+
+    sided = req.union(txt).groupby("jb").map_groups(_attach, batch_format="pandas")
+
+    def _verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["doc"] == g["a"]][["a", "b", "text"]].rename(columns={"text": "ta"})
+        right = g[g["doc"] == g["b"]][["a", "b", "text"]].rename(columns={"text": "tb"})
+        m = left.merge(right, on=["a", "b"])
+        sims = [ngram_jaccard(x, y) for x, y in zip(m["ta"], m["tb"])]
+        m["jaccard_e6"] = [int(round(s * 1e6)) for s in sims]
+        m = m[[s >= threshold for s in sims]]
+        return m[["a", "b", "jaccard_e6"]].astype({"jaccard_e6": np.int64})
+
+    return sided.groupby("pb").map_groups(_verify_bucket, batch_format="pandas")
 
 
 # ------------------------------------------------------------ SimHash
@@ -435,15 +514,39 @@ def embedding_near_dups(embeddings_ds, threshold: float = 0.95, n_planes: int = 
     )
 
 
-def simhash_near_dups(docs_ds, max_hamming: int = 3, bands: int = 4):
+def simhash_near_dups(docs_ds, max_hamming: int = 3, bands: int | None = None):
     """Near-dups by SimHash: band the 64 bits into ``bands`` chunks —
     any pair within Hamming distance < bands shares >= one exact band
-    (pigeonhole) -> groupby(band, chunk) -> verify Hamming <= max_hamming."""
+    (pigeonhole) -> groupby(band-bucket) -> verify Hamming <= max_hamming.
+
+    ``bands`` defaults to the smallest divisor of 64 that is
+    >= max_hamming + 1, which makes the banded search EXACT (every pair
+    at Hamming distance <= max_hamming is guaranteed to co-bucket in at
+    least one band) — that exactness is what the SQL oracle checks.
+    An explicit ``bands`` below the pigeonhole bound raises. Scale note:
+    large max_hamming forces narrow chunks (few distinct bucket values,
+    big buckets); production simhash dedup at k > ~6 uses permuted
+    multi-table indexes instead — this operator targets the k <= 8
+    regime.
+    """
+    if bands is None:
+        bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b >= max_hamming + 1)
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall for max_hamming={max_hamming}; "
+            f"pigeonhole needs bands >= {max_hamming + 1}"
+        )
     sh = docs_ds.map_batches(add_simhash, batch_format="pyarrow")
+
+    # coarse-bucket the (band, chunk) key so the reducer runs a few
+    # dozen vectorized tasks, not one python call per LSH bucket
+    COARSE = 64
 
     def _explode(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        rows = {"doc_id": [], "band": [], "chunk": [], "simhash": []}
+        rows = {"doc_id": [], "band": [], "chunk": [], "simhash": [], "coarse": []}
         width = 64 // bands
         for did, s in zip(df["doc_id"], df["simhash"]):
             u = np.uint64(s + (1 << 63))
@@ -453,25 +556,31 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3, bands: int = 4):
                 rows["band"].append(b)
                 rows["chunk"].append(chunk)
                 rows["simhash"].append(s)
+                rows["coarse"].append((b * 1000003 + chunk) % COARSE)
         return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        hashes = g["simhash"].tolist()
         out = {"a": [], "b": [], "hamming": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(int(np.uint64(hashes[i] + (1 << 63)) ^ np.uint64(hashes[j] + (1 << 63)))).count("1")
-                if d <= max_hamming:
-                    out["a"].append(ids[i])
-                    out["b"].append(ids[j])
-                    out["hamming"].append(d)
-        return pd.DataFrame(out)
+        for _, bucket in g.groupby(["band", "chunk"], sort=False):
+            if len(bucket) < 2:
+                continue
+            bucket = bucket.sort_values("doc_id")
+            ids = bucket["doc_id"].tolist()
+            hashes = bucket["simhash"].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = bin(
+                        int(np.uint64(hashes[i] + (1 << 63)) ^ np.uint64(hashes[j] + (1 << 63)))
+                    ).count("1")
+                    if d <= max_hamming:
+                        out["a"].append(ids[i])
+                        out["b"].append(ids[j])
+                        out["hamming"].append(d)
+        return pd.DataFrame(out).drop_duplicates()
 
     pairs = (
         sh.map_batches(_explode, batch_format="pyarrow")
-        .groupby(["band", "chunk"])
+        .groupby("coarse")
         .map_groups(_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    return dedup_pair_rows(pairs)

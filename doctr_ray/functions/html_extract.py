@@ -42,6 +42,12 @@ _BLOCK_TAGS = {
     "blockquote", "pre",
 }
 _DROP_HINTS = ("nav", "menu", "footer", "header", "sidebar", "ad", "banner", "promo")
+# HTML5 void elements: no end tag ever arrives, so they must never push
+# state that an end tag would be needed to unwind
+_VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+}
 
 
 class _Block:
@@ -64,30 +70,48 @@ class _DomParser(HTMLParser):
         self.cur = self.root
         self.drop_depth = 0
         self.link_depth = 0
+        # open-element stack of (tag, incremented_drop, is_link, is_block);
+        # every state push is recorded here so the matching end tag — or an
+        # ancestor's end tag implicitly closing this element — unwinds it
+        self._stack: list[tuple[str, bool, bool, bool]] = []
 
     def handle_starttag(self, tag, attrs):
+        if tag in _VOID_TAGS:
+            return  # no content, no end tag — must not touch any state
         a = dict(attrs)
         hinted = any(
             h in (a.get("class", "") + " " + a.get("id", "") + " " + a.get("role", "")).lower()
             for h in _DROP_HINTS
         )
-        if tag in _DROP_TAGS or hinted:
+        drops = tag in _DROP_TAGS or hinted
+        if drops:
             self.drop_depth += 1
-        if tag == "a":
+        is_link = tag == "a"
+        if is_link:
             self.link_depth += 1
-        if tag in _BLOCK_TAGS:
+        is_block = tag in _BLOCK_TAGS
+        if is_block:
             blk = _Block(tag, self.cur, self.drop_depth > 0)
             self.cur.children.append(blk)
             self.cur = blk
+        self._stack.append((tag, drops, is_link, is_block))
 
     def handle_endtag(self, tag):
-        a_dropping = tag in _DROP_TAGS
-        if a_dropping and self.drop_depth > 0:
-            self.drop_depth -= 1
-        if tag == "a" and self.link_depth > 0:
-            self.link_depth -= 1
-        if tag in _BLOCK_TAGS and self.cur.parent is not None:
-            self.cur = self.cur.parent
+        if tag in _VOID_TAGS:
+            return
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                # pop this element and everything it implicitly closes
+                for _, drops, is_link, is_block in self._stack[i:]:
+                    if drops:
+                        self.drop_depth -= 1
+                    if is_link:
+                        self.link_depth -= 1
+                    if is_block and self.cur.parent is not None:
+                        self.cur = self.cur.parent
+                del self._stack[i:]
+                return
+        # unmatched end tag: ignore
 
     def handle_data(self, data):
         t = " ".join(data.split())

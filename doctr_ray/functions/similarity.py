@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..pool import default_pool
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -72,7 +74,7 @@ def ann_topk(
         fn_constructor_args=(qref,),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 2),
+        concurrency=default_pool(),
     )
 
     # per-batch partial top-k, then per-query global top-k (tiny shuffle)
@@ -171,23 +173,188 @@ def ann_topk_ivf(
 
     return (
         embeddings_ds.map_batches(
-            _ScoreInCells, batch_format="pyarrow", batch_size=4096, concurrency=(1, 2)
+            _ScoreInCells, batch_format="pyarrow", batch_size=4096, concurrency=default_pool()
         )
         .groupby("query_id")
         .map_groups(_final_topk, batch_format="pandas")
     )
 
 
+def cell_radii(embeddings_ds, C: np.ndarray) -> np.ndarray:
+    """Per-cell angular radius: max angle(member, centroid), computed
+    as distributed per-batch partial maxima (cells x blocks tiny rows)
+    merged on the driver."""
+    import ray
+
+    cref = ray.put(C)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(cref)
+        emb = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+        cells = (emb @ Cm.T).argmax(axis=1)
+        cos = np.clip((emb * Cm[cells]).sum(axis=1), -1.0, 1.0)
+        ang = np.arccos(cos)
+        out_c, out_r = [], []
+        for c in np.unique(cells):
+            out_c.append(int(c))
+            out_r.append(float(ang[cells == c].max()))
+        return pa.Table.from_pydict({"cell": out_c, "r_part": out_r})
+
+    parts = embeddings_ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    r = np.zeros(len(C), dtype=np.float64)
+    for c, g in parts.groupby("cell"):
+        r[int(c)] = g["r_part"].max()
+    return r
+
+
+def ann_topk_ivf_exact(
+    embeddings_ds,
+    queries: dict[int, np.ndarray],
+    k: int = 10,
+    n_centroids: int = 16,
+    first_probe: int = 4,
+):
+    """EXACT top-k with IVF branch-and-bound pruning.
+
+    Phase 1 scores each query's ``first_probe`` nearest cells; the
+    phase-1 k-th best score then excludes every cell whose angular
+    upper bound ``cos(max(0, theta_qc - r_c))`` cannot beat it (r_c =
+    the cell's angular radius from :func:`cell_radii`); phase 2 scores
+    only surviving cells. The result provably equals brute force for
+    any corpus — pruning power scales with how clustered the data is
+    (on this synthetic near-random corpus most cells survive phase 2;
+    on clustered real embeddings few do). Three streaming passes over
+    the embeddings (radii, phase 1, phase 2), driver state is O(k x
+    queries + cells).
+    """
+    import ray
+    import ray.data as rd
+
+    C = train_ivf_centroids(embeddings_ds, n_centroids)
+    radii = cell_radii(embeddings_ds, C)
+    qn = {
+        qid: np.asarray(v, np.float64) / (np.linalg.norm(v) or 1.0)
+        for qid, v in queries.items()
+    }
+    theta_qc = {qid: np.arccos(np.clip(C @ v, -1.0, 1.0)) for qid, v in qn.items()}
+    bounds = {
+        qid: np.cos(np.maximum(0.0, th - radii)) for qid, th in theta_qc.items()
+    }
+    probe1 = {
+        qid: set(np.argsort(th)[:first_probe].tolist()) for qid, th in theta_qc.items()
+    }
+
+    # score phase-1 cells with the shared kernel; the result is tiny
+    # (<= k x queries x blocks partial rows)
+    p1 = _score_in_cells(embeddings_ds, C, qn, probe1, k).to_pandas()
+
+    def _skey(g):
+        return g.sort_values(["cosine_e6", "vec_id"], ascending=[False, True]).head(k)
+
+    p1_top = p1.groupby("query_id", group_keys=False).apply(_skey)
+    probe2: dict[int, set] = {}
+    for qid in qn:
+        mine = p1_top[p1_top["query_id"] == qid]
+        if len(mine) < k:
+            s_k = -2.0  # fewer than k candidates so far: probe everything
+        else:
+            # safety margin: anything that could round to >= the k-th
+            # e6 score (or tie it and win the vec_id tiebreak) must be probed
+            s_k = (float(mine["cosine_e6"].min()) - 1.0) / 1e6
+        extra = {
+            int(c)
+            for c in range(len(C))
+            if c not in probe1[qid] and bounds[qid][c] >= s_k
+        }
+        if extra:
+            probe2[qid] = extra
+
+    def _final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine_e6", "vec_id"], ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    p1_tbl = pa.Table.from_arrays(
+        [
+            pa.array(p1_top["query_id"].to_numpy(), pa.int64()),
+            pa.array(p1_top["vec_id"].to_numpy(), pa.int64()),
+            pa.array(p1_top["cosine_e6"].to_numpy(), pa.int64()),
+        ],
+        names=["query_id", "vec_id", "cosine_e6"],
+    )
+    base = rd.from_arrow(p1_tbl)  # arrow blocks: union requires one block type
+    if probe2:
+        p2 = _score_in_cells(embeddings_ds, C, qn, probe2, k)
+        base = base.union(p2)
+    return base.groupby("query_id").map_groups(_final_topk, batch_format="pandas")
+
+
+def _score_in_cells(embeddings_ds, C, qn, probe_map, k):
+    """Shared IVF scoring kernel: score each query against vectors in
+    its probe cells; per-batch partial top-k keeps the shuffle tiny."""
+    import ray
+
+    cref, qref, pref = ray.put(C), ray.put(qn), ray.put(probe_map)
+
+    class _Score:
+        def __init__(self) -> None:
+            self.C = ray.get(cref)
+            self.q = ray.get(qref)
+            self.probe = ray.get(pref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+            cells = (emb @ self.C.T).argmax(axis=1)
+            vec_ids = np.asarray(batch["vec_id"].to_pylist())
+            out = {"query_id": [], "vec_id": [], "cosine_e6": []}
+            for qid, cellset in self.probe.items():
+                m = np.isin(cells, list(cellset))
+                if not m.any():
+                    continue
+                sims = emb[m] @ self.q[qid]
+                e6 = np.round(sims * 1e6).astype(np.int64)
+                ids = vec_ids[m]
+                # partial top-k MUST use the final total order
+                # (e6 desc, vec_id asc) — ordering by raw float here
+                # could drop a row that wins the rounded-e6 tiebreak
+                order = np.lexsort((ids, -e6))[: max(k, 1)]
+                out["query_id"].extend([qid] * len(order))
+                out["vec_id"].extend(ids[order].tolist())
+                out["cosine_e6"].extend(e6[order].tolist())
+            return pa.Table.from_pydict(
+                {
+                    "query_id": pa.array(out["query_id"], pa.int64()),
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "cosine_e6": pa.array(out["cosine_e6"], pa.int64()),
+                }
+            )
+
+    return embeddings_ds.map_batches(
+        _Score, batch_format="pyarrow", batch_size=4096, concurrency=default_pool()
+    )
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _lsh_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
 class LshBucketer:
     """Random-hyperplane LSH: vec -> bucket id (sign bits of H projections).
 
     The scale path for ANN: co-bucket near vectors, score only within
-    the query's bucket(s). Plane matrix is seeded + built once per actor.
-    """
+    the query's bucket(s). Used as a PLAIN task-stage callable (not an
+    actor pool): the plane matrix is deterministic from the seed and
+    cached per worker process, so there is no per-actor state worth
+    reserving CPUs for — and stacking a second fixed pool on top of the
+    scorer pool would reserve every CPU and starve the stream."""
 
     def __init__(self, dim: int, n_planes: int = 12, seed: int = 13) -> None:
-        rng = np.random.RandomState(seed)
-        self.planes = rng.standard_normal((n_planes, dim))
+        self.planes = _lsh_planes(dim, n_planes, seed)
 
     def bucket_of(self, v: np.ndarray) -> int:
         return int(((self.planes @ v) > 0).dot(1 << np.arange(self.planes.shape[0])))
@@ -220,12 +387,13 @@ def ann_topk_lsh(
     )
     bref = ray.put(q_buckets)
 
+    # task-stage (no pool): bucketing is one tiny matmul per batch; the
+    # scorer below owns the pool — two stacked fixed pools would reserve
+    # every CPU and deadlock the stream
     bucketed = embeddings_ds.map_batches(
-        LshBucketer,
-        fn_constructor_args=(dim, n_planes),
+        LshBucketer(dim, n_planes),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 2),
     )
 
     class _ScoreInBucket:
@@ -255,7 +423,7 @@ def ann_topk_lsh(
         return g
 
     return (
-        bucketed.map_batches(_ScoreInBucket, batch_format="pyarrow", concurrency=(1, 2))
+        bucketed.map_batches(_ScoreInBucket, batch_format="pyarrow", concurrency=default_pool())
         .groupby("query_id")
         .map_groups(_final_topk, batch_format="pandas")
     )

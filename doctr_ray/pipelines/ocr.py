@@ -353,15 +353,56 @@ PAGES_SCHEMA = pa.schema(
 )
 
 
+def html_media_to_spans(batch: pa.Table) -> pa.Table:
+    """HTML media markers -> finished ocr_text span rows (staged mode).
+
+    The fused worker dispatches synthhtml:// refs to the DOM extractor
+    inline (media_to_ocr_span); staged mode runs this transform before
+    the media branch so HTML never reaches the rasterizer. Keeps the
+    staged == fused row-identity claim true on mixed corpora."""
+    from ..functions.html_extract import extract_main_content
+    from ..media import HTML_PREFIX, fetch_html
+
+    kinds = batch["kind"].to_pylist()
+    refs = batch["media_ref"].to_pylist()
+    html_idx = [
+        i for i, (k, r) in enumerate(zip(kinds, refs))
+        if k == "media" and r.startswith(HTML_PREFIX)
+    ]
+    if not html_idx:
+        return batch
+    texts = batch["text"].to_pylist()
+    confs = batch["confidence"].to_pylist()
+    for i in html_idx:
+        kinds[i] = "ocr_text"
+        texts[i] = extract_main_content(fetch_html(refs[i]))
+        confs[i] = 1.0
+    return (
+        batch.set_column(batch.schema.get_field_index("kind"), "kind", pa.array(kinds, pa.string()))
+        .set_column(batch.schema.get_field_index("text"), "text", pa.array(texts, pa.string()))
+        .set_column(
+            batch.schema.get_field_index("confidence"),
+            "confidence",
+            pa.array(confs, pa.float32()),
+        )
+    )
+
+
 def rasterize_batch(batch: pa.Table) -> pa.Table:
     """media work rows -> page rows with raw grayscale image bytes.
 
     reference: io/pdf.py:16-43 (pdfium rasterize, one doc -> N pages).
+    HTML refs are skipped (they carry no raster pages; staged mode
+    routes them through :func:`html_media_to_spans` upstream).
     """
+    from ..media import HTML_PREFIX
+
     cols: dict[str, list] = {k.name: [] for k in PAGES_SCHEMA}
     for did, ref, off in zip(
         batch["doc_id"].to_pylist(), batch["media_ref"].to_pylist(), batch["offset"].to_pylist()
     ):
+        if ref.startswith(HTML_PREFIX):
+            continue
         for pi, page in enumerate(rasterize_synth(ref)):
             cols["doc_id"].append(did)
             cols["media_ref"].append(ref)
@@ -625,23 +666,9 @@ def assemble_text_group(g: pd.DataFrame, keep_reading_order: bool = False) -> pd
 
 # ------------------------------------------------------------- pipelines
 
-def default_pool() -> int:
-    """Fixed actor-pool size with CPU headroom for the task stages.
-
-    Two failure modes bound this number: a pool reserving every CPU
-    starves the task stages and deadlocks the stream (observed at
-    num_cpus=4), and an autoscaling (1, N) pool ramps up so slowly it
-    doubles the wall time of a 30 s job (observed at num_cpus=32:
-    fixed 22 -> 18.5 s, autoscale (1,22) -> 40 s)."""
-    try:
-        import ray
-
-        n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    except Exception:
-        n = 4
-    # constant 3/4 fraction across cluster sizes (a varying fraction
-    # skews N-vs-4N scaling measurements); never the whole node
-    return max(1, min(n - 1, (n * 3) // 4))
+# shared pool policy (doctr_ray.pool); re-exported here because every
+# pipeline module and the driver entry import it from this namespace
+from ..pool import default_pool  # noqa: E402
 
 
 def ocr_work_rows(
@@ -685,8 +712,11 @@ def ocr_work_rows(
             max_restarts=3,
             max_task_retries=3,
         )
-    media = work.filter(expr="kind == 'media'")
     if mode == "staged":
+        # HTML assets become finished spans here; only raster media
+        # continues into the rasterize->detect->recognize chain
+        work = work.map_batches(html_media_to_spans, batch_format="pyarrow")
+        media = work.filter(expr="kind == 'media'")
         markers = work  # media markers needed: assembly builds from word rows
         pages = media.map_batches(rasterize_batch, batch_format="pyarrow", batch_size=16)
         if repartition_blocks:
@@ -816,12 +846,16 @@ def ocr_page_exports(docs_ds, fmt: str = "json", concurrency: int | tuple | None
             self.recognizer = GlyphRecognizer()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            out = {"doc_id": [], "media_ref": [], "page_idx": [], "content": []}
+            from ..media import HTML_PREFIX
+
+            out = {"doc_id": [], "media_ref": [], "offset": [], "page_idx": [], "content": []}
             for did, ref, off in zip(
                 batch["doc_id"].to_pylist(),
                 batch["media_ref"].to_pylist(),
                 batch["offset"].to_pylist(),
             ):
+                if ref.startswith(HTML_PREFIX):
+                    continue  # page exports are a raster-page surface
                 rows = process_media_row(did, ref, off, self.recognizer)
                 page_idx = np.asarray(rows["page_idx"])
                 boxes = (
@@ -843,6 +877,7 @@ def ocr_page_exports(docs_ds, fmt: str = "json", concurrency: int | tuple | None
                     )
                     out["doc_id"].append(did)
                     out["media_ref"].append(ref)
+                    out["offset"].append(off)
                     out["page_idx"].append(pi)
                     out["content"].append(
                         render(built.export, page.image.shape[:2], pi)
@@ -882,8 +917,12 @@ def recognition_training_set(docs_ds, concurrency: int | tuple | None = None):
     """
 
     def make_samples(batch: pa.Table) -> pa.Table:
+        from ..media import HTML_PREFIX
+
         cols: dict[str, list] = {f.name: [] for f in TRAINING_SCHEMA}
         for ref in batch["media_ref"].to_pylist():
+            if ref.startswith(HTML_PREFIX):
+                continue  # training crops come from raster pages only
             for pi, page in enumerate(rasterize_synth(ref)):
                 gt = {(x0, y0, x1, y1): t for t, x0, y0, x1, y1 in page.words}
                 abs_boxes, _ = detect_page(page.image)

@@ -63,6 +63,16 @@ class PartitionResult:
     metrics: dict
 
 
+class CheckpointMismatch(ValueError):
+    """An existing partition manifest belongs to a different run scheme.
+
+    Raised instead of silently skipping: a partition committed under a
+    different ``num_partitions`` (or different input/pipeline lineage)
+    holds a different doc subset, so "resuming" over it would yield
+    missing and/or duplicated documents while reporting success.
+    """
+
+
 def run_partitioned(
     docs_ds_factory,
     pipeline,
@@ -77,12 +87,28 @@ def run_partitioned(
     partitions already carrying a manifest are skipped.
     """
     os.makedirs(out_dir, exist_ok=True)
+    expected_lineage = {
+        "pipeline": getattr(pipeline, "__name__", str(pipeline)),
+        **(lineage_extra or {}),
+    }
     results: list[PartitionResult] = []
     for part in range(num_partitions):
         if is_committed(out_dir, part):
-            results.append(
-                PartitionResult(part, True, read_manifest(out_dir, part)["metrics"])
-            )
+            m = read_manifest(out_dir, part)
+            if m.get("num_partitions") != num_partitions:
+                raise CheckpointMismatch(
+                    f"{out_dir}/part={part}: committed under "
+                    f"num_partitions={m.get('num_partitions')}, current run uses "
+                    f"{num_partitions}; partition contents differ — use a fresh "
+                    f"--output dir or rerun with --partitions {m.get('num_partitions')}"
+                )
+            if m.get("lineage") != expected_lineage:
+                raise CheckpointMismatch(
+                    f"{out_dir}/part={part}: committed with lineage "
+                    f"{m.get('lineage')!r}, current run is {expected_lineage!r}; "
+                    f"use a fresh --output dir"
+                )
+            results.append(PartitionResult(part, True, m["metrics"]))
             continue
         t0 = time.monotonic()
         ds = docs_ds_factory()
@@ -109,10 +135,7 @@ def run_partitioned(
             "partition": part,
             "num_partitions": num_partitions,
             "engine_version": __version__,
-            "lineage": {
-                "pipeline": getattr(pipeline, "__name__", str(pipeline)),
-                **(lineage_extra or {}),
-            },
+            "lineage": expected_lineage,
             "metrics": {"rows": n_rows, "wall_sec": round(wall, 3)},
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }

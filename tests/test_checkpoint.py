@@ -10,6 +10,7 @@ import ray.data as rd
 
 from doctr_ray.state.checkpoint import (
     MANIFEST,
+    CheckpointMismatch,
     is_committed,
     load_all,
     partition_of,
@@ -61,6 +62,26 @@ def test_run_partitioned_and_resume(ray_session, tmp_path):
     m = json.load(open(os.path.join(out, "part=0", MANIFEST)))
     assert m["engine_version"] and m["metrics"]["rows"] >= 0
     assert m["lineage"]["pipeline"] == "_identity_pipeline"
+
+
+def test_resume_rejects_scheme_mismatch(ray_session, tmp_path):
+    """Resuming with a different --partitions or lineage must fail loudly,
+    not silently skip old-scheme partitions (missing/duplicated docs)."""
+    out = str(tmp_path / "out3")
+    run_partitioned(_docs, _identity_pipeline, out, num_partitions=4)
+
+    with pytest.raises(CheckpointMismatch, match="num_partitions"):
+        run_partitioned(_docs, _identity_pipeline, out, num_partitions=8)
+
+    with pytest.raises(CheckpointMismatch, match="lineage"):
+        run_partitioned(
+            _docs, _identity_pipeline, out, num_partitions=4,
+            lineage_extra={"input": "/other/place"},
+        )
+
+    # matching scheme still resumes cleanly
+    res = run_partitioned(_docs, _identity_pipeline, out, num_partitions=4)
+    assert [r.skipped for r in res] == [True] * 4
 
 
 def test_partitions_disjoint_and_complete(ray_session, tmp_path):

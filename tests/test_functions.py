@@ -107,7 +107,7 @@ def test_minhash_near_dups_finds_planted_pair(ray_session):
     ds = rd.from_arrow(_docs_table(rows))
     out = minhash_near_dups(ds, threshold=0.8).to_pandas()
     assert {(1, 2)} == set(zip(out["a"], out["b"]))
-    assert (out["jaccard"] >= 0.8).all()
+    assert (out["jaccard_e6"] >= 800000).all()
 
 
 def test_simhash_properties():

@@ -38,6 +38,64 @@ def test_extract_malformed_html():
     assert extract_main_content("no tags at all just text") == "no tags at all just text"
 
 
+def test_hinted_nondrop_tag_unwinds():
+    # <div class="topnav"> is hinted but div is not in _DROP_TAGS — its
+    # end tag must still unwind the drop state, or everything after the
+    # nav is silently discarded
+    html = (
+        "<html><body>"
+        "<div class='topnav'><a href='/'>home</a> <a href='/x'>about</a></div>"
+        "<div><p>real article prose with plenty of ordinary words to "
+        "win the score</p></div>"
+        "</body></html>"
+    )
+    got = extract_main_content(html)
+    assert "real article prose" in got
+    assert "home" not in got
+
+
+def test_hinted_void_element_does_not_drop_rest():
+    # <img class="ad-banner"> has no end tag; it must not push drop state
+    html = (
+        "<html><body>"
+        "<img class='ad-banner' src='x.png'>"
+        "<div><p>content after the ad image keeps flowing normally "
+        "with enough words</p></div>"
+        "</body></html>"
+    )
+    got = extract_main_content(html)
+    assert "content after the ad image" in got
+
+
+def test_unclosed_anchor_does_not_poison_link_density():
+    # an <a> with no </a>, implicitly closed by its parent div's end tag,
+    # must not leave link_depth stuck counting all later prose as links
+    html = (
+        "<html><body>"
+        "<div><a href='/'>home</div>"
+        "<div><p>long plain prose paragraph counted as text not links "
+        "with many ordinary words here</p></div>"
+        "</body></html>"
+    )
+    got = extract_main_content(html)
+    assert "long plain prose" in got
+
+
+def test_nested_samename_hinted_drop():
+    # inner plain <div> end tag must not prematurely unwind the outer
+    # hinted <div class="sidebar">'s drop state
+    html = (
+        "<html><body>"
+        "<div class='sidebar'><div>inner nav junk</div><a href='/p'>promo link</a></div>"
+        "<div><p>the main story text with enough ordinary words to be "
+        "selected</p></div>"
+        "</body></html>"
+    )
+    got = extract_main_content(html)
+    assert "main story" in got
+    assert "promo link" not in got and "inner nav junk" not in got
+
+
 def test_link_dense_block_rejected():
     html = (
         "<html><body>"

@@ -84,6 +84,36 @@ def test_staged_equals_fused(ray_session, docs_rows):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_staged_equals_fused_with_html_media(ray_session):
+    """Staged mode must handle synthhtml:// assets (DOM extraction), not
+    crash in the rasterizer — mixed raster+HTML doc, both modes identical."""
+    import pyarrow as pa
+
+    from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+    from doctr_ray.media import encode_html_media_ref, encode_media_ref
+
+    chunks = ["native words first", "raster page words", "html asset content words"]
+    spans = [
+        {"kind": "text", "text": chunks[0], "media_ref": "", "offset": 0},
+        {"kind": "media", "text": "", "media_ref": encode_media_ref(chunks[1]), "offset": 20},
+        {"kind": "media", "text": "", "media_ref": encode_html_media_ref(chunks[2], "d9"), "offset": 50},
+    ]
+    t = pa.Table.from_arrays(
+        [pa.array(["doc-html-mix"], pa.string()), pa.array([spans], SPANS_TYPE)],
+        schema=DOCS_SCHEMA,
+    )
+    a = (
+        ocr_spans(rd.from_arrow(t), mode="fused")
+        .to_pandas().sort_values(["doc_id", "ord"]).reset_index(drop=True)
+    )
+    b = (
+        ocr_spans(rd.from_arrow(t), mode="staged", repartition_blocks=2)
+        .to_pandas().sort_values(["doc_id", "ord"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a["text"]) == chunks  # html extraction recovered exactly
+
+
 def test_staged_with_wide_crops(ray_session):
     """Force the split-crop groupby path through the staged pipeline."""
     long_word = "abcdefghijklmnopqrstuvwxyz0123456789"
@@ -204,7 +234,7 @@ def test_ocr_page_exports(ray_session, fmt, needle):
     docs = make_inline_docs(rows, media_fraction=1.0)
     out = ocr_page_exports(rd.from_arrow(docs), fmt=fmt).to_pandas()
     assert len(out) > 0
-    assert set(out.columns) == {"doc_id", "media_ref", "page_idx", "content"}
+    assert set(out.columns) == {"doc_id", "media_ref", "offset", "page_idx", "content"}
     assert out["content"].str.contains(needle, regex=False).all()
     if fmt == "json":
         import json
