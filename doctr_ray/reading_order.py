@@ -2,14 +2,20 @@
 
 Re-expressed semantics of the reference's reading-order module
 (reference: models/reading_order/base.py): text direction from unicode
-bidi classes (:83-120), multi-column detection via low-crossing
-vertical splits and a reads-before traversal (:180-280), and the
-``sort_reading_order`` entry point (:382-457). The column logic here is
-the classic recursive XY-cut (find a vertical gap no element crosses ->
-read left block fully before right; else split on a horizontal gap;
-else fall back to the builder's reading sort key) — the same
-column-first semantics as the reference's topological traversal,
-deterministic and pure-numpy.
+bidi classes with an ISO-639 fallback hint (:83-126), layout label
+normalization/roles (:128-155), page de-skew before ordering
+(:318-380 deskew_reading_geometries), the ``sort_reading_order`` entry
+point with label groups + caption attachment (:283-457), paragraph
+segmentation (:460-531), layout-label assignment (:534-578) and the
+``ReadingOrderPredictor`` wrapper (:600-664).
+
+The column logic here is the classic recursive XY-cut (find a vertical
+gap no element crosses -> read left block fully before right; else
+split on a horizontal gap; else fall back to the builder's reading
+sort key) — the same column-first semantics as the reference's
+reads-before topological traversal, deterministic and pure-numpy.
+Parity with the reference's own fixtures is pinned in
+tests/test_reference_parity.py.
 
 Plugged into the builder stage as ``keep_reading_order=True``
 (reference: models/builder.py:659-689 _apply_reading_order).
@@ -18,20 +24,30 @@ Plugged into the builder stage as ``keep_reading_order=True``
 from __future__ import annotations
 
 import unicodedata
+from collections.abc import Sequence
+from typing import Any
 
 import numpy as np
 
 # minimum relative gap for a cut (noise guard)
 MIN_GAP = 0.01
-# RTL scripts' bidi classes (reference base.py:105-120)
+# RTL scripts' bidi classes (reference base.py:36)
 _RTL_CLASSES = {"R", "AL"}
+# ISO 639 codes of predominantly right-to-left languages (public
+# knowledge; reference base.py:33 keeps the same fallback set)
+RTL_LANGUAGES = {
+    "ar", "arc", "ckb", "dv", "fa", "he", "iw", "ks", "ku", "nqo", "ps",
+    "sd", "syr", "ug", "ur", "yi",
+}
+SUPPORTED_DIRECTIONS = ("auto", "ltr", "rtl", "ttb-rtl", "ttb-ltr")
 
 
-def detect_text_direction(texts: list[str]) -> str:
+def detect_text_direction(texts: Sequence[str], language: str | None = None) -> str:
     """'ltr' | 'rtl' from unicode bidirectional classes of the chars.
 
-    reference: models/reading_order/base.py:83-120 (strong R/AL vs L
-    counts over the page text).
+    reference: models/reading_order/base.py:83-126 (strong R/AL vs L
+    counts over the page text; ISO-639 language fallback when the
+    script is inconclusive).
     """
     rtl = ltr = 0
     for t in texts:
@@ -41,8 +57,137 @@ def detect_text_direction(texts: list[str]) -> str:
                 rtl += 1
             elif c == "L":
                 ltr += 1
-    return "rtl" if rtl > ltr else "ltr"
+    if rtl > ltr:
+        return "rtl"
+    if ltr == 0 and rtl == 0 and isinstance(language, str):
+        if language.split("-")[0].lower() in RTL_LANGUAGES:
+            return "rtl"
+    return "ltr"
 
+
+# ------------------------------------------------------- layout labels
+
+def normalize_layout_label(label: str | None) -> str:
+    """Canonical snake_case layout label ('' for None) —
+    reference base.py:128-137."""
+    if label is None:
+        return ""
+    return str(label).strip().lower().replace("-", "_").replace(" ", "_")
+
+
+_ROLE_OF = {
+    "page_header": "header",
+    "page_footer": "footer",
+    "footnote": "footnote",
+    "caption": "caption",
+    "table": "float",
+    "picture": "float",
+    "figure": "float",
+    "formula": "float",
+}
+
+
+def layout_label_role(label: str | None) -> str:
+    """Reading-order role of a layout label: header | footer |
+    footnote | caption | float | body (reference base.py:139-155)."""
+    return _ROLE_OF.get(normalize_layout_label(label), "body")
+
+
+# ------------------------------------------------------- geometry prep
+
+def _to_boxes(geoms) -> np.ndarray:
+    """Any docTR geometry format -> (N, 4) relative straight boxes.
+
+    Accepts ((x0, y0), (x1, y1)) 2-point boxes, 4-point polygons,
+    (N, 4) / (N, 2, 2) / (N, 4, 2) arrays, relative or absolute
+    coordinates (absolute inputs are normalized by the global extent —
+    the ordering only depends on relative gaps)."""
+    if isinstance(geoms, np.ndarray) and geoms.size == 0:
+        return np.zeros((0, 4), dtype=np.float64)
+    if not isinstance(geoms, np.ndarray) and len(geoms) == 0:
+        return np.zeros((0, 4), dtype=np.float64)
+    arr = np.asarray(geoms, dtype=np.float64)
+    if arr.ndim == 3:  # (N, 2, 2) two-point boxes or (N, 4, 2) polygons
+        arr = np.concatenate([arr.min(axis=1), arr.max(axis=1)], axis=-1)
+    arr = arr.reshape(-1, 4)
+    m = float(arr.max()) if arr.size else 0.0
+    if m > 1.5:  # absolute pixel coordinates
+        arr = arr / m
+    return arr
+
+
+def _order_points(p: np.ndarray) -> np.ndarray:
+    """Normalize a 4-point polygon's vertex order to TL, TR, BR, BL
+    (y-down frame) so angle estimation is vertex-order independent."""
+    s = p.sum(axis=1)
+    d = p[:, 1] - p[:, 0]
+    return np.stack([p[s.argmin()], p[d.argmin()], p[s.argmax()], p[d.argmax()]])
+
+
+def deskew_reading_geometries(
+    geoms,
+    region_geoms=None,
+    page_shape: tuple[int, int] | None = None,
+    angle_geoms=None,
+    min_angle: float = 1.0,
+) -> tuple[list[Any], list[Any]]:
+    """De-skew rotated 4-point geometries into an upright frame so the
+    reading order is computed on an upright page (reference:
+    base.py:318-380). Straight inputs pass through unchanged; angles
+    below ``min_angle`` or at/above 45 degrees are left alone (corner
+    identification is ambiguous past 45 — an upstream orientation
+    correction is needed). ``page_shape`` (height, width) corrects the
+    aspect-ratio distortion of relative coordinates."""
+    from .geometry import estimate_page_angle
+
+    regions = list(region_geoms) if region_geoms is not None else []
+    pts = [np.asarray(g, dtype=np.float64).reshape(-1, 2) for g in geoms]
+    if len(pts) == 0 or any(p.shape[0] != 4 for p in pts):
+        return list(geoms), regions  # straight geometries: nothing to do
+    height, width = page_shape if page_shape is not None else (1, 1)
+    scale = np.array([width, height], dtype=np.float64)
+    ang_src = [np.asarray(g, dtype=np.float64).reshape(-1, 2) for g in (angle_geoms if angle_geoms is not None else [])]
+    if len(ang_src) > 0 and all(p.shape[0] == 4 for p in ang_src):
+        # detector polygons are already reading-oriented: keep order
+        angle = estimate_page_angle(np.stack(ang_src) * scale)
+    else:
+        angle = estimate_page_angle(np.stack([_order_points(p * scale) for p in pts]))
+    if not np.isfinite(angle) or abs(angle) < min_angle or abs(angle) >= 45:
+        return list(geoms), regions
+    # Undo the skew with the full affine implied by the quads' own edge
+    # directions (aggregate top edge -> e1, left edge -> e2). Relative
+    # coordinates turn a rigid page rotation into rotation+shear
+    # (S^-1 R S with S = diag(w, h)); inverting the edge frame removes
+    # both at once, so this is exact with or without ``page_shape``.
+    P = np.stack([_order_points(p * scale) for p in pts])
+    u = (P[:, 1] - P[:, 0] + P[:, 2] - P[:, 3]).sum(axis=0)
+    v = (P[:, 3] - P[:, 0] + P[:, 2] - P[:, 1]).sum(axis=0)
+    nu, nv = np.linalg.norm(u), np.linalg.norm(v)
+    center = (np.concatenate(pts, axis=0) * scale).mean(axis=0)
+    if nu < 1e-9 or nv < 1e-9:
+        return list(geoms), regions
+    M = np.stack([u / nu, v / nv], axis=1)  # columns: skewed e1, e2
+    if abs(np.linalg.det(M)) < 0.1:
+        return list(geoms), regions  # degenerate frame: leave untouched
+    Minv = np.linalg.inv(M)
+
+    def _rot(points: np.ndarray) -> np.ndarray:
+        return ((points * scale - center) @ Minv.T + center) / scale
+
+    def _corners(points: np.ndarray) -> np.ndarray:
+        # straight 2-point regions expand to 4 corners before rotating
+        # (rotating only the diagonal would underestimate the extent)
+        if points.shape[0] == 4:
+            return points
+        (x0, y0), (x1, y1) = points.min(axis=0), points.max(axis=0)
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+
+    out = [_rot(p) for p in pts]
+    region_pts = [np.asarray(g, dtype=np.float64).reshape(-1, 2) for g in regions]
+    return out, [_rot(_corners(p)) for p in region_pts]
+
+
+# ------------------------------------------------------------- XY-cut
 
 def _sort_key_order(boxes: np.ndarray) -> list[int]:
     """Builder fallback sort (x + 2*ymax/med_h), reference builder.py:105."""
@@ -119,136 +264,152 @@ def xy_cut_order(
 
 def _to_canonical_ltr(boxes: np.ndarray, direction: str) -> np.ndarray:
     """Map boxes into the canonical ltr frame so one ordering algorithm
-    serves every direction (reference: base.py:138-155 _to_canonical_ltr).
+    serves every direction (reference: base.py:157-178 _to_canonical_ltr).
 
-    'rtl' mirrors x; 'ttb' (vertical, columns read right-to-left) swaps
-    axes and mirrors the new x.
+    'rtl' mirrors x; 'ttb-rtl' (vertical lines, columns right-to-left,
+    traditional CJK) swaps axes and mirrors the new y source; 'ttb-ltr'
+    (columns left-to-right) swaps axes only.
     """
     b = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
     if direction == "rtl":
         return np.stack([1 - b[:, 2], b[:, 1], 1 - b[:, 0], b[:, 3]], axis=1)
-    if direction == "ttb":
+    if direction in ("ttb", "ttb-rtl"):
         # within-column flow (y) becomes within-line flow (x'); columns
         # read right-to-left, so the rightmost column maps to the top
         # line: x' = y, y' = 1 - x
         return np.stack([b[:, 1], 1 - b[:, 2], b[:, 3], 1 - b[:, 0]], axis=1)
+    if direction == "ttb-ltr":
+        return np.stack([b[:, 1], b[:, 0], b[:, 3], b[:, 2]], axis=1)
     return b
 
 
-def sort_reading_order(
-    boxes: np.ndarray, texts: list[str] | None = None, direction: str | None = None
-) -> list[int]:
-    """Reading-ordered indices of (N,4) relative element boxes.
-
-    Direction is auto-detected from ``texts`` when not given
-    (reference: base.py:382-457). 'ltr' | 'rtl' | 'ttb' supported; rtl
-    and ttb are handled by canonicalizing boxes into the ltr frame
-    (base.py:138-155).
-    """
-    if len(boxes) == 0:
+def _ordered(boxes: np.ndarray, idcs: list[int], prefer: str) -> list[int]:
+    if not idcs:
         return []
-    if direction is None:
+    sub = xy_cut_order(boxes[idcs], rtl=False, prefer=prefer)
+    return [idcs[i] for i in sub]
+
+
+def sort_reading_order(
+    geoms,
+    texts: Sequence[str] | None = None,
+    direction: str | None = None,
+    labels: Sequence[str | None] | None = None,
+    caption_max_distance: float = 0.1,
+    page_shape: tuple[int, int] | None = None,
+    angle_geoms=None,
+) -> list[int]:
+    """Reading-ordered indices of page-element geometries.
+
+    reference: models/reading_order/base.py:382-457. Accepts any docTR
+    geometry format (2-point boxes, 4-point polygons, (N,4)/(N,4,2)
+    arrays, relative or absolute). Rotated polygons are de-skewed
+    before ordering (``page_shape`` corrects relative-coordinate
+    aspect distortion). Direction is auto-detected from ``texts`` when
+    not given; 'ltr' | 'rtl' | 'ttb-rtl' | 'ttb-ltr' are supported
+    ('ttb' is kept as an alias of 'ttb-rtl'). With ``labels``, page
+    headers come first, footnotes and page footers last, and captions
+    attach to the closest float (before it when sitting above).
+    """
+    if direction is not None and direction not in SUPPORTED_DIRECTIONS + ("ttb",):
+        raise ValueError(
+            f"invalid reading direction '{direction}', should be one of {SUPPORTED_DIRECTIONS[1:]}"
+        )
+    geoms, _ = deskew_reading_geometries(geoms, page_shape=page_shape, angle_geoms=angle_geoms)
+    boxes = _to_boxes(geoms)
+    n = len(boxes)
+    if labels is not None and len(labels) != n:
+        raise ValueError(f"Incompatible number of labels ({len(labels)}) and geometries ({n})")
+    if n <= 1:
+        return list(range(n))
+    if direction is None or direction == "auto":
         direction = detect_text_direction(texts or [])
-    if direction == "rtl":
-        return xy_cut_order(np.asarray(boxes, dtype=np.float64), rtl=True)
-    if direction == "ttb":
-        return xy_cut_order(_to_canonical_ltr(boxes, "ttb"), rtl=False, prefer="horizontal")
-    return xy_cut_order(np.asarray(boxes, dtype=np.float64), rtl=False)
+    canonical = _to_canonical_ltr(boxes, direction)
+    prefer = "horizontal" if direction in ("ttb", "ttb-rtl", "ttb-ltr") else "vertical"
 
+    if labels is None:
+        return _ordered(canonical, list(range(n)), prefer)
 
-# layout-label ordering groups (reference base.py:382-457: header first,
-# body + floats, footnotes, footer last)
-_HEADER_LABELS = {"Page-header", "Title"}
-_FOOTER_LABELS = {"Page-footer"}
-_FOOTNOTE_LABELS = {"Footnote"}
-_FLOAT_LABELS = {"Picture", "Table", "Formula"}
-CAPTION_LABEL = "Caption"
-CAPTION_MAX_DIST = 0.1  # y_gap + 2*x_gap threshold (base.py:283-315)
-
-
-def _caption_distance(cap: np.ndarray, flt: np.ndarray) -> float:
-    """Distance used to attach a caption to its float
-    (reference base.py:283-315: vertical gap + 2x horizontal gap)."""
-    y_gap = max(flt[1] - cap[3], cap[1] - flt[3], 0.0)
-    x_gap = max(flt[0] - cap[2], cap[0] - flt[2], 0.0)
-    return float(y_gap + 2.0 * x_gap)
+    groups: dict[str, list[int]] = {"header": [], "body": [], "caption": [], "footnote": [], "footer": []}
+    norm = [normalize_layout_label(lab) for lab in labels]
+    for i, lab in enumerate(norm):
+        role = layout_label_role(lab)
+        groups["body" if role == "float" else role].append(i)
+    body = _attach_captions(
+        _ordered(canonical, groups["body"], prefer),
+        _ordered(canonical, groups["caption"], prefer),
+        canonical,
+        norm,
+        caption_max_distance,
+    )
+    return (
+        _ordered(canonical, groups["header"], prefer)
+        + body
+        + _ordered(canonical, groups["footnote"], prefer)
+        + _ordered(canonical, groups["footer"], prefer)
+    )
 
 
 def sort_with_labels(
     boxes: np.ndarray,
-    labels: list[str],
-    texts: list[str] | None = None,
+    labels: Sequence[str],
+    texts: Sequence[str] | None = None,
     direction: str | None = None,
 ) -> list[int]:
-    """Label-aware reading order: headers first, body + floats in
-    column order with captions attached to their float, footnotes,
-    then footers (reference: base.py:382-457 sort_reading_order with
-    label groups + _attach_captions).
-    """
-    boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
-    n = len(boxes)
-    if n == 0:
-        return []
-    if direction is None:
-        direction = detect_text_direction(texts or [])
-    rtl = direction == "rtl"
-    group_of = np.full(n, 1, dtype=np.int64)  # default: body
-    for i, lab in enumerate(labels):
-        if lab in _HEADER_LABELS:
-            group_of[i] = 0
-        elif lab in _FOOTNOTE_LABELS:
-            group_of[i] = 2
-        elif lab in _FOOTER_LABELS:
-            group_of[i] = 3
-    order: list[int] = []
-    for g in (0, 1, 2, 3):
-        idx = np.flatnonzero(group_of == g)
-        if len(idx) == 0:
-            continue
-        sub = [int(idx[i]) for i in xy_cut_order(boxes[idx], rtl=rtl)]
-        if g == 1:
-            sub = _attach_captions(boxes, labels, sub)
-        order.extend(sub)
+    """Back-compat wrapper: label-aware :func:`sort_reading_order`."""
+    return sort_reading_order(boxes, texts=texts, direction=direction, labels=list(labels))
+
+
+def _attach_captions(
+    order: list[int],
+    caption_idcs: list[int],
+    boxes: np.ndarray,
+    labels: list[str],
+    max_distance: float,
+) -> list[int]:
+    """Insert captions right before (above) / after (below) the closest
+    float within reach; unattached captions take their natural spatial
+    slot in the body (reference base.py:283-315)."""
+    order = list(order)
+    float_idcs = [i for i in order if layout_label_role(labels[i]) == "float"]
+    for cap in caption_idcs:
+        cx0, cy0, cx1, cy1 = boxes[cap]
+        best, best_d = -1, float("inf")
+        for f in float_idcs:
+            fx0, fy0, fx1, fy1 = boxes[f]
+            x_gap = max(fx0 - cx1, cx0 - fx1, 0.0)
+            y_gap = max(fy0 - cy1, cy0 - fy1, 0.0)
+            d = y_gap + 2.0 * x_gap  # captions sit above/below their float
+            if d < best_d:
+                best, best_d = f, d
+        if best >= 0 and best_d <= max_distance:
+            pos = order.index(best)
+            above = (cy0 + cy1) / 2 <= (boxes[best, 1] + boxes[best, 3]) / 2
+            order.insert(pos if above else pos + 1, cap)
+        else:
+            pos = next((i for i, idx in enumerate(order) if boxes[idx, 1] >= cy0), len(order))
+            order.insert(pos, cap)
     return order
 
 
-def _attach_captions(boxes: np.ndarray, labels: list[str], order: list[int]) -> list[int]:
-    """Move each caption to immediately follow its nearest float
-    (within CAPTION_MAX_DIST); unattached captions keep their slot."""
-    captions = [i for i in order if labels[i] == CAPTION_LABEL]
-    floats = [i for i in order if labels[i] in _FLOAT_LABELS]
-    if not captions or not floats:
-        return order
-    attach: dict[int, list[int]] = {}
-    attached = set()
-    for c in captions:
-        dists = [(_caption_distance(boxes[c], boxes[f]), f) for f in floats]
-        d, f = min(dists)
-        if d <= CAPTION_MAX_DIST:
-            attach.setdefault(f, []).append(c)
-            attached.add(c)
-    out: list[int] = []
-    for i in order:
-        if i in attached:
-            continue
-        out.append(i)
-        for c in attach.get(i, []):
-            out.append(c)
-    return out
-
-
 def assign_layout_labels(
-    element_boxes: np.ndarray,
-    region_boxes: np.ndarray,
-    region_labels: list[str],
+    element_geoms,
+    region_geoms,
+    region_labels: Sequence[str],
     min_coverage: float = 0.5,
-    default: str = "Text",
-) -> list[str]:
+    default: str | None = None,
+) -> list[str | None]:
     """Assign each element the label of the layout region covering it
-    most (argmax area-coverage, threshold 0.5) — reference
-    base.py:534-578 / io/exporters.py:71-89. Fully vectorized."""
-    e = np.asarray(element_boxes, dtype=np.float64).reshape(-1, 4)
-    r = np.asarray(region_boxes, dtype=np.float64).reshape(-1, 4)
+    most (argmax area-coverage, threshold 0.5; ``default`` — None like
+    the reference — when nothing covers it) — reference base.py:534-578.
+    Fully vectorized; rotated region polygons are reduced to their
+    bounding boxes."""
+    e = _to_boxes(element_geoms)
+    r = _to_boxes(region_geoms)
+    if len(r) != len(region_labels):
+        raise ValueError(
+            f"Incompatible number of region labels ({len(region_labels)}) and regions ({len(r)})"
+        )
     if len(e) == 0:
         return []
     if len(r) == 0:
@@ -260,20 +421,34 @@ def assign_layout_labels(
     areas = np.maximum((e[:, 2] - e[:, 0]) * (e[:, 3] - e[:, 1]), 1e-12)
     coverage = inter / areas[:, None]
     best = coverage.argmax(axis=1)
-    out = []
-    for i, j in enumerate(best):
-        out.append(region_labels[j] if coverage[i, j] >= min_coverage else default)
-    return out
+    return [
+        region_labels[j] if coverage[i, j] >= min_coverage else default
+        for i, j in enumerate(best)
+    ]
 
 
 def resolve_reading_segments(
-    boxes: np.ndarray, order: list[int], gap_factor: float = 0.8
+    geoms,
+    texts: Sequence[str] | None = None,
+    direction: str | None = None,
+    labels: Sequence[str | None] | None = None,
+    paragraph_gap: float = 0.8,
+    page_shape: tuple[int, int] | None = None,
+    order: list[int] | None = None,
 ) -> list[list[int]]:
-    """Group consecutive ordered elements into paragraph segments:
-    same column (x-overlap) and vertical gap <= gap_factor * median
-    height (reference: base.py:460-531)."""
-    if not order:
+    """Order elements and group consecutive ones into segments
+    (paragraphs/regions): same (possibly None) label, same column
+    (x-overlap) and vertical gap <= paragraph_gap * median height;
+    float-role elements never merge (reference: base.py:460-531)."""
+    boxes = _to_boxes(geoms)
+    if len(boxes) == 0:
         return []
+    if order is None:
+        order = sort_reading_order(
+            geoms, texts=texts, direction=direction, labels=list(labels) if labels is not None else None,
+            page_shape=page_shape,
+        )
+    norm = [normalize_layout_label(lab) for lab in labels] if labels is not None else None
     heights = boxes[:, 3] - boxes[:, 1]
     med_h = float(np.median(heights)) or 1.0
     segments: list[list[int]] = [[order[0]]]
@@ -281,8 +456,51 @@ def resolve_reading_segments(
         pb, cb = boxes[prev], boxes[cur]
         x_overlap = min(pb[2], cb[2]) - max(pb[0], cb[0])
         v_gap = cb[1] - pb[3]
-        if x_overlap > 0 and -med_h <= v_gap <= gap_factor * med_h:
+        same = x_overlap > 0 and -med_h <= v_gap <= paragraph_gap * med_h
+        if norm is not None:
+            if norm[prev] != norm[cur]:
+                same = False
+            if layout_label_role(norm[prev]) == "float" or layout_label_role(norm[cur]) == "float":
+                same = False
+        if same:
             segments[-1].append(cur)
         else:
             segments.append([cur])
     return segments
+
+
+class ReadingOrderPredictor:
+    """Callable wrapper resolving direction then ordering
+    (reference: base.py:600-664)."""
+
+    def __init__(self, direction: str = "auto") -> None:
+        if direction not in SUPPORTED_DIRECTIONS:
+            raise ValueError(
+                f"invalid reading direction '{direction}', should be one of {SUPPORTED_DIRECTIONS}"
+            )
+        self.direction = direction
+
+    def resolve_direction(
+        self, texts: Sequence[str] | None = None, language: str | None = None
+    ) -> str:
+        if self.direction != "auto":
+            return self.direction
+        return detect_text_direction(texts if texts is not None else [], language=language)
+
+    def __call__(
+        self,
+        geoms,
+        texts: Sequence[str] | None = None,
+        language: str | None = None,
+        labels: Sequence[str | None] | None = None,
+        page_shape: tuple[int, int] | None = None,
+    ) -> list[int]:
+        return sort_reading_order(
+            geoms,
+            direction=self.resolve_direction(texts, language=language),
+            labels=list(labels) if labels is not None else None,
+            page_shape=page_shape,
+        )
+
+    def __repr__(self) -> str:
+        return f"ReadingOrderPredictor(direction='{self.direction}')"

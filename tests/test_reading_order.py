@@ -71,7 +71,7 @@ def test_reading_segments():
             [0.1, 0.60, 0.5, 0.65],  # far -> new segment
         ]
     )
-    assert resolve_reading_segments(boxes, [0, 1, 2]) == [[0, 1], [2]]
+    assert resolve_reading_segments(boxes, order=[0, 1, 2]) == [[0, 1], [2]]
 
 
 def test_two_column_page_roundtrip(ray_session):
@@ -171,9 +171,10 @@ def test_assign_layout_labels():
         ]
     )
     got = assign_layout_labels(elements, regions, labels)
-    assert got == ["Page-header", "Page-footer", "Text", "Text"]
+    assert got == ["Page-header", "Page-footer", None, None]  # default None like the reference
     assert assign_layout_labels(np.zeros((0, 4)), regions, labels) == []
-    assert assign_layout_labels(elements[:1], np.zeros((0, 4)), []) == ["Text"]
+    assert assign_layout_labels(elements[:1], np.zeros((0, 4)), []) == [None]
+    assert assign_layout_labels(elements[:1], np.zeros((0, 4)), [], default="Text") == ["Text"]
 
 
 def test_ttb_vertical_order():

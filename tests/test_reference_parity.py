@@ -1,0 +1,427 @@
+"""Parity tests: the reference's OWN test fixtures, run against this
+engine's ports.
+
+Every box/expected-order fixture below is translated from the
+reference's hand-built test cases (no torch needed):
+
+- builder fixtures: reference tests/common/test_models_builder.py
+  (:406-449 sort/lines tables, :561-566 degenerate heights, :20-78
+  builder basics)
+- reading-order fixtures: reference
+  tests/common/test_models_reading_order.py (:16-336 — direction,
+  labels, columns, vertical, segments, rotated pages, and the
+  regression cases)
+
+Documented divergences (API, not semantics):
+- this engine accepts direction='ttb' as an alias of 'ttb-rtl' (the
+  reference rejects the bare 'ttb');
+- DocumentBuilder-level table assignment is a different surface here
+  (tables are extracted from images in tables.py, covered by the
+  table_grids oracle), so the builder+tables fixtures are not ported.
+"""
+
+import numpy as np
+import pytest
+
+from doctr_ray.builder import build_page, resolve_lines, sort_boxes
+from doctr_ray.reading_order import (
+    ReadingOrderPredictor,
+    assign_layout_labels,
+    deskew_reading_geometries,
+    detect_text_direction,
+    layout_label_role,
+    normalize_layout_label,
+    resolve_reading_segments,
+    sort_reading_order,
+)
+
+# --------------------------------------------------------- builder
+
+
+@pytest.mark.parametrize(
+    "input_boxes, sorted_idxs",
+    [
+        # reference test_models_builder.py:406-422
+        [[[0, 0.5, 0.1, 0.6], [0, 0.3, 0.2, 0.4], [0, 0, 0.1, 0.1]], [2, 1, 0]],  # vertical
+        [[[0.7, 0.5, 0.85, 0.6], [0.2, 0.3, 0.4, 0.4], [0, 0, 0.1, 0.1]], [2, 1, 0]],  # diagonal
+        [[[0, 0.5, 0.1, 0.6], [0.15, 0.5, 0.25, 0.6], [0.5, 0.5, 0.6, 0.6]], [0, 1, 2]],  # same line
+        [[[0, 0.5, 0.1, 0.6], [0.2, 0.49, 0.35, 0.59], [0.8, 0.52, 0.9, 0.63]], [0, 1, 2]],  # ~same line
+        [[[0, 0.3, 0.4, 0.45], [0.5, 0.28, 0.75, 0.42], [0, 0.45, 0.1, 0.55]], [0, 1, 2]],  # 2 lines
+        [[[0, 0.3, 0.4, 0.35], [0.75, 0.28, 0.95, 0.42], [0, 0.45, 0.1, 0.55]], [0, 1, 2]],  # 2 lines
+        [
+            [
+                [[0.1, 0.1], [0.2, 0.2], [0.15, 0.25], [0.05, 0.15]],
+                [[0.5, 0.5], [0.6, 0.6], [0.55, 0.65], [0.45, 0.55]],
+            ],
+            [0, 1],
+        ],  # rotated
+    ],
+)
+def test_ref_sort_boxes(input_boxes, sorted_idxs):
+    assert sort_boxes(np.asarray(input_boxes))[0].tolist() == sorted_idxs
+
+
+@pytest.mark.parametrize(
+    "input_boxes, lines",
+    [
+        # reference test_models_builder.py:429-445
+        [[[0, 0.5, 0.1, 0.6], [0, 0.3, 0.2, 0.4], [0, 0, 0.1, 0.1]], [[2], [1], [0]]],
+        [[[0.7, 0.5, 0.85, 0.6], [0.2, 0.3, 0.4, 0.4], [0, 0, 0.1, 0.1]], [[2], [1], [0]]],
+        [[[0, 0.5, 0.14, 0.6], [0.15, 0.5, 0.25, 0.6], [0.5, 0.5, 0.6, 0.6]], [[0, 1], [2]]],
+        [[[0, 0.5, 0.18, 0.6], [0.2, 0.48, 0.35, 0.58], [0.8, 0.52, 0.9, 0.63]], [[0, 1], [2]]],
+        [[[0, 0.3, 0.48, 0.45], [0.5, 0.28, 0.75, 0.42], [0, 0.45, 0.1, 0.55]], [[0, 1], [2]]],
+        [[[0, 0.3, 0.4, 0.35], [0.75, 0.28, 0.95, 0.42], [0, 0.45, 0.1, 0.55]], [[0], [1], [2]]],
+        [
+            [
+                [[0.1, 0.1], [0.2, 0.2], [0.15, 0.25], [0.05, 0.15]],
+                [[0.5, 0.5], [0.6, 0.6], [0.55, 0.65], [0.45, 0.55]],
+            ],
+            [[0], [1]],
+        ],
+    ],
+)
+def test_ref_resolve_lines(input_boxes, lines):
+    got, _ = resolve_lines(np.asarray(input_boxes))
+    assert [[int(i) for i in line] for line in got] == lines
+
+
+def test_ref_sort_boxes_degenerate_heights():
+    # reference test_models_builder.py:561-566
+    boxes = np.array([[0.5, 0.2, 0.6, 0.2], [0.1, 0.2, 0.2, 0.2]], dtype=np.float32)
+    idxs, _ = sort_boxes(boxes)
+    assert sorted(np.asarray(idxs).tolist()) == [0, 1]
+
+
+def test_ref_builder_basics():
+    # reference test_models_builder.py:20-78 — one line when lines are
+    # not resolved; zero blocks for an empty detection
+    rng = np.random.RandomState(0)
+    boxes = rng.rand(10, 4).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + 0.05
+    texts = ["hello"] * 10
+    built = build_page(boxes, texts, [1.0] * 10, do_resolve_lines=False)
+    assert len(built.export["blocks"]) == 1
+    assert len(built.export["blocks"][0]["lines"]) == 1
+    assert len(built.export["blocks"][0]["lines"][0]["words"]) == 10
+
+    empty = build_page(np.zeros((0, 4), np.float32), [], [])
+    assert empty.export["blocks"] == []
+
+
+# ----------------------------------------------------- reading order
+
+
+@pytest.mark.parametrize(
+    "texts, language, expected",
+    [
+        # reference test_models_reading_order.py:16-34
+        (["Hello", "world"], None, "ltr"),
+        (["Die schnelle braune Katze"], None, "ltr"),
+        (["Привет мир"], None, "ltr"),
+        (["こんにちは世界"], None, "ltr"),
+        (["مرحبا", "بالعالم"], None, "rtl"),
+        (["שלום עולם"], None, "rtl"),
+        (["سلام دنیا"], None, "rtl"),  # Persian
+        (["مرحبا Hello بالعالم العربي"], None, "rtl"),  # mixed, RTL-dominant
+        (["Hello world مرحبا"], None, "ltr"),  # mixed, LTR-dominant
+        (["123", "456"], None, "ltr"),  # no strong character, no hint
+        (["123", "456"], "ar", "rtl"),  # no strong character, language hint
+        (["123"], "he", "rtl"),
+        (["123"], "fr", "ltr"),
+        ([], None, "ltr"),
+    ],
+)
+def test_ref_detect_text_direction(texts, language, expected):
+    assert detect_text_direction(texts, language=language) == expected
+
+
+def test_ref_normalize_layout_label():
+    # reference test_models_reading_order.py:39-42
+    assert normalize_layout_label("Page-header") == "page_header"
+    assert normalize_layout_label(" Section header ") == "section_header"
+    assert normalize_layout_label(None) == ""
+
+
+@pytest.mark.parametrize(
+    "label, role",
+    [
+        # reference test_models_reading_order.py:45-58
+        ("Page-header", "header"),
+        ("Page-footer", "footer"),
+        ("Footnote", "footnote"),
+        ("Caption", "caption"),
+        ("Table", "float"),
+        ("Picture", "float"),
+        ("Text", "body"),
+        ("Title", "body"),
+        (None, "body"),
+    ],
+)
+def test_ref_layout_label_role(label, role):
+    assert layout_label_role(label) == role
+
+
+def _two_columns(num_lines: int = 4):
+    left = [((0.1, 0.1 + 0.2 * i), (0.45, 0.25 + 0.2 * i)) for i in range(num_lines)]
+    right = [((0.55, 0.1 + 0.2 * i), (0.9, 0.25 + 0.2 * i)) for i in range(num_lines)]
+    return left + right
+
+
+def test_ref_sort_reading_order_basic():
+    # reference test_models_reading_order.py:69-78
+    assert sort_reading_order([]) == []
+    assert sort_reading_order([((0.1, 0.1), (0.2, 0.2))]) == [0]
+    geoms = [((0.1, 0.5), (0.9, 0.6)), ((0.1, 0.1), (0.9, 0.2)), ((0.1, 0.3), (0.9, 0.4))]
+    assert sort_reading_order(geoms) == [1, 2, 0]
+    geoms = [((0.55, 0.2), (0.9, 0.8)), ((0.1, 0.05), (0.9, 0.15)), ((0.1, 0.2), (0.45, 0.8))]
+    assert sort_reading_order(geoms) == [1, 2, 0]
+
+
+def test_ref_sort_reading_order_columns():
+    # reference test_models_reading_order.py:81-92
+    boxes = _two_columns()
+    assert sort_reading_order(boxes) == list(range(8))
+    assert sort_reading_order(boxes, direction="rtl") == [4, 5, 6, 7, 0, 1, 2, 3]
+    rng = np.random.default_rng(42)
+    for _ in range(5):
+        perm = rng.permutation(8).tolist()
+        order = sort_reading_order([boxes[idx] for idx in perm])
+        assert [perm[idx] for idx in order] == list(range(8))
+
+
+def test_ref_sort_reading_order_input_formats():
+    # reference test_models_reading_order.py:95-105
+    boxes = _two_columns(2)
+    expected = sort_reading_order(boxes)
+    as_array = np.asarray([(x0, y0, x1, y1) for ((x0, y0), (x1, y1)) in boxes])
+    assert sort_reading_order(as_array) == expected
+    as_polys = np.asarray(
+        [[(x0, y0), (x1, y0), (x1, y1), (x0, y1)] for ((x0, y0), (x1, y1)) in boxes]
+    )
+    assert sort_reading_order(as_polys) == expected
+    assert sort_reading_order(as_array * 1000) == expected
+
+
+def test_ref_sort_reading_order_vertical():
+    # reference test_models_reading_order.py:108-115
+    cols = [((0.8 - 0.15 * i, 0.1), (0.9 - 0.15 * i, 0.9)) for i in range(4)]
+    assert sort_reading_order(cols, direction="ttb-rtl") == [0, 1, 2, 3]
+    assert sort_reading_order(cols, direction="ttb-ltr") == [3, 2, 1, 0]
+    cols = [((0.8, 0.5), (0.9, 0.9)), ((0.8, 0.1), (0.9, 0.45)), ((0.6, 0.1), (0.7, 0.9))]
+    assert sort_reading_order(cols, direction="ttb-rtl") == [1, 0, 2]
+
+
+def test_ref_sort_reading_order_labels():
+    # reference test_models_reading_order.py:118-144
+    geoms = [
+        ((0.1, 0.92), (0.9, 0.97)),  # 0: page footer
+        ((0.1, 0.02), (0.9, 0.06)),  # 1: page header
+        ((0.1, 0.1), (0.9, 0.4)),  # 2: body text
+        ((0.1, 0.45), (0.5, 0.7)),  # 3: figure
+        ((0.1, 0.71), (0.5, 0.75)),  # 4: caption below the figure
+        ((0.55, 0.45), (0.9, 0.88)),  # 5: body on the right of the figure
+        ((0.1, 0.8), (0.5, 0.84)),  # 6: footnote
+    ]
+    labels = ["Page-footer", "Page-header", "Text", "Picture", "Caption", "Text", "Footnote"]
+    assert sort_reading_order(geoms, labels=labels) == [1, 2, 3, 4, 5, 6, 0]
+    # a caption above its figure is read before it
+    geoms_above = list(geoms)
+    geoms_above[4] = ((0.1, 0.41), (0.5, 0.44))
+    assert sort_reading_order(geoms_above, labels=labels) == [1, 2, 4, 3, 5, 6, 0]
+    # a caption too far from any float keeps its natural body position
+    geoms_far = list(geoms)
+    geoms_far[3] = ((0.1, 0.45), (0.5, 0.5))
+    geoms_far[4] = ((0.55, 0.02), (0.9, 0.06))
+    order = sort_reading_order(geoms_far, labels=labels)
+    assert order.index(4) < order.index(3)
+    with pytest.raises(ValueError):
+        sort_reading_order(geoms, labels=labels[:-1])
+
+
+def test_ref_sort_reading_order_degenerate_geometries():
+    # reference test_models_reading_order.py:147-151
+    geoms = [((0.1, 0.1), (0.1, 0.1))] * 3 + [((0.5, 0.5), (0.5, 0.5))]
+    order = sort_reading_order(geoms)
+    assert sorted(order) == list(range(4))
+
+
+def test_ref_resolve_reading_segments():
+    # reference test_models_reading_order.py:154-168
+    geoms = [((0.1, 0.1 + 0.05 * i), (0.9, 0.13 + 0.05 * i)) for i in range(3)]
+    geoms += [((0.1, 0.4 + 0.05 * i), (0.9, 0.43 + 0.05 * i)) for i in range(2)]
+    assert resolve_reading_segments(geoms) == [[0, 1, 2], [3, 4]]
+    labels = ["Title", "Text", "Text", "Text", "Text"]
+    assert resolve_reading_segments(geoms, labels=labels) == [[0], [1, 2], [3, 4]]
+    labels = ["Table", "Table", "Text", "Text", "Text"]
+    assert resolve_reading_segments(geoms, labels=labels) == [[0], [1], [2], [3, 4]]
+    boxes = _two_columns()
+    assert resolve_reading_segments(boxes) == [[0, 1, 2, 3], [4, 5, 6, 7]]
+    assert resolve_reading_segments([]) == []
+
+
+def test_ref_assign_layout_labels():
+    # reference test_models_reading_order.py:171-181
+    geoms = [((0.1, 0.1), (0.4, 0.2)), ((0.6, 0.1), (0.9, 0.2)), ((0.1, 0.5), (0.4, 0.6))]
+    regions = [((0.05, 0.05), (0.45, 0.25)), ((0.55, 0.05), (0.95, 0.25))]
+    labels = assign_layout_labels(geoms, regions, ["Title", "Text"])
+    assert labels == ["Title", "Text", None]
+    poly_regions = np.asarray([[(0.05, 0.05), (0.45, 0.05), (0.45, 0.25), (0.05, 0.25)]])
+    assert assign_layout_labels(geoms[:1], poly_regions, ["Table"]) == ["Table"]
+    assert assign_layout_labels([], regions, ["Title", "Text"]) == []
+    with pytest.raises(ValueError):
+        assign_layout_labels(geoms, regions, ["Title"])
+
+
+def test_ref_reading_order_predictor():
+    # reference test_models_reading_order.py:184-197
+    predictor = ReadingOrderPredictor()
+    assert predictor.direction == "auto"
+    assert "auto" in repr(predictor)
+    geoms = [((0.55, 0.2), (0.9, 0.8)), ((0.1, 0.05), (0.9, 0.15)), ((0.1, 0.2), (0.45, 0.8))]
+    assert predictor(geoms, texts=["right column", "the title", "left column"]) == [1, 2, 0]
+    assert predictor(geoms, texts=["العمود الأيسر", "العنوان", "العمود الأيمن"]) == [1, 0, 2]
+    assert predictor(geoms, language="ar") == [1, 0, 2]
+    assert predictor.resolve_direction(["hello"]) == "ltr"
+    assert ReadingOrderPredictor(direction="rtl").resolve_direction(["hello"]) == "rtl"
+    with pytest.raises(ValueError):
+        ReadingOrderPredictor(direction="bottom-up")
+
+
+def _rotated_box(box, deg, width=800, height=1000):
+    # reference test_models_reading_order.py:200-211
+    angle = np.deg2rad(deg)
+    rot = np.array([[np.cos(angle), -np.sin(angle)], [np.sin(angle), np.cos(angle)]])
+    center = np.array([width / 2, height / 2])
+    (x0, y0), (x1, y1) = box
+    pts = np.array([
+        [x0 * width, y0 * height],
+        [x1 * width, y0 * height],
+        [x1 * width, y1 * height],
+        [x0 * width, y1 * height],
+    ])
+    return ((pts - center) @ rot.T + center) / [width, height]
+
+
+def test_ref_sort_reading_order_rotated_pages():
+    # reference test_models_reading_order.py:214-226
+    title = [((0.1, 0.06), (0.9, 0.09))]
+    left = [((0.1, 0.12 + 0.05 * idx), (0.47, 0.15 + 0.05 * idx)) for idx in range(5)]
+    right = [((0.53, 0.12 + 0.05 * idx), (0.9, 0.15 + 0.05 * idx)) for idx in range(5)]
+    geoms = title + left + right
+    expected = list(range(11))
+    for deg in (-35, -15, 15, 35):
+        rotated = [_rotated_box(box, deg) for box in geoms]
+        assert sort_reading_order(rotated) == expected, deg
+        assert sort_reading_order(rotated, page_shape=(1000, 800)) == expected, deg
+    straight = np.asarray([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)] for ((x0, y0), (x1, y1)) in geoms])
+    assert sort_reading_order(straight) == expected
+
+
+def test_ref_deskew_reading_geometries():
+    # reference test_models_reading_order.py:229-248
+    geoms = [((0.1, 0.12), (0.47, 0.15)), ((0.53, 0.12), (0.9, 0.15))]
+    rotated = [_rotated_box(box, 25) for box in geoms]
+    out, regions = deskew_reading_geometries(geoms, [((0.0, 0.0), (1.0, 0.5))])
+    assert out == list(geoms) and len(regions) == 1
+    out, _ = deskew_reading_geometries(rotated, page_shape=(1000, 800))
+    y_centers = [np.asarray(poly)[:, 1].mean() for poly in out]
+    assert abs(y_centers[0] - y_centers[1]) < 0.005
+    out, regions = deskew_reading_geometries(rotated, [((0.0, 0.1), (1.0, 0.2))], page_shape=(1000, 800))
+    assert np.asarray(regions[0]).shape == (4, 2)
+    again, _ = deskew_reading_geometries(out, page_shape=(1000, 800))
+    assert all(np.allclose(a, b) for a, b in zip(out, again))
+    out, _ = deskew_reading_geometries(rotated, page_shape=(1000, 800), angle_geoms=np.stack(rotated))
+    y_centers = [np.asarray(poly)[:, 1].mean() for poly in out]
+    assert abs(y_centers[0] - y_centers[1]) < 0.005
+
+
+def test_ref_reading_order_predictor_rotated():
+    # reference test_models_reading_order.py:251-255
+    left = [_rotated_box(((0.1, 0.1 + 0.2 * idx), (0.3, 0.2 + 0.2 * idx)), 25) for idx in range(3)]
+    right = [_rotated_box(((0.6, 0.1 + 0.2 * idx), (0.8, 0.2 + 0.2 * idx)), 25) for idx in range(3)]
+    order = ReadingOrderPredictor()(left + right, page_shape=(1000, 800))
+    assert order == [0, 1, 2, 3, 4, 5]
+
+
+def test_ref_deskew_strong_rotation_non_square_page():
+    # reference test_models_reading_order.py:258-270
+    layout = [(80, 40, 670, 110), (80, 150, 360, 900), (390, 150, 670, 900)]
+    for height, width in [(1000, 750), (700, 2000)]:
+        sx, sy = width / 750, height / 1000
+        for angle in (-44, 30, 44):
+            theta = np.deg2rad(angle)
+            rot = np.array([[np.cos(theta), np.sin(theta)], [-np.sin(theta), np.cos(theta)]])
+            center = np.array([width / 2, height / 2])
+            polys = []
+            for x0, y0, x1, y1 in layout:
+                pts = np.array(
+                    [[x0 * sx, y0 * sy], [x1 * sx, y0 * sy], [x1 * sx, y1 * sy], [x0 * sx, y1 * sy]]
+                )
+                polys.append(((pts - center) @ rot.T + center) / np.array([width, height]))
+            assert sort_reading_order(polys, page_shape=(height, width)) == [0, 1, 2], (height, width, angle)
+
+
+def _box(x0, y0, x1, y1):
+    return ((x0, y0), (x1, y1))
+
+
+def test_ref_fragmented_columns():
+    # reference test_models_reading_order.py:280-292
+    left = [
+        _box(0.10, 0.10, 0.45, 0.13),
+        _box(0.10, 0.14, 0.25, 0.17),
+        _box(0.34, 0.14, 0.45, 0.17),
+        _box(0.10, 0.18, 0.45, 0.21),
+        _box(0.10, 0.22, 0.45, 0.25),
+        _box(0.10, 0.26, 0.45, 0.29),
+    ]
+    right = [_box(0.55, 0.10 + 0.04 * i, 0.90, 0.13 + 0.04 * i) for i in range(6)]
+    order = sort_reading_order(left + right)
+    assert max(order.index(i) for i in range(6)) < min(order.index(i) for i in range(6, 12))
+
+
+def test_ref_fragmented_row_with_merged_column_components():
+    # reference test_models_reading_order.py:295-306
+    geoms = [
+        _box(0.35, 0.05, 0.65, 0.10),
+        _box(0.10, 0.15, 0.45, 0.20),
+        _box(0.10, 0.22, 0.16, 0.27),
+        _box(0.17, 0.22, 0.24, 0.27),
+        _box(0.25, 0.22, 0.45, 0.27),
+        _box(0.10, 0.29, 0.45, 0.34),
+        _box(0.55, 0.15, 0.90, 0.20),
+        _box(0.55, 0.22, 0.90, 0.27),
+    ]
+    assert sort_reading_order(geoms) == [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def test_ref_key_value_rows_stay_together():
+    # reference test_models_reading_order.py:309-323
+    geoms = [
+        _box(0.05, 0.02, 0.95, 0.06),
+        _box(0.05, 0.08, 0.95, 0.12),
+        _box(0.05, 0.14, 0.95, 0.18),
+        _box(0.05, 0.20, 0.30, 0.24),
+        _box(0.65, 0.20, 0.95, 0.24),
+        _box(0.05, 0.26, 0.30, 0.30),
+        _box(0.65, 0.26, 0.95, 0.30),
+        _box(0.05, 0.32, 0.30, 0.36),
+        _box(0.65, 0.32, 0.95, 0.36),
+        _box(0.05, 0.38, 0.95, 0.42),
+        _box(0.05, 0.44, 0.95, 0.48),
+    ]
+    assert sort_reading_order(geoms) == list(range(11))
+
+
+def test_ref_columns_with_gutter():
+    # reference test_models_reading_order.py:326-336
+    geoms = [
+        _box(0.05, 0.02, 0.95, 0.06),
+        _box(0.05, 0.10, 0.45, 0.14),
+        _box(0.05, 0.16, 0.45, 0.20),
+        _box(0.05, 0.22, 0.45, 0.26),
+        _box(0.55, 0.10, 0.95, 0.14),
+        _box(0.55, 0.16, 0.95, 0.20),
+        _box(0.55, 0.22, 0.95, 0.26),
+    ]
+    assert sort_reading_order(geoms) == [0, 1, 2, 3, 4, 5, 6]
