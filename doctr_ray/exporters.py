@@ -101,3 +101,108 @@ def render_hocr(page_export: dict, page_shape: tuple[int, int], page_idx: int = 
         out.append("</div>")
     out.append("</div>")
     return "".join(out)
+
+
+# ------------------------------------------------------------ AsciiDoc
+
+# characters carrying AsciiDoc structural meaning (reference
+# io/exporters.py:67-68)
+_ADOC_SPECIAL = set("\\`*_#^~|+{}<>")
+_ADOC_LINE_MARKERS = set("=*.-/+")
+_ADOC_HEADINGS = {"title": "== ", "section_header": "=== "}
+_LIST_LABELS = {"list_item"}
+
+
+def escape_asciidoc(text: str) -> str:
+    """Backslash-escape AsciiDoc structural characters
+    (AsciiDocExporter.escape_text, reference io/exporters.py:486-487)."""
+    return "".join(f"\\{c}" if c in _ADOC_SPECIAL else c for c in text)
+
+
+def _adoc_line(line: str) -> str:
+    """Neutralize a line starting with a structural marker
+    (finalize_line, reference io/exporters.py:489-493)."""
+    stripped = line.lstrip()
+    if stripped and stripped[0] in _ADOC_LINE_MARKERS:
+        return "{empty}" + line
+    return line
+
+
+def render_asciidoc_table(grid: list[list[str]]) -> str:
+    """AsciiDoc table from a logical grid, first row as header
+    (reference io/exporters.py:494-507)."""
+    if not grid or not grid[0]:
+        return ""
+
+    def _row(row: list[str]) -> str:
+        return " ".join(
+            "|" + escape_asciidoc(v).replace("\n", " ").strip() for v in row
+        )
+
+    return "\n".join(["|===", _row(grid[0]), "", *[_row(r) for r in grid[1:]], "|==="])
+
+
+def render_asciidoc(
+    page_export: dict,
+    labels: list[str] | None = None,
+    block_break: str = "\n\n",
+) -> str:
+    """AsciiDoc rendering: one paragraph per block; Title/Section-header
+    labeled blocks become headings, list items become bullets
+    (AsciiDocExporter, reference io/exporters.py:474-509 over the
+    _PageTextExporter walk :278-372)."""
+    from .reading_order import normalize_layout_label
+
+    parts: list[str] = []
+    bullets: list[str] = []
+
+    def _flush() -> None:
+        if bullets:
+            parts.append("\n".join(bullets))
+            bullets.clear()
+
+    blocks = page_export.get("blocks", [])
+    for bi, block in enumerate(blocks):
+        lines = [
+            " ".join(escape_asciidoc(w["value"]) for w in line["words"])
+            for line in block["lines"]
+        ]
+        lines = [ln for ln in lines if ln.strip()]
+        if not lines:
+            continue
+        label = normalize_layout_label(labels[bi]) if labels else ""
+        if label in _ADOC_HEADINGS:
+            _flush()
+            parts.append(_ADOC_HEADINGS[label] + " ".join(lines))
+        elif label in _LIST_LABELS:
+            bullets.append("* " + _adoc_line(" ".join(lines)))
+        else:
+            _flush()
+            parts.append("\n".join(_adoc_line(ln) for ln in lines))
+    _flush()
+    return block_break.join(parts)
+
+
+# ----------------------------------------------------- document level
+
+PAGE_BREAKS = {
+    "text": "\n\n\n\n",       # reference io/exporters.py:1187 render()
+    "markdown": "\n\n---\n\n",
+    "asciidoc": "\n\n<<<\n\n",
+    "html": "<hr/>",
+}
+
+
+def render_document(page_exports: list[dict], fmt: str = "text", **kwargs) -> str:
+    """Document-level rendering: per-page export joined with the
+    format's page break (Document.render / export_document, reference
+    io/exporters.py:1187-1197, :396-412)."""
+    renderers = {
+        "text": render_text,
+        "markdown": render_markdown,
+        "asciidoc": render_asciidoc,
+        "html": render_html,
+    }
+    if fmt not in renderers:
+        raise ValueError(f"unknown fmt: {fmt}")
+    return PAGE_BREAKS[fmt].join(renderers[fmt](p, **kwargs) for p in page_exports)

@@ -828,12 +828,19 @@ def ocr_page_exports(docs_ds, fmt: str = "json", concurrency: int | tuple | None
     """
     import json as _json
 
-    from ..exporters import render_hocr, render_html, render_markdown, render_text
+    from ..exporters import (
+        render_asciidoc,
+        render_hocr,
+        render_html,
+        render_markdown,
+        render_text,
+    )
 
     renderers = {
         "json": lambda e, shape, pi: _json.dumps(e, sort_keys=True),
         "hocr": lambda e, shape, pi: render_hocr(e, shape, pi),
         "markdown": lambda e, shape, pi: render_markdown(e),
+        "asciidoc": lambda e, shape, pi: render_asciidoc(e),
         "html": lambda e, shape, pi: render_html(e),
         "text": lambda e, shape, pi: render_text(e),
     }

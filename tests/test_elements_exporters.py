@@ -109,3 +109,43 @@ def test_encode_sequences():
     # with sos + pad
     out2 = encode_sequences(["1"], v, eos=10, sos=11, pad=12)
     assert out2[0, 0] == 11 and out2[0, 1] == 1 and out2[0, 2] == 10
+
+
+def test_render_asciidoc():
+    from doctr_ray.exporters import (
+        escape_asciidoc,
+        render_asciidoc,
+        render_asciidoc_table,
+        render_document,
+    )
+
+    # escaping (reference AsciiDocExporter.escape_text fixtures)
+    assert escape_asciidoc("a*b_c|d") == r"a\*b\_c\|d"
+    page = {
+        "blocks": [
+            {"lines": [{"words": [{"value": "Big"}, {"value": "Title"}]}]},
+            {"lines": [{"words": [{"value": "plain"}, {"value": "para"}]}]},
+            {"lines": [{"words": [{"value": "first"}]}]},
+            {"lines": [{"words": [{"value": "second"}]}]},
+        ]
+    }
+    out = render_asciidoc(page, labels=["Title", "Text", "List-item", "List-item"])
+    assert out.startswith("== Big Title")
+    assert "plain para" in out
+    # consecutive list items group into one bullet block
+    assert "* first\n* second" in out
+    # a line starting with a structural marker is neutralized
+    marker = {"blocks": [{"lines": [{"words": [{"value": "=danger"}]}]}]}
+    assert render_asciidoc(marker).startswith("{empty}")
+
+    # table: first row is the header
+    t = render_asciidoc_table([["Name", "Age"], ["bob", "4"]])
+    assert t.splitlines()[0] == "|===" and t.splitlines()[-1] == "|==="
+    assert "|Name |Age" in t and "|bob |4" in t
+    assert render_asciidoc_table([]) == ""
+
+    # document-level render joins pages with the format page break
+    doc = render_document([page, page], fmt="asciidoc")
+    assert "<<<" in doc
+    txt = render_document([page, page], fmt="text")
+    assert txt.count("\n\n\n\n") == 1
