@@ -210,6 +210,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ocr_extracted_text(docs, detect_orientation=True)
 
+    def q_ocr_skewed(sf_dir: str):
+        """Skewed scans (1.5-8.4 degrees, per-doc): the exact
+        inverse-reconstruction path (doctr_ray.skew) must recover every
+        word byte-exactly AND at its exact pristine-frame pixel box —
+        the oracle recomputes the renderer's greedy layout in SQL
+        (m_inv / preserve_original_coords correctness surface)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+        from doctr_ray.media import encode_media_ref
+        from doctr_ray.pipelines.ocr import (
+            default_pool,
+            explode_spans,
+            process_media_row,
+        )
+        from doctr_ray.recognition import GlyphRecognizer
+
+        PW, PH = 800, 600
+
+        def to_docs(batch: pa.Table) -> pa.Table:
+            ids, spans = [], []
+            for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+                toks = (t or "").split(" ")[:30]
+                ids.append(str(d))
+                spans.append(
+                    [
+                        {
+                            "kind": "media",
+                            "text": "",
+                            "media_ref": encode_media_ref(
+                                " ".join(toks), PW, PH,
+                                skew_decidegrees=15 + int(d) % 70,
+                            ),
+                            "offset": 0,
+                        }
+                    ]
+                )
+            return pa.Table.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
+                schema=DOCS_SCHEMA,
+            )
+
+        class SkewWorker:
+            def __init__(self) -> None:
+                self.rec = GlyphRecognizer()
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                out = {"doc_id": [], "word": [], "x0": [], "y0": [], "x1": [], "y1": []}
+                for did, ref, off in zip(
+                    batch["doc_id"].to_pylist(),
+                    batch["media_ref"].to_pylist(),
+                    batch["offset"].to_pylist(),
+                ):
+                    rows = process_media_row(
+                        did, ref, off, self.rec, False, True  # straighten_pages
+                    )
+                    for i in range(len(rows["text"])):
+                        out["doc_id"].append(did)
+                        out["word"].append(rows["text"][i])
+                        out["x0"].append(int(round(rows["x0"][i] * PW)))
+                        out["y0"].append(int(round(rows["y0"][i] * PH)))
+                        out["x1"].append(int(round(rows["x1"][i] * PW)))
+                        out["y1"].append(int(round(rows["y1"][i] * PH)))
+                return pa.Table.from_pydict(
+                    {
+                        "doc_id": pa.array(out["doc_id"], pa.string()),
+                        "word": pa.array(out["word"], pa.string()),
+                        "x0": pa.array(out["x0"], pa.int32()),
+                        "y0": pa.array(out["y0"], pa.int32()),
+                        "x1": pa.array(out["x1"], pa.int32()),
+                        "y1": pa.array(out["y1"], pa.int32()),
+                    }
+                )
+
+        pool = max(1, default_pool() // 2)
+        docs = _read(sf_dir, "documents", ["doc_id", "text"]).limit(100).map_batches(
+            to_docs, batch_format="pyarrow"
+        )
+        media = (
+            docs.map_batches(explode_spans, batch_format="pyarrow")
+            .filter(expr="kind == 'media'")
+            .repartition(pool)
+        )
+        return media.map_batches(
+            SkewWorker, batch_format="pyarrow", batch_size=16, concurrency=pool
+        )
+
     def q_ocr_eval(sf_dir: str):
         """In-pipeline evaluation: extraction output vs ground truth as
         mergeable TextMatch partial counts (utils/metrics.py analog at
@@ -533,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kie_predictions": q_kie,
         "kie_word_text": q_kie_word_text,
         "ocr_rotated": q_ocr_rotated,
+        "ocr_skewed": q_ocr_skewed,
         "table_grids": q_table_grids,
         "recognition_training_set": q_training_set,
         "ocr_page_hocr": q_page_hocr,
@@ -642,6 +731,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "array_to_string(string_split(text, ' ')[1:30], ' ') AS full_text "
             "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 100)"
+        ),
+        "ocr_skewed": (
+            # the renderer's greedy word layout recomputed in SQL:
+            # skew-aware margins (media.skew_margins), word width
+            # len*CHAR_PITCH - CHAR_SPACE, wrap at the column edge,
+            # LINE_PITCH rows — every extracted word must land at its
+            # exact pristine-frame pixel box
+            "WITH RECURSIVE d AS ("
+            "  SELECT doc_id, string_split(text, ' ')[1:30] AS toks,"
+            "         radians((15 + doc_id % 70) / 10.0) AS th"
+            "  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 100)), "
+            "p AS ("
+            "  SELECT doc_id, toks, len(toks) AS n,"
+            "         16 + CAST(ceil(400 * (1 - cos(th)) + 300 * sin(th)) AS BIGINT) AS mx,"
+            "         16 + CAST(ceil(300 * (1 - cos(th)) + 400 * sin(th)) AS BIGINT) AS my"
+            "  FROM d), "
+            "lay AS ("
+            "  SELECT doc_id, toks, n, mx, my, 1 AS i,"
+            "         mx AS x0, CAST(0 AS BIGINT) AS line_i,"
+            "         len(toks[1]) * 12 - 2 AS ww"
+            "  FROM p WHERE n >= 1 AND toks[1] <> ''"
+            "  UNION ALL"
+            "  SELECT doc_id, toks, n, mx, my, i + 1,"
+            "         CASE WHEN x0 + ww + 8 + (len(toks[i + 1]) * 12 - 2) > 800 - mx"
+            "              THEN mx ELSE x0 + ww + 8 END,"
+            "         CASE WHEN x0 + ww + 8 + (len(toks[i + 1]) * 12 - 2) > 800 - mx"
+            "              THEN line_i + 1 ELSE line_i END,"
+            "         len(toks[i + 1]) * 12 - 2"
+            "  FROM lay WHERE i < n) "
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, toks[i] AS word,"
+            " CAST(x0 AS INT) AS x0, CAST(my + line_i * 24 AS INT) AS y0,"
+            " CAST(x0 + ww AS INT) AS x1, CAST(my + line_i * 24 + 14 AS INT) AS y1 "
+            "FROM lay"
         ),
         "table_grids": (
             "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, "

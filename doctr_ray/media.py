@@ -131,13 +131,32 @@ class PageGT:
             self.artefacts = []
 
 
-def _layout_columns(page_w: int, cols: int) -> list[tuple[int, int]]:
+def skew_margins(page_w: int, page_h: int, skew_dd: int) -> tuple[int, int]:
+    """(margin_x, margin_y) for a page that will be skew-rendered.
+
+    A rotation about the page center sweeps the corner content out of
+    frame; a scanner keeps the sheet inside the scan, so the renderer
+    insets content far enough that every content pixel survives the
+    rotation (depth = c_x(1-cos) + c_y*sin per axis). Upright pages use
+    the plain MARGIN."""
+    if not skew_dd:
+        return MARGIN, MARGIN
+    import math
+
+    th = math.radians(abs(skew_dd) / 10.0)
+    cx, cy = page_w / 2.0, page_h / 2.0
+    mx = MARGIN + math.ceil(cx * (1 - math.cos(th)) + cy * math.sin(th))
+    my = MARGIN + math.ceil(cy * (1 - math.cos(th)) + cx * math.sin(th))
+    return mx, my
+
+
+def _layout_columns(page_w: int, cols: int, margin_x: int = MARGIN) -> list[tuple[int, int]]:
     """[(x_start, x_end)] for each column's content area."""
-    content_w = page_w - 2 * MARGIN
+    content_w = page_w - 2 * margin_x
     if cols <= 1:
-        return [(MARGIN, MARGIN + content_w)]
+        return [(margin_x, margin_x + content_w)]
     col_w = (content_w - COL_GAP) // 2
-    return [(MARGIN, MARGIN + col_w), (MARGIN + col_w + COL_GAP, MARGIN + col_w + COL_GAP + col_w)]
+    return [(margin_x, margin_x + col_w), (margin_x + col_w + COL_GAP, margin_x + col_w + COL_GAP + col_w)]
 
 
 def rasterize_synth(media_ref: str, scale: int = SCALE) -> list[PageGT]:
@@ -151,9 +170,10 @@ def rasterize_synth(media_ref: str, scale: int = SCALE) -> list[PageGT]:
     """
     text, page_w, page_h, cols, n_art, rotation, table, skew_dd = decode_media_ref(media_ref)
     words = [w for w in text.split(" ") if w]
-    col_spans = _layout_columns(page_w, cols)
+    margin_x, margin_y = skew_margins(page_w, page_h, skew_dd)
+    col_spans = _layout_columns(page_w, cols, margin_x)
     usable_h = page_h - (ART_BAND if n_art else 0)
-    max_lines = max(1, (usable_h - 2 * MARGIN + LINE_LEAD) // LINE_PITCH)
+    max_lines = max(1, (usable_h - 2 * margin_y + LINE_LEAD) // LINE_PITCH)
 
     pages: list[PageGT] = []
     placed: list[tuple[str, int, int, int, int]] = []
@@ -221,7 +241,7 @@ def rasterize_synth(media_ref: str, scale: int = SCALE) -> list[PageGT]:
                     flush_page()
                 else:
                     x = col_spans[col_i][0]
-        y = MARGIN + line_i * LINE_PITCH
+        y = margin_y + line_i * LINE_PITCH
         mask = render_word(w, scale)
         img[y : y + mask.shape[0], x : x + ww][mask.astype(bool)] = 0
         placed.append((w, x, y, x + ww, y + mask.shape[0]))
@@ -264,9 +284,10 @@ def count_pages(media_ref: str, scale: int = SCALE) -> int:
         # cell words live on page 0's table; count_pages only needs the flow
         text = " ".join(words_all[_table[0] * _table[1] :])
     words = [w for w in text.split(" ") if w]
-    col_spans = _layout_columns(page_w, cols)
+    margin_x, margin_y = skew_margins(page_w, page_h, _sk)
+    col_spans = _layout_columns(page_w, cols, margin_x)
     usable_h = page_h - (ART_BAND if n_art else 0)
-    max_lines = max(1, (usable_h - 2 * MARGIN + LINE_LEAD) // LINE_PITCH)
+    max_lines = max(1, (usable_h - 2 * margin_y + LINE_LEAD) // LINE_PITCH)
     pages, col_i, line_i = 1, 0, 0
     x = col_spans[0][0]
     for w in words:

@@ -164,19 +164,23 @@ def process_media_row(
             rot = estimate_page_rotation(image, recognizer)
             if rot:
                 image = deskew_page(image, rot)
-        skewed = False
+        known = None
         if straighten_pages:
-            from ..orientation import straighten_page
+            # EXACT inverse reconstruction of the skew render + known-
+            # pixel template matching (doctr_ray.skew) — replaces the
+            # old best-effort resample+shift_search path
+            from ..skew import recover_skewed_page
 
-            image, skew = straighten_page(image)
-            skewed = skew != 0.0
+            image, known, _skew_angle = recover_skewed_page(image, recognizer)
         abs_boxes, rel = detect_page(image)
         if loc_preds_hook is not None:
             # user hook between detection and cropping (reference:
             # OCRPredictor.add_hook, models/predictor/base.py:310-316)
             abs_boxes, rel = loc_preds_hook(abs_boxes, rel)
         crops = extract_crops(image, abs_boxes)
+        mask_crops = extract_crops(known, abs_boxes) if known is not None else None
         flat_crops: list[np.ndarray] = []
+        flat_masks: list[np.ndarray] = []
         plan: list[tuple[int, int, float, float]] = []  # (word_i, n_parts, ov, last_ov)
         for wi, crop in enumerate(crops):
             h, w = crop.shape[:2]
@@ -184,7 +188,11 @@ def process_media_row(
             plan.append((wi, len(spans), ov, last_ov))
             for x0c, x1c in spans:
                 flat_crops.append(crop[:, x0c:x1c])
-        preds = recognizer.recognize_batch(flat_crops, shift_search=skewed)
+                if mask_crops is not None:
+                    flat_masks.append(mask_crops[wi][:, x0c:x1c])
+        preds = recognizer.recognize_batch(
+            flat_crops, masks=flat_masks if mask_crops is not None else None
+        )
         pos = 0
         for wi, n_parts, ov, last_ov in plan:
             parts = preds[pos : pos + n_parts]

@@ -144,15 +144,34 @@ class GlyphRecognizer:
         if h != CHAR_H:  # nearest-neighbor vertical rescale (robustness path)
             idx = (np.arange(CHAR_H) * h / CHAR_H).astype(np.int64)
             crop = crop[idx]
-        n = max(1, round((w + CHAR_SPACE) / CHAR_PITCH))
+        # ceil: pitch-exact crops give w = n*PITCH - SPACE; odd widths
+        # (best-effort fallbacks) must still fit inside the padding
+        n = max(1, int(-(-w // CHAR_PITCH)))
         padded = np.zeros((CHAR_H, n * CHAR_PITCH), dtype=np.float32)
         padded[:, :w] = crop < INK_THRESH
         # (H, n, pitch) -> (n, H, char_w)
         cells = padded.reshape(CHAR_H, n, CHAR_PITCH).transpose(1, 0, 2)[:, :, :CHAR_W]
         return np.ascontiguousarray(cells).reshape(n, -1)
 
+    def _mask_cells(self, mask: np.ndarray, crop_shape: tuple[int, int]) -> np.ndarray:
+        """Known-pixel mask -> per-character cells, same slicing as
+        :meth:`_cells`; pitch padding counts as known background."""
+        h, w = crop_shape[:2]
+        m = mask.astype(np.float32)
+        if mask.shape[0] != CHAR_H:
+            idx = (np.arange(CHAR_H) * mask.shape[0] / CHAR_H).astype(np.int64)
+            m = m[idx]
+        n = max(1, int(-(-w // CHAR_PITCH)))
+        padded = np.ones((CHAR_H, n * CHAR_PITCH), dtype=np.float32)
+        padded[:, :w] = m[:, :w]
+        cells = padded.reshape(CHAR_H, n, CHAR_PITCH).transpose(1, 0, 2)[:, :, :CHAR_W]
+        return np.ascontiguousarray(cells).reshape(n, -1)
+
     def recognize_batch(
-        self, crops: list[np.ndarray], shift_search: bool = False
+        self,
+        crops: list[np.ndarray],
+        shift_search: bool = False,
+        masks: list[np.ndarray] | None = None,
     ) -> list[tuple[str, float]]:
         """Batch of crops -> [(text, confidence)].
 
@@ -166,6 +185,11 @@ class GlyphRecognizer:
         the tolerance knob for resampled inputs (deskewed scans), where
         tight boxes can be off by a pixel. 9x cost; off on the exact
         path.
+
+        ``masks`` (one bool array per crop, True = pixel is known)
+        restricts template scoring to known pixels — the exact-skew
+        reconstruction path (doctr_ray.skew): an exact match on every
+        sampled pixel scores distance 0 -> confidence 1.0.
         """
         if shift_search:
             out: list[tuple[str, float]] = []
@@ -186,9 +210,19 @@ class GlyphRecognizer:
         per_crop = [self._cells(c) for c in crops]
         counts = [c.shape[0] for c in per_crop]
         cells = np.concatenate(per_crop, axis=0)  # (M, 98)
-        # squared L2 distance via one matmul
-        d = self.t_sq[None, :] - 2.0 * (cells @ self.templates.T)
-        d += (cells**2).sum(axis=1, keepdims=True)
+        if masks is not None:
+            mcells = np.concatenate(
+                [self._mask_cells(m, c.shape) for m, c in zip(masks, crops)], axis=0
+            )
+            # masked squared distance: values are {0,1}, so
+            # d = sum(m*c) - 2*(m*c)@T + m@T  (two matmuls)
+            mc = mcells * cells
+            d = mc.sum(axis=1, keepdims=True) - 2.0 * (mc @ self.templates.T)
+            d += mcells @ self.templates.T
+        else:
+            # squared L2 distance via one matmul
+            d = self.t_sq[None, :] - 2.0 * (cells @ self.templates.T)
+            d += (cells**2).sum(axis=1, keepdims=True)
         best = d.argmin(axis=1)
         conf = 1.0 - np.sqrt(np.maximum(d[np.arange(len(best)), best], 0.0)) / np.sqrt(self.cell_px)
         out: list[tuple[str, float]] = []

@@ -1,0 +1,209 @@
+"""Exact skew recovery — inverse reconstruction of NN-rotated pages.
+
+The reference handles rotated/skewed pages with a rotated-geometry
+path: (4, 2) polygon detection, ``extract_rcrops`` perspective crops
+(reference utils/geometry.py:534-648) and ``preserve_original_coords``
+(models/predictor/base.py:236-308) mapping output geometry back into
+the original frame through the inverse transform ``m_inv``. With real
+scans that path is inherently approximate (resampling); this engine's
+synthetic scans are produced by a KNOWN deterministic nearest-neighbor
+rotation (geometry.rotate_image), which makes an EXACT inverse
+possible:
+
+- every output pixel of the skewed page carries the value of exactly
+  one pristine pixel (``round`` of the rotated coordinate) — so
+  scattering the observed values back through the same map
+  reconstructs the pristine page wherever the map sampled it
+  (:func:`reconstruct_upright`), with a boolean mask for the few
+  percent of pristine pixels the NN map never visited;
+- detection runs on the reconstruction unchanged: glyph border rings
+  are 2 px thick at the default scale, so isolated unsampled pixels
+  can neither disconnect a component nor shrink its tight box;
+- recognition scores templates on KNOWN pixels only
+  (GlyphRecognizer ``masks=``) — an exact match on every sampled pixel
+  identifies the glyph with certainty (glyph interiors differ in many
+  pixels, far above the unsampled density);
+- the page angle is recovered by trying the decidegree candidates
+  around the PCA estimate and keeping the one whose sampled words
+  match templates exactly (the renderer quantizes skew to decidegrees;
+  a wrong candidate scrambles the reconstruction and fails validation).
+
+``m_inv`` analog: :func:`pristine_box_to_skewed_poly` maps upright
+boxes back into the original (skewed) frame as (4, 2) polygons — the
+``preserve_original_coords`` surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .detection import detect_page
+from .geometry import extract_crops
+from .orientation import estimate_skew_angle
+from .recognition import GlyphRecognizer
+
+
+def forward_maps(shape: tuple[int, int], angle_deg: float):
+    """The sampling grid of ``geometry.rotate_image``: for every output
+    pixel (y, x) of the rotated page, the pristine pixel (yi, xi) whose
+    value it carries, plus the in-bounds mask."""
+    th = np.deg2rad(angle_deg)
+    H, W = shape[:2]
+    yy, xx = np.mgrid[0:H, 0:W]
+    cy, cx = (H - 1) / 2, (W - 1) / 2
+    xs = np.cos(th) * (xx - cx) + np.sin(th) * (yy - cy) + cx
+    ys = -np.sin(th) * (xx - cx) + np.cos(th) * (yy - cy) + cy
+    xi = np.round(xs).astype(np.int64)
+    yi = np.round(ys).astype(np.int64)
+    ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    return yi, xi, ok
+
+
+def reconstruct_upright(image: np.ndarray, angle_deg: float) -> tuple[np.ndarray, np.ndarray]:
+    """Skewed page -> (pristine reconstruction, known mask).
+
+    Scatters each observed pixel back to the pristine position the NN
+    rotation sampled it from. Unvisited pristine pixels are background
+    (255) with ``known=False``."""
+    yi, xi, ok = forward_maps(image.shape, angle_deg)
+    pristine = np.full_like(image, 255)
+    known = np.zeros(image.shape[:2], dtype=bool)
+    pristine[yi[ok], xi[ok]] = image[ok]
+    known[yi[ok], xi[ok]] = True
+    return pristine, known
+
+
+def _validate(
+    pristine: np.ndarray, known: np.ndarray, recognizer: GlyphRecognizer
+) -> bool:
+    """True iff EVERY detected word matches a template EXACTLY on its
+    known pixels (conf == 1.0) — the angle-candidate test. All words,
+    not a sample: a near-zero wrong angle reconstructs the page center
+    exactly and only garbles the periphery."""
+    from .glyphs import CHAR_H
+
+    abs_boxes, _ = detect_page(pristine)
+    if len(abs_boxes) == 0:
+        return False
+    # validate on text-line components only (artefacts/tables are not
+    # template-matchable and would veto a correct angle)
+    heights = abs_boxes[:, 3] - abs_boxes[:, 1]
+    abs_boxes = abs_boxes[np.abs(heights - CHAR_H) <= 2]
+    if len(abs_boxes) == 0:
+        return False
+    crops = extract_crops(pristine, abs_boxes)
+    masks = extract_crops(known, abs_boxes)
+    preds = recognizer.recognize_batch(crops, masks=masks)
+    return all(conf >= 1.0 for _, conf in preds)
+
+
+def recover_skewed_page(
+    image: np.ndarray, recognizer: GlyphRecognizer, min_angle: float = 0.05
+) -> tuple[np.ndarray, np.ndarray | None, float]:
+    """-> (upright page, known mask or None, removed angle).
+
+    Tries the decidegree candidates nearest the PCA estimate; the first
+    whose reconstruction validates wins. Returns the input unchanged
+    when the page is already upright; falls back to the nearest
+    candidate's reconstruction (best effort) if none validates."""
+    est = estimate_skew_angle(image)
+    if abs(est) < min_angle:
+        return image, None, 0.0
+    base = int(round(est * 10))
+    tried: set[int] = set()
+    fallback: tuple[np.ndarray, np.ndarray, float] | None = None
+    # PCA estimate error grows with angle (observed up to ~0.45 deg);
+    # widen the window — wrong candidates are rejected by validation,
+    # and the correct one usually sits within the first two tries
+    for delta in (0, 1, -1, 2, -2, 3, -3, 4, -4, 5, -5, 6, -6):
+        dd = base + delta
+        if dd in tried:
+            continue
+        tried.add(dd)
+        if dd == 0:
+            # estimator noise on an upright page: validate the original
+            # as-is before touching a single pixel
+            ones = np.ones(image.shape[:2], dtype=bool)
+            if _validate(image, ones, recognizer):
+                return image, None, 0.0
+            continue
+        pristine, known = reconstruct_upright(image, dd / 10.0)
+        if _validate(pristine, known, recognizer):
+            return pristine, known, dd / 10.0
+        if fallback is None:
+            fallback = (pristine, known, dd / 10.0)
+    if fallback is None:
+        return image, None, 0.0
+    return fallback
+
+
+def pristine_box_to_skewed_poly(
+    box, shape: tuple[int, int], angle_deg: float
+) -> np.ndarray:
+    """Upright-frame [x0, y0, x1, y1] pixel box -> (4, 2) polygon in the
+    original skewed frame (TL, TR, BR, BL), relative coordinates.
+
+    The ``preserve_original_coords`` / ``m_inv`` analog (reference
+    models/predictor/base.py:236-308): output geometry expressed in the
+    ORIGINAL input frame rather than the rectified one."""
+    H, W = shape[:2]
+    cy, cx = (H - 1) / 2, (W - 1) / 2
+    th = np.deg2rad(angle_deg)
+    x0, y0, x1, y1 = [float(v) for v in box]
+    corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64)
+    # inverse of the sampling map: pristine (xi, yi) -> output (x, y)
+    dx = corners[:, 0] - cx
+    dy = corners[:, 1] - cy
+    out_x = np.cos(th) * dx - np.sin(th) * dy + cx
+    out_y = np.sin(th) * dx + np.cos(th) * dy + cy
+    return np.stack([out_x / W, out_y / H], axis=1)
+
+
+def skewed_poly_to_pristine_box(
+    poly: np.ndarray, shape: tuple[int, int], angle_deg: float
+) -> np.ndarray:
+    """(4, 2) relative polygon in the skewed frame -> upright-frame
+    [x0, y0, x1, y1] pixel box (the forward rectification)."""
+    H, W = shape[:2]
+    cy, cx = (H - 1) / 2, (W - 1) / 2
+    th = np.deg2rad(angle_deg)
+    p = np.asarray(poly, dtype=np.float64) * np.array([W, H])
+    dx = p[:, 0] - cx
+    dy = p[:, 1] - cy
+    xs = np.cos(th) * dx + np.sin(th) * dy + cx
+    ys = -np.sin(th) * dx + np.cos(th) * dy + cy
+    return np.array([xs.min(), ys.min(), xs.max(), ys.max()])
+
+
+def extract_rcrops(
+    img: np.ndarray, polys: np.ndarray, fill: int = 255
+) -> list[np.ndarray]:
+    """Upright crops from (4, 2) relative polygons by inverse-mapping
+    each target pixel through the polygon's own frame — the
+    ``extract_rcrops`` analog (reference utils/geometry.py:534-648).
+
+    Generic best-effort resampler (NN): used for arbitrary rotated
+    boxes; the exact skew pipeline uses :func:`reconstruct_upright`
+    instead (inverse of the known renderer map, no second resample).
+    """
+    H, W = img.shape[:2]
+    out: list[np.ndarray] = []
+    for poly in np.asarray(polys, dtype=np.float64).reshape(-1, 4, 2):
+        p = poly * np.array([W, H])
+        tl, tr, br, bl = p
+        w = int(round(max(np.linalg.norm(tr - tl), np.linalg.norm(br - bl))))
+        h = int(round(max(np.linalg.norm(bl - tl), np.linalg.norm(br - tr))))
+        if w <= 0 or h <= 0:
+            out.append(np.full((0, 0), fill, dtype=img.dtype))
+            continue
+        u = (tr - tl) / max(w, 1)
+        v = (bl - tl) / max(h, 1)
+        jj, ii = np.mgrid[0:h, 0:w]
+        src = tl[None, None, :] + ii[..., None] * u[None, None, :] + jj[..., None] * v[None, None, :]
+        xi = np.round(src[..., 0]).astype(np.int64)
+        yi = np.round(src[..., 1]).astype(np.int64)
+        ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        crop = np.full((h, w), fill, dtype=img.dtype)
+        crop[ok] = img[yi[ok], xi[ok]]
+        out.append(crop)
+    return out

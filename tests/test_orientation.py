@@ -108,10 +108,9 @@ def test_estimate_skew_angle():
     assert abs(estimate_skew_angle(base)) < 0.5
 
 
-def test_straighten_pages_best_effort(ray_session):
-    """Skewed scans (media s-spec): straighten_pages recovers >= 70% of
-    words exactly — BEST-EFFORT (nearest-neighbor resampling noise;
-    documented in orientation.straighten_page)."""
+def test_straighten_pages_exact(ray_session):
+    """Skewed scans (media s-spec): the exact inverse-reconstruction
+    path (doctr_ray.skew) recovers EVERY word byte-exactly."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -132,7 +131,4 @@ def test_straighten_pages_best_effort(ray_session):
         schema=DOCS_SCHEMA,
     )
     out = ocr_extracted_text(rd.from_arrow(t), straighten_pages=True).to_pandas()
-    got = out["full_text"][0].split(" ")
-    matches = sum(a == b for a, b in zip(sorted(got), sorted(words)))
-    assert len(got) == len(words)
-    assert matches / len(words) >= 0.7
+    assert out["full_text"][0] == text  # byte-exact, in order
