@@ -387,6 +387,89 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_groups(per_doc, batch_format="pandas")
         )
 
+    def q_page_reconstitution(sf_dir: str):
+        """Reconstitution loop: extract -> builder export ->
+        synthesize_page -> RE-extract from the reconstituted image.
+        The re-extracted per-doc word stream must equal the media
+        chunks' tokens — a hard oracle on the export->image path
+        (reference utils/reconstitution.py analog; exact here because
+        the procedural font is both renderer and recognizer)."""
+        import pandas as pd
+        import pyarrow as pa
+
+        from doctr_ray.builder import build_page
+        from doctr_ray.detection import detect_page
+        from doctr_ray.geometry import extract_crops
+        from doctr_ray.media import HTML_PREFIX, rasterize_synth
+        from doctr_ray.pipelines.ocr import _add_bucket, default_pool, explode_spans
+        from doctr_ray.recognition import GlyphRecognizer
+        from doctr_ray.reconstitution import synthesize_page
+
+        class ReconWorker:
+            def __init__(self) -> None:
+                self.rec = GlyphRecognizer()
+
+            def _read_words(self, image):
+                boxes, rel = detect_page(image)
+                preds = self.rec.recognize_batch(extract_crops(image, boxes))
+                return rel, preds
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                out = {"doc_id": [], "offset": [], "page_idx": [], "w": []}
+                for did, ref, off in zip(
+                    batch["doc_id"].to_pylist(),
+                    batch["media_ref"].to_pylist(),
+                    batch["offset"].to_pylist(),
+                ):
+                    if ref.startswith(HTML_PREFIX):
+                        continue
+                    for pi, page in enumerate(rasterize_synth(ref)):
+                        rel, preds = self._read_words(page.image)
+                        built = build_page(
+                            rel[:, :4],
+                            [t for t, _ in preds],
+                            [c for _, c in preds],
+                            rel[:, 4],
+                        )
+                        img2 = synthesize_page(built.export, page.image.shape[:2])
+                        rel2, preds2 = self._read_words(img2)
+                        built2 = build_page(
+                            rel2[:, :4],
+                            [t for t, _ in preds2],
+                            [c for _, c in preds2],
+                            rel2[:, 4],
+                        )
+                        from doctr_ray.builder import page_text
+
+                        out["doc_id"].append(did)
+                        out["offset"].append(off)
+                        out["page_idx"].append(pi)
+                        out["w"].append(
+                            page_text(built2, [t for t, _ in preds2], line_sep=" ")
+                        )
+                return pa.Table.from_pydict(out)
+
+        def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for did, gg in g.groupby("doc_id", sort=False):
+                gg = gg.sort_values(["offset", "page_idx"])
+                rows.append({"doc_id": did, "words": " ".join(w for w in gg["w"] if w)})
+            return pd.DataFrame(rows)
+
+        pool = max(1, default_pool() // 2)
+        media = (
+            _docs_ds(sf_dir, limit=60)
+            .map_batches(explode_spans, batch_format="pyarrow")
+            .filter(expr="kind == 'media'")
+            .repartition(pool)
+        )
+        return (
+            media.map_batches(ReconWorker, batch_format="pyarrow", batch_size=16, concurrency=pool)
+            .map_batches(_add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(per_doc, batch_format="pandas")
+        )
+
     def q_training_set(sf_dir: str):
         """Training-set export, oracled on label content: every media
         chunk token of the first 60 docs must appear as a crop label
@@ -625,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_grids": q_table_grids,
         "recognition_training_set": q_training_set,
         "ocr_page_hocr": q_page_hocr,
+        "page_reconstitution": q_page_reconstitution,
         "ocr_eval": q_ocr_eval,
         "doc_token_stats": q_token_stats,
         "doc_quality": q_quality,
@@ -849,6 +933,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM spans GROUP BY doc_id"
         ),
         "ocr_page_hocr": (
+            _chunk_cte(60)
+            + "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS words "
+            "FROM spans WHERE is_media AND chunk_text <> '' GROUP BY doc_id"
+        ),
+        "page_reconstitution": (
             _chunk_cte(60)
             + "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS words "

@@ -84,11 +84,11 @@ def bench_ocr(sf_dir: str) -> tuple[float, int]:
     # would benchmark import time, not the pipeline)
     corpus().count()
     ocr_extracted_text(corpus(limit=32)).count()
-    # best of 2: the sandbox host has noisy neighbors (observed 2x
+    # best of 3: the sandbox host has noisy neighbors (observed 2x
     # swings between identical runs); min is the low-noise estimate
     walls = []
     n = 0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.monotonic()
         n = ocr_extracted_text(corpus()).count()
         walls.append(time.monotonic() - t0)

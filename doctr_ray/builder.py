@@ -100,17 +100,23 @@ def resolve_lines(
     idxs, boxes = sort_boxes(boxes, shape)
     y_med = float(np.median(boxes[:, 3] - boxes[:, 1]))
 
-    # visual rows: accumulate while |y_center - running mean| < y_med/2
+    # visual rows: accumulate while |y_center - running mean| < y_med/2.
+    # y-centers precomputed once; the sequential loop runs on plain
+    # python floats (a numpy fancy-index + .mean() per word dominated
+    # the builder's profile)
+    yc_all = ((boxes[:, 1] + boxes[:, 3]) * 0.5).tolist()
+    idx_list = [int(i) for i in idxs]
+    half_med = y_med / 2
     rows: list[list[int]] = []
-    words: list[int] = [int(idxs[0])]
-    y_center_sum = float(boxes[idxs[0]][[1, 3]].mean())
-    for idx in idxs[1:]:
-        yc = float(boxes[idx][[1, 3]].mean())
-        if abs(yc - y_center_sum / len(words)) >= y_med / 2:
+    words: list[int] = [idx_list[0]]
+    y_center_sum = yc_all[idx_list[0]]
+    for idx in idx_list[1:]:
+        yc = yc_all[idx]
+        if abs(yc - y_center_sum / len(words)) >= half_med:
             rows.append(words)
             words = []
             y_center_sum = 0.0
-        words.append(int(idx))
+        words.append(idx)
         y_center_sum += yc
     if words:
         rows.append(words)

@@ -114,16 +114,35 @@ def docs_dataset(
     limit: int | None = None,
     copies: int = 1,
 ):
-    """Ray Dataset of interleaved docs derived from ``{sf_dir}/documents.parquet``."""
+    """Ray Dataset of interleaved docs derived from ``{sf_dir}/documents.parquet``.
+
+    The read is pre-split (``override_num_blocks``) and every
+    downstream map is per-block (``batch_size=None``), so the whole
+    pipeline STREAMS: the OCR worker pool starts on the first block
+    instead of waiting behind a repartition barrier (an all-to-all
+    that materializes the entire work set before the first worker
+    task). Block count is ~4 waves per worker — measured on the
+    zero-shuffle fused path at sf0.1/32 cpus: 48 blocks 12.0s,
+    96 blocks 7.9s, 144 blocks 10.3s, 192 blocks 12.9s (few blocks
+    leave the pool straggler-bound; many blocks pay per-task
+    scheduling overhead).
+    """
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from .pool import default_pool
+
+    blocks = max(48, default_pool() * 4)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=blocks,
+    )
     if limit is not None:
         ds = ds.limit(limit)
     return ds.map_batches(
         lambda b: documents_to_docs(b, media_fraction, copies),
         batch_format="pyarrow",
-        batch_size=256,
+        batch_size=None,
     )
 
 

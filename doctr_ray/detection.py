@@ -142,6 +142,47 @@ def _label_runs(row_of: np.ndarray, starts: np.ndarray, ends: np.ndarray, stride
     return np.unique(label, return_inverse=True)[1]
 
 
+def _bit_positions(packed: np.ndarray, bytes_per_row: int):
+    """Set-bit coordinates of a row-major packed bit matrix, in
+    row-major order: (rows, cols) int64."""
+    flat = packed.ravel()
+    nz = np.flatnonzero(flat)
+    if len(nz) == 0:
+        e = np.zeros(0, dtype=np.int64)
+        return e, e
+    bits = np.unpackbits(flat[nz][:, None], axis=1).astype(bool).ravel()
+    rows = np.repeat(nz // bytes_per_row, 8)[bits]
+    cols = ((nz % bytes_per_row) * 8)[:, None] + np.arange(8, dtype=np.int64)[None, :]
+    return rows, cols.ravel()[bits]
+
+
+def ink_runs(image: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(rows, starts, ends) of the page's horizontal ink runs,
+    row-major sorted, ends exclusive.
+
+    Bit-packed transition scan: the boolean ink mask packs to bits
+    (W/8 bytes per row), run starts/ends are single byte-wide bit ops
+    (cur & ~prev / prev & ~cur), and only the handful of nonzero bytes
+    are unpacked. The full-page work is one threshold pass + one
+    packbits pass; everything after touches ~runs bytes, not pixels —
+    the previous int8 diff + nonzero scan was ~8x more DRAM traffic
+    and dominated the detector at scale (the single-socket bandwidth
+    wall in BASELINE.md).
+    """
+    H, W = image.shape[:2]
+    wp = (W // 8 + 1) * 8  # >= W+1 so a run touching col W-1 still ends
+    mbuf = np.zeros((H, wp), dtype=bool)
+    np.less(image, INK_THRESH, out=mbuf[:, :W])
+    B = np.packbits(mbuf, axis=1)  # MSB-first: bit j of byte b -> col b*8+j
+    carry = np.zeros_like(B)
+    carry[:, 1:] = B[:, :-1] << 7  # LSB of the previous byte -> bit 7
+    prev = (B >> 1) | carry        # the bit to the left of each bit
+    bpr = B.shape[1]
+    rows_s, starts = _bit_positions(B & ~prev, bpr)   # 0 -> 1 transitions
+    rows_e, ends = _bit_positions(~B & prev, bpr)     # 1 -> 0 transitions
+    return rows_s, starts, ends
+
+
 def detect_page(image: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """One page -> (abs_boxes (N,4) int32, rel_boxes_scored (N,5) float32).
 
@@ -149,28 +190,18 @@ def detect_page(image: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     score] relative to page size, score = mean ink density inside the
     tight box (detection/core.py:34-64).
 
-    Run-space implementation: the page is swept ONCE to extract ink
-    runs; horizontal dilation (merge runs with gap <= 2*DILATE_X),
-    connected components, tight extents, and ink sums all operate on
-    the tiny run arrays. The naive pipeline (materialized dilation +
-    mask CC + per-box sums) made ~9 full-page passes and saturated
-    single-socket memory bandwidth at ~24 busy cores; this makes ~2.
-    Vertical dilation is unnecessary: every glyph has an ink border
-    ring (glyphs.py), so components are vertically connected already.
+    Run-space implementation: ink runs come from the bit-packed
+    transition scan (:func:`ink_runs` — threshold + packbits are the
+    only full-page passes); horizontal dilation (merge runs with gap
+    <= 2*DILATE_X), connected components, tight extents, and ink sums
+    all operate on the tiny run arrays. Vertical dilation is
+    unnecessary: every glyph has an ink border ring (glyphs.py), so
+    components are vertically connected already.
     """
     H, W = image.shape[:2]
-    padded = np.zeros((H, W + 2), dtype=np.int8)
-    padded[:, 1:-1] = image < INK_THRESH
-    d = np.diff(padded, axis=1)
-    # ONE nonzero pass (starts and ends interleave per row); split by sign
-    rows_all, cols_all = np.nonzero(d)
-    if len(cols_all) == 0:
+    rows, starts, ends = ink_runs(image)
+    if len(starts) == 0:
         return np.zeros((0, 4), dtype=np.int32), np.zeros((0, 5), dtype=np.float32)
-    sign = d[rows_all, cols_all]
-    pos = sign == 1
-    rows = rows_all[pos].astype(np.int64)
-    starts = cols_all[pos].astype(np.int64)
-    ends = cols_all[~pos].astype(np.int64)
     n = len(starts)
 
     # horizontal dilation in run space: expand by DILATE_X and merge

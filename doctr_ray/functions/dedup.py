@@ -236,13 +236,16 @@ def dedup_pair_rows(pairs_ds):
     )
 
 
-def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16):
+def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16, deduped: bool = True):
     """Dataset(doc_id, text) -> candidate near-dup pairs (a, b), a < b.
 
     Pipeline: sign (actor pool) -> explode bands -> groupby(band,
     band_hash) -> pairs within each bucket. Only (doc_id, 512B sig)
     rows ever shuffle. Buckets are tiny by construction; a hot bucket
     (identical boilerplate) is capped and logged via n_bucket.
+    ``deduped=False`` skips the final cross-bucket distinct shuffle —
+    for consumers that dedup downstream anyway (minhash_near_dups
+    dedups inside its verify reducer, saving one all-to-all round).
     """
     # task-stage: the signer's state (2*num_perm ints) is trivial to
     # ship per task, so plain task parallelism scales elastically with
@@ -282,6 +285,8 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16):
         .groupby("coarse")
         .map_groups(_pairs_of_partition, batch_format="pandas")
     )
+    if not deduped:
+        return pairs
     # cross-coarse-bucket duplicates: the same pair found via different
     # bands can land in different coarse buckets -> one small dedup
     # shuffle over the a-hash key
@@ -313,7 +318,9 @@ def minhash_near_dups(
     :func:`jaccard_pairs_exact`, whose SQL oracle therefore also checks
     this operator when recall is 1.
     """
-    pairs = minhash_candidate_pairs(docs_ds, num_perm, bands)
+    # duplicates are dropped inside the verify reducer (same (a, b)
+    # always lands in one pb bucket), saving one shuffle here
+    pairs = minhash_candidate_pairs(docs_ds, num_perm, bands, deduped=False)
     K = join_buckets
 
     id_type = None  # resolved lazily from the first batch
@@ -373,7 +380,7 @@ def minhash_near_dups(
     def _verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["doc"] == g["a"]][["a", "b", "text"]].rename(columns={"text": "ta"})
         right = g[g["doc"] == g["b"]][["a", "b", "text"]].rename(columns={"text": "tb"})
-        m = left.merge(right, on=["a", "b"])
+        m = left.merge(right, on=["a", "b"]).drop_duplicates(["a", "b"])
         sims = [ngram_jaccard(x, y) for x, y in zip(m["ta"], m["tb"])]
         m["jaccard_e6"] = [int(round(s * 1e6)) for s in sims]
         m = m[[s >= threshold for s in sims]]
@@ -530,53 +537,78 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3, bands: int | None = None):
     regime.
     """
     if bands is None:
-        bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b >= max_hamming + 1)
-    if 64 % bands:
-        raise ValueError(f"bands must divide 64, got {bands}")
+        bands = max_hamming + 1
     if bands < max_hamming + 1:
         raise ValueError(
             f"bands={bands} cannot guarantee recall for max_hamming={max_hamming}; "
             f"pigeonhole needs bands >= {max_hamming + 1}"
         )
+    if bands > 64:
+        raise ValueError(f"bands must be <= 64, got {bands}")
+    # bit spans: 64 bits spread over `bands` chunks of floor/ceil width —
+    # WIDER chunks than a power-of-two split (e.g. 9 bands of 7-8 bits
+    # for k=8), so buckets stay selective: candidate volume scales as
+    # n^2 / 2^width per band, which made 4-bit chunks a pair explosion
+    base_w, extra = divmod(64, bands)
+    _spans: list[tuple[int, int]] = []
+    off = 0
+    for b in range(bands):
+        w = base_w + (1 if b < extra else 0)
+        _spans.append((off, w))
+        off += w
+
     sh = docs_ds.map_batches(add_simhash, batch_format="pyarrow")
 
     # coarse-bucket the (band, chunk) key so the reducer runs a few
     # dozen vectorized tasks, not one python call per LSH bucket
     COARSE = 64
 
+    _POP = np.array([bin(v).count("1") for v in range(256)], dtype=np.int64)
+
     def _explode(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        rows = {"doc_id": [], "band": [], "chunk": [], "simhash": [], "coarse": []}
-        width = 64 // bands
-        for did, s in zip(df["doc_id"], df["simhash"]):
-            u = np.uint64(s + (1 << 63))
-            for b in range(bands):
-                chunk = int((u >> np.uint64(b * width)) & np.uint64((1 << width) - 1))
-                rows["doc_id"].append(did)
-                rows["band"].append(b)
-                rows["chunk"].append(chunk)
-                rows["simhash"].append(s)
-                rows["coarse"].append((b * 1000003 + chunk) % COARSE)
-        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+        # int64 -> unsigned flip must stay in integer arithmetic: adding
+        # the python int 2**63 to an int64 array promotes to float64 and
+        # silently drops the low bits
+        u = df["simhash"].to_numpy().astype(np.int64).astype(np.uint64) + np.uint64(1 << 63)
+        n = len(u)
+        frames = []
+        for b, (off, w) in enumerate(_spans):
+            chunk = ((u >> np.uint64(off)) & np.uint64((1 << w) - 1)).astype(np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": df["doc_id"],
+                        "band": np.full(n, b, dtype=np.int32),
+                        "chunk": chunk,
+                        "simhash": df["simhash"],
+                        "coarse": (b * 1000003 + chunk) % COARSE,
+                    }
+                )
+            )
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False)
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"a": [], "b": [], "hamming": []}
+        frames = []
         for _, bucket in g.groupby(["band", "chunk"], sort=False):
             if len(bucket) < 2:
                 continue
             bucket = bucket.sort_values("doc_id")
-            ids = bucket["doc_id"].tolist()
-            hashes = bucket["simhash"].tolist()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    d = bin(
-                        int(np.uint64(hashes[i] + (1 << 63)) ^ np.uint64(hashes[j] + (1 << 63)))
-                    ).count("1")
-                    if d <= max_hamming:
-                        out["a"].append(ids[i])
-                        out["b"].append(ids[j])
-                        out["hamming"].append(d)
-        return pd.DataFrame(out).drop_duplicates()
+            ids = bucket["doc_id"].to_numpy()
+            u = bucket["simhash"].to_numpy().astype(np.int64).astype(np.uint64) + np.uint64(1 << 63)
+            # vectorized pairwise Hamming: XOR broadcast + byte popcount
+            x = (u[:, None] ^ u[None, :]).view(np.uint8).reshape(len(u), len(u), 8)
+            ham = _POP[x].sum(axis=2)
+            ii, jj = np.nonzero(np.triu(ham <= max_hamming, k=1))
+            if len(ii):
+                frames.append(
+                    pd.DataFrame(
+                        {"a": ids[ii], "b": ids[jj], "hamming": ham[ii, jj]}
+                    )
+                )
+        if not frames:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
 
     pairs = (
         sh.map_batches(_explode, batch_format="pyarrow")

@@ -18,8 +18,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..pool import default_pool
-
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -28,20 +26,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class BruteForceScorer:
-    """Actor-pool stage: score batch embeddings against broadcast queries.
+    """Task-stage scorer: batch embeddings against broadcast queries.
 
-    ``__init__`` pulls the query matrix from the object store once per
-    actor (the broadcast-small-side pattern).
+    Used as a plain callable INSTANCE in map_batches (task pool, not an
+    actor pool): its only state is the broadcast query matrix, and
+    ``ray.get`` of a plasma numpy ref is zero-copy per task — while a
+    fixed actor pool pays multi-second spin-up per query on short jobs.
+    The ref is resolved lazily on first call inside the worker.
     """
 
     def __init__(self, queries_ref) -> None:
-        import ray
+        self.qref = queries_ref
+        self.qids = None
+        self.Q = None
 
-        q = ray.get(queries_ref)  # dict: query_id -> np.ndarray
-        self.qids = list(q.keys())
-        self.Q = _normalize(np.stack([q[k] for k in self.qids]).astype(np.float64))
+    def _ensure(self) -> None:
+        if self.Q is None:
+            import ray
+
+            q = ray.get(self.qref)  # dict: query_id -> np.ndarray
+            self.qids = list(q.keys())
+            self.Q = _normalize(np.stack([q[k] for k in self.qids]).astype(np.float64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        self._ensure()
         vec_ids = batch["vec_id"].to_pylist()
         emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
         sims = _normalize(emb) @ self.Q.T  # (B, Q)
@@ -70,11 +78,7 @@ def ann_topk(
 
     qref = ray.put({int(k_): np.asarray(v, dtype=np.float64) for k_, v in queries.items()})
     scored = embeddings_ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_args=(qref,),
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=default_pool(),
+        BruteForceScorer(qref), batch_format="pyarrow", batch_size=4096
     )
 
     # per-batch partial top-k, then per-query global top-k (tiny shuffle)
@@ -146,12 +150,13 @@ def ann_topk_ivf(
     cref, qref, pref = ray.put(C), ray.put(qn), ray.put(probe)
 
     class _ScoreInCells:
+        # task-stage instance: broadcast refs resolved zero-copy per task
         def __init__(self) -> None:
-            self.C = ray.get(cref)
-            self.q = ray.get(qref)
-            self.probe = ray.get(pref)
+            self.C = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.C is None:
+                self.C, self.q, self.probe = ray.get(cref), ray.get(qref), ray.get(pref)
             emb = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
             cells = (emb @ self.C.T).argmax(axis=1)
             vec_ids = np.asarray(batch["vec_id"].to_pylist())
@@ -172,9 +177,7 @@ def ann_topk_ivf(
         return g
 
     return (
-        embeddings_ds.map_batches(
-            _ScoreInCells, batch_format="pyarrow", batch_size=4096, concurrency=default_pool()
-        )
+        embeddings_ds.map_batches(_ScoreInCells(), batch_format="pyarrow", batch_size=4096)
         .groupby("query_id")
         .map_groups(_final_topk, batch_format="pandas")
     )
@@ -297,12 +300,13 @@ def _score_in_cells(embeddings_ds, C, qn, probe_map, k):
     cref, qref, pref = ray.put(C), ray.put(qn), ray.put(probe_map)
 
     class _Score:
+        # task-stage instance: broadcast refs resolved zero-copy per task
         def __init__(self) -> None:
-            self.C = ray.get(cref)
-            self.q = ray.get(qref)
-            self.probe = ray.get(pref)
+            self.C = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.C is None:
+                self.C, self.q, self.probe = ray.get(cref), ray.get(qref), ray.get(pref)
             emb = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
             cells = (emb @ self.C.T).argmax(axis=1)
             vec_ids = np.asarray(batch["vec_id"].to_pylist())
@@ -330,7 +334,7 @@ def _score_in_cells(embeddings_ds, C, qn, probe_map, k):
             )
 
     return embeddings_ds.map_batches(
-        _Score, batch_format="pyarrow", batch_size=4096, concurrency=default_pool()
+        _Score(), batch_format="pyarrow", batch_size=4096
     )
 
 
@@ -397,12 +401,15 @@ def ann_topk_lsh(
     )
 
     class _ScoreInBucket:
+        # task-stage instance: broadcast refs resolved zero-copy per task
         def __init__(self) -> None:
-            q = ray.get(qref)
-            self.buckets = ray.get(bref)
-            self.q = {qid: v / (np.linalg.norm(v) or 1.0) for qid, v in q.items()}
+            self.q = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.q is None:
+                q = ray.get(qref)
+                self.buckets = ray.get(bref)
+                self.q = {qid: v / (np.linalg.norm(v) or 1.0) for qid, v in q.items()}
             df = batch.to_pandas()
             out = {"query_id": [], "vec_id": [], "cosine_e6": []}
             emb = np.stack(df["embedding"].to_numpy()).astype(np.float64)
@@ -423,7 +430,7 @@ def ann_topk_lsh(
         return g
 
     return (
-        bucketed.map_batches(_ScoreInBucket, batch_format="pyarrow", concurrency=default_pool())
+        bucketed.map_batches(_ScoreInBucket(), batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(_final_topk, batch_format="pandas")
     )

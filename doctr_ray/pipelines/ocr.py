@@ -346,6 +346,75 @@ class OcrMediaWorker:
         return _work_table(merged if merged else {"doc_id": []})
 
 
+class OcrDocWorker:
+    """Zero-shuffle fused worker: one docs row in -> finished output.
+
+    A document's spans are SELF-CONTAINED in its row, so the whole
+    document — every media asset OCR'd, spans re-ordered by offset,
+    text joined — assembles inside the task. The fused pipeline is
+    therefore a single ``map_batches`` with NO all-to-all at any
+    scale: parallelism is docs x pool, nothing ever reunites.
+    (The staged path still needs the bucketed assembly shuffle to
+    reunite its word rows; it remains the parity reference.)
+
+    ``emit='text'`` -> (doc_id, full_text); ``emit='spans'`` ->
+    SPANS_OUT_SCHEMA rows.
+    """
+
+    def __init__(
+        self,
+        emit: str = "text",
+        keep_reading_order: bool = False,
+        detect_orientation: bool = False,
+        straighten_pages: bool = False,
+    ) -> None:
+        self.recognizer = GlyphRecognizer()
+        self.emit = emit
+        self.keep_reading_order = keep_reading_order
+        self.detect_orientation = detect_orientation
+        self.straighten_pages = straighten_pages
+
+    def _doc_parts(self, did: str, spans) -> list[tuple[str, str, str, int]]:
+        parts: list[tuple[str, str, str, int]] = []
+        for s in sorted(spans or [], key=lambda s: s["offset"]):
+            if s["kind"] == "media":
+                text, _conf = media_to_ocr_span(
+                    did, s["media_ref"], s["offset"], self.recognizer,
+                    self.keep_reading_order, self.detect_orientation,
+                    self.straighten_pages,
+                )
+                parts.append(("ocr_text", text, s["media_ref"], int(s["offset"])))
+            else:
+                parts.append(("text", s["text"] or "", "", int(s["offset"])))
+        return parts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"].to_pylist()
+        if self.emit == "spans":
+            cols: dict[str, list] = {
+                "doc_id": [], "ord": [], "kind": [], "text": [],
+                "media_ref": [], "offset": [],
+            }
+            for did, spans in zip(ids, spans_col):
+                for i, (kind, text, ref, off) in enumerate(self._doc_parts(did, spans)):
+                    cols["doc_id"].append(did)
+                    cols["ord"].append(i)
+                    cols["kind"].append(kind)
+                    cols["text"].append(text)
+                    cols["media_ref"].append(ref)
+                    cols["offset"].append(off)
+            return pa.Table.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in SPANS_OUT_SCHEMA],
+                schema=SPANS_OUT_SCHEMA,
+            )
+        texts = [
+            " ".join(t for _, t, _, _ in self._doc_parts(did, spans) if t)
+            for did, spans in zip(ids, spans_col)
+        ]
+        return pa.Table.from_pydict({"doc_id": ids, "full_text": texts})
+
+
 # ------------------------------------------------------------- staged mode
 
 PAGES_SCHEMA = pa.schema(
@@ -689,15 +758,20 @@ def ocr_work_rows(
     detect_orientation: bool = False,
     straighten_pages: bool = False,
 ):
-    """docs Dataset -> unioned work rows (text/media markers + words)."""
-    work = docs_ds.map_batches(explode_spans, batch_format="pyarrow", batch_size=256)
-    # explicit repartition: upstream map_batches coalesces blocks to
-    # satisfy batch_size (observed: 64 read blocks -> 16), which caps
-    # the actor pool at 16 concurrent tasks. Split into >= several
-    # waves per actor so the pool saturates and stragglers even out.
-    if repartition_blocks is None:
-        repartition_blocks = max(64, default_pool() * 8)
-    work = work.repartition(repartition_blocks)
+    """docs Dataset -> unioned work rows (text/media markers + words).
+
+    ``repartition_blocks``: None (default) trusts the input's block
+    layout — :func:`doctr_ray.corpus.docs_dataset` pre-splits the read
+    into pool*8 blocks, so the stream flows straight into the worker
+    pool with no barrier. Pass an int for inputs that arrive as a few
+    big blocks (e.g. ``from_arrow``): a mid-pipeline ``repartition`` is
+    an all-to-all BARRIER (materializes all work rows before the first
+    worker task), so it is only worth it when the input would otherwise
+    cap the pool's parallelism.
+    """
+    work = docs_ds.map_batches(explode_spans, batch_format="pyarrow", batch_size=None)
+    if repartition_blocks:
+        work = work.repartition(repartition_blocks)
     if mode == "fused":
         # single linear chain: the worker forwards text/empty marker
         # rows and replaces media rows with finished ocr_text spans —
@@ -817,6 +891,30 @@ def _assemble_bucket(
 def _assembled(docs_ds, mode, keep_reading_order, emit, **kw):
     import functools
 
+    if mode == "fused":
+        # zero-shuffle: whole docs assemble inside the worker task
+        # (OcrDocWorker); the only remaining stages are the pre-split
+        # read and this map — nothing moves between nodes at any scale
+        concurrency = kw.pop("recognize_concurrency", None) or default_pool()
+        kw.pop("detect_concurrency", None)
+        repartition_blocks = kw.pop("repartition_blocks", None)
+        if repartition_blocks:
+            docs_ds = docs_ds.repartition(repartition_blocks)
+        return docs_ds.map_batches(
+            OcrDocWorker,
+            fn_constructor_kwargs={
+                "emit": emit,
+                "keep_reading_order": keep_reading_order,
+                **kw,
+            },
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=concurrency,
+            # deterministic + idempotent: task retry / actor restart
+            # after preemption is safe (actor-kill test in tests/)
+            max_restarts=3,
+            max_task_retries=3,
+        )
     work = ocr_work_rows(docs_ds, mode=mode, keep_reading_order=keep_reading_order, **kw)
     work = work.map_batches(_add_bucket, batch_format="pyarrow")
     fn = functools.partial(

@@ -1,0 +1,76 @@
+"""Reader dispatch contracts: docs_source parquet/lance branch parity,
+stubbed real-format readers."""
+
+import sys
+import types
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from doctr_ray.sources.readers import docs_source, rasterize_media, read_pdf
+
+
+def test_docs_source_parquet(ray_session, tmp_path):
+    t = pa.table({"doc_id": ["a", "b"], "text": ["x words", "y words"]})
+    pq.write_table(t, tmp_path / "docs.parquet")
+    ds = docs_source(str(tmp_path / "docs.parquet"), columns=["doc_id"])
+    assert ds.schema().names == ["doc_id"]
+    assert ds.count() == 2
+
+
+def test_docs_source_lance_guarded(ray_session):
+    # without the lance wheel the branch must fail loudly with the
+    # dependency named, not fall through to a wrong reader
+    with pytest.raises(NotImplementedError, match="[Ll]ance"):
+        docs_source("/some/table.lance")
+
+
+def test_docs_source_lance_branch_parity(ray_session, tmp_path, monkeypatch):
+    """Contract: the lance branch routes through ray.data.read_lance
+    with the SAME column pruning, and yields the same rows as the
+    parquet branch on an identical table (stand-in module — the real
+    wheel is absent in this container)."""
+    import ray.data as rd
+
+    t = pa.table({"doc_id": ["a", "b"], "text": ["x words", "y words"]})
+    pq.write_table(t, tmp_path / "docs.parquet")
+
+    monkeypatch.setitem(sys.modules, "lance", types.ModuleType("lance"))
+    called = {}
+
+    def fake_read_lance(path, columns=None):
+        called["args"] = (path, columns)
+        return rd.read_parquet(str(tmp_path / "docs.parquet"), columns=columns)
+
+    monkeypatch.setattr(rd, "read_lance", fake_read_lance, raising=False)
+
+    cols = ["doc_id", "text"]
+    rows_l = sorted(
+        docs_source(str(tmp_path / "docs.lance"), columns=cols).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    rows_p = sorted(
+        docs_source(str(tmp_path / "docs.parquet"), columns=cols).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert rows_l == rows_p
+    assert called["args"] == (str(tmp_path / "docs.lance"), cols)
+
+
+def test_real_format_stubs_name_their_dependency():
+    with pytest.raises(NotImplementedError, match="pypdfium2"):
+        read_pdf("/some/file.pdf")
+    with pytest.raises(NotImplementedError, match="pypdfium2"):
+        rasterize_media("pdf://whatever")
+    with pytest.raises(NotImplementedError, match="weasyprint"):
+        rasterize_media("https://example.invalid/page")
+    with pytest.raises(NotImplementedError, match="cv2|PIL"):
+        rasterize_media("something.png")
+
+
+def test_rasterize_media_synth_branch():
+    from doctr_ray.media import encode_media_ref
+
+    pages = rasterize_media(encode_media_ref("hello world"))
+    assert len(pages) == 1 and pages[0].image.ndim == 2
