@@ -44,6 +44,11 @@ def __getattr__(name):
         "run_partitioned": ("doctr_ray.state.checkpoint", "run_partitioned"),
         "Document": ("doctr_ray.elements", "Document"),
         "Page": ("doctr_ray.elements", "Page"),
+        "ocr_predictor": ("doctr_ray.zoo", "ocr_predictor"),
+        "kie_predictor": ("doctr_ray.zoo", "kie_predictor"),
+        "sort_reading_order": ("doctr_ray.reading_order", "sort_reading_order"),
+        "ReadingOrderPredictor": ("doctr_ray.reading_order", "ReadingOrderPredictor"),
+        "synthesize_page": ("doctr_ray.reconstitution", "synthesize_page"),
     }
     if name in _api:
         import importlib

@@ -1,0 +1,74 @@
+"""Predictor zoo + local factory (ocr_predictor / kie_predictor /
+save/from_name)."""
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from doctr_ray.corpus import expected_full_text, make_inline_docs
+from doctr_ray.media import encode_media_ref, rasterize_synth
+from doctr_ray.zoo import (
+    from_name,
+    kie_predictor,
+    ocr_predictor,
+    save_predictor_config,
+)
+
+WORDS = "alpha beta gamma delta epsilon zeta".split()
+
+
+def test_arch_validation():
+    with pytest.raises(ValueError, match="detection architecture"):
+        ocr_predictor(det_arch="yolo_v8")
+    with pytest.raises(ValueError, match="recognition architecture"):
+        ocr_predictor(reco_arch="gpt")
+    p = ocr_predictor("db_resnet50", "crnn_vgg16_bn", pretrained=True)
+    assert "db_resnet50" in repr(p)
+
+
+def test_local_mode_pages_roundtrip():
+    text = " ".join(WORDS)
+    page = rasterize_synth(encode_media_ref(text, 640, 480))[0]
+    p = ocr_predictor()
+    exports = p.forward_pages([page.image])
+    assert len(exports) == 1 and exports[0]["blocks"]
+    got = p.render([page.image]).replace("\n", " ")
+    assert " ".join(got.split()) == text
+
+
+def test_local_mode_skewed_page():
+    text = " ".join(WORDS)
+    page = rasterize_synth(encode_media_ref(text, 640, 480, skew_decidegrees=37))[0]
+    p = ocr_predictor(straighten_pages=True)
+    got = " ".join(p.render([page.image]).split())
+    assert got == text
+
+
+def test_dataset_mode(ray_session):
+    docs = make_inline_docs([("d1", " ".join(WORDS))])
+    p = ocr_predictor()
+    out = p.extract_text(rd.from_arrow(docs)).to_pandas()
+    assert out["full_text"][0] == expected_full_text(" ".join(WORDS))
+    spans = p(rd.from_arrow(docs)).to_pandas()
+    assert set(spans.columns) == {"doc_id", "ord", "kind", "text", "media_ref", "offset"}
+
+
+def test_local_hub_roundtrip(tmp_path):
+    p = ocr_predictor("fast_tiny", "parseq", keep_reading_order=True)
+    path = save_predictor_config(p, "my-ocr", str(tmp_path))
+    assert path.endswith("config.json")
+    q = from_name("my-ocr", str(tmp_path))
+    assert q.cfg == p.cfg
+
+    k = kie_predictor()
+    save_predictor_config(k, "my-kie", str(tmp_path))
+    k2 = from_name("my-kie", str(tmp_path))
+    assert k2.cfg.kie
+
+
+def test_kie_predictor_dataset(ray_session):
+    docs = make_inline_docs([("7", " ".join(WORDS))], media_fraction=1.0)
+    out = kie_predictor()(rd.from_arrow(docs)).to_pandas()
+    assert (out["class_name"] == "words").any()
+    assert sorted(out.loc[out["class_name"] == "words", "value"]) == sorted(WORDS)
