@@ -132,6 +132,8 @@ def run_once() -> dict:
         "user_sessions",
         "kie_word_text",
         "table_grids",
+        "ocr_skewed",
+        "page_reconstitution",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)
