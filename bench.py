@@ -45,11 +45,11 @@ def _init_ray(num_cpus: int) -> None:
 
 
 # Headline workload: every chunk becomes a media asset (media_fraction
-# 1.0) and each source doc derives 2 distinct docs — ~5x the OCR work
+# 1.0) and each source doc derives 4 distinct docs — ~10x the OCR work
 # of the correctness corpus, so per-execution fixed costs (actor pool
-# spin-up, shuffle setup) amortize the way they would on a long job.
+# spin-up, stream ramp) amortize the way they would on a long job.
 BENCH_MEDIA_FRACTION = 1.0
-BENCH_COPIES = 2
+BENCH_COPIES = 4
 
 
 def count_corpus_pages(sf_dir: str) -> int:

@@ -21,22 +21,26 @@ Stage graph (staged mode)::
     union ─ groupby(doc_id) ─ assemble (builder + reading order +
                               interleave by offset) ─ spans_out
 
-Fused mode collapses rasterize..merge into ONE actor-pool stage
-(``OcrMediaWorker``): page images and crops never enter the object
-store, eliminating two stage boundaries of multi-MB binary traffic.
-Both modes produce identical rows (asserted in tests); fused is the
-default for throughput, staged exists for stage-level debugging and
-mirrors the reference's predictor decomposition 1:1.
+Fused mode (the default) collapses the whole flow into ONE actor-pool
+stage (``OcrDocWorker``): a document's spans are self-contained in its
+row, so the entire document — every media asset rasterized, detected,
+recognized, built, and re-interleaved by offset — assembles inside the
+map task. The fused pipeline has ZERO all-to-all exchanges at any
+scale; page images and crops never enter the object store. Both modes
+produce identical rows (asserted in tests); staged exists for
+stage-level debugging and mirrors the reference's predictor
+decomposition 1:1.
 
 Scale notes (100 TB design):
-- the unit of distributed work is a *media row* (then page row), not a
-  document — doc-level skew (many media per doc) spreads immediately;
-- the only all-to-all shuffle is the final ``groupby(doc_id)`` over
-  small word/text rows (images and crops are long gone by then);
-- split-crop merge shuffles ONLY rows with part_count > 1 (rare), the
-  rest bypass via a vectorized filter;
-- explicit ``repartition`` + within-batch size sorting before detection
-  keeps detector batches shape-homogeneous (north-rule requirement).
+- fused: unit of work = document row, no shuffle anywhere — the
+  pre-split streaming read (corpus.docs_dataset) is the only
+  partitioning decision; doc-size skew is bounded by the corpus
+  chunker (media assets are page-sized);
+- staged: unit of work = media/page row; the only all-to-all is the
+  final ``groupby(doc_id)`` over small word/text rows (images and
+  crops are long gone by then); split-crop merge rides the same
+  shuffle; within-batch size sorting keeps detector batches
+  shape-homogeneous (north-rule requirement).
 """
 
 from __future__ import annotations
@@ -267,83 +271,6 @@ def media_to_ocr_span(
             page_texts.append(pt)
     conf = float(np.mean(rows["confidence"])) if rows["confidence"] else 0.0
     return " ".join(page_texts), conf
-
-
-class OcrMediaWorker:
-    """Fused actor-pool stage: media work rows -> output rows.
-
-    Recognizer templates built once per actor (``__init__``), the analog
-    of loading detection+recognition weights once per worker
-    (reference models/utils/pytorch.py:41).
-
-    ``emit="spans"`` (default) runs the per-page builder inside the
-    worker and emits ONE ``kind='ocr_text'`` row per media asset — the
-    final doc_id shuffle then moves span rows, not word rows (20x+
-    smaller). ``emit="words"`` emits per-word rows (the staged-parity
-    path used by tests).
-    """
-
-    def __init__(
-        self,
-        emit: str = "spans",
-        keep_reading_order: bool = False,
-        passthrough: bool = False,
-        detect_orientation: bool = False,
-        straighten_pages: bool = False,
-    ) -> None:
-        self.recognizer = GlyphRecognizer()
-        self.emit = emit
-        self.keep_reading_order = keep_reading_order
-        self.passthrough = passthrough
-        self.detect_orientation = detect_orientation
-        self.straighten_pages = straighten_pages
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.passthrough:
-            # single-chain mode: non-media marker rows pass through
-            # untouched, media rows are OCR'd — no DAG fork, the
-            # upstream explode executes exactly once
-            is_media = pc.equal(batch["kind"], pa.scalar("media"))
-            markers = batch.filter(pc.invert(is_media))
-            media = batch.filter(is_media)
-            if media.num_rows == 0:
-                return markers
-            processed = self._process(media)
-            return pa.concat_tables([markers, processed], promote_options="default")
-        return self._process(batch)
-
-    def _process(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
-        refs = batch["media_ref"].to_pylist()
-        offsets = batch["offset"].to_pylist()
-        if self.emit == "spans":
-            out: dict[str, list] = {
-                "doc_id": [], "kind": [], "text": [], "media_ref": [],
-                "offset": [], "confidence": [],
-            }
-            for did, ref, off in zip(doc_ids, refs, offsets):
-                text, conf = media_to_ocr_span(
-                    did, ref, off, self.recognizer, self.keep_reading_order,
-                    self.detect_orientation, self.straighten_pages,
-                )
-                out["doc_id"].append(did)
-                out["kind"].append("ocr_text")
-                out["text"].append(text)
-                out["media_ref"].append(ref)
-                out["offset"].append(off)
-                out["confidence"].append(conf)
-            return _work_table(out)
-        merged: dict[str, list] = {}
-        for did, ref, off in zip(doc_ids, refs, offsets):
-            rows = process_media_row(
-                did, ref, off, self.recognizer, self.detect_orientation,
-                self.straighten_pages,
-            )
-            if not merged:
-                merged = {k: [] for k in rows}
-            for k, v in rows.items():
-                merged[k].extend(v)
-        return _work_table(merged if merged else {"doc_id": []})
 
 
 class OcrDocWorker:
@@ -750,7 +677,7 @@ from ..pool import default_pool  # noqa: E402
 
 def ocr_work_rows(
     docs_ds,
-    mode: str = "fused",
+    mode: str = "staged",
     detect_concurrency: int | tuple | None = None,
     recognize_concurrency: int | tuple | None = None,
     repartition_blocks: int | None = None,
@@ -758,42 +685,21 @@ def ocr_work_rows(
     detect_orientation: bool = False,
     straighten_pages: bool = False,
 ):
-    """docs Dataset -> unioned work rows (text/media markers + words).
+    """docs Dataset -> unioned work rows (text/media markers + words),
+    the STAGED decomposition (fused mode never produces work rows — a
+    whole document assembles inside :class:`OcrDocWorker`).
 
     ``repartition_blocks``: None (default) trusts the input's block
-    layout — :func:`doctr_ray.corpus.docs_dataset` pre-splits the read
-    into pool*8 blocks, so the stream flows straight into the worker
-    pool with no barrier. Pass an int for inputs that arrive as a few
-    big blocks (e.g. ``from_arrow``): a mid-pipeline ``repartition`` is
-    an all-to-all BARRIER (materializes all work rows before the first
-    worker task), so it is only worth it when the input would otherwise
-    cap the pool's parallelism.
+    layout — :func:`doctr_ray.corpus.docs_dataset` pre-splits the read,
+    so the stream flows straight into the stage pools with no barrier.
+    Pass an int for inputs that arrive as a few big blocks
+    (e.g. ``from_arrow``): a mid-pipeline ``repartition`` is an
+    all-to-all BARRIER, only worth it when the input would otherwise
+    cap the pools' parallelism.
     """
     work = docs_ds.map_batches(explode_spans, batch_format="pyarrow", batch_size=None)
     if repartition_blocks:
         work = work.repartition(repartition_blocks)
-    if mode == "fused":
-        # single linear chain: the worker forwards text/empty marker
-        # rows and replaces media rows with finished ocr_text spans —
-        # no fork (a forked Dataset re-executes its upstream per branch)
-        return work.map_batches(
-            OcrMediaWorker,
-            fn_constructor_kwargs={
-                "emit": "spans",
-                "keep_reading_order": keep_reading_order,
-                "passthrough": True,
-                "detect_orientation": detect_orientation,
-                "straighten_pages": straighten_pages,
-            },
-            batch_format="pyarrow",
-            batch_size=32,
-            concurrency=recognize_concurrency or default_pool(),
-            # every stage is deterministic + idempotent, so task retry /
-            # actor restart after preemption is safe (tested: actor
-            # hard-killed mid-stream, output identical)
-            max_restarts=3,
-            max_task_retries=3,
-        )
     if mode == "staged":
         # HTML assets become finished spans here; only raster media
         # continues into the rasterize->detect->recognize chain

@@ -249,19 +249,13 @@ def test_ocr_page_exports(ray_session, fmt, needle):
 def test_actor_death_retry_exact(ray_session, tmp_path):
     """A worker actor hard-killed mid-stream: Ray restarts it and the
     output is still exact (deterministic + idempotent stages)."""
-    import functools
     import os
 
-    from doctr_ray.pipelines.ocr import (
-        OcrMediaWorker,
-        _add_bucket,
-        _assemble_bucket,
-        explode_spans,
-    )
+    from doctr_ray.pipelines.ocr import OcrDocWorker
 
     marker = str(tmp_path / "crashed-once")
 
-    class CrashyWorker(OcrMediaWorker):
+    class CrashyWorker(OcrDocWorker):
         def __call__(self, batch):
             if not os.path.exists(marker):
                 open(marker, "w").write("x")
@@ -270,22 +264,17 @@ def test_actor_death_retry_exact(ray_session, tmp_path):
 
     rows = [(f"d{i}", " ".join(["alpha", "beta", "gamma", "delta"] * (i + 2))) for i in range(8)]
     docs = make_inline_docs(rows, media_fraction=1.0)
-    work = rd.from_arrow(docs).map_batches(explode_spans, batch_format="pyarrow").repartition(8)
     out = (
-        work.map_batches(
+        rd.from_arrow(docs)
+        .repartition(4)
+        .map_batches(
             CrashyWorker,
-            fn_constructor_kwargs={"emit": "spans", "passthrough": True},
+            fn_constructor_kwargs={"emit": "text"},
             batch_format="pyarrow",
-            batch_size=4,
+            batch_size=2,
             concurrency=2,
             max_task_retries=-1,
             max_restarts=-1,
-        )
-        .map_batches(_add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(
-            functools.partial(_assemble_bucket, keep_reading_order=False, emit="text"),
-            batch_format="pandas",
         )
         .to_pandas()
     )
