@@ -142,6 +142,12 @@ def _label_runs(row_of: np.ndarray, starts: np.ndarray, ends: np.ndarray, stride
     return np.unique(label, return_inverse=True)[1]
 
 
+_MBUF_CACHE: dict = {}  # (H, wp) -> reusable bool mask buffer
+
+# (256, 8) bool: byte value -> its MSB-first bit pattern
+_UNPACK_LUT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).astype(bool)
+
+
 def _bit_positions(packed: np.ndarray, bytes_per_row: int):
     """Set-bit coordinates of a row-major packed bit matrix, in
     row-major order: (rows, cols) int64."""
@@ -150,10 +156,9 @@ def _bit_positions(packed: np.ndarray, bytes_per_row: int):
     if len(nz) == 0:
         e = np.zeros(0, dtype=np.int64)
         return e, e
-    bits = np.unpackbits(flat[nz][:, None], axis=1).astype(bool).ravel()
-    rows = np.repeat(nz // bytes_per_row, 8)[bits]
-    cols = ((nz % bytes_per_row) * 8)[:, None] + np.arange(8, dtype=np.int64)[None, :]
-    return rows, cols.ravel()[bits]
+    byte_i, bit_i = np.nonzero(_UNPACK_LUT[flat[nz]])
+    src = nz[byte_i]
+    return src // bytes_per_row, (src % bytes_per_row) * 8 + bit_i
 
 
 def ink_runs(image: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -171,7 +176,15 @@ def ink_runs(image: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """
     H, W = image.shape[:2]
     wp = (W // 8 + 1) * 8  # >= W+1 so a run touching col W-1 still ends
-    mbuf = np.zeros((H, wp), dtype=bool)
+    # per-process buffer reuse: a fresh 300KB np.zeros per page is real
+    # allocator traffic at thousands of pages/s (Ray map workers run
+    # the UDF single-threaded, so a keyed module cache is safe)
+    mbuf = _MBUF_CACHE.get((H, wp))
+    if mbuf is None:
+        mbuf = np.zeros((H, wp), dtype=bool)
+        _MBUF_CACHE[(H, wp)] = mbuf
+    else:
+        mbuf[:, W:] = False
     np.less(image, INK_THRESH, out=mbuf[:, :W])
     B = np.packbits(mbuf, axis=1)  # MSB-first: bit j of byte b -> col b*8+j
     carry = np.zeros_like(B)
