@@ -98,40 +98,66 @@ def _validate(
 
 
 def recover_skewed_page(
-    image: np.ndarray, recognizer: GlyphRecognizer, min_angle: float = 0.05
+    image: np.ndarray, recognizer: GlyphRecognizer
 ) -> tuple[np.ndarray, np.ndarray | None, float]:
     """-> (upright page, known mask or None, removed angle).
 
-    Tries the decidegree candidates nearest the PCA estimate; the first
-    whose reconstruction validates wins. Returns the input unchanged
-    when the page is already upright; falls back to the nearest
-    candidate's reconstruction (best effort) if none validates."""
+    Tries the decidegree candidates nearest the PCA estimate (dd=0 =
+    validate the page unchanged); the first whose reconstruction
+    validates wins. If the estimator abstains (no elongated component)
+    the finite decidegree grid is brute-scanned nearest-first. Falls
+    back to the nearest candidate's reconstruction (best effort) if
+    nothing validates."""
     est = estimate_skew_angle(image)
-    if abs(est) < min_angle:
-        return image, None, 0.0
     base = int(round(est * 10))
     tried: set[int] = set()
     fallback: tuple[np.ndarray, np.ndarray, float] | None = None
-    # PCA estimate error grows with angle (observed up to ~0.45 deg);
-    # widen the window — wrong candidates are rejected by validation,
-    # and the correct one usually sits within the first two tries
-    for delta in (0, 1, -1, 2, -2, 3, -3, 4, -4, 5, -5, 6, -6):
-        dd = base + delta
-        if dd in tried:
-            continue
+
+    def _try(dd: int):
         tried.add(dd)
         if dd == 0:
-            # estimator noise on an upright page: validate the original
-            # as-is before touching a single pixel
+            # validate the original as-is before touching a pixel; a
+            # page with no text-line components (artefacts only, empty)
+            # has nothing to validate against — leave it unchanged
+            from .glyphs import CHAR_H
+
+            boxes, _ = detect_page(image)
+            if len(boxes) == 0 or not (
+                np.abs((boxes[:, 3] - boxes[:, 1]) - CHAR_H) <= 2
+            ).any():
+                return image, None, 0.0
             ones = np.ones(image.shape[:2], dtype=bool)
             if _validate(image, ones, recognizer):
                 return image, None, 0.0
-            continue
+            return None
+        nonlocal fallback
         pristine, known = reconstruct_upright(image, dd / 10.0)
         if _validate(pristine, known, recognizer):
             return pristine, known, dd / 10.0
         if fallback is None:
             fallback = (pristine, known, dd / 10.0)
+        return None
+
+    # PCA estimate error grows with angle (observed up to ~0.45 deg);
+    # a window around the estimate covers it — wrong candidates are
+    # rejected by validation, the correct one usually sits in the
+    # first two tries. The estimate is 0 for an upright page, so dd=0
+    # (validate-unchanged) is always an early candidate.
+    for delta in (0, 1, -1, 2, -2, 3, -3, 4, -4, 5, -5, 6, -6):
+        got = _try(base + delta)
+        if got is not None:
+            return got
+    # Estimator abstention: a page whose words are all single glyphs
+    # has no elongated component to measure (PCA samples w >= 2h), so
+    # est comes back ~0 on a genuinely skewed page. The renderer's
+    # angle grid is finite — brute-scan it nearest-first; only the true
+    # angle can reproduce every glyph exactly on its sampled pixels.
+    for dd in sorted(range(-90, 91), key=lambda v: (abs(v - base), v)):
+        if dd in tried:
+            continue
+        got = _try(dd)
+        if got is not None:
+            return got
     if fallback is None:
         return image, None, 0.0
     return fallback
