@@ -641,6 +641,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_groups(to_md, batch_format="pandas")
         )
 
+    def q_multimodal_features(sf_dir: str):
+        """Opaque binary-column features (multimodal plumbing): payloads
+        derived from documents.text — size/sha256/magic are exactly
+        SQL-reproducible, so the binary-column stage gets a hard oracle."""
+        import pyarrow as pa
+
+        from doctr_ray.functions.multimodal import binary_features
+
+        def to_payloads(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": batch["doc_id"].to_pylist(),
+                    "payload": pa.array(
+                        [(t or "").encode("utf-8") for t in batch["text"].to_pylist()],
+                        pa.binary(),
+                    ),
+                }
+            )
+
+        return (
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(to_payloads, batch_format="pyarrow")
+            .map_batches(binary_features, batch_format="pyarrow")
+            .select_columns(["doc_id", "size_bytes", "sha256", "magic"])
+        )
+
+    def q_frame_sample(sf_dir: str):
+        """Video frame-sampling fan-out (stubbed decoder, deterministic
+        fake): the structural contract — one payload row -> stride-
+        sampled frame rows with shape metadata — is SQL-oracled; frame
+        bytes are checked by unit tests."""
+        import pyarrow as pa
+
+        from doctr_ray.functions.multimodal import FrameSampler
+        from doctr_ray.pool import default_pool
+
+        def to_payloads(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "media_id": [str(d) for d in batch["doc_id"].to_pylist()],
+                    "payload": pa.array(
+                        [(t or "").encode("utf-8") for t in batch["text"].to_pylist()],
+                        pa.binary(),
+                    ),
+                }
+            )
+
+        ds = (
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .limit(200)
+            .map_batches(to_payloads, batch_format="pyarrow")
+            .map_batches(
+                FrameSampler,
+                fn_constructor_kwargs={"stride": 10, "source_frames": 50},
+                batch_format="pyarrow",
+                batch_size=64,
+                concurrency=max(1, default_pool() // 2),
+            )
+        )
+        return ds.select_columns(["media_id", "frame_idx", "height", "width"])
+
     def q_dedup_exact(sf_dir: str):
         return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -716,6 +777,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_fingerprint,
         "top_tokens": q_top_tokens,
         "html_main_content": q_html_main_content,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
         "ocr_markdown": q_ocr_markdown,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
@@ -804,6 +867,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "html_main_content": (
             "SELECT doc_id, text AS main_text FROM documents"
+        ),
+        "multimodal_features": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes, "
+            "sha256(text) AS sha256, lower(hex(substr(text, 1, 4))) AS magic "
+            "FROM documents"
+        ),
+        "frame_sample": (
+            # fan-out contract: 50 source frames, stride 10 -> frame_idx
+            # {0,10,20,30,40} per media, 32x32 shape metadata
+            "SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+            "CAST((s.i - 1) * 10 AS INT) AS frame_idx, "
+            "CAST(32 AS INT) AS height, CAST(32 AS INT) AS width "
+            "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 200) "
+            "CROSS JOIN generate_series(1, 5) s(i)"
         ),
         "ocr_eval": (
             # extraction is exact by construction -> every document must
