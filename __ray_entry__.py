@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from doctr_ray.functions.relational import (
         events_hourly,
+        events_sliding_window,
         pricing_summary,
         supplier_balance_by_nation,
         top_customer_revenue,
@@ -792,6 +793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": pricing_summary,
         "top_customers": top_customer_revenue,
         "events_hourly": events_hourly,
+        "events_sliding": events_sliding_window,
         "user_sessions": user_sessions,
         "supplier_balance": supplier_balance_by_nation,
     }
@@ -1055,6 +1057,17 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events, "
             "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c FROM events GROUP BY 1, 2"
+        ),
+        "events_sliding": (
+            # 60-min windows sliding every 15 min: an event belongs to
+            # the 4 slide-aligned windows covering it
+            "WITH f AS (SELECT event_type, value, "
+            "time_bucket(INTERVAL 15 MINUTE, ts) - (s.i - 1) * INTERVAL 15 MINUTE AS window_start, ts "
+            "FROM events CROSS JOIN generate_series(1, 4) s(i)) "
+            "SELECT event_type, window_start, count(*) AS n_events, "
+            "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c "
+            "FROM f WHERE ts >= window_start AND ts < window_start + INTERVAL 60 MINUTE "
+            "GROUP BY event_type, window_start"
         ),
         "user_sessions": (
             "WITH e AS (SELECT user_id, event_id, ts, value, "

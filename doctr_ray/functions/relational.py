@@ -261,3 +261,76 @@ def supplier_balance_by_nation(sf_dir: str):
         )
 
     return agg.map_batches(_fixed_point, batch_format="pyarrow")
+
+
+def events_sliding_window(sf_dir: str, width_minutes: int = 60, slide_minutes: int = 15):
+    """SLIDING-window aggregate over the events stream (the brief's
+    "streaming window" custom operator).
+
+    Ray Data has no window operator; the scale-correct composition is
+    map-side fan-out + keyed aggregate: each event emits one partial
+    row per window that CONTAINS it (width/slide rows — here 4), then
+    one groupby over (event_type, window_start) sums the partials. The
+    fan-out factor is a constant, so the shuffle stays linear in the
+    input; no per-key python groups anywhere. Emits (event_type,
+    window_start, n_events, sum_value_c), windows aligned to the epoch
+    slide grid.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    assert width_minutes % slide_minutes == 0
+    k = width_minutes // slide_minutes
+    slide = np.timedelta64(slide_minutes, "m")
+    width = np.timedelta64(width_minutes, "m")
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def fanout_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        # last slide-aligned window start covering the event, then the
+        # k-1 earlier ones
+        base = np.datetime64(0, "m") + (
+            (ts.astype("datetime64[m]") - np.datetime64(0, "m")) // slide
+        ) * slide
+        frames = []
+        for j in range(k):
+            w0 = base.astype("datetime64[us]") - j * slide
+            d = pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "window_start": w0,
+                    "value": df["value"],
+                }
+            )
+            # an event belongs to [w0, w0 + width)
+            d = d[(ts >= d["window_start"].to_numpy()) & (ts < (d["window_start"] + width).to_numpy())]
+            frames.append(d)
+        out = pd.concat(frames, ignore_index=True)
+        g = out.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(fanout_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )
+
+    def _fixed_point(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["window_start"] = df["window_start"].astype("datetime64[us]")
+        df["sum_value_c"] = np.round(df["sum_value"] * 100).astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["event_type", "window_start", "n_events", "sum_value_c"]],
+            preserve_index=False,
+        )
+
+    return agg.map_batches(_fixed_point, batch_format="pyarrow")

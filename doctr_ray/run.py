@@ -35,6 +35,10 @@ def main(argv: list[str] | None = None) -> int:
         help="column-aware reading order (XY-cut) instead of row order",
     )
     ap.add_argument(
+        "--straighten-pages", action="store_true",
+        help="exact skew recovery for arbitrary-angle scans (doctr_ray.skew)",
+    )
+    ap.add_argument(
         "--no-resume",
         action="store_true",
         help="ignore existing partition manifests (default: resume)",
@@ -78,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
             mode=mode,
             keep_reading_order=args.keep_reading_order,
             detect_orientation=args.detect_orientation,
+            straighten_pages=args.straighten_pages,
         )
 
     pipeline.__name__ = f"ocr_spans[{mode}]"
