@@ -211,3 +211,60 @@ def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     with np.errstate(divide="ignore", invalid="ignore"):
         iou = np.where(union > 0, inter / union, 0.0)
     return iou
+
+
+def resize_bilinear(image: np.ndarray, target: tuple[int, int]) -> np.ndarray:
+    """Bilinear resize with half-pixel-center sampling (the semantics of
+    torch's ``interpolate(mode='bilinear', align_corners=False)`` /
+    cv2.INTER_LINEAR — reference transforms/modules/pytorch.py:31-225
+    Resize). Pure numpy, fully vectorized; float32 accumulation,
+    round-half-away like uint8 casts in the reference stack.
+
+    The EXACT extraction path keeps nearest-neighbor
+    (:func:`resize_aspect_pad`) — template matching needs unresampled
+    glyphs; this exists for preprocessing parity and the multimodal
+    resize stage.
+    """
+    th, tw = target
+    h, w = image.shape[:2]
+    if (th, tw) == (h, w):
+        return image.copy()
+    # source coordinates of each target pixel center
+    ys = (np.arange(th, dtype=np.float64) + 0.5) * (h / th) - 0.5
+    xs = (np.arange(tw, dtype=np.float64) + 0.5) * (w / tw) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    img = image.astype(np.float64)
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    if np.issubdtype(image.dtype, np.integer):
+        return np.clip(np.round(out), 0, 255).astype(image.dtype)
+    return out.astype(image.dtype)
+
+
+def resize_bilinear_aspect_pad(
+    image: np.ndarray, target: tuple[int, int], pad_value: int = 255, symmetric: bool = True
+) -> tuple[np.ndarray, tuple[int, int, int, int]]:
+    """Aspect-preserving bilinear resize with padding — the reference's
+    Resize(preserve_aspect_ratio=True, symmetric_pad=True) contract
+    (transforms/modules/pytorch.py:31-225) with a real bilinear kernel;
+    same return shape as :func:`resize_aspect_pad`."""
+    th, tw = target
+    h, w = image.shape[:2]
+    scale = min(th / h, tw / w)
+    nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+    resized = resize_bilinear(image, (nh, nw))
+    pad_v, pad_h = th - nh, tw - nw
+    if symmetric:
+        top, left = int(np.ceil(pad_v / 2)), int(np.ceil(pad_h / 2))
+    else:
+        top, left = 0, 0
+    bottom, right = pad_v - top, pad_h - left
+    out = np.full((th, tw), pad_value, dtype=image.dtype)
+    out[top : top + nh, left : left + nw] = resized
+    return out, (top, bottom, left, right)

@@ -88,3 +88,56 @@ def test_resize_aspect_pad_and_remove_padding():
     )
     back = remove_padding_coords(content_box, (32, 32), pad)
     np.testing.assert_allclose(back, [[0, 0, 1, 1]], atol=1e-6)
+
+
+def test_resize_bilinear_semantics():
+    import numpy as np
+
+    from doctr_ray.geometry import resize_bilinear
+
+    # constant image stays constant at any size
+    img = np.full((10, 8), 77, dtype=np.uint8)
+    assert (resize_bilinear(img, (23, 5)) == 77).all()
+    # identity size -> identical
+    r = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert np.array_equal(resize_bilinear(r, (3, 4)), r)
+    # 2x upscale of a 2x2 checkerboard: half-pixel centers give the
+    # classic [a, 3/4a+1/4b, ...] pattern — hand-computed fixture
+    cb = np.array([[0, 100], [100, 0]], dtype=np.uint8)
+    up = resize_bilinear(cb, (4, 4))
+    assert up[0, 0] == 0 and up[3, 3] == 0
+    assert up[0, 3] == 100 and up[3, 0] == 100
+    assert up[1, 1] == up[2, 2] == 38  # 0.25-offset blend: 2*0.1875*100 = 37.5 -> 38
+    assert up[0, 1] == 25 and up[0, 2] == 75
+    # linear ramp is preserved exactly under bilinear (floats)
+    ramp = np.tile(np.linspace(0, 1, 16), (4, 1))
+    out = resize_bilinear(ramp, (4, 31))
+    rows_equal = np.allclose(out, out[0])
+    assert rows_equal
+    d = np.diff(out[0])
+    # interior stays exactly linear; edges clamp (replicate padding)
+    assert np.allclose(d[1:-1], d[1], atol=1e-9)
+
+
+def test_resize_bilinear_aspect_pad_contract():
+    import numpy as np
+
+    from doctr_ray.geometry import (
+        remove_padding_coords,
+        resize_aspect_pad,
+        resize_bilinear_aspect_pad,
+    )
+
+    img = np.random.RandomState(3).randint(0, 256, (30, 50), dtype=np.uint8)
+    out, pad = resize_bilinear_aspect_pad(img, (64, 64))
+    out_nn, pad_nn = resize_aspect_pad(img, (64, 64))
+    assert out.shape == (64, 64) and pad == pad_nn  # same geometry contract
+    # padding regions equal the pad value
+    top, bottom, left, right = pad
+    if top:
+        assert (out[:top] == 255).all()
+    if bottom:
+        assert (out[-bottom:] == 255).all()
+    # remove_padding_coords round-trips the content box
+    b = remove_padding_coords(np.array([[left / 64, top / 64, (64 - right) / 64, (64 - bottom) / 64]]), (64, 64), pad)
+    assert np.allclose(b, [[0, 0, 1, 1]], atol=1e-6)
