@@ -206,3 +206,209 @@ def render_document(page_exports: list[dict], fmt: str = "text", **kwargs) -> st
     if fmt not in renderers:
         raise ValueError(f"unknown fmt: {fmt}")
     return PAGE_BREAKS[fmt].join(renderers[fmt](p, **kwargs) for p in page_exports)
+
+
+# ------------------------------------------- reading-order page exports
+
+_MD_HEADINGS = {"title": "# ", "section_header": "## "}
+_LIST_ROLES = {"list_item"}
+
+
+def render_markdown_table(grid: list[list[str]], escape: bool = True) -> str:
+    """GitHub-style markdown table, first row as header
+    (MarkdownExporter.render_table, reference io/exporters.py:456-471)."""
+    if not grid or not grid[0]:
+        return ""
+
+    def cell(v: str) -> str:
+        v = escape_markdown(v) if escape else v
+        return v.replace("|", "\\|").replace("\n", " ").strip()
+
+    header = "| " + " | ".join(cell(v) for v in grid[0]) + " |"
+    sep = "| " + " | ".join("---" for _ in grid[0]) + " |"
+    rows = ["| " + " | ".join(cell(v) for v in row) + " |" for row in grid[1:]]
+    return "\n".join([header, sep, *rows])
+
+
+def ordered_line_words(line: dict, direction: str) -> list[dict]:
+    """A line's words in LOGICAL order: geometric left-to-right, reversed
+    for rtl (ordered_line_words, reference io/exporters.py:219-250)."""
+    words = sorted(line.get("words", []), key=lambda w: w["geometry"][0])
+    return list(reversed(words)) if direction == "rtl" else words
+
+
+def page_reading_order(
+    page_export: dict,
+    layout: list[dict] | None = None,
+    tables: list[dict] | None = None,
+    direction: str = "auto",
+):
+    """Order a page's lines (and tables) into labeled reading segments.
+
+    Returns (items, resolved_direction) where each item is either
+    ``("lines", [line dicts], normalized_label)`` or
+    ``("table", table_dict)``. The page_reading_order analog
+    (reference io/exporters.py:92-216): layout labels are assigned per
+    line by area coverage, ordering and segmentation run through the
+    reading-order module, floats (tables) interleave by geometry and
+    never merge.
+    """
+    from .reading_order import (
+        assign_layout_labels,
+        detect_text_direction,
+        normalize_layout_label,
+        resolve_reading_segments,
+    )
+
+    lines = [ln for block in page_export.get("blocks", []) for ln in block["lines"]]
+    tables = tables or []
+    geoms = [ln["geometry"] for ln in lines] + [t["geometry"] for t in tables]
+    if not geoms:
+        return [], "ltr"
+    if layout:
+        labels = assign_layout_labels(
+            [ln["geometry"] for ln in lines],
+            [r["geometry"] for r in layout],
+            [r["type"] for r in layout],
+        )
+    else:
+        labels = [None] * len(lines)
+    labels = list(labels) + ["Table"] * len(tables)
+    if direction == "auto":
+        texts = [w["value"] for ln in lines for w in ln.get("words", [])]
+        resolved = detect_text_direction(texts)
+    else:
+        resolved = direction
+    segments = resolve_reading_segments(geoms, labels=labels, direction=resolved)
+    items = []
+    for seg in segments:
+        if seg[0] >= len(lines):  # a table (floats never merge -> alone)
+            items.append(("table", tables[seg[0] - len(lines)]))
+        else:
+            items.append(
+                ("lines", [lines[i] for i in seg], normalize_layout_label(labels[seg[0]]))
+            )
+    return items, resolved
+
+
+def _walk_page(
+    page_export: dict,
+    spec: dict,
+    layout: list[dict] | None,
+    tables: list[dict] | None,
+    direction: str,
+    include_furniture: bool,
+    escape: bool,
+) -> str:
+    """The shared exporter walk (reference _PageTextExporter.export_page,
+    io/exporters.py:278-372): headings, grouped bullets, tables,
+    furniture filtering."""
+    from .reading_order import layout_label_role
+
+    items, resolved = page_reading_order(page_export, layout, tables, direction)
+    esc = spec["escape"] if escape else (lambda t: t)
+    finalize = spec.get("finalize", lambda t: t)
+    parts: list[str] = []
+    bullets: list[str] = []
+
+    def flush() -> None:
+        if bullets:
+            parts.append("\n".join(bullets))
+            bullets.clear()
+
+    for item in items:
+        if item[0] == "table":
+            flush()
+            rendered = spec["table"](item[1]["grid"], escape)
+            if rendered:
+                parts.append(rendered)
+            continue
+        _, seg_lines, label = item
+        role = layout_label_role(label)
+        if not include_furniture and role in ("header", "footer", "footnote"):
+            continue
+        line_texts = [
+            " ".join(esc(w["value"]) for w in ordered_line_words(ln, resolved))
+            for ln in seg_lines
+        ]
+        line_texts = [t for t in line_texts if t.strip()]
+        if not line_texts:
+            continue
+        if label in spec["headings"]:
+            flush()
+            parts.append(spec["headings"][label] + " ".join(line_texts))
+        elif label in _LIST_ROLES:
+            text = " ".join(line_texts)
+            bullets.append(spec["bullet"] + (finalize(text) if escape else text))
+        else:
+            flush()
+            parts.append("\n".join(finalize(t) if escape else t for t in line_texts))
+    flush()
+    return "\n\n".join(parts)
+
+
+_MD_SPEC = {
+    "headings": _MD_HEADINGS,
+    "bullet": "- ",
+    "escape": escape_markdown,
+    "table": render_markdown_table,
+    "page_break": "\n\n---\n\n",
+    "class_header": lambda c: f"**{c}**",
+}
+_ADOC_SPEC = {
+    "headings": {"title": "== ", "section_header": "=== "},
+    "bullet": "* ",
+    "escape": escape_asciidoc,
+    "finalize": _adoc_line,
+    "table": lambda grid, escape=True: render_asciidoc_table(grid),
+    "page_break": "\n\n<<<\n\n",
+    "class_header": lambda c: f"*{c}*",
+}
+_SPECS = {"markdown": _MD_SPEC, "md": _MD_SPEC, "asciidoc": _ADOC_SPEC, "adoc": _ADOC_SPEC}
+
+
+def export_page_as(
+    page_export: dict,
+    fmt: str = "markdown",
+    layout: list[dict] | None = None,
+    tables: list[dict] | None = None,
+    direction: str = "auto",
+    include_furniture: bool = True,
+    escape: bool = True,
+) -> str:
+    """Reading-order-aware page export (export_as_markdown /
+    export_as_asciidoc, reference io/exporters.py:911-1010): layout
+    labels become headings/bullets, tables interleave by geometry,
+    page furniture (headers/footers/footnotes) is droppable."""
+    if fmt not in _SPECS:
+        raise ValueError(f"unknown fmt: {fmt}")
+    return _walk_page(
+        page_export, _SPECS[fmt], layout, tables, direction, include_furniture, escape
+    )
+
+
+def export_document_as(page_exports: list[dict], fmt: str = "markdown", page_break: str | None = None, **kw) -> str:
+    """Document-level reading-order export (export_document, reference
+    io/exporters.py:396-412) with the format's page break."""
+    if fmt not in _SPECS:
+        raise ValueError(f"unknown fmt: {fmt}")
+    pb = _SPECS[fmt]["page_break"] if page_break is None else page_break
+    return pb.join(export_page_as(p, fmt, **kw) for p in page_exports)
+
+
+def export_kie_page_as(predictions: dict[str, list[dict]], fmt: str = "markdown") -> str:
+    """KIE page export: one section per class, predictions as bullets in
+    reading order (export_kie_page, reference io/exporters.py:374-394)."""
+    from .reading_order import sort_reading_order
+
+    if fmt not in _SPECS:
+        raise ValueError(f"unknown fmt: {fmt}")
+    spec = _SPECS[fmt]
+    parts = []
+    for class_name, preds in predictions.items():
+        if not preds:
+            continue
+        order = sort_reading_order([p["geometry"] for p in preds])
+        values = "\n".join(spec["bullet"] + spec["escape"](preds[i]["value"]) for i in order)
+        parts.append(f"{spec['class_header'](class_name)}\n\n{values}")
+    return "\n\n".join(parts)

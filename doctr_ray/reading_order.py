@@ -198,16 +198,21 @@ def _sort_key_order(boxes: np.ndarray) -> list[int]:
 
 
 def _find_cut(lo: np.ndarray, hi: np.ndarray, min_gap: float) -> float | None:
-    """Largest gap in [min(lo), max(hi)] crossed by no interval, or None."""
+    """FIRST gap in [min(lo), max(hi)] crossed by no interval, or None.
+
+    First (topmost/leftmost), not largest: a wide element above two
+    columns must be peeled off top-down so the columns underneath
+    become one v-cuttable region — cutting at the largest gap first
+    would split a column's tail (e.g. a trailing list item) away from
+    its column flow (reference fixture: exporters reading-order page).
+    """
     order = np.argsort(lo, kind="stable")
-    best_gap, best_pos = 0.0, None
     reach = -np.inf
     for i in order:
-        if reach > -np.inf and lo[i] - reach >= min_gap and lo[i] - reach > best_gap:
-            best_gap = float(lo[i] - reach)
-            best_pos = float((reach + lo[i]) / 2)
+        if reach > -np.inf and lo[i] - reach >= min_gap:
+            return float((reach + lo[i]) / 2)
         reach = max(reach, float(hi[i]))
-    return best_pos
+    return None
 
 
 def xy_cut_order(

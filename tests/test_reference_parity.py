@@ -425,3 +425,163 @@ def test_ref_columns_with_gutter():
         _box(0.55, 0.22, 0.95, 0.26),
     ]
     assert sort_reading_order(geoms) == [0, 1, 2, 3, 4, 5, 6]
+
+
+# ----------------------------------------------- exporter fixtures
+# reference tests/common/test_io_exporters.py:20-230, adapted to this
+# engine's export-dict surface (same geometries, same expected strings)
+
+from doctr_ray.exporters import (
+    export_document_as,
+    export_kie_page_as,
+    export_page_as,
+)
+
+
+def _word_at(text, x0, y0, x1, y1):
+    return {"value": text, "confidence": 0.95, "geometry": [x0, y0, x1, y1]}
+
+
+def _line_at(text, x0, y0, x1, y1, rtl=False):
+    words = text.split()
+    step = (x1 - x0) / max(len(words), 1)
+    geo = words[::-1] if rtl else words
+    return {
+        "geometry": [x0, y0, x1, y1],
+        "words": [
+            _word_at(w, x0 + i * step, y0, x0 + (i + 0.9) * step, y1)
+            for i, w in enumerate(geo)
+        ],
+    }
+
+
+def _reading_order_page():
+    # reference test_io_exporters.py:34-52
+    lines = [_line_at("A Two Column Study", 0.2, 0.05, 0.8, 0.09)]
+    lines += [_line_at(f"left line {i}", 0.08, 0.14 + 0.05 * i, 0.46, 0.17 + 0.05 * i) for i in range(3)]
+    lines += [_line_at(f"right line {i}", 0.54, 0.14 + 0.05 * i, 0.92, 0.17 + 0.05 * i) for i in range(3)]
+    lines += [_line_at("- item one", 0.08, 0.4, 0.46, 0.43), _line_at("Page 3 of 12", 0.4, 0.95, 0.6, 0.97)]
+    lines = [lines[i] for i in [5, 0, 8, 2, 4, 7, 1, 6, 3]]  # shuffled like the reference
+    layout = [
+        {"type": "Title", "geometry": [0.15, 0.04, 0.85, 0.1]},
+        {"type": "Text", "geometry": [0.06, 0.12, 0.48, 0.32]},
+        {"type": "Text", "geometry": [0.52, 0.12, 0.94, 0.32]},
+        {"type": "List-item", "geometry": [0.06, 0.38, 0.48, 0.45]},
+        {"type": "Page-footer", "geometry": [0.35, 0.94, 0.65, 0.98]},
+    ]
+    return {"blocks": [{"lines": lines}]}, layout
+
+
+def test_ref_page_export_as_markdown():
+    # reference test_io_exporters.py:71-94
+    export, layout = _reading_order_page()
+    md = export_page_as(export, "markdown", layout=layout)
+    parts = md.split("\n\n")
+    assert parts[0] == "# A Two Column Study"
+    assert parts[1] == "left line 0\nleft line 1\nleft line 2"
+    assert parts[2] == "- \\- item one"  # raw OCR dash escaped inside the bullet
+    assert parts[3] == "right line 0\nright line 1\nright line 2"
+    assert parts[4] == "Page 3 of 12"
+    assert "Page 3 of 12" not in export_page_as(export, "markdown", layout=layout, include_furniture=False)
+    # structural characters escaped by default, raw on request
+    plain = {"blocks": [{"lines": [_line_at("*bold* #tag [link]", 0.1, 0.1, 0.9, 0.15)]}]}
+    assert export_page_as(plain, "markdown") == "\\*bold\\* \\#tag \\[link\\]"
+    assert export_page_as(plain, "markdown", escape=False) == "*bold* #tag [link]"
+    assert export_page_as({"blocks": []}, "markdown") == ""
+
+
+def test_ref_page_export_as_markdown_rtl():
+    # reference test_io_exporters.py:96-107
+    lines = [
+        _line_at("النص في العمود الأيمن", 0.54, 0.1, 0.92, 0.14, rtl=True),
+        _line_at("النص في العمود الأيسر", 0.08, 0.1, 0.46, 0.14, rtl=True),
+    ]
+    export = {"blocks": [{"lines": lines}]}
+    assert export_page_as(export, "markdown") == "النص في العمود الأيمن\n\nالنص في العمود الأيسر"
+    assert export_page_as(export, "markdown", direction="ltr").startswith("الأيسر")
+
+
+def test_ref_page_export_with_tables():
+    # reference test_io_exporters.py:110-134
+    lines = [
+        _line_at("before the table", 0.1, 0.1, 0.9, 0.14),
+        _line_at("after the table", 0.1, 0.7, 0.9, 0.74),
+    ]
+    export = {"blocks": [{"lines": lines}]}
+    tables = [{"grid": [["Name", "Qty"], ["Bolt", "12|3"]], "geometry": [0.1, 0.55, 0.7, 0.65]}]
+    md = export_page_as(export, "markdown", tables=tables)
+    assert md.split("\n\n") == [
+        "before the table",
+        "| Name | Qty |\n| --- | --- |\n| Bolt | 12\\|3 |",
+        "after the table",
+    ]
+    adoc = export_page_as(export, "asciidoc", tables=tables)
+    assert "|===\n|Name |Qty\n\n|Bolt |12\\|3\n|===" in adoc
+    assert adoc.index("before the table") < adoc.index("|===") < adoc.index("after the table")
+
+
+def test_ref_page_export_as_asciidoc():
+    # reference test_io_exporters.py:136-143
+    export, layout = _reading_order_page()
+    parts = export_page_as(export, "asciidoc", layout=layout).split("\n\n")
+    assert parts[0] == "== A Two Column Study"
+    assert parts[2] == "* {empty}- item one"
+    assert "Page 3 of 12" not in export_page_as(export, "asciidoc", layout=layout, include_furniture=False)
+
+
+def test_ref_document_export_as_markdown():
+    # reference test_io_exporters.py:157-176
+    pages = [
+        {"blocks": [{"lines": [_line_at(f"page {i} content", 0.1, 0.1, 0.9, 0.15)]}]}
+        for i in range(2)
+    ]
+    assert export_document_as(pages, "markdown") == "page 0 content\n\n---\n\npage 1 content"
+    assert export_document_as(pages, "asciidoc") == "page 0 content\n\n<<<\n\npage 1 content"
+    assert export_document_as(pages, "markdown", page_break="\n\n") == "page 0 content\n\npage 1 content"
+    with pytest.raises(ValueError):
+        export_document_as(pages, "pdf")
+
+
+def test_ref_kie_page_export_as_markdown():
+    # reference test_io_exporters.py:179-193
+    preds = {
+        "words": [
+            {"value": "second", "geometry": [0.1, 0.5, 0.9, 0.6]},
+            {"value": "first", "geometry": [0.1, 0.1, 0.9, 0.2]},
+        ]
+    }
+    assert export_kie_page_as(preds, "markdown") == "**words**\n\n- first\n- second"
+    assert export_kie_page_as(preds, "asciidoc") == "*words*\n\n* first\n* second"
+    with pytest.raises(ValueError):
+        export_kie_page_as(preds, "yaml")
+
+
+def test_ref_page_export_as_markdown_list_items():
+    # reference test_io_exporters.py:196-235
+    lines = [_line_at(f"item number {i}", 0.1, 0.1 + 0.1 * i, 0.5, 0.13 + 0.1 * i) for i in range(3)]
+    layout = [
+        {"type": "List-item", "geometry": [0.08, 0.09 + 0.1 * i, 0.52, 0.14 + 0.1 * i]}
+        for i in range(3)
+    ]
+    export = {"blocks": [{"lines": lines}]}
+    assert export_page_as(export, "markdown", layout=layout) == (
+        "- item number 0\n- item number 1\n- item number 2"
+    )
+    assert export_page_as(export, "asciidoc", layout=layout) == (
+        "* item number 0\n* item number 1\n* item number 2"
+    )
+    # one item wrapped over three visual lines -> ONE bullet
+    lines = [
+        _line_at("first item wrapping over", 0.1, 0.10, 0.9, 0.13),
+        _line_at("several visual lines here", 0.1, 0.14, 0.9, 0.17),
+        _line_at("until it finally ends", 0.1, 0.18, 0.6, 0.21),
+        _line_at("second short item", 0.1, 0.26, 0.5, 0.29),
+    ]
+    layout = [
+        {"type": "List-item", "geometry": [0.08, 0.09, 0.92, 0.22]},
+        {"type": "List-item", "geometry": [0.08, 0.25, 0.52, 0.30]},
+    ]
+    export = {"blocks": [{"lines": lines}]}
+    assert export_page_as(export, "markdown", layout=layout) == (
+        "- first item wrapping over several visual lines here until it finally ends\n- second short item"
+    )
