@@ -51,6 +51,7 @@ class PredictorConfig:
     assume_straight_pages: bool = True
     detect_orientation: bool = False
     straighten_pages: bool = False
+    detect_language: bool = False
     keep_reading_order: bool = False
     kie: bool = False
 
@@ -122,7 +123,15 @@ class OCRPredictor:
                 rel[:, 4],
                 keep_reading_order=self.cfg.keep_reading_order,
             )
-            exports.append(built.export)
+            export = built.export
+            if self.cfg.detect_language:
+                # per-page language attach (reference ocr_predictor
+                # detect_language flag, models/predictor/pytorch.py)
+                from .functions.text import get_language
+
+                lang, lang_conf = get_language(" ".join(t for t, _ in preds))
+                export["language"] = {"value": lang, "confidence": lang_conf}
+            exports.append(export)
         return exports
 
     def render(self, pages: list[np.ndarray], page_break: str = "\n\n\n\n") -> str:
@@ -146,6 +155,7 @@ def ocr_predictor(
     assume_straight_pages: bool = True,
     detect_orientation: bool = False,
     straighten_pages: bool = False,
+    detect_language: bool = False,
     keep_reading_order: bool = False,
     **kwargs,
 ) -> OCRPredictor:
@@ -163,6 +173,7 @@ def ocr_predictor(
             assume_straight_pages=assume_straight_pages,
             detect_orientation=detect_orientation,
             straighten_pages=straighten_pages,
+            detect_language=detect_language,
             keep_reading_order=keep_reading_order,
         )
     )

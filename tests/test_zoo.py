@@ -72,3 +72,16 @@ def test_kie_predictor_dataset(ray_session):
     out = kie_predictor()(rd.from_arrow(docs)).to_pandas()
     assert (out["class_name"] == "words").any()
     assert sorted(out.loc[out["class_name"] == "words", "value"]) == sorted(WORDS)
+
+
+def test_detect_language_flag():
+    from doctr_ray.functions.text import LANG_MARKERS
+
+    lang_words = list(LANG_MARKERS["en"])[:6]
+    page = rasterize_synth(encode_media_ref(" ".join(lang_words), 640, 480))[0]
+    p = ocr_predictor(detect_language=True)
+    export = p.forward_pages([page.image])[0]
+    assert export["language"]["value"] == "en"
+    assert export["language"]["confidence"] > 0
+    # flag off -> no language key (export shape unchanged)
+    assert "language" not in ocr_predictor().forward_pages([page.image])[0]
