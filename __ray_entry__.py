@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             [t for t, _ in preds2],
                             [c for _, c in preds2],
                             rel2[:, 4],
+                            with_export=False,  # re-extract needs text only
                         )
                         from doctr_ray.builder import page_text
 

@@ -211,12 +211,16 @@ def build_page(
     do_resolve_blocks: bool = False,
     paragraph_break: float = PARAGRAPH_BREAK,
     keep_reading_order: bool = False,
+    with_export: bool = True,
 ) -> BuiltPage:
     """Assemble one page, mirroring ``DocumentBuilder.__call__``'s
     word->line->block path (reference: models/builder.py:582-811).
 
     ``do_resolve_blocks`` defaults False like the reference
-    (builder.py:55), yielding one block per page.
+    (builder.py:55), yielding one block per page. ``with_export=False``
+    skips building the nested Page.export() dict — the text hot path
+    only needs order/line ids, and the per-word dict construction is
+    ~15% of the page budget.
     ``keep_reading_order`` re-orders the resolved lines with the
     column-aware reading-order module (reference: builder.py:659-689
     _apply_reading_order) — columns read fully before the next.
@@ -259,31 +263,34 @@ def build_page(
                 order.append(w)
                 line_ids.append(li)
                 block_ids.append(bi)
-                words.append(
+                if with_export:
+                    words.append(
+                        {
+                            "value": texts[w],
+                            "confidence": float(confidences[w]),
+                            "geometry": [float(v) for v in sboxes[w]],
+                            "objectness_score": float(objectness[w]),
+                        }
+                    )
+            if with_export:
+                geom = resolve_enclosing_bbox(sboxes[line])
+                blk_lines.append(
                     {
-                        "value": texts[w],
-                        "confidence": float(confidences[w]),
-                        "geometry": [float(v) for v in sboxes[w]],
-                        "objectness_score": float(objectness[w]),
+                        "geometry": [float(v) for v in geom],
+                        "objectness_score": float(np.mean([objectness[w] for w in line])),
+                        "words": words,
                     }
                 )
-            geom = resolve_enclosing_bbox(sboxes[line])
-            blk_lines.append(
+            li += 1
+        if with_export and blk_lines:
+            bgeom = resolve_enclosing_bbox(np.stack([np.asarray(l["geometry"]) for l in blk_lines]))
+            export_blocks.append(
                 {
-                    "geometry": [float(v) for v in geom],
-                    "objectness_score": float(np.mean([objectness[w] for w in line])),
-                    "words": words,
+                    "geometry": [float(v) for v in bgeom],
+                    "objectness_score": float(np.mean([l["objectness_score"] for l in blk_lines])),
+                    "lines": blk_lines,
                 }
             )
-            li += 1
-        bgeom = resolve_enclosing_bbox(np.stack([np.asarray(l["geometry"]) for l in blk_lines]))
-        export_blocks.append(
-            {
-                "geometry": [float(v) for v in bgeom],
-                "objectness_score": float(np.mean([l["objectness_score"] for l in blk_lines])),
-                "lines": blk_lines,
-            }
-        )
     return BuiltPage(
         order=order,
         line_ids=line_ids,

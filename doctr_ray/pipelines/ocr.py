@@ -265,6 +265,7 @@ def media_to_ocr_span(
             [rows["confidence"][i] for i in np.flatnonzero(m)],
             np.asarray(rows["score"])[m],
             keep_reading_order=keep_reading_order,
+            with_export=False,  # text path: order/line ids only
         )
         pt = page_text(built, p_texts, word_sep=" ", line_sep=" ")
         if pt:
@@ -630,7 +631,8 @@ def _assemble_doc(g: pd.DataFrame, keep_reading_order: bool = False) -> list[dic
             confs = list(pw["confidence"])
             objs = pw["score"].to_numpy(dtype=np.float32)
             built = build_page(
-                boxes, texts, confs, objs, keep_reading_order=keep_reading_order
+                boxes, texts, confs, objs, keep_reading_order=keep_reading_order,
+                with_export=False,
             )
             pt = page_text(built, texts, word_sep=" ", line_sep=" ")
             if pt:
