@@ -55,6 +55,7 @@ from ..detection import detect_page
 from ..geometry import extract_crops
 from ..media import rasterize_synth
 from ..recognition import GlyphRecognizer, merge_multi_strings, split_crop_spans
+from ..sources.readers import rasterize_media
 
 # ---------------------------------------------------------------- schemas
 
@@ -159,7 +160,7 @@ def process_media_row(
         "page_idx": [], "word_idx": [], "x0": [], "y0": [], "x1": [], "y1": [],
         "score": [], "confidence": [],
     }
-    pages = rasterize_synth(media_ref)
+    pages = rasterize_media(media_ref)
     for page_idx, page in enumerate(pages):
         image = page.image
         if detect_orientation:
@@ -408,7 +409,7 @@ def rasterize_batch(batch: pa.Table) -> pa.Table:
     ):
         if ref.startswith(HTML_PREFIX):
             continue
-        for pi, page in enumerate(rasterize_synth(ref)):
+        for pi, page in enumerate(rasterize_media(ref)):
             cols["doc_id"].append(did)
             cols["media_ref"].append(ref)
             cols["offset"].append(off)

@@ -1,0 +1,349 @@
+"""Pure-stdlib image codecs: PNG (zlib), BMP, PNM — no cv2/PIL needed.
+
+Implements the subset of ``read_img_as_numpy`` (reference:
+io/image/base.py:16-54) that is expressible without native decoder
+libraries, so real encoded images — not just ``synth://`` assets — can
+flow through the extraction pipeline in this container:
+
+- **PNG**: non-interlaced, bit depth 1/2/4/8, gray / RGB / RGBA /
+  palette (+tRNS), all five scanline filters. Decode is numpy-vectorized
+  per row (Sub/Paeth need the sequential pass the format mandates; Up /
+  Average-without-left / None are whole-row ops). Adam7 interlacing and
+  16-bit channels raise with a clear message (rare for document scans).
+- **BMP**: uncompressed (BI_RGB) 8-bit palette / 24-bit / 32-bit,
+  bottom-up or top-down.
+- **PNM**: P1-P6 (ASCII + binary bitmap/gray/RGB), maxval <= 255.
+- **JPEG**: genuinely requires a DCT decoder library — the stub raises
+  naming the dependency (reference io/image/base.py uses cv2.imdecode).
+
+``encode_png`` writes non-interlaced 8-bit gray/RGB PNGs (filter 0),
+giving the engine a dependency-free lossless interchange format for
+crops / page dumps beside the PGM path in visualization.py.
+
+Scale note: decoding runs inside ``map_batches`` tasks — one page per
+row, bytes in / array out — so the cost is embarrassingly parallel and
+never touches the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------- PNG decode
+
+
+def _png_chunks(data: bytes):
+    pos = 8
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        yield ctype, data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+
+
+def _unpack_bits(row: np.ndarray, bit_depth: int, width: int) -> np.ndarray:
+    """Expand a packed scanline (bit depth 1/2/4) to one sample per pixel."""
+    if bit_depth == 8:
+        return row[:width]
+    bits = np.unpackbits(row)
+    if bit_depth == 1:
+        return bits[:width]
+    per = 8 // bit_depth
+    # regroup consecutive bit_depth bits into sample values, MSB first
+    bits = bits[: (len(row) * per) * bit_depth].reshape(-1, bit_depth)
+    weights = 1 << np.arange(bit_depth - 1, -1, -1)
+    return (bits * weights).sum(axis=1).astype(np.uint8)[:width]
+
+
+def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filtering. raw: (height, 1+stride) uint8.
+
+    None/Up/Sub are whole-row numpy ops (Sub = modular cumsum per byte
+    lane); Average/Paeth keep the per-pixel pass their left+upper-left
+    dependency chain mandates.
+    """
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    lanes = stride // bpp * bpp
+    for y in range(height):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].copy()
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub — uint8 cumsum wraps mod 256, per byte lane
+            line[:lanes] = np.cumsum(
+                line[:lanes].reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        elif ftype == 2:  # Up
+            line = (line.astype(np.int16) + prior).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + ((left + int(prior[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                cl = int(prior[x - bpp]) if x >= bpp else 0
+                p = left + int(prior[x]) - cl
+                pa, pb, pc = abs(p - left), abs(p - int(prior[x])), abs(p - cl)
+                if pa <= pb and pa <= pc:
+                    pred = left
+                elif pb <= pc:
+                    pred = int(prior[x])
+                else:
+                    pred = cl
+                line[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = line
+        prior = line
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H,W) uint8 gray or (H,W,3|4) uint8 color array."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    width = height = None
+    bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    palette: np.ndarray | None = None
+    trns: bytes | None = None
+    for ctype, cdata in _png_chunks(data):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", cdata
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(cdata, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = cdata
+        elif ctype == b"IDAT":
+            idat.extend(cdata)
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported (re-encode non-interlaced)")
+    if bit_depth == 16:
+        raise NotImplementedError("16-bit PNG not supported (document scans are 8-bit)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color_type}")
+    if color_type != 0 and color_type != 3 and bit_depth != 8:
+        raise NotImplementedError(f"bit depth {bit_depth} with color type {color_type}")
+
+    raw = zlib.decompress(bytes(idat))
+    bits_per_px = bit_depth * channels
+    stride = (width * bits_per_px + 7) // 8
+    bpp = max(1, bits_per_px // 8)
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    if arr.size != height * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    flat = _unfilter(arr.reshape(height, stride + 1), height, stride, bpp)
+
+    if bit_depth < 8:  # gray or palette, packed
+        rows = [_unpack_bits(flat[y], bit_depth, width) for y in range(height)]
+        samples = np.stack(rows)
+        if color_type == 0:
+            # scale sample to full 0..255 range (PNG spec sample expansion)
+            scale = 255 // ((1 << bit_depth) - 1)
+            return (samples * scale).astype(np.uint8)
+        # palette
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return _apply_palette(samples, palette, trns)
+    pixels = flat.reshape(height, stride)[:, : width * channels].reshape(height, width, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return _apply_palette(pixels[:, :, 0], palette, trns)
+    if channels == 1:
+        return pixels[:, :, 0]
+    if channels == 2:  # gray + alpha
+        out = np.empty((height, width, 4), np.uint8)
+        out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = pixels[:, :, 0]
+        out[:, :, 3] = pixels[:, :, 1]
+        return out
+    return pixels  # RGB / RGBA
+
+
+def _apply_palette(idx: np.ndarray, palette: np.ndarray, trns: bytes | None) -> np.ndarray:
+    rgb = palette[idx]
+    if trns is None:
+        return rgb
+    alpha_lut = np.full(len(palette), 255, np.uint8)
+    alpha_lut[: len(trns)] = np.frombuffer(trns, np.uint8)
+    return np.dstack([rgb, alpha_lut[idx]])
+
+
+# ---------------------------------------------------------------- PNG encode
+
+
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+    """(H,W) gray or (H,W,3) RGB uint8 -> non-interlaced PNG bytes."""
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_png expects uint8")
+    if arr.ndim == 2:
+        color_type, pixels = 0, arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type, pixels = 2, arr
+    else:
+        raise ValueError("encode_png supports (H,W) gray or (H,W,3) RGB")
+    h, w, c = pixels.shape
+    # filter 0 on every scanline: prepend the filter byte per row
+    lines = np.zeros((h, 1 + w * c), np.uint8)
+    lines[:, 1:] = pixels.reshape(h, w * c)
+    compressed = zlib.compress(lines.tobytes(), level)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", compressed) + chunk(b"IEND", b"")
+
+
+# ---------------------------------------------------------------------- BMP
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes -> (H,W) gray or (H,W,3) RGB uint8. BI_RGB only."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    width, height = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression}) not supported")
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * bpp // 8 + 3) & ~3
+    px = np.frombuffer(data, np.uint8, count=height * stride, offset=data_off)
+    px = px.reshape(height, stride)
+    if not top_down:
+        px = px[::-1]
+    if bpp == 24 or bpp == 32:
+        n = bpp // 8
+        bgr = px[:, : width * n].reshape(height, width, n)
+        return bgr[:, :, 2::-1].copy()  # BGR(A) -> RGB
+    if bpp == 8:
+        (used,) = struct.unpack("<I", data[46:50])
+        n_colors = used or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(data, np.uint8, count=n_colors * 4, offset=pal_off).reshape(-1, 4)
+        rgb_pal = pal[:, 2::-1]  # BGRX -> RGB
+        idx = px[:, :width]
+        rgb = rgb_pal[idx]
+        if np.all(rgb[:, :, 0] == rgb[:, :, 1]) and np.all(rgb[:, :, 1] == rgb[:, :, 2]):
+            return rgb[:, :, 0].copy()  # grayscale palette
+        return rgb.copy()
+    raise NotImplementedError(f"{bpp}-bit BMP not supported")
+
+
+# ---------------------------------------------------------------------- PNM
+
+
+def _pnm_tokens(data: bytes):
+    """Yield whitespace-separated header tokens, skipping # comments."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        ch = data[pos : pos + 1]
+        if ch.isspace():
+            pos += 1
+        elif ch == b"#":
+            while pos < n and data[pos : pos + 1] != b"\n":
+                pos += 1
+        else:
+            start = pos
+            while pos < n and not data[pos : pos + 1].isspace() and data[pos : pos + 1] != b"#":
+                pos += 1
+            yield data[start:pos], pos
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """PNM (P1-P6) bytes -> (H,W) gray or (H,W,3) RGB uint8."""
+    toks = _pnm_tokens(data)
+    magic, _ = next(toks)
+    if magic not in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
+        raise ValueError(f"not a PNM: {magic!r}")
+    kind = int(magic[1:])
+    w, _ = next(toks)
+    h, pos = next(toks)
+    width, height = int(w), int(h)
+    maxval = 1
+    if kind not in (1, 4):
+        mv, pos = next(toks)
+        maxval = int(mv)
+        if maxval > 255:
+            raise NotImplementedError("16-bit PNM not supported")
+    if kind in (1, 2, 3):  # ASCII
+        vals = []
+        if kind == 1:
+            rest = data[pos:].translate(None, b" \t\r\n")
+            vals = np.frombuffer(rest[: width * height], np.uint8) - ord("0")
+            arr = (1 - vals.astype(np.uint8)) * 255  # PBM: 1 = black
+            return arr.reshape(height, width)
+        body = data[pos:].split()
+        vals = np.array([int(v) for v in body], dtype=np.int32)
+        arr = (vals * 255 // maxval).astype(np.uint8)
+        if kind == 2:
+            return arr[: width * height].reshape(height, width)
+        return arr[: width * height * 3].reshape(height, width, 3)
+    # binary: single whitespace after header
+    body = data[pos + 1 :]
+    if kind == 4:
+        stride = (width + 7) // 8
+        bits = np.unpackbits(
+            np.frombuffer(body, np.uint8, count=height * stride).reshape(height, stride), axis=1
+        )[:, :width]
+        return ((1 - bits) * 255).astype(np.uint8)  # 1 = black
+    count = width * height * (3 if kind == 6 else 1)
+    arr = np.frombuffer(body, np.uint8, count=count)
+    if maxval != 255:
+        arr = (arr.astype(np.int32) * 255 // maxval).astype(np.uint8)
+    if kind == 5:
+        return arr.reshape(height, width)
+    return arr.reshape(height, width, 3)
+
+
+# ------------------------------------------------------------------ dispatch
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode PNG/BMP/PNM by magic bytes -> uint8 array (gray or color)."""
+    if data[:8] == PNG_SIG:
+        return decode_png(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if len(data) >= 2 and data[0:1] == b"P" and data[1:2] in b"123456":
+        return decode_pnm(data)
+    if data[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "JPEG decoding requires cv2 or PIL (not in this container); "
+            "re-encode as PNG/BMP/PNM or install a decoder"
+        )
+    raise ValueError(f"unrecognized image format (magic {data[:4]!r})")
+
+
+def to_gray(arr: np.ndarray) -> np.ndarray:
+    """Color -> ITU-R BT.601 luma in integer math; gray passes through."""
+    if arr.ndim == 2:
+        return arr
+    rgb = arr[:, :, :3].astype(np.uint32)
+    return ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000).astype(
+        np.uint8
+    )

@@ -4,13 +4,14 @@ Mirrors the reference's reader dispatch (reference: io/reader.py:24-79
 ``DocumentFile.from_pdf/from_url/from_images``; io/pdf.py:16-43
 ``read_pdf`` via pypdfium2 at scale=2; io/image/base.py:16-54
 ``read_img_as_numpy`` via cv2; io/html.py:11-26 ``read_html`` via
-weasyprint). None of those decoders exist in this container, so each
-real-format branch is a clearly-marked stub raising
-``NotImplementedError`` with the exact dependency needed; the
-``synth://`` branch is fully implemented and is what every pipeline and
-test exercises. The Ray-side plumbing (one media row in -> N page rows
-out, binary image column + height/width metadata) is identical for all
-branches, so dropping in a real decoder later changes no schema.
+weasyprint). PDF rasterization and JPEG genuinely require native
+decoders absent from this container (clearly-marked stubs name the
+dependency), but **PNG/BMP/PNM images decode for real** via the
+pure-stdlib codecs in ``imagecodec`` — a ``file://page.png`` media_ref
+runs the full detect→recognize→build pipeline. The ``synth://`` branch
+is the deterministic ground-truth renderer every oracle exercises. The
+Ray-side plumbing (one media row in -> N page rows out, binary image
+column + height/width metadata) is identical for all branches.
 """
 
 from __future__ import annotations
@@ -18,6 +19,9 @@ from __future__ import annotations
 import numpy as np
 
 from ..media import SYNTH_PREFIX, PageGT, rasterize_synth
+from .imagecodec import decode_image, to_gray
+
+FILE_PREFIX = "file://"
 
 
 def read_pdf(file: bytes | str, scale: int = 2) -> list[np.ndarray]:
@@ -32,13 +36,26 @@ def read_pdf(file: bytes | str, scale: int = 2) -> list[np.ndarray]:
 
 
 def read_image(data: bytes, output_size: tuple[int, int] | None = None) -> np.ndarray:
-    """Decode an encoded image (PNG/JPEG). STUB — needs cv2/PIL.
+    """Decode an encoded image to uint8 pixels (reference:
+    io/image/base.py:16-54 ``read_img_as_numpy``).
 
-    reference: io/image/base.py:16-54.
+    PNG/BMP/PNM decode via the pure-stdlib codecs; JPEG raises naming
+    the missing native decoder. ``output_size`` (H, W) resizes with the
+    engine's half-pixel-center bilinear kernel (the reference uses
+    cv2.resize INTER_LINEAR — same convention).
     """
-    raise NotImplementedError(
-        "real image decoding requires cv2 or PIL (not in this container)"
-    )
+    arr = decode_image(data)
+    if output_size is not None:
+        from ..geometry import resize_bilinear
+
+        if arr.ndim == 3:
+            arr = np.stack(
+                [resize_bilinear(arr[:, :, c], output_size) for c in range(arr.shape[2])],
+                axis=2,
+            )
+        else:
+            arr = resize_bilinear(arr, output_size)
+    return arr
 
 
 def read_html(url: str) -> bytes:
@@ -90,5 +107,13 @@ def rasterize_media(media_ref: str) -> list[PageGT]:
         read_pdf(media_ref)
     if media_ref.startswith("http://") or media_ref.startswith("https://"):
         read_html(media_ref)
-    read_image(b"")
-    raise AssertionError("unreachable")
+    if media_ref.startswith(FILE_PREFIX):
+        # real encoded image on disk (PNG/BMP/PNM): decode, fold to the
+        # engine's grayscale page frame; no ground truth attaches
+        with open(media_ref[len(FILE_PREFIX) :], "rb") as f:
+            data = f.read()
+        return [PageGT(image=to_gray(read_image(data)), words=[])]
+    raise ValueError(
+        f"unsupported media_ref {media_ref!r}: expected synth://, "
+        "synthhtml://, file://<png|bmp|pnm>, pdf://, or http(s)://"
+    )

@@ -1,0 +1,279 @@
+"""Pure-stdlib image codecs (PNG/BMP/PNM) — decode correctness against
+hand-built encodings, encode round-trips, and the file:// media path
+feeding the real OCR pipeline (reference: io/image/base.py:16-54
+read_img_as_numpy; io/reader.py:24-79 DocumentFile)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from doctr_ray.sources.imagecodec import (
+    PNG_SIG,
+    decode_bmp,
+    decode_image,
+    decode_png,
+    decode_pnm,
+    encode_png,
+    to_gray,
+)
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+# ------------------------------------------------------------ PNG round-trip
+
+
+def test_png_roundtrip_gray():
+    img = _rng().integers(0, 256, size=(37, 53), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_roundtrip_rgb():
+    img = _rng(1).integers(0, 256, size=(21, 34, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_decode_image_dispatch():
+    img = _rng(2).integers(0, 256, size=(5, 5), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+
+
+# ------------------------------------- PNG filters (forward-filter in test)
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc_:
+        return a
+    if pb <= pc_:
+        return b
+    return c
+
+
+def _forward_filter(pixels: np.ndarray, ftypes: list[int], channels: int) -> bytes:
+    """Apply the PNG forward filters row by row (the encoder side the
+    decoder must invert)."""
+    h, w = pixels.shape[:2]
+    flat = pixels.reshape(h, w * channels).astype(np.int32)
+    bpp = channels
+    out = bytearray()
+    prior = np.zeros(w * channels, dtype=np.int32)
+    for y in range(h):
+        line = flat[y]
+        ft = ftypes[y % len(ftypes)]
+        out.append(ft)
+        for x in range(w * channels):
+            left = int(line[x - bpp]) if x >= bpp else 0
+            up = int(prior[x])
+            ul = int(prior[x - bpp]) if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = _paeth(left, up, ul)
+            out.append((int(line[x]) - pred) & 0xFF)
+        prior = line
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftypes", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_png_all_filters(ftypes, channels):
+    shape = (11, 17) if channels == 1 else (11, 17, 3)
+    img = _rng(sum(ftypes) * 10 + channels).integers(0, 256, size=shape, dtype=np.uint8)
+    color_type = 0 if channels == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", 17, 11, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(_forward_filter(img, ftypes, channels))
+    png = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
+    assert np.array_equal(decode_png(png), img)
+
+
+def test_png_1bit_gray():
+    # 1-bit bilevel: 10 px wide -> packed 2 bytes per row, filter 0
+    img_bits = np.array(
+        [[1, 0, 1, 1, 0, 0, 1, 0, 1, 1], [0, 1, 0, 0, 1, 1, 0, 1, 0, 0]], dtype=np.uint8
+    )
+    rows = bytearray()
+    for y in range(2):
+        rows.append(0)
+        packed = np.packbits(img_bits[y])
+        rows.extend(packed.tobytes())
+    ihdr = struct.pack(">IIBBBBB", 10, 2, 1, 0, 0, 0, 0)
+    png = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), img_bits * 255)
+
+
+def test_png_palette():
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    rows = bytearray()
+    for y in range(2):
+        rows.append(0)
+        rows.extend(idx[y].tobytes())
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    png = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), pal[idx])
+
+
+def test_png_interlaced_rejected():
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    png = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(png)
+
+
+def test_jpeg_rejected_with_dependency_name():
+    with pytest.raises(NotImplementedError, match="cv2 or PIL"):
+        decode_image(b"\xff\xd8\xff\xe0rest")
+
+
+# ---------------------------------------------------------------------- BMP
+
+
+def _make_bmp24(img: np.ndarray, top_down: bool = False) -> bytes:
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = img if top_down else img[::-1]
+    body = bytearray()
+    for y in range(h):
+        line = rows[y][:, ::-1].tobytes()  # RGB -> BGR
+        body.extend(line + b"\x00" * (stride - len(line)))
+    hdr_h = -h if top_down else h
+    info = struct.pack("<IiiHHIIiiII", 40, w, hdr_h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    off = 14 + 40
+    filehdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return filehdr + info + bytes(body)
+
+
+def test_bmp24_bottom_up_and_top_down():
+    img = _rng(3).integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(_make_bmp24(img)), img)
+    assert np.array_equal(decode_bmp(_make_bmp24(img, top_down=True)), img)
+
+
+def test_bmp8_gray_palette():
+    img = _rng(4).integers(0, 256, size=(6, 6), dtype=np.uint8)
+    h, w = img.shape
+    stride = (w + 3) & ~3
+    pal = bytearray()
+    for v in range(256):
+        pal.extend(bytes([v, v, v, 0]))  # BGRX gray ramp
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body.extend(img[y].tobytes() + b"\x00" * (stride - w))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 0, 0, 256, 0)
+    off = 14 + 40 + len(pal)
+    filehdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    data = filehdr + info + bytes(pal) + bytes(body)
+    assert np.array_equal(decode_bmp(data), img)
+
+
+# ---------------------------------------------------------------------- PNM
+
+
+def test_pnm_binary_gray_and_rgb():
+    g = _rng(5).integers(0, 256, size=(4, 9), dtype=np.uint8)
+    data = b"P5 9 4 255\n" + g.tobytes()
+    assert np.array_equal(decode_pnm(data), g)
+    c = _rng(6).integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    data = b"P6\n# comment\n4 3\n255\n" + c.tobytes()
+    assert np.array_equal(decode_pnm(data), c)
+
+
+def test_pnm_ascii():
+    data = b"P2 3 2 255\n0 128 255\n10 20 30\n"
+    assert np.array_equal(decode_pnm(data), np.array([[0, 128, 255], [10, 20, 30]], np.uint8))
+    data = b"P3 2 1 255\n1 2 3 4 5 6\n"
+    assert np.array_equal(decode_pnm(data), np.array([[[1, 2, 3], [4, 5, 6]]], np.uint8))
+
+
+def test_pnm_bitmaps():
+    # P4: packed, 1 = black
+    bits = np.array([[1, 0, 1, 0, 1, 0, 1, 0, 1]], np.uint8)
+    data = b"P4 9 1\n" + np.packbits(bits).tobytes()
+    assert np.array_equal(decode_pnm(data), (1 - bits) * 255)
+    data = b"P1 3 1\n1 0 1\n"
+    assert np.array_equal(decode_pnm(data), np.array([[0, 255, 0]], np.uint8))
+
+
+def test_pnm_maxval_scaling():
+    data = b"P5 2 1 100\n" + bytes([0, 100])
+    assert np.array_equal(decode_pnm(data), np.array([[0, 255]], np.uint8))
+
+
+# -------------------------------------------------------------------- misc
+
+
+def test_to_gray_known_values():
+    rgb = np.array([[[255, 255, 255], [0, 0, 0], [255, 0, 0]]], np.uint8)
+    g = to_gray(rgb)
+    assert g[0, 0] == 255 and g[0, 1] == 0 and g[0, 2] == 76  # 299*255//1000
+    gray = np.array([[5, 6]], np.uint8)
+    assert to_gray(gray) is gray
+
+
+def test_bad_magic_rejected():
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_image(b"\x00\x01\x02\x03junk")
+
+
+# ------------------------------------------- file:// media -> real pipeline
+
+
+def test_file_png_media_runs_full_ocr(tmp_path):
+    """A real PNG on disk flows through rasterize_media -> detect ->
+    recognize and reconstructs the exact rendered text."""
+    from doctr_ray.media import encode_media_ref, rasterize_synth, synth_ground_truth_text
+    from doctr_ray.pipelines.ocr import process_media_row
+    from doctr_ray.recognition import GlyphRecognizer
+    from doctr_ray.sources.readers import rasterize_media
+
+    ref = encode_media_ref("quick brown fox jumps over the lazy dog again and again", 640, 480)
+    page = rasterize_synth(ref)[0]
+    png_path = tmp_path / "page.png"
+    png_path.write_bytes(encode_png(page.image))
+
+    pages = rasterize_media(f"file://{png_path}")
+    assert len(pages) == 1
+    assert np.array_equal(pages[0].image, page.image)
+
+    rows = process_media_row("d0", f"file://{png_path}", 0, GlyphRecognizer())
+    got = " ".join(rows["text"])
+    assert got == synth_ground_truth_text(ref)
+
+
+def test_file_bmp_media_decodes(tmp_path):
+    from doctr_ray.sources.readers import rasterize_media
+
+    img = _rng(8).integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    p = tmp_path / "x.bmp"
+    p.write_bytes(_make_bmp24(img))
+    pages = rasterize_media(f"file://{p}")
+    assert pages[0].image.shape == (16, 12)
+    assert np.array_equal(pages[0].image, to_gray(img))

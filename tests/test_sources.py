@@ -59,13 +59,20 @@ def test_docs_source_lance_branch_parity(ray_session, tmp_path, monkeypatch):
 
 
 def test_real_format_stubs_name_their_dependency():
+    # PDF rasterization and JPEG still need native decoders; PNG/BMP/PNM
+    # are REAL now (tests/test_imagecodec.py) — only genuinely
+    # library-bound formats may stub, and each names its dependency
     with pytest.raises(NotImplementedError, match="pypdfium2"):
         read_pdf("/some/file.pdf")
     with pytest.raises(NotImplementedError, match="pypdfium2"):
         rasterize_media("pdf://whatever")
     with pytest.raises(NotImplementedError, match="weasyprint"):
         rasterize_media("https://example.invalid/page")
-    with pytest.raises(NotImplementedError, match="cv2|PIL"):
+    with pytest.raises(NotImplementedError, match="cv2 or PIL"):
+        from doctr_ray.sources.imagecodec import decode_image
+
+        decode_image(b"\xff\xd8\xffjpeg")
+    with pytest.raises(ValueError, match="unsupported media_ref"):
         rasterize_media("something.png")
 
 
