@@ -728,6 +728,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
         )
 
+    def q_dedup_clusters(sf_dir: str):
+        """Near-dup pairs -> transitive-closure clusters: the operator
+        that turns pairwise LSH matches into actual dedup groups.
+        Pair generation is the scale path (MinHash+LSH, recall 1 on
+        this corpus per the dedup_minhash oracle); clustering is
+        distributed hash-min + pointer-jump label propagation."""
+        from doctr_ray.functions.dedup import connected_components
+
+        pairs = minhash_near_dups(
+            _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+        )
+        return connected_components(pairs)
+
     def q_dedup_embedding(sf_dir: str):
         from doctr_ray.functions.dedup import embedding_near_dups
 
@@ -788,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_simhash_dups,
         "dedup_embedding": q_dedup_embedding,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_lsh,
         "ann_topk_ivf": q_ann_ivf,
@@ -814,6 +828,18 @@ def oracle_sql() -> dict[str, str]:
         "FROM g a JOIN g b ON a.doc_id < b.doc_id) "
         "SELECT a, b, CAST(round(inter * 1000000.0 / (tot - inter)) AS BIGINT) AS jaccard_e6 "
         "FROM p WHERE inter * 1.0 / (tot - inter) >= 0.5"
+    )
+    cluster_sql = (
+        # transitive closure of the near-dup pairs via recursive CTE;
+        # node ids compared as VARCHAR on both sides (the Ray operator
+        # propagates lexicographic-min string labels)
+        f"WITH RECURSIVE pairs AS ({jaccard_sql}), "
+        "edges AS (SELECT CAST(a AS VARCHAR) AS u, CAST(b AS VARCHAR) AS v FROM pairs "
+        "UNION SELECT CAST(b AS VARCHAR), CAST(a AS VARCHAR) FROM pairs), "
+        "reach AS (SELECT u AS node, v AS m FROM edges "
+        "UNION SELECT e.u, r.m FROM edges e JOIN reach r ON r.node = e.v) "
+        "SELECT node AS doc_id, least(node, min(m)) AS cluster_id "
+        "FROM reach GROUP BY node"
     )
     ann_topk_sql = (
         f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
@@ -960,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_jaccard": jaccard_sql,
         "dedup_minhash": jaccard_sql,
+        "dedup_clusters": cluster_sql,
         "dedup_simhash": (
             # exact SimHash in SQL: md5_number_upper == the engine's
             # md5-first-8-bytes-little-endian token hash; per-bit votes

@@ -616,3 +616,182 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3, bands: int | None = None):
         .map_groups(_pairs, batch_format="pandas")
     )
     return dedup_pair_rows(pairs)
+
+
+# ----------------------------------------------- near-dup clustering
+
+
+def _cc_candidate_rows(key, cand) -> pa.Table:
+    """(node, candidate-label) rows with the node's shuffle bucket."""
+    return pa.Table.from_arrays(
+        [
+            pa.array([_md5_bucket(k) for k in key], pa.int32()),
+            pa.array(key, pa.string()),
+            pa.array(cand, pa.string()),
+        ],
+        names=["cb", "node", "cand"],
+    )
+
+
+_CC_FP_MOD = (1 << 61) - 1
+
+
+def _cc_fingerprint(labels_ds) -> int:
+    """Order-independent fingerprint of a (node, label) dataset.
+
+    Hash-min labels only ever decrease, so the propagation is monotone
+    and 'fingerprint unchanged' == 'fixpoint reached' (no oscillation
+    is possible). Additive mod-prime hash keeps partials mergeable."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        s = 0
+        for n, l in zip(batch["node"].to_pylist(), batch["label"].to_pylist()):
+            h = hashlib.md5(f"{n}|{l}".encode()).digest()
+            s = (s + int.from_bytes(h[:8], "little")) % _CC_FP_MOD
+        return pa.Table.from_arrays([pa.array([s], pa.int64())], names=["p"])
+
+    parts = labels_ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    return sum(r["p"] for r in parts) % _CC_FP_MOD
+
+
+def connected_components(pairs_ds, max_rounds: int = 50):
+    """Near-dup pairs (a, b) -> (doc_id, cluster_id): the transitive
+    closure that turns pairwise matches into dedup groups (cluster_id =
+    lexicographic min doc_id of the component).
+
+    Distributed hash-min label propagation (the standard MapReduce CC
+    construction): every node starts labeled with itself; each round,
+    every node takes the min label over itself and its neighbors. A
+    round is two coarse-bucket shuffles of small (node, label) string
+    rows — the adjacency is built once and reused; document text never
+    enters the graph. Each edge round is followed by a pointer-jump
+    round (label <- label of label, i.e. path halving over the label
+    forest), which cuts worst-case convergence from O(diameter) to
+    O(log diameter) — a 24-node path converges in 5 iterations instead
+    of 23. Convergence is detected by an order-independent label
+    fingerprint (labels only ever decrease, so an unchanged fingerprint
+    IS the fixpoint), costing one tiny aggregate per round. Scale
+    shape: every structure here is O(|pairs|), not O(|corpus|), and
+    each round's shuffle moves only label rows.
+    """
+    import pyarrow.compute as pc
+
+    def _adj_rows(batch: pa.Table) -> pa.Table:
+        a = [str(x) for x in batch["a"].to_pylist()]
+        b = [str(x) for x in batch["b"].to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                pa.array([_md5_bucket(n) for n in a + b], pa.int32()),
+                pa.array(a + b, pa.string()),
+                pa.array(b + a, pa.string()),
+            ],
+            names=["cb", "node", "nbr"],
+        )
+
+    # both-direction adjacency, materialized once (it is candidate-pair
+    # sized — tiny next to the corpus — and every round re-reads it)
+    adj = pairs_ds.map_batches(_adj_rows, batch_format="pyarrow").materialize()
+
+    def _seed_labels(batch: pa.Table) -> pa.Table:
+        # seed each adjacency row with min(node, nbr): the groupby-min
+        # below then yields min(self, all neighbors) — one full hash-min
+        # round folded into the mandatory node-dedup shuffle for free
+        nodes = batch["node"].to_pylist()
+        nbrs = batch["nbr"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                batch["cb"],
+                batch["node"],
+                pa.array([min(n, m) for n, m in zip(nodes, nbrs)], pa.string()),
+            ],
+            names=["cb", "node", "label"],
+        )
+
+    def _min_per_node(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", sort=False)["label"].min().reset_index()
+        m.insert(0, "cb", [_md5_bucket(n) for n in m["node"]])
+        return m
+
+    labels = (
+        adj.map_batches(_seed_labels, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(_min_per_node, batch_format="pandas")
+        .materialize()
+    )
+
+    def _propagate_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # rows: label rows (nbr == "") + adjacency rows, same node bucket
+        labs = g[g["is_lab"] == 1]
+        adjr = g[g["is_lab"] == 0]
+        lab_of = dict(zip(labs["node"], labs["label"]))
+        # candidates: each node's label flows to its neighbors; the node
+        # keeps its own label via a self row
+        out_node = pd.concat([adjr["nbr"], labs["node"]], ignore_index=True)
+        out_cand = pd.concat(
+            [adjr["node"].map(lab_of), labs["label"]], ignore_index=True
+        )
+        t = _cc_candidate_rows(out_node.tolist(), out_cand.tolist())
+        return t.to_pandas()
+
+    def _min_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", sort=False)["cand"].min().reset_index()
+        m.columns = ["node", "label"]
+        m.insert(0, "cb", [_md5_bucket(n) for n in m["node"]])
+        return m
+
+    def _minprop(labels_ds, adj_ds):
+        """One min-propagation round: label(n) <- min over n's label and
+        the labels flowing in along adj_ds edges. Two bucket shuffles."""
+        lab_rows = labels_ds.map_batches(
+            lambda b: b.append_column("nbr", pc.cast(b["label"], pa.string()))
+            .append_column("is_lab", pa.array([1] * len(b), pa.int8()))
+            .rename_columns(["cb", "node", "label", "nbr", "is_lab"]),
+            batch_format="pyarrow",
+        )
+        edge_rows = adj_ds.map_batches(
+            lambda b: b.append_column("label", pc.cast(b["node"], pa.string()))
+            .append_column("is_lab", pa.array([0] * len(b), pa.int8()))
+            .rename_columns(["cb", "node", "nbr", "label", "is_lab"])
+            .select(["cb", "node", "label", "nbr", "is_lab"]),
+            batch_format="pyarrow",
+        )
+        return (
+            lab_rows.union(edge_rows)
+            .groupby("cb")
+            .map_groups(_propagate_bucket, batch_format="pandas")
+            .groupby("cb")
+            .map_groups(_min_bucket, batch_format="pandas")
+            .materialize()
+        )
+
+    def _labels_as_edges(batch: pa.Table) -> pa.Table:
+        # pointer-jump edges: label p -> node n for every (n, label=p),
+        # so the next _minprop computes label(n) <- label(label(n))
+        nodes = batch["node"].to_pylist()
+        labs = batch["label"].to_pylist()
+        keep = [i for i, (n, p) in enumerate(zip(nodes, labs)) if n != p]
+        return pa.Table.from_arrays(
+            [
+                pa.array([_md5_bucket(labs[i]) for i in keep], pa.int32()),
+                pa.array([labs[i] for i in keep], pa.string()),
+                pa.array([nodes[i] for i in keep], pa.string()),
+            ],
+            names=["cb", "node", "nbr"],
+        )
+
+    fp = _cc_fingerprint(labels)
+    for _ in range(max_rounds):
+        labels = _minprop(labels, adj)
+        jump_edges = labels.map_batches(_labels_as_edges, batch_format="pyarrow")
+        labels = _minprop(labels, jump_edges)
+        new_fp = _cc_fingerprint(labels)
+        if new_fp == fp:
+            break
+        fp = new_fp
+
+    def _out(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["node"], batch["label"]], names=["doc_id", "cluster_id"]
+        )
+
+    return labels.map_batches(_out, batch_format="pyarrow")
