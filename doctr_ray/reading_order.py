@@ -9,13 +9,15 @@ point with label groups + caption attachment (:283-457), paragraph
 segmentation (:460-531), layout-label assignment (:534-578) and the
 ``ReadingOrderPredictor`` wrapper (:600-664).
 
-The column logic here is the classic recursive XY-cut (find a vertical
-gap no element crosses -> read left block fully before right; else
-split on a horizontal gap; else fall back to the builder's reading
-sort key) — the same column-first semantics as the reference's
-reads-before topological traversal, deterministic and pure-numpy.
-Parity with the reference's own fixtures is pinned in
-tests/test_reference_parity.py.
+The ordering engine is :func:`topological_order` — the reference's
+column-following reads-before topological sort (base.py:180-280,
+Breuel 2003), re-expressed in pure numpy with union-find column
+components. Differential tests execute the reference module directly
+and verify ORDER-IDENTICAL output on random layouts in all four
+directions, with and without layout labels
+(tests/test_reference_parity.py::test_ref_differential_*). The classic
+recursive XY-cut (:func:`xy_cut_order`) remains available standalone;
+the two agree on Manhattan layouts.
 
 Plugged into the builder stage as ``keep_reading_order=True``
 (reference: models/builder.py:659-689 _apply_reading_order).
@@ -187,6 +189,138 @@ def deskew_reading_geometries(
     return out, [_rot(_corners(p)) for p in region_pts]
 
 
+# ---------------------------------------------- topological ordering
+
+def _interval_overlap(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Pairwise 1-D interval overlap, normalized by the shorter interval
+    (reference base.py:158-169 _overlap_ratios)."""
+    lo32 = lo.astype(np.float32)
+    hi32 = hi.astype(np.float32)
+    inter = np.minimum(hi32[:, None], hi32[None, :]) - np.maximum(lo32[:, None], lo32[None, :])
+    np.clip(inter, 0, None, out=inter)
+    span = hi32 - lo32
+    shorter = np.minimum(span[:, None], span[None, :])
+    return inter / np.clip(shorter, 1e-9, None)
+
+
+def _total_rank(primary: np.ndarray, secondary: np.ndarray) -> np.ndarray:
+    """Rank in the strict total order (primary, secondary, index) —
+    a strict order on an axis cannot create 2-cycles in the relation
+    matrix (reference base.py:172-177 _strict_rank)."""
+    perm = np.lexsort((np.arange(len(primary)), secondary, primary))
+    rank = np.empty(len(perm), dtype=np.int64)
+    rank[perm] = np.arange(len(perm))
+    return rank
+
+
+def _uf_components(n: int, ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
+    """Connected-component labels via union-find (plays the role of
+    scipy.sparse.csgraph.connected_components in reference base.py:233)."""
+    parent = np.arange(n)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ii.tolist(), jj.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return np.array([find(i) for i in range(n)])
+
+
+def _looks_multi_column(boxes: np.ndarray) -> bool:
+    """Gutter test: some vertical line splits the elements into two
+    sizeable groups with few crossers (reference base.py:239-250)."""
+    n = len(boxes)
+    if n < 3:
+        return False
+    x0, x1 = boxes[:, 0], boxes[:, 2]
+    span = float(x1.max() - x0.min()) or 1.0
+    allow_crossing = max(1, int(0.05 * n))
+    mid = (x0 + x1) / 2
+    lo, hi = x0.min() + 0.25 * span, x0.min() + 0.75 * span
+    for split in np.unique(x1[(x1 >= lo) & (x1 <= hi)]):
+        crossing = int(np.count_nonzero(np.minimum(x1 - split, split - x0) > 0.02 * span))
+        n_left = int(np.count_nonzero(mid <= split))
+        if crossing <= allow_crossing and n_left >= 0.25 * n and n - n_left >= 0.25 * n:
+            return True
+    return False
+
+
+def topological_order(
+    boxes: np.ndarray,
+    x_overlap_threshold: float = 0.2,
+    y_overlap_threshold: float = 0.5,
+) -> list[int]:
+    """Column-following topological sort of canonical-LTR boxes — the
+    reference's ordering engine, re-expressed (reference base.py:180-280
+    _topological_order; Breuel 2003 reads-before relations).
+
+    Relations: ``i`` reads before ``j`` when they overlap horizontally
+    and ``i`` is above (same column), or when they share a visual row
+    without horizontal overlap and ``i`` is left of ``j``. Resolved by
+    Kahn's algorithm; among ready elements the traversal prefers (1) on
+    multi-column pages, the closest continuation below the last element
+    in its column, (2) the rest of the last element's visual row,
+    (3) the last element's column component (horizontal-overlap
+    connectivity, page-spanning lines excluded so titles don't merge
+    columns), then (4) topmost-leftmost.
+    """
+    n = len(boxes)
+    if n <= 1:
+        return list(range(n))
+    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    x_ov = _interval_overlap(x0, x1)
+    y_ov = _interval_overlap(y0, y1)
+    stacked = x_ov > x_overlap_threshold
+
+    xr = _total_rank(x0, x1)
+    yr = _total_rank(y0, y1)
+    before = (yr[:, None] < yr[None, :]) & stacked
+    row_rel = (y_ov > y_overlap_threshold) & ~stacked & (xr[:, None] < xr[None, :])
+    before |= row_rel
+    np.fill_diagonal(before, False)
+    pending = before.sum(axis=0)
+
+    page_w = float(x1.max() - x0.min()) or 1.0
+    spanning = (x1 - x0) > 0.5 * page_w
+    col_link = np.triu(stacked, 1) & ~spanning[:, None] & ~spanning[None, :]
+    comp = _uf_components(n, *np.nonzero(col_link))
+    multi_col = _looks_multi_column(boxes)
+
+    emitted = np.zeros(n, dtype=bool)
+    order: list[int] = []
+    last = -1
+    while len(order) < n:
+        ready = np.flatnonzero((pending == 0) & ~emitted)
+        if ready.size == 0:  # degenerate-geometry cycle safety net
+            ready = np.flatnonzero(~emitted)
+            cand = ready
+        else:
+            cand = (
+                ready[(x_ov[last, ready] > x_overlap_threshold) & (y0[ready] >= y0[last])]
+                if last >= 0 and multi_col
+                else np.empty(0, dtype=int)
+            )
+            if cand.size == 0 and last >= 0:
+                cand = ready[y_ov[last, ready] > y_overlap_threshold]
+            if cand.size == 0 and last >= 0 and not spanning[last]:
+                # continuation broken (gap / fragment): finish the column
+                same_col = ready[comp[ready] == comp[last]]
+                cand = same_col if same_col.size else ready
+            elif cand.size == 0:
+                cand = ready
+        nxt = int(cand[np.lexsort((x0[cand], y0[cand]))[0]])
+        order.append(nxt)
+        emitted[nxt] = True
+        pending = pending - before[nxt]
+        last = nxt
+    return order
+
+
 # ------------------------------------------------------------- XY-cut
 
 def _sort_key_order(boxes: np.ndarray) -> list[int]:
@@ -289,9 +423,15 @@ def _to_canonical_ltr(boxes: np.ndarray, direction: str) -> np.ndarray:
 
 
 def _ordered(boxes: np.ndarray, idcs: list[int], prefer: str) -> list[int]:
+    # canonical frames make every direction an ltr problem, so ONE
+    # engine orders them all: the reference's column-following
+    # topological sort (xy_cut_order remains available standalone —
+    # the two agree on Manhattan layouts, and the topological engine
+    # additionally matches the reference on fragmented / overlapping
+    # column fixtures where recursive cuts find no valid split)
     if not idcs:
         return []
-    sub = xy_cut_order(boxes[idcs], rtl=False, prefer=prefer)
+    sub = topological_order(boxes[idcs])
     return [idcs[i] for i in sub]
 
 

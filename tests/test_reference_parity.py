@@ -20,6 +20,8 @@ Documented divergences (API, not semantics):
   table_grids oracle), so the builder+tables fixtures are not ported.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -585,3 +587,130 @@ def test_ref_page_export_as_markdown_list_items():
     assert export_page_as(export, "markdown", layout=layout) == (
         "- first item wrapping over several visual lines here until it finally ends\n- second short item"
     )
+
+
+# --------------------------------------------------------------------------
+# Differential parity: execute the REFERENCE reading-order module directly
+# (its ordering code is pure numpy + scipy-csgraph; we stub the two scipy
+# symbols with a union-find equivalent and the geometry helpers that only
+# rotated fixtures reach) and compare orderings on random layouts. This is
+# the strongest parity evidence available in this container: not translated
+# fixtures, the reference's own code as the oracle.
+
+
+def _load_reference_reading_order():
+    import importlib.util
+    import sys
+    import types
+
+    path = "/root/reference/doctr/models/reading_order/base.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+
+    saved = {
+        k: sys.modules.get(k)
+        for k in (
+            "doctr", "doctr.utils", "doctr.utils.geometry", "doctr.utils.repr",
+            "scipy", "scipy.sparse", "scipy.sparse.csgraph",
+        )
+    }
+    pkg = types.ModuleType("doctr")
+    u = types.ModuleType("doctr.utils")
+    ug = types.ModuleType("doctr.utils.geometry")
+    # straight-box fixtures short-circuit before deskew uses these
+    ug.estimate_page_angle = lambda *a, **k: 0.0
+    ug.order_points = lambda p: p
+    ur = types.ModuleType("doctr.utils.repr")
+    ur.NestedObject = object
+    sp = types.ModuleType("scipy")
+    sps = types.ModuleType("scipy.sparse")
+    spg = types.ModuleType("scipy.sparse.csgraph")
+    sps.csr_matrix = lambda x: np.asarray(x)
+
+    def _cc(mat, directed=False, return_labels=True):
+        arr = np.asarray(mat).astype(bool)
+        n = arr.shape[0]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ii, jj = np.nonzero(arr | arr.T)
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = np.array([find(i) for i in range(n)])
+        _, labels = np.unique(labels, return_inverse=True)
+        return len(set(labels.tolist())), labels
+
+    spg.connected_components = _cc
+    sp.sparse = sps
+    sps.csgraph = spg
+    mods = {
+        "doctr": pkg, "doctr.utils": u, "doctr.utils.geometry": ug,
+        "doctr.utils.repr": ur, "scipy": sp, "scipy.sparse": sps,
+        "scipy.sparse.csgraph": spg,
+    }
+    sys.modules.update(mods)
+    try:
+        spec = importlib.util.spec_from_file_location("_ref_reading_order", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+def test_ref_differential_random_orderings():
+    """Our sort_reading_order must equal the reference's, executed
+    directly, on random straight-box layouts in all four directions."""
+    ref = _load_reference_reading_order()
+    rng = np.random.default_rng(42)
+    checked = 0
+    for _ in range(120):
+        n = int(rng.integers(2, 14))
+        x0 = rng.uniform(0, 0.8, n)
+        y0 = rng.uniform(0, 0.8, n)
+        w = rng.uniform(0.02, 0.3, n)
+        h = rng.uniform(0.01, 0.1, n)
+        b = np.stack(
+            [x0, y0, np.minimum(x0 + w, 0.99), np.minimum(y0 + h, 0.99)], axis=1
+        )
+        for d in ("ltr", "rtl", "ttb-rtl", "ttb-ltr"):
+            assert sort_reading_order(b, direction=d) == ref.sort_reading_order(
+                b, direction=d
+            ), f"divergence on {d} layout:\n{b!r}"
+            checked += 1
+    assert checked == 480
+
+
+def test_ref_differential_labeled_orderings():
+    """Label grouping (header/footer/footnote/caption/float) must also
+    match the reference end-to-end."""
+    ref = _load_reference_reading_order()
+    rng = np.random.default_rng(7)
+    label_pool = [
+        None, None, None, "Page-header", "Page-footer", "Footnote",
+        "Caption", "Table", "Picture",
+    ]
+    for _ in range(60):
+        n = int(rng.integers(2, 12))
+        x0 = rng.uniform(0, 0.8, n)
+        y0 = rng.uniform(0, 0.8, n)
+        w = rng.uniform(0.05, 0.4, n)
+        h = rng.uniform(0.02, 0.12, n)
+        b = np.stack(
+            [x0, y0, np.minimum(x0 + w, 0.99), np.minimum(y0 + h, 0.99)], axis=1
+        )
+        labels = [label_pool[i] for i in rng.integers(0, len(label_pool), n)]
+        assert sort_reading_order(b, labels=labels) == ref.sort_reading_order(
+            b, labels=labels
+        ), f"label divergence:\n{b!r}\n{labels}"
