@@ -577,14 +577,19 @@ def resolve_reading_segments(
     texts: Sequence[str] | None = None,
     direction: str | None = None,
     labels: Sequence[str | None] | None = None,
+    x_overlap_threshold: float = 0.2,
     paragraph_gap: float = 0.8,
     page_shape: tuple[int, int] | None = None,
     order: list[int] | None = None,
 ) -> list[list[int]]:
     """Order elements and group consecutive ones into segments
-    (paragraphs/regions): same (possibly None) label, same column
-    (x-overlap) and vertical gap <= paragraph_gap * median height;
-    float-role elements never merge (reference: base.py:460-531)."""
+    (paragraphs/regions). Two consecutive elements merge when they share
+    the same (possibly empty) normalized label, the current one is not a
+    float, their horizontal overlap (normalized by the narrower element)
+    exceeds ``x_overlap_threshold``, and the vertical gap is at most
+    ``paragraph_gap`` times the median element height (reference:
+    base.py:460-531 — merge criteria matched exactly; verified by the
+    differential test executing the reference module)."""
     boxes = _to_boxes(geoms)
     if len(boxes) == 0:
         return []
@@ -593,20 +598,22 @@ def resolve_reading_segments(
             geoms, texts=texts, direction=direction, labels=list(labels) if labels is not None else None,
             page_shape=page_shape,
         )
-    norm = [normalize_layout_label(lab) for lab in labels] if labels is not None else None
-    heights = boxes[:, 3] - boxes[:, 1]
-    med_h = float(np.median(heights)) or 1.0
+    canonical = _to_canonical_ltr(
+        boxes, direction if direction not in (None, "auto") else "ltr"
+    )
+    med_h = float(np.median(canonical[:, 3] - canonical[:, 1]))
+    norm = [normalize_layout_label(labels[i] if labels is not None else None) for i in range(len(order))]
     segments: list[list[int]] = [[order[0]]]
     for prev, cur in zip(order, order[1:]):
-        pb, cb = boxes[prev], boxes[cur]
-        x_overlap = min(pb[2], cb[2]) - max(pb[0], cb[0])
-        v_gap = cb[1] - pb[3]
-        same = x_overlap > 0 and -med_h <= v_gap <= paragraph_gap * med_h
-        if norm is not None:
-            if norm[prev] != norm[cur]:
-                same = False
-            if layout_label_role(norm[prev]) == "float" or layout_label_role(norm[cur]) == "float":
-                same = False
+        pb, cb = canonical[prev], canonical[cur]
+        x_gap = min(pb[2], cb[2]) - max(pb[0], cb[0])
+        x_overlap = x_gap / max(min(pb[2] - pb[0], cb[2] - cb[0]), 1e-9)
+        same = (
+            norm[prev] == norm[cur]
+            and layout_label_role(norm[cur]) != "float"
+            and x_overlap > x_overlap_threshold
+            and cb[1] - pb[3] <= paragraph_gap * med_h
+        )
         if same:
             segments[-1].append(cur)
         else:

@@ -714,3 +714,278 @@ def test_ref_differential_labeled_orderings():
         assert sort_reading_order(b, labels=labels) == ref.sort_reading_order(
             b, labels=labels
         ), f"label divergence:\n{b!r}\n{labels}"
+
+
+def _load_reference_builder():
+    """Execute the reference DocumentBuilder module directly, stubbing
+    scipy's fclusterdata with an exact single-linkage threshold
+    clustering (criterion='distance' + method='single' == connected
+    components of the <= t distance graph) and the element classes the
+    line/block methods never instantiate."""
+    import importlib.util
+    import sys
+    import types
+
+    path = "/root/reference/doctr/models/builder.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+
+    def _fclusterdata(X, t, depth=None, criterion="distance", metric="euclidean"):
+        assert criterion == "distance" and metric == "euclidean"
+        X = np.asarray(X, dtype=np.float64)
+        n = X.shape[0]
+        d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ii, jj = np.nonzero(d2 <= t * t)
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = [find(i) for i in range(n)]
+        relabel: dict[int, int] = {}
+        return np.array([relabel.setdefault(r, len(relabel) + 1) for r in roots])
+
+    def _resolve_enclosing_bbox(bboxes):
+        if isinstance(bboxes, np.ndarray):
+            return np.array(
+                [bboxes[:, 0].min(), bboxes[:, 1].min(), bboxes[:, 2].max(), bboxes[:, 3].max()]
+            )
+        xs = [p[0] for box in bboxes for p in box]
+        ys = [p[1] for box in bboxes for p in box]
+        return (min(xs), min(ys)), (max(xs), max(ys))
+
+    mods: dict[str, types.ModuleType] = {}
+
+    def _mk(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        mods[name] = m
+        return m
+
+    _mk("doctr")
+    _mk("doctr.io")
+    el_names = [
+        "Block", "Document", "KIEDocument", "KIEPage", "LayoutElement",
+        "Line", "Page", "Prediction", "Table", "TableCell", "Word",
+    ]
+    _mk("doctr.io.elements", **{n: type(n, (), {}) for n in el_names})
+    _mk(
+        "doctr.utils.geometry",
+        estimate_page_angle=lambda *a, **k: 0.0,
+        order_points=lambda p: p,
+        resolve_enclosing_bbox=_resolve_enclosing_bbox,
+        resolve_enclosing_rbbox=lambda *a, **k: (_ for _ in ()).throw(
+            NotImplementedError("rotated path not under differential test")
+        ),
+        rotate_boxes=lambda *a, **k: (_ for _ in ()).throw(
+            NotImplementedError("rotated path not under differential test")
+        ),
+    )
+    _mk("doctr.utils")
+    _mk("doctr.utils.repr", NestedObject=object)
+    _mk("scipy")
+    _mk("scipy.cluster")
+    _mk("scipy.cluster.hierarchy", fclusterdata=_fclusterdata)
+
+    saved = {k: sys.modules.get(k) for k in mods}
+    sys.modules.update(mods)
+    try:
+        spec = importlib.util.spec_from_file_location("_ref_builder", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+def _random_word_boxes(rng, n):
+    """Page-like random layout: words on a loose grid with jitter."""
+    rows = max(1, int(np.sqrt(n)))
+    x0 = rng.uniform(0.02, 0.7, n)
+    y0 = (rng.integers(0, rows, n) + rng.uniform(-0.15, 0.15, n)) / (rows + 1) + 0.02
+    w = rng.uniform(0.03, 0.2, n)
+    h = rng.uniform(0.015, 0.03, n)
+    return np.stack([x0, y0, np.minimum(x0 + w, 0.99), np.minimum(y0 + h, 0.99)], axis=1)
+
+
+def test_ref_differential_builder_lines_blocks():
+    """sort_boxes / resolve_lines / resolve_blocks must match the
+    reference DocumentBuilder executed directly, on random layouts."""
+    ref = _load_reference_builder()
+    builder = ref.DocumentBuilder()
+    rng = np.random.default_rng(3)
+    from doctr_ray.builder import resolve_blocks as ours_blocks
+    from doctr_ray.builder import resolve_lines as ours_lines
+    from doctr_ray.builder import sort_boxes as ours_sort
+
+    for trial in range(60):
+        n = int(rng.integers(2, 40))
+        b = _random_word_boxes(rng, n)
+
+        ref_idx, ref_boxes = builder._sort_boxes(b, None)
+        our_idx, our_boxes = ours_sort(b, None)
+        assert ref_idx.tolist() == our_idx.tolist(), f"sort divergence trial {trial}"
+        assert np.allclose(ref_boxes, our_boxes)
+
+        ref_lines = builder._resolve_lines(b, None)
+        our_lines, _ = ours_lines(b, None)
+        assert ref_lines == our_lines, f"lines divergence trial {trial}:\n{b!r}"
+
+        ref_blocks = builder._resolve_blocks(b, ref_lines)
+        our_blocks = ours_blocks(b, our_lines)
+        assert ref_blocks == our_blocks, f"blocks divergence trial {trial}"
+
+
+def test_ref_differential_sub_lines():
+    ref = _load_reference_builder()
+    builder = ref.DocumentBuilder()
+    rng = np.random.default_rng(9)
+    from doctr_ray.builder import _resolve_sub_lines as ours_sub
+
+    for _ in range(40):
+        n = int(rng.integers(1, 15))
+        x0 = np.sort(rng.uniform(0, 0.9, n))
+        w = rng.uniform(0.01, 0.12, n)
+        b = np.stack([x0, np.full(n, 0.4), np.minimum(x0 + w, 0.99), np.full(n, 0.43)], axis=1)
+        idcs = rng.permutation(n).tolist()
+        for break_dist in (0.01, 0.035, 0.08):
+            assert builder._resolve_sub_lines(b, list(idcs), break_dist) == ours_sub(
+                b, list(idcs), break_dist
+            )
+
+
+def test_ref_differential_segments_and_labels():
+    """resolve_reading_segments and assign_layout_labels must match the
+    reference module executed directly."""
+    ref = _load_reference_reading_order()
+    rng = np.random.default_rng(21)
+    label_pool = [None, None, "Text", "Table", "Caption", "Page-header"]
+    for _ in range(40):
+        n = int(rng.integers(2, 12))
+        x0 = rng.uniform(0, 0.7, n)
+        y0 = rng.uniform(0, 0.8, n)
+        w = rng.uniform(0.05, 0.3, n)
+        h = rng.uniform(0.02, 0.08, n)
+        b = np.stack(
+            [x0, y0, np.minimum(x0 + w, 0.99), np.minimum(y0 + h, 0.99)], axis=1
+        )
+        labels = [label_pool[i] for i in rng.integers(0, len(label_pool), n)]
+        assert resolve_reading_segments(b, labels=labels) == ref.resolve_reading_segments(
+            b, labels=labels
+        )
+        assert resolve_reading_segments(b) == ref.resolve_reading_segments(b)
+
+        m = int(rng.integers(1, 4))
+        rx0 = rng.uniform(0, 0.6, m)
+        ry0 = rng.uniform(0, 0.6, m)
+        regions = np.stack(
+            [rx0, ry0, np.minimum(rx0 + rng.uniform(0.1, 0.4, m), 0.99),
+             np.minimum(ry0 + rng.uniform(0.1, 0.4, m), 0.99)], axis=1
+        )
+        rlabels = [str(x) for x in rng.integers(0, 5, m)]
+        assert assign_layout_labels(b, regions, rlabels) == ref.assign_layout_labels(
+            b, regions, rlabels
+        )
+
+
+def _load_reference_metrics():
+    """Execute the reference metrics module directly. anyascii/scipy/
+    shapely are stubbed: only the pure-numpy surfaces (box_iou, nms)
+    are under differential test — matching/polygon metrics need the
+    real native libs."""
+    import importlib.util
+    import sys
+    import types
+
+    path = "/root/reference/doctr/utils/metrics.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+
+    def _raise(*a, **k):
+        raise NotImplementedError("not under differential test")
+
+    mods = {}
+    m_any = types.ModuleType("anyascii")
+    m_any.anyascii = lambda s: s
+    mods["anyascii"] = m_any
+    m_sp = types.ModuleType("scipy")
+    m_opt = types.ModuleType("scipy.optimize")
+    m_opt.linear_sum_assignment = _raise
+    m_sp.optimize = m_opt
+    mods["scipy"] = m_sp
+    mods["scipy.optimize"] = m_opt
+    m_sh = types.ModuleType("shapely")
+    for name in ("STRtree", "area", "intersection", "polygons"):
+        setattr(m_sh, name, _raise)
+    mods["shapely"] = m_sh
+
+    saved = {k: sys.modules.get(k) for k in mods}
+    sys.modules.update(mods)
+    try:
+        spec = importlib.util.spec_from_file_location("_ref_metrics", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+def test_ref_differential_box_iou_and_nms():
+    ref = _load_reference_metrics()
+    from doctr_ray.geometry import box_iou as ours_iou
+    from doctr_ray.metrics import nms as ours_nms
+
+    rng = np.random.default_rng(5)
+    for _ in range(40):
+        n = int(rng.integers(1, 30))
+        m = int(rng.integers(1, 30))
+        x0 = rng.uniform(0, 0.7, n); y0 = rng.uniform(0, 0.7, n)
+        a = np.stack([x0, y0, x0 + rng.uniform(0.05, 0.3, n), y0 + rng.uniform(0.05, 0.3, n)], axis=1)
+        x0 = rng.uniform(0, 0.7, m); y0 = rng.uniform(0, 0.7, m)
+        b = np.stack([x0, y0, x0 + rng.uniform(0.05, 0.3, m), y0 + rng.uniform(0.05, 0.3, m)], axis=1)
+        assert np.allclose(ref.box_iou(a, b), ours_iou(a, b), atol=1e-12)
+
+        scored = np.concatenate([a, rng.uniform(0.1, 1.0, (n, 1))], axis=1)
+        for thresh in (0.1, 0.3, 0.5):
+            assert [int(i) for i in ref.nms(scored, thresh)] == ours_nms(scored, thresh).tolist()
+
+
+def test_ref_differential_text_match_counts():
+    """TextMatch raw/caseless counters vs the reference (ASCII inputs,
+    where the stubbed anyascii is exact; the engine's documented
+    divergence is folding anyascii/unicase into caseless for non-ASCII)."""
+    ref = _load_reference_metrics()
+    import pyarrow as pa
+
+    from doctr_ray.metrics import text_match_partial
+
+    rng = np.random.default_rng(17)
+    words = ["Word", "word", "WORD", "other", "Mot", "mot", "x1", "X1"]
+    gt = [words[i] for i in rng.integers(0, len(words), 50)]
+    pred = [words[i] for i in rng.integers(0, len(words), 50)]
+
+    tm = ref.TextMatch()
+    tm.update(gt, pred)
+    summary = tm.summary()
+
+    part = text_match_partial(
+        pa.table({"pred": pred, "gt": gt}), pred_col="pred", gt_col="gt"
+    )
+    assert part["raw"][0].as_py() / 50 == pytest.approx(summary["raw"])
+    assert part["caseless"][0].as_py() / 50 == pytest.approx(summary["caseless"])
