@@ -989,3 +989,129 @@ def test_ref_differential_text_match_counts():
     )
     assert part["raw"][0].as_py() / 50 == pytest.approx(summary["raw"])
     assert part["caseless"][0].as_py() / 50 == pytest.approx(summary["caseless"])
+
+
+def _load_reference_vocabs():
+    """The reference vocab table imports only re + string — load it
+    directly as the oracle for the full 215-entry charset contract."""
+    import importlib.util
+
+    path = "/root/reference/doctr/datasets/vocabs.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+    spec = importlib.util.spec_from_file_location("_ref_vocabs", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_ref_vocab_contract_exact():
+    """Every reference vocab entry must be STRING-IDENTICAL (content
+    and label order) in the engine's decoded tables."""
+    ref = _load_reference_vocabs()
+    from doctr_ray.vocabs import VOCABS
+
+    assert set(ref.VOCABS) <= set(VOCABS)
+    for name, vocab in ref.VOCABS.items():
+        assert VOCABS[name] == vocab, f"vocab contract divergence: {name}"
+
+
+def _load_reference_dataset_utils():
+    """Execute the reference datasets/utils.py (translate/encode/
+    decode/encode_sequences are pure numpy+stdlib; PIL and the image/
+    geometry helpers its unrelated functions need are stubbed)."""
+    import importlib.util
+    import sys
+    import types
+
+    path = "/root/reference/doctr/datasets/utils.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+
+    def _raise(*a, **k):
+        raise NotImplementedError
+
+    mods: dict[str, types.ModuleType] = {}
+    pil = types.ModuleType("PIL")
+    pil_img = types.ModuleType("PIL.Image")
+    pil_img.Image = object
+    pil.Image = pil_img
+    mods["PIL"] = pil
+    mods["PIL.Image"] = pil_img
+    d = types.ModuleType("doctr")
+    dio = types.ModuleType("doctr.io")
+    dioi = types.ModuleType("doctr.io.image")
+    dioi.get_img_shape = _raise
+    dug = types.ModuleType("doctr.utils.geometry")
+    for n in ("convert_to_relative_coords", "extract_crops", "extract_rcrops"):
+        setattr(dug, n, _raise)
+    mods.update({"doctr": d, "doctr.io": dio, "doctr.io.image": dioi, "doctr.utils.geometry": dug})
+    # package alias so `from .vocabs import VOCABS` resolves to the real table
+    refds = types.ModuleType("_refds")
+    refds.__path__ = ["/root/reference/doctr/datasets"]
+    mods["_refds"] = refds
+
+    saved = {k: sys.modules.get(k) for k in list(mods) + ["_refds.utils", "_refds.vocabs"]}
+    sys.modules.update(mods)
+    try:
+        spec = importlib.util.spec_from_file_location("_refds.utils", path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["_refds.utils"] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+def test_ref_differential_translate_encode():
+    """translate / encode_string / decode_sequence / encode_sequences
+    vs the reference module executed directly."""
+    ref = _load_reference_dataset_utils()
+    from doctr_ray.vocabs import (
+        VOCABS,
+        decode_sequence,
+        encode_sequences,
+        encode_string,
+        translate,
+    )
+
+    samples = [
+        "Hello, World!", "café crème à 3€", "über naïve façade",
+        "with   spaces\tand\nnewlines", "ΚΑΛΗΜΕΡΑ κόσμε", "привет мир",
+        "مرحبا بالعالم", "שלום", "नमस्ते", "日本語テキスト", "½±©",
+    ]
+    for vocab_name in ("english", "french", "german", "greek", "russian", "arabic", "multilingual"):
+        for s in samples:
+            assert translate(s, vocab_name) == ref.translate(s, vocab_name), (
+                f"translate divergence: {s!r} into {vocab_name}"
+            )
+
+    rng = np.random.default_rng(13)
+    for vocab_name in ("english", "french", "russian"):
+        vocab = VOCABS[vocab_name]
+        for _ in range(10):
+            n = int(rng.integers(1, 12))
+            s = "".join(vocab[i] for i in rng.integers(0, len(vocab), n))
+            codes = encode_string(s, vocab)
+            assert codes == ref.encode_string(s, vocab)
+            assert decode_sequence(codes, vocab) == ref.decode_sequence(codes, vocab)
+
+    vocab = VOCABS["english"]
+    words_sets = [["ab", "a", "longerword"], ["x"], ["ab", ""]]
+    for words in words_sets[:2]:  # reference crashes on empty strings? keep non-empty
+        for kwargs in (
+            {},
+            {"target_size": 6},
+            {"target_size": 6, "sos": len(vocab) + 1},
+            {"target_size": 8, "sos": len(vocab) + 1, "pad": len(vocab) + 2},
+            {"pad": len(vocab) + 2},
+            {"target_size": 4, "dynamic_seq_length": True},
+        ):
+            ours = encode_sequences(words, vocab, **kwargs)
+            theirs = ref.encode_sequences(words, vocab, **kwargs)
+            assert ours.shape == theirs.shape, f"shape divergence {kwargs}"
+            assert (ours == theirs).all(), f"encode_sequences divergence {kwargs}"
