@@ -273,6 +273,21 @@ def detect_page(image: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return abs_boxes, rel
 
 
-def detach_scores(boxes_scored: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(N,5) -> ((N,4) boxes, (N,) scores). reference: utils/geometry.py:108-125."""
-    return boxes_scored[:, :4], boxes_scored[:, 4]
+def detach_scores(boxes_scored):
+    """Detach objectness scores from box predictions
+    (reference: utils/geometry.py:108-125).
+
+    List input follows the reference contract — a list of (N,5) or
+    (N,5,2) arrays -> (list of box arrays, list of score arrays);
+    a bare (N,5) array returns (boxes, scores) directly (engine-internal
+    shorthand).
+    """
+    def _one(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if b.ndim == 2:
+            return b[:, :-1], b[:, -1]
+        return b[:, :-1], b[:, -1, -1]
+
+    if isinstance(boxes_scored, np.ndarray):
+        return _one(boxes_scored)
+    pairs = [_one(b) for b in boxes_scored]
+    return [p[0] for p in pairs], [p[1] for p in pairs]

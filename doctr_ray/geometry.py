@@ -43,56 +43,59 @@ def estimate_page_angle(polys: np.ndarray) -> float:
     return float(np.median(np.rad2deg(np.arctan(t))))
 
 
+def remap_boxes(
+    loc_preds: np.ndarray, orig_shape: tuple[int, int], dest_shape: tuple[int, int]
+) -> np.ndarray:
+    """Re-express relative (N,4,2) polys for a padded/cropped canvas of
+    ``dest_shape`` centered on the ``orig_shape`` one (absolute geometry
+    unchanged) — reference: utils/geometry.py:250-274."""
+    if len(dest_shape) != 2 or len(orig_shape) != 2:
+        raise ValueError("shapes must be (height, width) pairs")
+    oh, ow = orig_shape
+    dh, dw = dest_shape
+    out = loc_preds.copy()
+    out[:, :, 0] = (loc_preds[:, :, 0] * ow + (dw - ow) / 2) / dw
+    out[:, :, 1] = (loc_preds[:, :, 1] * oh + (dh - oh) / 2) / dh
+    return out
+
+
 def rotate_boxes(
     loc_preds: np.ndarray,
     angle: float,
     orig_shape: tuple[int, int],
     min_angle: float = 1.0,
+    target_shape: tuple[int, int] | None = None,
 ) -> np.ndarray:
-    """Rotate relative (N,4) boxes or (N,4,2) polys about the page center.
+    """Rotate relative (N,4) boxes or (N,4,2) polys about the page
+    center; optionally remap to a ``target_shape`` canvas afterwards.
 
-    reference: utils/geometry.py:209-260 — no-op below ``min_angle``;
-    aspect-ratio-corrected rotation in relative space.
+    reference: utils/geometry.py:276-330 — exactly its conventions:
+    no-op below ``min_angle`` and above ``90 - min_angle``; row-vector
+    times [[cos,-sin],[sin,cos]] in the y-down absolute frame (verified
+    by the differential test; the previous transposed form rotated the
+    OPPOSITE way, so deskew calls doubled the skew).
     """
-    if abs(angle) < min_angle:
-        if loc_preds.ndim == 2:
-            out = np.stack(
-                [
-                    loc_preds[:, [0, 1]],
-                    loc_preds[:, [2, 1]],
-                    loc_preds[:, [2, 3]],
-                    loc_preds[:, [0, 3]],
-                ],
-                axis=1,
-            )
-            return out.astype(loc_preds.dtype)
-        return loc_preds
-    if loc_preds.ndim == 2:
+    polys = loc_preds.copy()
+    if polys.ndim == 2:
         polys = np.stack(
-            [
-                loc_preds[:, [0, 1]],
-                loc_preds[:, [2, 1]],
-                loc_preds[:, [2, 3]],
-                loc_preds[:, [0, 3]],
-            ],
+            [polys[:, [0, 1]], polys[:, [2, 1]], polys[:, [2, 3]], polys[:, [0, 3]]],
             axis=1,
         )
-    else:
-        polys = loc_preds
-    theta = np.deg2rad(angle)
-    h, w = orig_shape
-    centered = polys - 0.5
-    # to an isotropic space, rotate, back
-    centered[:, :, 0] *= w
-    centered[:, :, 1] *= h
+    if abs(angle) < min_angle or abs(angle) > 90 - min_angle:
+        return polys
+    theta = angle * np.pi / 180.0
     rot = np.array(
         [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]],
-        dtype=centered.dtype,
+        dtype=polys.dtype,
     )
-    rotated = centered @ rot.T
-    rotated[:, :, 0] /= w
-    rotated[:, :, 1] /= h
-    return (rotated + 0.5).astype(polys.dtype)
+    h, w = orig_shape
+    points = np.stack((polys[:, :, 0] * w, polys[:, :, 1] * h), axis=-1)
+    center = (w / 2, h / 2)
+    rotated = center + np.matmul(points - center, rot)
+    out = np.stack((rotated[:, :, 0] / w, rotated[:, :, 1] / h), axis=-1)
+    if target_shape is not None:
+        out = remap_boxes(out, orig_shape=orig_shape, dest_shape=target_shape)
+    return out
 
 
 def rel_to_abs(boxes: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
@@ -108,12 +111,25 @@ def rel_to_abs(boxes: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
 
 
 def extract_crops(img: np.ndarray, abs_boxes: np.ndarray) -> list[np.ndarray]:
-    """Slice (N,4) absolute [x0,y0,x1,y1] boxes out of a page image.
+    """Slice (N,4) [x0,y0,x1,y1] boxes out of a page image.
 
-    reference: utils/geometry.py:505-531. Zero-area boxes yield empty
+    reference: utils/geometry.py:505-531 — integer boxes slice as-is;
+    float boxes are treated as RELATIVE coordinates and projected the
+    reference's way (scale, round, then +1 on the max indices so the
+    rounded edge pixel is included). Zero-area boxes yield empty
     crops — callers filter them (models/predictor/base.py:188-196).
     """
-    return [img[y0:y1, x0:x1] for x0, y0, x1, y1 in abs_boxes]
+    boxes = np.asarray(abs_boxes)
+    if boxes.shape[0] == 0:
+        return []
+    if not np.issubdtype(boxes.dtype, np.integer):
+        h, w = img.shape[:2]
+        boxes = boxes.copy()
+        boxes[:, [0, 2]] *= w
+        boxes[:, [1, 3]] *= h
+        boxes = boxes.round().astype(int)
+        boxes[:, 2:] += 1
+    return [np.ascontiguousarray(img[y0:y1, x0:x1]) for x0, y0, x1, y1 in boxes]
 
 
 def rotate_image(image: np.ndarray, angle_deg: float, fill: int = 255) -> np.ndarray:

@@ -29,14 +29,20 @@ def test_rotate_boxes_noop_below_min_angle():
     np.testing.assert_allclose(out[0, 2], [0.3, 0.2])
 
 
-def test_rotate_boxes_180():
+def test_rotate_boxes_range_contract():
+    # the reference's rotate_boxes contract covers -90..+90 degrees:
+    # angles beyond 90 - min_angle are a NO-OP (utils/geometry.py:276);
+    # page-level 180-degree turns are handled by rotate_image_90
     b = np.array([[0.1, 0.1, 0.3, 0.2]], dtype=np.float32)
     out = rotate_boxes(b, angle=180.0, orig_shape=(100, 100))
-    # 180-degree rotation about the center maps (x,y) -> (1-x, 1-y)
+    assert out[0, :, 0].min() == pytest.approx(0.1, abs=1e-6)  # unchanged poly
+    # an in-range rotation moves points the reference's way: near +90
+    # deg the top-left corner region maps toward the bottom-left
+    # ((x,y) -> ~(y, 1-x) about the center on a square page)
+    out = rotate_boxes(b, angle=80.0, orig_shape=(100, 100), min_angle=1.0)
     xs, ys = out[0, :, 0], out[0, :, 1]
-    assert xs.min() == pytest.approx(0.7, abs=1e-5)
-    assert xs.max() == pytest.approx(0.9, abs=1e-5)
-    assert ys.min() == pytest.approx(0.8, abs=1e-5)
+    assert xs.mean() == pytest.approx(0.103, abs=0.01)
+    assert ys.mean() == pytest.approx(0.735, abs=0.01)
 
 
 def test_estimate_page_angle():

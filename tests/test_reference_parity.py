@@ -1115,3 +1115,105 @@ def test_ref_differential_translate_encode():
             theirs = ref.encode_sequences(words, vocab, **kwargs)
             assert ours.shape == theirs.shape, f"shape divergence {kwargs}"
             assert (ours == theirs).all(), f"encode_sequences divergence {kwargs}"
+
+
+def _load_reference_geometry():
+    """Execute the reference geometry module directly (cv2 stubbed —
+    only the pure-numpy kernels are under differential test; the
+    image-warping functions need the real native lib)."""
+    import importlib.util
+    import sys
+    import types
+
+    path = "/root/reference/doctr/utils/geometry.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+
+    pkg = types.ModuleType("_refutils")
+    pkg.__path__ = ["/root/reference/doctr/utils"]
+    cv2 = types.ModuleType("cv2")
+    saved = {k: sys.modules.get(k) for k in ("_refutils", "_refutils.common_types", "_refutils.geometry", "cv2")}
+    sys.modules["_refutils"] = pkg
+    sys.modules["cv2"] = cv2
+    try:
+        spec = importlib.util.spec_from_file_location("_refutils.geometry", path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["_refutils.geometry"] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+def test_ref_differential_geometry_kernels():
+    """estimate_page_angle / rotate_boxes / extract_crops /
+    resolve_enclosing_bbox vs the reference module executed directly."""
+    ref = _load_reference_geometry()
+    from doctr_ray.geometry import (
+        estimate_page_angle,
+        extract_crops,
+        resolve_enclosing_bbox,
+        rotate_boxes,
+    )
+
+    rng = np.random.default_rng(31)
+    for _ in range(30):
+        # reading-oriented polygons from rotated rectangles
+        n = int(rng.integers(1, 10))
+        angle = float(rng.uniform(-30, 30))
+        th = np.deg2rad(angle)
+        cx = rng.uniform(0.2, 0.8, n)
+        cy = rng.uniform(0.2, 0.8, n)
+        w = rng.uniform(0.05, 0.2, n)
+        h = rng.uniform(0.01, 0.05, n)
+        # corners in TL,TR,BR,BL order, rotated by theta (y-down frame)
+        dx = np.stack([-w / 2, w / 2, w / 2, -w / 2], axis=1)
+        dy = np.stack([-h / 2, -h / 2, h / 2, h / 2], axis=1)
+        rx = dx * np.cos(th) - dy * np.sin(th)
+        ry = dx * np.sin(th) + dy * np.cos(th)
+        polys = np.stack([cx[:, None] + rx, cy[:, None] + ry], axis=2).astype(np.float32)
+
+        ours_a = estimate_page_angle(polys)
+        ref_a = ref.estimate_page_angle(polys)
+        assert ours_a == pytest.approx(ref_a, abs=1e-4), "estimate_page_angle divergence"
+
+        got = rotate_boxes(polys, angle=-ref_a, orig_shape=(512, 512), min_angle=1.0)
+        want = ref.rotate_boxes(polys, angle=-ref_a, orig_shape=(512, 512), min_angle=1.0)
+        assert np.allclose(got, want, atol=1e-5), "rotate_boxes divergence"
+
+        # rel->abs crop extraction on straight boxes
+        img = rng.integers(0, 255, size=(64, 96), dtype=np.uint8)[:, :, None].repeat(3, 2)
+        x0 = rng.uniform(0, 0.7, n)
+        y0 = rng.uniform(0, 0.7, n)
+        boxes = np.stack(
+            [x0, y0, x0 + rng.uniform(0.05, 0.29, n), y0 + rng.uniform(0.05, 0.29, n)],
+            axis=1,
+        ).astype(np.float32)
+        theirs = ref.extract_crops(img, boxes)
+        ours = extract_crops(img, boxes)  # same relative-projection contract
+        assert len(ours) == len(theirs)
+        for a, b in zip(ours, theirs):
+            assert np.array_equal(a, b), "extract_crops divergence"
+
+        flat = np.stack([x0, y0, x0 + 0.1, y0 + 0.1], axis=1)
+        assert np.allclose(
+            resolve_enclosing_bbox(flat), np.asarray(ref.resolve_enclosing_bbox(flat))
+        )
+
+
+def test_ref_differential_detach_scores_and_relative_coords():
+    ref = _load_reference_geometry()
+    from doctr_ray.detection import detach_scores
+
+    rng = np.random.default_rng(37)
+    for _ in range(10):
+        n = int(rng.integers(0, 8))
+        scored = rng.uniform(0, 1, (n, 5)).astype(np.float32)
+        theirs_boxes, theirs_scores = ref.detach_scores([scored])
+        ours_boxes, ours_scores = detach_scores([scored])
+        assert np.allclose(ours_boxes[0], theirs_boxes[0])
+        assert np.allclose(ours_scores[0], theirs_scores[0])
