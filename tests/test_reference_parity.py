@@ -1217,3 +1217,65 @@ def test_ref_differential_detach_scores_and_relative_coords():
         ours_boxes, ours_scores = detach_scores([scored])
         assert np.allclose(ours_boxes[0], theirs_boxes[0])
         assert np.allclose(ours_scores[0], theirs_scores[0])
+
+
+def _load_reference_recognition_utils():
+    """Execute the reference merge_strings module directly (rapidfuzz
+    Hamming stubbed with the exact equal-length definition)."""
+    import importlib.util
+    import sys
+    import types
+
+    path = "/root/reference/doctr/models/recognition/utils.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+
+    rf = types.ModuleType("rapidfuzz")
+    rfd = types.ModuleType("rapidfuzz.distance")
+
+    class _Hamming:
+        @staticmethod
+        def distance(a, b, processor=None):
+            assert len(a) == len(b)
+            return sum(x != y for x, y in zip(a, b))
+
+    rfd.Hamming = _Hamming
+    rf.distance = rfd
+    saved = {k: sys.modules.get(k) for k in ("rapidfuzz", "rapidfuzz.distance")}
+    sys.modules.update({"rapidfuzz": rf, "rapidfuzz.distance": rfd})
+    try:
+        spec = importlib.util.spec_from_file_location("_ref_recoutils", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+def test_ref_differential_merge_strings():
+    """Split-crop merging must agree with the reference on every input:
+    exhaustive-random sweep over short alphabet strings hits all of the
+    zero/multi/none perfect-match branches."""
+    import random
+
+    ref = _load_reference_recognition_utils()
+    from doctr_ray.recognition import merge_multi_strings, merge_strings
+
+    random.seed(4)
+    alpha = "abcdef"
+    for _ in range(1500):
+        a = "".join(random.choice(alpha) for _ in range(random.randint(0, 8)))
+        b = "".join(random.choice(alpha) for _ in range(random.randint(0, 8)))
+        r = random.choice([0.1, 0.3, 0.5, 0.8])
+        assert merge_strings(a, b, r) == ref.merge_strings(a, b, r), (a, b, r)
+    for _ in range(500):
+        seqs = [
+            "".join(random.choice(alpha) for _ in range(random.randint(0, 7)))
+            for _ in range(random.randint(1, 4))
+        ]
+        r, lr = random.choice([0.3, 0.5]), random.choice([0.1, 0.5])
+        assert merge_multi_strings(seqs, r, lr) == ref.merge_multi_strings(seqs, r, lr)
