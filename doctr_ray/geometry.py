@@ -129,7 +129,11 @@ def extract_crops(img: np.ndarray, abs_boxes: np.ndarray) -> list[np.ndarray]:
         boxes[:, [1, 3]] *= h
         boxes = boxes.round().astype(int)
         boxes[:, 2:] += 1
-    return [np.ascontiguousarray(img[y0:y1, x0:x1]) for x0, y0, x1, y1 in boxes]
+        # the reference materializes contiguous crops for its tensor
+        # stack; the engine's integer fast path below keeps zero-copy
+        # views (recognition kernels accept strided input)
+        return [np.ascontiguousarray(img[y0:y1, x0:x1]) for x0, y0, x1, y1 in boxes]
+    return [img[y0:y1, x0:x1] for x0, y0, x1, y1 in boxes]
 
 
 def rotate_image(image: np.ndarray, angle_deg: float, fill: int = 255) -> np.ndarray:
