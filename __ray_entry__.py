@@ -358,7 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from doctr_ray.pipelines.ocr import _add_bucket, ocr_page_exports
 
-        pat = re.compile(r"<span class='ocrx_word'[^>]*>(.*?)</span>")
+        pat = re.compile(r"""<span class=["']ocrx_word["'][^>]*>(.*?)</span>""")
         pages = ocr_page_exports(_docs_ds(sf_dir, limit=60), fmt="hocr")
 
         def parse_words(batch: pa.Table) -> pa.Table:

@@ -1279,3 +1279,177 @@ def test_ref_differential_merge_strings():
         ]
         r, lr = random.choice([0.3, 0.5]), random.choice([0.1, 0.5])
         assert merge_multi_strings(seqs, r, lr) == ref.merge_multi_strings(seqs, r, lr)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _reference_elements():
+    """Execute the reference io/elements.py + io/exporters.py directly:
+    the real exporter/element code runs on top of the real reference
+    geometry and reading-order modules (cv2/scipy/reconstitution
+    stubbed as in the other loaders). Gives Page/Word/Line/Block objects
+    whose export()/render()/export_as_* are the genuine reference
+    implementations."""
+    import importlib.util
+    import sys
+    import types
+
+    ref_root = "/root/reference/doctr"
+    if not os.path.exists(f"{ref_root}/io/elements.py"):
+        pytest.skip("reference tree not available")
+
+    names = [
+        "doctr", "doctr.io", "doctr.utils", "doctr.models", "doctr.file_utils",
+        "doctr.utils.common_types", "doctr.utils.repr", "doctr.utils.geometry",
+        "doctr.utils.reconstitution", "doctr.models.reading_order",
+        "doctr.models.reading_order.base", "doctr.io.exporters",
+        "doctr.io.elements", "cv2", "scipy", "scipy.sparse",
+        "scipy.sparse.csgraph",
+    ]
+    saved = {k: sys.modules.get(k) for k in names}
+
+    def _load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    def _raise(*a, **k):
+        raise NotImplementedError
+
+    try:
+        doctr_pkg = types.ModuleType("doctr")
+        doctr_pkg.__version__ = "0.0-parity"
+        sys.modules["doctr"] = doctr_pkg
+        for sub in ("doctr.io", "doctr.utils", "doctr.models"):
+            sys.modules[sub] = types.ModuleType(sub)
+        fu = types.ModuleType("doctr.file_utils")
+        fu.requires_package = lambda *a, **k: None
+        sys.modules["doctr.file_utils"] = fu
+        sys.modules["cv2"] = types.ModuleType("cv2")
+        _load("doctr.utils.common_types", f"{ref_root}/utils/common_types.py")
+        _load("doctr.utils.repr", f"{ref_root}/utils/repr.py")
+        _load("doctr.utils.geometry", f"{ref_root}/utils/geometry.py")
+        rec = types.ModuleType("doctr.utils.reconstitution")
+        rec.synthesize_page = _raise
+        rec.synthesize_kie_page = _raise
+        sys.modules["doctr.utils.reconstitution"] = rec
+
+        sp = types.ModuleType("scipy")
+        sps = types.ModuleType("scipy.sparse")
+        spg = types.ModuleType("scipy.sparse.csgraph")
+        sps.csr_matrix = lambda x: np.asarray(x)
+
+        def _cc(mat, directed=False, return_labels=True):
+            arr = np.asarray(mat).astype(bool)
+            n = arr.shape[0]
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            ii, jj = np.nonzero(arr | arr.T)
+            for a, b in zip(ii.tolist(), jj.tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            labels = np.array([find(i) for i in range(n)])
+            _, labels = np.unique(labels, return_inverse=True)
+            return len(set(labels.tolist())), labels
+
+        spg.connected_components = _cc
+        sps.csgraph = spg
+        sp.sparse = sps
+        sys.modules.update({"scipy": sp, "scipy.sparse": sps, "scipy.sparse.csgraph": spg})
+
+        ro_pkg = types.ModuleType("doctr.models.reading_order")
+        ro_base = _load(
+            "doctr.models.reading_order.base", f"{ref_root}/models/reading_order/base.py"
+        )
+        for n in ro_base.__all__:
+            setattr(ro_pkg, n, getattr(ro_base, n))
+        ro_pkg.base = ro_base
+        sys.modules["doctr.models.reading_order"] = ro_pkg
+
+        _load("doctr.io.exporters", f"{ref_root}/io/exporters.py")
+        elements = _load("doctr.io.elements", f"{ref_root}/io/elements.py")
+        # the exporter methods lazily import doctr.* at call time, so the
+        # module web must stay installed while the caller uses the objects
+        yield elements
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def _random_reference_page(elements, rng):
+    """Random Page built from the reference's own element classes."""
+    W, L, B, P = elements.Word, elements.Line, elements.Block, elements.Page
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "a&b", "x<y"]
+    blocks = []
+    y = 0.05
+    for _ in range(int(rng.integers(1, 3))):
+        lines = []
+        for _ in range(int(rng.integers(1, 4))):
+            x = 0.05
+            ws = []
+            for _ in range(int(rng.integers(1, 5))):
+                wwidth = 0.05 + 0.02 * int(rng.integers(0, 4))
+                ws.append(
+                    W(
+                        words[int(rng.integers(0, len(words)))],
+                        0.9,
+                        ((x, y), (x + wwidth, y + 0.03)),
+                        0.8,
+                        {"value": 0, "confidence": None},
+                    )
+                )
+                x += wwidth + 0.02
+            lines.append(L(ws))
+            y += 0.05
+        blocks.append(B(lines))
+        y += 0.04
+    return P(
+        None, blocks, 0, (120, 200),
+        {"value": 0.0, "confidence": 1.0}, {"value": "en", "confidence": 0.9},
+    )
+
+
+def test_ref_differential_page_exporters():
+    """text / markdown / asciidoc / html page exports must be
+    BYTE-IDENTICAL to the reference exporters running on the same
+    page — the reference Page.export() dict feeds this engine's
+    exporters directly (also proving export-schema compatibility)."""
+    from doctr_ray.exporters import export_page_as, render_html, render_text
+
+    rng = np.random.default_rng(2)
+    with _reference_elements() as elements:
+        for _ in range(30):
+            page = _random_reference_page(elements, rng)
+            exp = page.export()
+            assert page.render() == render_text(exp)
+            assert page.export_as_markdown() == export_page_as(exp, "markdown")
+            assert page.export_as_asciidoc() == export_page_as(exp, "asciidoc")
+            assert page.export_as_html() == render_html(exp)
+
+
+def test_ref_differential_hocr_export():
+    """hOCR XML export byte-identical to the reference XMLExporter
+    (ocr_system pinned to the stubbed reference version string)."""
+    from doctr_ray.exporters import render_hocr
+
+    rng = np.random.default_rng(6)
+    with _reference_elements() as elements:
+        for _ in range(15):
+            page = _random_reference_page(elements, rng)
+            ref_bytes, _tree = page.export_as_xml()
+            ours = render_hocr(page.export(), ocr_system="python-doctr 0.0-parity")
+            assert ours == ref_bytes.decode("utf-8")
