@@ -350,7 +350,7 @@ PAGE_BREAKS = {
     "text": "\n\n\n\n",       # reference io/exporters.py:1187 render()
     "markdown": "\n\n---\n\n",
     "asciidoc": "\n\n<<<\n\n",
-    "html": "<hr/>",
+    "html": "<hr>",           # reference Document.export_as_html default
 }
 
 

@@ -1453,3 +1453,49 @@ def test_ref_differential_hocr_export():
             ref_bytes, _tree = page.export_as_xml()
             ours = render_hocr(page.export(), ocr_system="python-doctr 0.0-parity")
             assert ours == ref_bytes.decode("utf-8")
+
+
+def test_ref_differential_document_exports():
+    """Document-level render/export page joins must match the reference
+    Document mixins (text/markdown/asciidoc/html page breaks)."""
+    from doctr_ray.exporters import export_document_as, render_document
+
+    rng = np.random.default_rng(8)
+    with _reference_elements() as elements:
+        pages = [_random_reference_page(elements, rng) for _ in range(3)]
+        doc = elements.Document(pages)
+        exps = [p.export() for p in pages]
+        assert doc.render() == render_document(exps, "text")
+        assert doc.export_as_markdown() == export_document_as(exps, "markdown")
+        assert doc.export_as_asciidoc() == export_document_as(exps, "asciidoc")
+        assert doc.export_as_html() == render_document(exps, "html")
+
+
+def test_ref_differential_kie_page_exports():
+    """KIE per-class exports (markdown/html) must match the reference
+    KIEPage mixins on the same predictions."""
+    from doctr_ray.exporters import export_kie_page_as
+
+    rng = np.random.default_rng(9)
+    with _reference_elements() as elements:
+        Pred = elements.Prediction
+        preds = {}
+        pred_dicts = {}
+        for cls in ("date", "total"):
+            ps, ds = [], []
+            for _ in range(int(rng.integers(1, 4))):
+                x0 = float(rng.uniform(0.05, 0.6))
+                y0 = float(rng.uniform(0.05, 0.8))
+                geom = ((x0, y0), (x0 + 0.2, y0 + 0.04))
+                val = f"v{int(rng.integers(0, 100))}"
+                ps.append(Pred(val, 0.9, geom, 0.8, {"value": 0, "confidence": None}))
+                ds.append({"value": val, "geometry": geom, "confidence": 0.9})
+            preds[cls] = ps
+            pred_dicts[cls] = ds
+        page = elements.KIEPage(
+            None, preds, 0, (120, 200),
+            {"value": 0.0, "confidence": 1.0}, {"value": "en", "confidence": 0.9},
+        )
+        assert page.export_as_markdown() == export_kie_page_as(pred_dicts, "markdown")
+        assert page.export_as_html() == export_kie_page_as(pred_dicts, "html")
+        assert page.export_as_asciidoc() == export_kie_page_as(pred_dicts, "asciidoc")
