@@ -156,20 +156,25 @@ class MinHasher:
     one vectorized (num_perm x num_shingles) pass per document.
     """
 
-    MERSENNE = np.uint64((1 << 61) - 1)
+    # 31-bit Mersenne prime: a (31-bit) x shingle (31-bit) products stay
+    # under 2^62, so the whole permutation sweep runs in int64 — this
+    # numpy build's uint64 kernels are an order of magnitude slower
+    # (scalar fallback), which made signing the pipeline bottleneck
+    MERSENNE = np.int64((1 << 31) - 1)
 
     def __init__(self, num_perm: int = 64, seed: int = 7) -> None:
         rng = np.random.RandomState(seed)
         self.num_perm = num_perm
-        self.a = rng.randint(1, (1 << 31) - 1, size=num_perm).astype(np.uint64)
-        self.b = rng.randint(0, (1 << 31) - 1, size=num_perm).astype(np.uint64)
+        self.a = rng.randint(1, (1 << 31) - 1, size=num_perm).astype(np.int64)
+        self.b = rng.randint(0, (1 << 31) - 1, size=num_perm).astype(np.int64)
 
     def signature(self, text: str, k: int = 3) -> np.ndarray:
         x = _shingle_hashes(text, k)
         if len(x) == 0:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        # (P, S) permuted values; mod 2^61-1 keeps arithmetic in uint64
-        v = (self.a[:, None] * (x[None, :] % self.MERSENNE) + self.b[:, None]) % self.MERSENNE
+            return np.full(self.num_perm, np.iinfo(np.int64).max, dtype=np.int64)
+        x31 = (x & np.uint64(0x7FFFFFFF)).astype(np.int64)  # 31-bit domain
+        # (P, S) permuted values, all int64
+        v = (self.a[:, None] * x31[None, :] + self.b[:, None]) % self.MERSENNE
         return v.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -191,7 +196,7 @@ def explode_bands(batch: pa.Table, num_perm: int = 64, bands: int = 16) -> pa.Ta
     band_ids: list[int] = []
     band_hashes: list[int] = []
     for did, sig_bytes in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
-        sig = np.frombuffer(sig_bytes, dtype=np.uint64)
+        sig = np.frombuffer(sig_bytes, dtype=np.int64)
         for b in range(bands):
             chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
             h = hashlib.md5(chunk.tobytes()).digest()[:8]
