@@ -234,3 +234,82 @@ class GlyphRecognizer:
             out.append((text, c))
             pos += n
         return out
+
+
+# ---------------------------------------------- reference split contract
+
+
+def split_crops(
+    crops: list[np.ndarray],
+    max_ratio: float,
+    target_ratio: int,
+    split_overlap_ratio: float,
+) -> tuple[list[np.ndarray], list, bool]:
+    """Split wide crops into overlapping slices — the REFERENCE'S split
+    contract (models/recognition/predictor/_utils.py:16-68), verified
+    slice-for-slice by the differential parity test. The engine's
+    internal fast path (:func:`split_crop_spans`) computes the same
+    spans pitch-aligned without materializing slices; this function
+    exists for API parity and external callers.
+
+    Returns (new_crops, crop_map, remap_required) where crop_map
+    entries are either an int (unsplit crop index) or
+    (start, end, last_overlap_ratio).
+    """
+    import math
+
+    if split_overlap_ratio <= 0.0 or split_overlap_ratio >= 1.0:
+        raise ValueError(
+            f"Valid range for split_overlap_ratio is (0.0, 1.0), but is: {split_overlap_ratio}"
+        )
+    out: list[np.ndarray] = []
+    crop_map: list = []
+    remap_required = False
+    for crop in crops:
+        h, w = crop.shape[:2]
+        if h and w / h > max_ratio:
+            split_w = max(1, math.ceil(h * target_ratio))
+            overlap_w = max(0, math.floor(split_w * split_overlap_ratio))
+            if w <= split_w:
+                slices, last_ov = [crop], 0.0
+            else:
+                step = split_w - overlap_w
+                starts = list(range(0, w - split_w + 1, step))
+                if starts[-1] + split_w < w:
+                    starts.append(w - split_w)
+                slices = [crop[:, s : s + split_w] for s in starts]
+                last = (starts[-2] + split_w) - starts[-1] if len(starts) > 1 else 0
+                last_ov = last / split_w if split_w else 0.0
+            slices = [s for s in slices if all(d > 0 for d in s.shape)]
+            if slices:
+                crop_map.append((len(out), len(out) + len(slices), last_ov))
+                out.extend(slices)
+                remap_required = True
+            else:
+                crop_map.append(len(out))
+                out.append(crop)
+        else:
+            crop_map.append(len(out))
+            out.append(crop)
+    return out, crop_map, remap_required
+
+
+def remap_preds(
+    preds: list[tuple[str, float]],
+    crop_map: list,
+    overlap_ratio: float,
+) -> list[tuple[str, float]]:
+    """Reassemble per-slice predictions into per-crop predictions
+    (reference models/recognition/predictor/_utils.py:110-140): split
+    parts merge through :func:`merge_multi_strings` with the split's
+    recorded last-overlap ratio; confidence is the slice average."""
+    out: list[tuple[str, float]] = []
+    for item in crop_map:
+        if isinstance(item, int):
+            out.append(preds[item])
+        else:
+            start, end, last_ov = item
+            texts = [t for t, _ in preds[start:end]]
+            confs = [c for _, c in preds[start:end]]
+            out.append((merge_multi_strings(texts, overlap_ratio, last_ov), sum(confs) / len(confs)))
+    return out

@@ -1499,3 +1499,82 @@ def test_ref_differential_kie_page_exports():
         assert page.export_as_markdown() == export_kie_page_as(pred_dicts, "markdown")
         assert page.export_as_html() == export_kie_page_as(pred_dicts, "html")
         assert page.export_as_asciidoc() == export_kie_page_as(pred_dicts, "asciidoc")
+
+
+def _load_reference_split_utils():
+    """Execute the reference recognition predictor _utils module
+    (split_crops / remap_preds) directly."""
+    import importlib.util
+    import sys
+    import types
+
+    path = "/root/reference/doctr/models/recognition/predictor/_utils.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+
+    rf = types.ModuleType("rapidfuzz")
+    rfd = types.ModuleType("rapidfuzz.distance")
+
+    class _Hamming:
+        @staticmethod
+        def distance(a, b, processor=None):
+            return sum(x != y for x, y in zip(a, b))
+
+    rfd.Hamming = _Hamming
+    rf.distance = rfd
+
+    pkg = types.ModuleType("_refrec")
+    pkg.__path__ = ["/root/reference/doctr/models/recognition"]
+    sub = types.ModuleType("_refrec.predictor")
+    sub.__path__ = ["/root/reference/doctr/models/recognition/predictor"]
+    names = ["rapidfuzz", "rapidfuzz.distance", "_refrec", "_refrec.predictor",
+             "_refrec.utils", "_refrec.predictor._utils"]
+    saved = {k: sys.modules.get(k) for k in names}
+    sys.modules.update({"rapidfuzz": rf, "rapidfuzz.distance": rfd, "_refrec": pkg, "_refrec.predictor": sub})
+    try:
+        for name, p in (
+            ("_refrec.utils", "/root/reference/doctr/models/recognition/utils.py"),
+            ("_refrec.predictor._utils", path),
+        ):
+            spec = importlib.util.spec_from_file_location(name, p)
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            spec.loader.exec_module(mod)
+        return mod
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def test_ref_differential_split_crops_remap_preds():
+    """The reference split/remap contract: identical slice boundaries,
+    crop maps, and merged predictions on random wide crops."""
+    ref = _load_reference_split_utils()
+    from doctr_ray.recognition import remap_preds, split_crops
+
+    rng = np.random.default_rng(23)
+    for _ in range(25):
+        crops = []
+        for _ in range(int(rng.integers(1, 6))):
+            h = int(rng.integers(8, 33))
+            w = int(rng.integers(4, 400))
+            crops.append(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        for max_ratio, target_ratio, ov in ((4.0, 4, 0.5), (6.0, 4, 0.25), (2.0, 2, 0.1)):
+            ref_crops, ref_map, ref_req = ref.split_crops(list(crops), max_ratio, target_ratio, ov)
+            our_crops, our_map, our_req = split_crops(list(crops), max_ratio, target_ratio, ov)
+            assert ref_req == our_req
+            assert ref_map == our_map
+            assert len(ref_crops) == len(our_crops)
+            for a, b in zip(ref_crops, our_crops):
+                assert np.array_equal(a, b)
+            # remap with synthetic per-slice predictions
+            preds = [(f"t{i}ab", 0.5 + 0.4 * (i % 2)) for i in range(len(ref_crops))]
+            assert ref.remap_preds(list(preds), ref_map, ov) == remap_preds(
+                list(preds), our_map, ov
+            )
+
+    with pytest.raises(ValueError):
+        split_crops([], 4.0, 4, 0.0)
