@@ -704,6 +704,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds.select_columns(["media_id", "frame_idx", "height", "width"])
 
+    def q_doc_sample(sf_dir: str):
+        """Deterministic 10% sample — md5-keyed membership, identical
+        across runs/retries/cluster sizes; no shuffle, no RNG state."""
+        from doctr_ray.functions.sampling import deterministic_sample
+
+        ds = deterministic_sample(
+            _read(sf_dir, "documents", ["doc_id", "text"]), rate=0.1
+        )
+        return ds.map_batches(
+            lambda b: b.append_column(
+                "n_chars",
+                __import__("pyarrow").compute.utf8_length(b["text"]),
+            ).drop_columns(["text"]),
+            batch_format="pyarrow",
+        )
+
+    def q_doc_split(sf_dir: str):
+        """Deterministic 90/5/5 train/val/test labels per document."""
+        from doctr_ray.functions.sampling import hash_split
+
+        return hash_split(
+            _read(sf_dir, "documents", ["doc_id"])
+        ).select_columns(["doc_id", "split"])
+
     def q_dedup_exact(sf_dir: str):
         return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -795,6 +819,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "ocr_markdown": q_ocr_markdown,
+        "doc_sample": q_doc_sample,
+        "doc_split": q_doc_split,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_minhash": q_minhash_dups,
@@ -815,6 +841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from doctr_ray.functions.sampling import rate_to_hex as _rate_hex
     jaccard_sql = (
         # exact all-pairs word-3-gram Jaccard >= 0.5 — also the oracle
         # for the MinHash path (banded LSH at num_perm=64/bands=16 has
@@ -987,6 +1014,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": jaccard_sql,
         "dedup_minhash": jaccard_sql,
         "dedup_clusters": cluster_sql,
+        "doc_sample": (
+            # same md5-prefix decision recomputed in SQL: 8-hex-digit
+            # prefixes compare identically as strings and integers
+            "SELECT doc_id, length(text) AS n_chars FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|sample'), 1, 8) "
+            f"< '{_rate_hex(0.1)}'"
+        ),
+        "doc_split": (
+            # thresholds computed with the engine's own accumulation so
+            # float rounding at the 0.9+0.05 boundary cannot diverge
+            "SELECT doc_id, CASE "
+            f"WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 8) < '{_rate_hex(0.9)}' THEN 'train' "
+            f"WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 8) < '{_rate_hex(0.9 + 0.05)}' THEN 'val' "
+            "ELSE 'test' END AS split FROM documents"
+        ),
         "dedup_simhash": (
             # exact SimHash in SQL: md5_number_upper == the engine's
             # md5-first-8-bytes-little-endian token hash; per-bit votes

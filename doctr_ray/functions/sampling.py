@@ -1,0 +1,104 @@
+"""Deterministic sampling and dataset splitting for training-data prep.
+
+At 100 TB, sampling and train/val/test splitting must be DETERMINISTIC
+functions of the row key — not ``random_shuffle`` (an all-to-all over
+the full corpus) and not per-task RNG (irreproducible under retries and
+cluster resizes). Every operator here derives its decision from
+``md5(key | salt)``, so:
+
+- re-running a failed partition reproduces the same membership
+  (resumability under ``run_partitioned``);
+- membership is independent of parallelism, block layout, and cluster
+  size;
+- the SQL oracle can recompute the exact same decision in DuckDB
+  (md5 hex prefixes compare identically as strings and numbers).
+
+All stages are per-batch ``map_batches`` kernels — no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# width of the hex prefix used for the decision (32 bits of the digest)
+_HEX_DIGITS = 8
+
+
+def _key_hex(values, salt: str) -> list[str]:
+    return [
+        hashlib.md5(f"{v}|{salt}".encode()).hexdigest()[:_HEX_DIGITS] for v in values
+    ]
+
+
+def rate_to_hex(rate: float) -> str:
+    """The hex threshold t such that P[md5_prefix < t] == rate (up to
+    2^-32): rows whose 8-hex-digit prefix sorts below t are selected."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def deterministic_sample(ds, rate: float, key: str = "doc_id", salt: str = "sample"):
+    """Keep a deterministic ``rate`` fraction of rows, decided per row
+    by ``md5(key|salt)`` — reproducible across runs, retries, and
+    cluster sizes; no shuffle, no RNG state."""
+    thresh = rate_to_hex(rate)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        hx = _key_hex(batch[key].to_pylist(), salt)
+        mask = pa.array([h < thresh for h in hx], pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def hash_split(
+    ds,
+    weights: dict[str, float] | None = None,
+    key: str = "doc_id",
+    salt: str = "split",
+):
+    """Assign every row a deterministic split label ("train"/"val"/...)
+    with the given weights: the md5 prefix falls into consecutive hex
+    ranges. Appends a ``split`` column; never moves a row."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bounds: list[tuple[str, str]] = []
+    acc = 0.0
+    for name, wgt in weights.items():
+        acc += wgt
+        bounds.append((name, rate_to_hex(acc)))
+    bounds[-1] = (bounds[-1][0], "g")  # > every hex prefix: catches all
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        hx = _key_hex(batch[key].to_pylist(), salt)
+        labels = []
+        for h in hx:
+            for name, hi in bounds:
+                if h < hi:
+                    labels.append(name)
+                    break
+        return batch.append_column("split", pa.array(labels, pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def split_counts(ds, weights: dict[str, float] | None = None, key: str = "doc_id", salt: str = "split"):
+    """(split, n_docs) summary of a hash_split — a tiny groupby over
+    label partials, used as the verification surface."""
+    from ray.data.aggregate import Count
+
+    return hash_split(ds, weights, key, salt).groupby("split").aggregate(Count(alias_name="n_docs"))
+
+
+def sample_weighted_columns(ds, rate: float, key: str = "doc_id", salt: str = "sample", columns: list[str] | None = None):
+    """Deterministic sample projected to ``columns`` (pruning helper)."""
+    out = deterministic_sample(ds, rate, key, salt)
+    if columns:
+        out = out.select_columns(columns)
+    return out
