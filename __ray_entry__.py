@@ -704,6 +704,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds.select_columns(["media_id", "frame_idx", "height", "width"])
 
+    def q_pdf_native(sf_dir: str):
+        """PDF native-text path: every document is written as a real
+        (Flate-compressed, multi-page) PDF and read back through the
+        pure-stdlib text-layer extractor INSIDE the map task — bytes
+        never touch the driver. The oracle is identity on the source
+        text: the whole encode -> deflate -> parse -> decode chain must
+        be lossless."""
+        import pyarrow as pa
+
+        from doctr_ray.sources.pdftext import extract_pdf_text, make_simple_pdf
+
+        def roundtrip(batch: pa.Table) -> pa.Table:
+            out = []
+            for t in batch["text"].to_pylist():
+                toks = (t or "").split(" ")
+                lines = [" ".join(toks[i : i + 12]) for i in range(0, len(toks), 12)]
+                pages = [lines[: len(lines) // 2 + 1], lines[len(lines) // 2 + 1 :]]
+                pdf = make_simple_pdf([p for p in pages if p])
+                out.append(" ".join(extract_pdf_text(pdf)))
+            return pa.Table.from_arrays(
+                [pa.compute.cast(batch["doc_id"], pa.string()), pa.array(out, pa.string())],
+                names=["doc_id", "text"],
+            )
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            roundtrip, batch_format="pyarrow"
+        )
+
     def q_doc_sample(sf_dir: str):
         """Deterministic 10% sample — md5-keyed membership, identical
         across runs/retries/cluster sizes; no shuffle, no RNG state."""
@@ -819,6 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "ocr_markdown": q_ocr_markdown,
+        "pdf_native_text": q_pdf_native,
         "doc_sample": q_doc_sample,
         "doc_split": q_doc_split,
         "dedup_exact": q_dedup_exact,
@@ -1014,6 +1043,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": jaccard_sql,
         "dedup_minhash": jaccard_sql,
         "dedup_clusters": cluster_sql,
+        "pdf_native_text": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
+        ),
         "doc_sample": (
             # same md5-prefix decision recomputed in SQL: 8-hex-digit
             # prefixes compare identically as strings and integers

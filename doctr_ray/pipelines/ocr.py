@@ -236,9 +236,13 @@ def media_to_ocr_span(
     per page inside the worker — the whole media is local, so the
     words never need to shuffle). Returns (text, mean_confidence).
 
+    Text-bearing media short-circuit to their text without raster OCR:
     HTML assets (synthhtml://) dispatch to the DOM main-content
-    extractor instead of the raster OCR path — one interleaved document
-    can mix native text, scanned pages, and web pages."""
+    extractor, and file://*.pdf media with a NATIVE text layer read it
+    directly (sources/pdftext) — one interleaved document can mix
+    native text, scanned pages, web pages, and digital PDFs. A PDF
+    without a text layer falls through to the rasterize path (which
+    names its missing native dependency)."""
     from ..media import HTML_PREFIX
 
     if media_ref.startswith(HTML_PREFIX):
@@ -246,6 +250,17 @@ def media_to_ocr_span(
         from ..media import fetch_html
 
         return extract_main_content(fetch_html(media_ref)), 1.0
+    if media_ref.startswith("file://") and media_ref.lower().endswith(".pdf"):
+        from ..sources.pdftext import extract_pdf_text
+
+        with open(media_ref[len("file://") :], "rb") as f:
+            data = f.read()
+        try:
+            lines = extract_pdf_text(data)
+        except NotImplementedError:
+            lines = []
+        if lines:  # native text layer wins; scanned PDFs fall through
+            return " ".join(lines), 1.0
     rows = process_media_row(
         doc_id, media_ref, offset, recognizer, detect_orientation, straighten_pages
     )

@@ -1,0 +1,117 @@
+"""Pure-stdlib PDF native-text extraction: round-trips through the
+minimal writer, operator coverage, and the file:// media path."""
+
+import zlib
+
+import pytest
+
+from doctr_ray.sources.pdftext import (
+    extract_pdf_text,
+    make_simple_pdf,
+    pdf_escape,
+)
+
+
+def test_roundtrip_compressed_and_plain():
+    pages = [["Hello world", "second line"], ["page two here"]]
+    for compress in (True, False):
+        data = make_simple_pdf(pages, compress=compress)
+        assert data.startswith(b"%PDF-")
+        got = extract_pdf_text(data)
+        assert got == ["Hello world", "second line", "page two here"]
+
+
+def test_escapes_roundtrip():
+    tricky = ["paren (hi) and \\ backslash", "tabs\tstay"]
+    got = extract_pdf_text(make_simple_pdf([tricky]))
+    assert got == tricky
+
+
+def test_tj_array_and_hex_strings():
+    # hand-built content stream exercising TJ arrays, hex strings, and '
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"[(Hel) -20 (lo) 30 ( wor) (ld)] TJ "
+        b"T* (next line) Tj "
+        b"(apostrophe line) ' "
+        b"ET"
+    )
+    z = zlib.compress(content)
+    body = (
+        b"<< /Length " + str(len(z)).encode() + b" /Filter /FlateDecode >>"
+        b"\nstream\n" + z + b"\nendstream"
+    )
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n" + body + b"\nendobj\n"
+        b"trailer\n<< >>\n%%EOF\n"
+    )
+    got = extract_pdf_text(pdf)
+    assert got == ["Hello world", "next line", "apostrophe line"]
+
+
+def test_octal_escape():
+    content = b"BT (A\\101B) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["AAB"]
+
+
+def test_rejects_non_pdf_and_names_deps():
+    with pytest.raises(ValueError, match="not a PDF"):
+        extract_pdf_text(b"plain bytes")
+    enc = b"%PDF-1.4\n1 0 obj\n<< /Encrypt 2 0 R >>\nendobj\n%%EOF"
+    with pytest.raises(NotImplementedError, match="pypdfium2"):
+        extract_pdf_text(enc)
+    lzw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /LZWDecode >>\n"
+        b"stream\nABCD\nendstream\nendobj\n%%EOF"
+    )
+    with pytest.raises(NotImplementedError, match="pypdfium2"):
+        extract_pdf_text(lzw)
+
+
+def test_image_streams_skipped():
+    img = b"\x00" * 16
+    body = (
+        b"<< /Subtype /Image /Length 16 >>\nstream\n" + img + b"\nendstream"
+    )
+    txt = b"BT (kept text) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n" + body + b"\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(txt)).encode() + b" >>\nstream\n" + txt + b"\nendstream\nendobj\n"
+        b"%%EOF"
+    )
+    assert extract_pdf_text(pdf) == ["kept text"]
+
+
+def test_pdf_escape():
+    assert pdf_escape("a(b)c\\d") == b"a\\(b\\)c\\\\d"
+
+
+def test_file_pdf_media_in_fused_pipeline(tmp_path):
+    """A file://doc.pdf media span resolves through the NATIVE text
+    layer in the fused worker — no rasterization, no OCR — exactly like
+    the HTML branch: text-bearing media short-circuit to their text."""
+    from doctr_ray.pipelines.ocr import media_to_ocr_span
+    from doctr_ray.recognition import GlyphRecognizer
+
+    p = tmp_path / "native.pdf"
+    p.write_bytes(make_simple_pdf([["alpha beta", "gamma"], ["delta"]]))
+    text, conf = media_to_ocr_span("d0", f"file://{p}", 0, GlyphRecognizer())
+    assert text == "alpha beta gamma delta"
+    assert conf == 1.0
+
+
+def test_scanned_pdf_still_raises_for_rasterizer(tmp_path):
+    # a PDF with no text layer cannot short-circuit: the rasterizer
+    # dependency is still named
+    from doctr_ray.pipelines.ocr import media_to_ocr_span
+    from doctr_ray.recognition import GlyphRecognizer
+
+    p = tmp_path / "scan.pdf"
+    p.write_bytes(b"%PDF-1.4\n1 0 obj\n<< >>\nendobj\n%%EOF\n")
+    with pytest.raises(NotImplementedError, match="pypdfium2"):
+        media_to_ocr_span("d0", f"file://{p}", 0, GlyphRecognizer())
