@@ -13,6 +13,9 @@ flow through the extraction pipeline in this container:
 - **BMP**: uncompressed (BI_RGB) 8-bit palette / 24-bit / 32-bit,
   bottom-up or top-down.
 - **PNM**: P1-P6 (ASCII + binary bitmap/gray/RGB), maxval <= 255.
+- **TIFF**: baseline scanner output — first IFD, strip-organized 1/8-bit
+  gray/RGB, uncompressed / PackBits / Deflate, horizontal-differencing
+  predictor. LZW and JPEG-in-TIFF raise naming the needed library.
 - **JPEG**: genuinely requires a DCT decoder library — the stub raises
   naming the dependency (reference io/image/base.py uses cv2.imdecode).
 
@@ -329,6 +332,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(data)
     if len(data) >= 2 and data[0:1] == b"P" and data[1:2] in b"123456":
         return decode_pnm(data)
     if data[:2] == b"\xff\xd8":
@@ -347,3 +352,108 @@ def to_gray(arr: np.ndarray) -> np.ndarray:
     return ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000).astype(
         np.uint8
     )
+
+
+# --------------------------------------------------------------------- TIFF
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits_per_sample", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "samples_per_pixel",
+    278: "rows_per_strip", 279: "strip_byte_counts", 317: "predictor",
+}
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline TIFF (the common scanner output): first IFD, gray or
+    RGB, 1/8-bit samples, strip-organized, uncompressed / PackBits /
+    Deflate(AdobeDeflate); horizontal-differencing predictor. JPEG-in-
+    TIFF, LZW, and tiled files raise naming the needed library."""
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    u16 = lambda off: struct.unpack(bo + "H", data[off : off + 2])[0]
+    u32 = lambda off: struct.unpack(bo + "I", data[off : off + 4])[0]
+
+    ifd = u32(4)
+    n_entries = u16(ifd)
+    tags: dict[str, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd + 2 + 12 * i
+        tag, typ, count = u16(e), u16(e + 2), u32(e + 4)
+        size = _TIFF_TYPE_SIZE.get(typ, 1) * count
+        voff = e + 8 if size <= 4 else u32(e + 8)
+        name = _TIFF_TAGS.get(tag)
+        if name is None:
+            continue
+        vals = []
+        for k in range(count):
+            if typ == 3:
+                vals.append(u16(voff + 2 * k))
+            elif typ == 4:
+                vals.append(u32(voff + 4 * k))
+            elif typ == 1:
+                vals.append(data[voff + k])
+        tags[name] = vals
+
+    width = tags["width"][0]
+    height = tags["height"][0]
+    spp = tags.get("samples_per_pixel", [1])[0]
+    bits = tags.get("bits_per_sample", [1])[0]
+    comp = tags.get("compression", [1])[0]
+    photometric = tags.get("photometric", [1])[0]
+    predictor = tags.get("predictor", [1])[0]
+    rps = tags.get("rows_per_strip", [height])[0]
+    offsets = tags["strip_offsets"]
+    counts = tags.get("strip_byte_counts")
+    if bits not in (1, 8):
+        raise NotImplementedError(f"{bits}-bit TIFF samples not supported")
+    if comp in (5,):
+        raise NotImplementedError("LZW TIFF requires a full image library (PIL)")
+    if comp in (6, 7):
+        raise NotImplementedError("JPEG-in-TIFF requires a JPEG decoder (cv2 or PIL)")
+    if comp not in (1, 8, 32946, 32773):
+        raise NotImplementedError(f"TIFF compression {comp} not supported")
+
+    row_bytes = (width * spp * bits + 7) // 8
+    raw = bytearray()
+    for si, off in enumerate(offsets):
+        n = counts[si] if counts else row_bytes * rps
+        chunk = data[off : off + n]
+        if comp in (8, 32946):
+            chunk = zlib.decompress(chunk)
+        elif comp == 32773:  # PackBits
+            out = bytearray()
+            i = 0
+            while i < len(chunk):
+                c = chunk[i]
+                if c < 128:
+                    out += chunk[i + 1 : i + 2 + c]
+                    i += 2 + c
+                elif c > 128:
+                    out += chunk[i + 1 : i + 2] * (257 - c)
+                    i += 2
+                else:
+                    i += 1
+            chunk = bytes(out)
+        raw += chunk
+
+    arr = np.frombuffer(bytes(raw), np.uint8, count=height * row_bytes).reshape(
+        height, row_bytes
+    )
+    if bits == 1:
+        px = np.unpackbits(arr, axis=1)[:, :width] * np.uint8(255)
+        if photometric == 0:  # WhiteIsZero bilevel
+            px = 255 - px
+        return px
+    px = arr[:, : width * spp].reshape(height, width, spp)
+    if predictor == 2:  # horizontal differencing: undo with cumsum mod 256
+        px = np.cumsum(px, axis=1, dtype=np.uint8)
+    if photometric == 0:  # WhiteIsZero grayscale
+        px = 255 - px
+    if spp == 1:
+        return px[:, :, 0].copy()
+    return px[:, :, :3].copy()

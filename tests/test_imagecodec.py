@@ -277,3 +277,134 @@ def test_file_bmp_media_decodes(tmp_path):
     pages = rasterize_media(f"file://{p}")
     assert pages[0].image.shape == (16, 12)
     assert np.array_equal(pages[0].image, to_gray(img))
+
+
+# ---------------------------------------------------------------------- TIFF
+
+
+def _make_tiff(img: np.ndarray, compression: int = 1, photometric=None, rows_per_strip=None):
+    """Minimal little-endian strip TIFF writer for decoder tests."""
+    import struct
+    import zlib as _zlib
+
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    rps = rows_per_strip or h
+    photometric = photometric if photometric is not None else (1 if spp == 1 else 2)
+    px = img.reshape(h, -1)
+
+    strips = []
+    for y0 in range(0, h, rps):
+        chunk = px[y0 : y0 + rps].tobytes()
+        if compression == 8:
+            chunk = _zlib.compress(chunk)
+        elif compression == 32773:  # PackBits: literal runs only (valid)
+            out = bytearray()
+            i = 0
+            while i < len(chunk):
+                n = min(128, len(chunk) - i)
+                out.append(n - 1)
+                out += chunk[i : i + n]
+                i += n
+            chunk = bytes(out)
+        strips.append(chunk)
+
+    n_strips = len(strips)
+    entries = []  # (tag, type, count, value_or_offset_resolver)
+    extra = bytearray()
+    header_size = 8
+    ifd_count = 10
+    ifd_size = 2 + 12 * ifd_count + 4
+    data_start = header_size + ifd_size
+
+    def arr_vals(vals, typ):
+        nonlocal extra
+        size = {3: 2, 4: 4}[typ] * len(vals)
+        if size <= 4:
+            packed = b"".join(
+                struct.pack("<H" if typ == 3 else "<I", v) for v in vals
+            ).ljust(4, b"\x00")
+            return packed
+        off = data_start + len(extra)
+        for v in vals:
+            extra += struct.pack("<H" if typ == 3 else "<I", v)
+        return struct.pack("<I", off)
+
+    # strip data goes after 'extra' — two passes: sizes first
+    strip_sizes = [len(s) for s in strips]
+    # reserve extra arrays first, then strips
+    pending = []
+    def add(tag, typ, vals):
+        pending.append((tag, typ, vals))
+
+    add(256, 4, [w]); add(257, 4, [h]); add(258, 3, [8] * spp)
+    add(259, 3, [compression]); add(262, 3, [photometric])
+    add(277, 3, [spp]); add(278, 4, [rps])
+    # placeholders for strip offsets (filled after extra is known)
+    add(279, 4, strip_sizes)
+    add(317, 3, [1])
+
+    # first pass to materialize all value arrays except offsets
+    rendered = []
+    for tag, typ, vals in pending:
+        rendered.append((tag, typ, len(vals), arr_vals(vals, typ)))
+    # strips begin after extra, INCLUDING the offsets array that is
+    # itself about to be appended to extra when n_strips > 1
+    strip_off0 = data_start + len(extra) + (4 * n_strips if n_strips > 1 else 0)
+    offs = []
+    acc = strip_off0
+    for s in strips:
+        offs.append(acc)
+        acc += len(s)
+    rendered.append((273, 4, n_strips, arr_vals(offs, 4)))
+    rendered.sort(key=lambda e: e[0])
+
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(rendered))
+    for tag, typ, count, val in rendered:
+        out += struct.pack("<HHI", tag, typ, count) + val
+    out += struct.pack("<I", 0)
+    assert len(out) == data_start, (len(out), data_start)
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+@pytest.mark.parametrize("compression", [1, 8, 32773])
+def test_tiff_gray_roundtrip(compression):
+    from doctr_ray.sources.imagecodec import decode_tiff
+
+    img = _rng(41).integers(0, 256, (13, 17), dtype=np.uint8)
+    data = _make_tiff(img, compression=compression)
+    assert np.array_equal(decode_tiff(data), img)
+
+
+def test_tiff_rgb_and_strips():
+    from doctr_ray.sources.imagecodec import decode_tiff
+
+    img = _rng(42).integers(0, 256, (12, 7, 3), dtype=np.uint8)
+    data = _make_tiff(img, compression=8, rows_per_strip=5)
+    assert np.array_equal(decode_tiff(data), img)
+
+
+def test_tiff_white_is_zero():
+    from doctr_ray.sources.imagecodec import decode_tiff
+
+    img = _rng(43).integers(0, 256, (6, 6), dtype=np.uint8)
+    data = _make_tiff(img, photometric=0)
+    assert np.array_equal(decode_tiff(data), 255 - img)
+
+
+def test_tiff_lzw_rejected():
+    from doctr_ray.sources.imagecodec import decode_tiff
+
+    img = np.zeros((2, 2), dtype=np.uint8)
+    data = _make_tiff(img, compression=5)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_tiff(data)
+
+
+def test_tiff_dispatch():
+    img = _rng(44).integers(0, 256, (5, 9), dtype=np.uint8)
+    assert np.array_equal(decode_image(_make_tiff(img)), img)
