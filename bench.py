@@ -123,6 +123,7 @@ def run_once() -> dict:
         "dedup_exact",
         "dedup_minhash",
         "dedup_simhash",
+        "dedup_clusters",
         "dedup_embedding",
         "ann_topk",
         "ann_topk_ivf",
@@ -134,6 +135,10 @@ def run_once() -> dict:
         "table_grids",
         "ocr_skewed",
         "page_reconstitution",
+        "pdf_native_text",
+        "doc_sample",
+        "doc_split",
+        "events_sliding",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)
