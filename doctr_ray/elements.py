@@ -24,6 +24,9 @@ class Word:
     confidence: float
     geometry: list[float]            # [xmin, ymin, xmax, ymax] relative
     objectness_score: float = 0.0
+    crop_orientation: dict = field(
+        default_factory=lambda: {"value": 0, "confidence": None}
+    )
 
     def export(self) -> dict:
         return {
@@ -31,6 +34,7 @@ class Word:
             "confidence": self.confidence,
             "geometry": list(self.geometry),
             "objectness_score": self.objectness_score,
+            "crop_orientation": dict(self.crop_orientation),
         }
 
     @classmethod
@@ -40,6 +44,9 @@ class Word:
             confidence=d["confidence"],
             geometry=list(d["geometry"]),
             objectness_score=d.get("objectness_score", 0.0),
+            crop_orientation=dict(
+                d.get("crop_orientation", {"value": 0, "confidence": None})
+            ),
         )
 
 
@@ -123,6 +130,11 @@ class Page:
     dimensions: tuple[int, int] = (0, 0)   # (height, width)
     orientation: dict = field(default_factory=lambda: {"value": 0, "confidence": None})
     language: dict = field(default_factory=lambda: {"value": None, "confidence": None})
+    # layout regions and recognized tables pass through as raw export
+    # dicts (reference io/elements.py:463-512 exports both keys, [] when
+    # absent) so a reference Page.export() round-trips losslessly
+    layout: list[dict] = field(default_factory=list)
+    tables: list[dict] = field(default_factory=list)
 
     def export(self) -> dict:
         return {
@@ -131,6 +143,8 @@ class Page:
             "orientation": dict(self.orientation),
             "language": dict(self.language),
             "blocks": [b.export() for b in self.blocks],
+            "layout": [dict(r) for r in self.layout],
+            "tables": [dict(t) for t in self.tables],
         }
 
     @classmethod
@@ -141,6 +155,8 @@ class Page:
             dimensions=tuple(d.get("dimensions", (0, 0))),
             orientation=d.get("orientation", {"value": 0, "confidence": None}),
             language=d.get("language", {"value": None, "confidence": None}),
+            layout=list(d.get("layout") or []),
+            tables=list(d.get("tables") or []),
         )
 
     def render(self, block_sep: str = "\n\n") -> str:

