@@ -16,8 +16,10 @@ flow through the extraction pipeline in this container:
 - **TIFF**: baseline scanner output — first IFD, strip-organized 1/8-bit
   gray/RGB, uncompressed / PackBits / Deflate, horizontal-differencing
   predictor. LZW and JPEG-in-TIFF raise naming the needed library.
-- **JPEG**: genuinely requires a DCT decoder library — the stub raises
-  naming the dependency (reference io/image/base.py uses cv2.imdecode).
+- **JPEG**: baseline JFIF decodes (and encodes) via
+  :mod:`doctr_ray.sources.jpegcodec` — Huffman entropy coding with
+  restart markers, vectorized IDCT, 4:2:0/4:2:2/4:4:4 chroma;
+  progressive/arithmetic raise naming cv2/PIL.
 
 ``encode_png`` writes non-interlaced 8-bit gray/RGB PNGs (filter 0),
 giving the engine a dependency-free lossless interchange format for
@@ -337,10 +339,9 @@ def decode_image(data: bytes) -> np.ndarray:
     if len(data) >= 2 and data[0:1] == b"P" and data[1:2] in b"123456":
         return decode_pnm(data)
     if data[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG decoding requires cv2 or PIL (not in this container); "
-            "re-encode as PNG/BMP/PNM or install a decoder"
-        )
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError(f"unrecognized image format (magic {data[:4]!r})")
 
 

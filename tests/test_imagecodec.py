@@ -148,9 +148,11 @@ def test_png_interlaced_rejected():
         decode_png(png)
 
 
-def test_jpeg_rejected_with_dependency_name():
-    with pytest.raises(NotImplementedError, match="cv2 or PIL"):
-        decode_image(b"\xff\xd8\xff\xe0rest")
+def test_jpeg_dispatches_to_baseline_codec():
+    # baseline JPEG is REAL now (tests/test_jpegcodec.py); the dispatch
+    # routes JFIF magic into it — a truncated stream errors loudly
+    with pytest.raises(ValueError, match="scan data"):
+        decode_image(b"\xff\xd8\xff\xd9")
 
 
 # ---------------------------------------------------------------------- BMP
