@@ -666,11 +666,11 @@ def simhash_near_dups(docs_ds, max_hamming: int = 3, bands: int | None = None):
 # ----------------------------------------------- near-dup clustering
 
 
-def _cc_candidate_rows(key, cand) -> pa.Table:
+def _cc_candidate_rows(key, cand, buckets: int) -> pa.Table:
     """(node, candidate-label) rows with the node's shuffle bucket."""
     return pa.Table.from_arrays(
         [
-            pa.array([_md5_bucket(k) for k in key], pa.int32()),
+            pa.array([_md5_bucket(k, buckets) for k in key], pa.int32()),
             pa.array(key, pa.string()),
             pa.array(cand, pa.string()),
         ],
@@ -721,21 +721,38 @@ def connected_components(pairs_ds, max_rounds: int = 50):
     """
     import pyarrow.compute as pc
 
-    def _adj_rows(batch: pa.Table) -> pa.Table:
+    def _adj_raw(batch: pa.Table) -> pa.Table:
         a = [str(x) for x in batch["a"].to_pylist()]
         b = [str(x) for x in batch["b"].to_pylist()]
         return pa.Table.from_arrays(
-            [
-                pa.array([_md5_bucket(n) for n in a + b], pa.int32()),
-                pa.array(a + b, pa.string()),
-                pa.array(b + a, pa.string()),
-            ],
-            names=["cb", "node", "nbr"],
+            [pa.array(a + b, pa.string()), pa.array(b + a, pa.string())],
+            names=["node", "nbr"],
         )
 
     # both-direction adjacency, materialized once (it is candidate-pair
     # sized — tiny next to the corpus — and every round re-reads it)
-    adj = pairs_ds.map_batches(_adj_rows, batch_format="pyarrow").materialize()
+    adj_raw = pairs_ds.map_batches(_adj_raw, batch_format="pyarrow").materialize()
+    n_rows = adj_raw.count()
+    # bucket granularity adapts to the graph size: a fixed 64-way split
+    # on a small pair set fragments every round into hundreds of
+    # near-empty tasks (measured: 83 s for ONE converged iteration on
+    # 256 pairs — pure scheduling overhead); at scale the bucket count
+    # grows with the edge count so reducers stay ~50k rows each
+    B = max(1, min(PAIR_BUCKETS, n_rows // 50_000 + 1))
+
+    def _add_cb(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pa.array(
+                    [_md5_bucket(n, B) for n in batch["node"].to_pylist()], pa.int32()
+                ),
+                batch["node"],
+                batch["nbr"],
+            ],
+            names=["cb", "node", "nbr"],
+        )
+
+    adj = adj_raw.map_batches(_add_cb, batch_format="pyarrow").repartition(B).materialize()
 
     def _seed_labels(batch: pa.Table) -> pa.Table:
         # seed each adjacency row with min(node, nbr): the groupby-min
@@ -754,7 +771,7 @@ def connected_components(pairs_ds, max_rounds: int = 50):
 
     def _min_per_node(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby("node", sort=False)["label"].min().reset_index()
-        m.insert(0, "cb", [_md5_bucket(n) for n in m["node"]])
+        m.insert(0, "cb", [_md5_bucket(n, B) for n in m["node"]])
         return m
 
     labels = (
@@ -775,13 +792,13 @@ def connected_components(pairs_ds, max_rounds: int = 50):
         out_cand = pd.concat(
             [adjr["node"].map(lab_of), labs["label"]], ignore_index=True
         )
-        t = _cc_candidate_rows(out_node.tolist(), out_cand.tolist())
+        t = _cc_candidate_rows(out_node.tolist(), out_cand.tolist(), B)
         return t.to_pandas()
 
     def _min_bucket(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby("node", sort=False)["cand"].min().reset_index()
         m.columns = ["node", "label"]
-        m.insert(0, "cb", [_md5_bucket(n) for n in m["node"]])
+        m.insert(0, "cb", [_md5_bucket(n, B) for n in m["node"]])
         return m
 
     def _minprop(labels_ds, adj_ds):
@@ -817,7 +834,7 @@ def connected_components(pairs_ds, max_rounds: int = 50):
         keep = [i for i, (n, p) in enumerate(zip(nodes, labs)) if n != p]
         return pa.Table.from_arrays(
             [
-                pa.array([_md5_bucket(labs[i]) for i in keep], pa.int32()),
+                pa.array([_md5_bucket(labs[i], B) for i in keep], pa.int32()),
                 pa.array([labs[i] for i in keep], pa.string()),
                 pa.array([nodes[i] for i in keep], pa.string()),
             ],
@@ -827,12 +844,15 @@ def connected_components(pairs_ds, max_rounds: int = 50):
     fp = _cc_fingerprint(labels)
     for _ in range(max_rounds):
         labels = _minprop(labels, adj)
-        jump_edges = labels.map_batches(_labels_as_edges, batch_format="pyarrow")
-        labels = _minprop(labels, jump_edges)
         new_fp = _cc_fingerprint(labels)
         if new_fp == fp:
+            # stability under SYMMETRIC edge propagation means l(n) <=
+            # l(nbr) on every edge in both directions, i.e. labels are
+            # component-constant — the true fixpoint; skip the jump
             break
-        fp = new_fp
+        jump_edges = labels.map_batches(_labels_as_edges, batch_format="pyarrow")
+        labels = _minprop(labels, jump_edges)
+        fp = _cc_fingerprint(labels)
 
     def _out(batch: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
