@@ -704,6 +704,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds.select_columns(["media_id", "frame_idx", "height", "width"])
 
+    def q_doc_repetition(sf_dir: str):
+        """Gopher-style repetition signals (top-bigram share, type-token
+        ratio) — the filter inputs for boilerplate/spam removal."""
+        from doctr_ray.functions.text import repetition_stats
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            repetition_stats, batch_format="pyarrow"
+        )
+
     def q_pdf_native(sf_dir: str):
         """PDF native-text path: every document is written as a real
         (Flate-compressed, multi-page) PDF and read back through the
@@ -847,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "ocr_markdown": q_ocr_markdown,
+        "doc_repetition": q_doc_repetition,
         "pdf_native_text": q_pdf_native,
         "doc_sample": q_doc_sample,
         "doc_split": q_doc_split,
@@ -1045,6 +1055,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": cluster_sql,
         "pdf_native_text": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
+        ),
+        "doc_repetition": (
+            "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), "
+            "b AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 2 THEN "
+            "list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]) "
+            "ELSE [] END AS bis FROM d), "
+            "u AS (SELECT doc_id, unnest(bis) AS bi FROM b), "
+            "c AS (SELECT doc_id, bi, count(*) AS n FROM u GROUP BY doc_id, bi), "
+            "t AS (SELECT doc_id, max(n) AS top_n FROM c GROUP BY doc_id) "
+            "SELECT d.doc_id, greatest(len(d.toks) - 1, 0) AS n_bigrams, "
+            "COALESCE(t.top_n, 0) AS top_bigram_n, "
+            "CASE WHEN len(d.toks) = 0 THEN 0 ELSE CAST(round(len(list_distinct(d.toks)) * 1000000.0 / len(d.toks)) AS BIGINT) END AS ttr_e6 "
+            "FROM d LEFT JOIN t USING (doc_id)"
         ),
         "doc_sample": (
             # same md5-prefix decision recomputed in SQL: 8-hex-digit

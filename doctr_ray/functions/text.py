@@ -152,3 +152,48 @@ def fingerprint(batch: pa.Table) -> pa.Table:
     df = batch.to_pandas()
     fp = df["text"].map(lambda t: hashlib.md5((t or "").encode("utf-8")).hexdigest())
     return pd.DataFrame({"doc_id": df["doc_id"], "fp": fp})
+
+
+def repetition_stats(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per document (Rae et al. 2021's
+    repetition filters, re-expressed deterministically):
+
+    - ``n_bigrams``: word-bigram count;
+    - ``top_bigram_n``: occurrences of the most frequent bigram (ties
+      broken lexicographically so the SQL oracle reproduces the argmax);
+    - ``ttr_e6``: type-token ratio (distinct words / words) in
+      micro-units — low values mean heavy word repetition.
+
+    Vectorized per batch; a filter stage thresholds these columns to
+    drop boilerplate/spam before training.
+    """
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    n_bi: list[int] = []
+    top_bi: list[int] = []
+    ttr: list[int] = []
+    for t in texts:
+        toks = [w for w in (t or "").split(" ") if w]
+        if not toks:
+            n_bi.append(0)
+            top_bi.append(0)
+            ttr.append(0)
+            continue
+        bigrams: dict[str, int] = {}
+        for a, b in zip(toks, toks[1:]):
+            key = f"{a} {b}"
+            bigrams[key] = bigrams.get(key, 0) + 1
+        n_bi.append(max(0, len(toks) - 1))
+        top_bi.append(
+            max(bigrams.items(), key=lambda kv: (kv[1], kv[0]))[1] if bigrams else 0
+        )
+        ttr.append(int(round(len(set(toks)) * 1_000_000 / len(toks))))
+    return pa.Table.from_arrays(
+        [
+            batch["doc_id"],
+            pa.array(n_bi, pa.int64()),
+            pa.array(top_bi, pa.int64()),
+            pa.array(ttr, pa.int64()),
+        ],
+        names=["doc_id", "n_bigrams", "top_bigram_n", "ttr_e6"],
+    )

@@ -204,3 +204,30 @@ def test_ann_topk_ivf_recall(ray_session, emb_table):
         hits += len(e & set(g["vec_id"]))
         total += len(e)
     assert hits / total >= 0.5  # probing half the cells
+
+
+def test_repetition_stats():
+    import pyarrow as pa
+
+    from doctr_ray.functions.text import repetition_stats
+
+    t = pa.table(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "text": [
+                "x y x y x y",          # 5 bigrams; 'x y' appears 3x; 2/6 distinct
+                "one two three four",   # all distinct
+                "",                      # empty
+                "solo",                  # single token: 0 bigrams
+            ],
+        }
+    )
+    out = repetition_stats(t).to_pandas().set_index("doc_id")
+    assert out.loc["a", "n_bigrams"] == 5
+    assert out.loc["a", "top_bigram_n"] == 3
+    assert out.loc["a", "ttr_e6"] == round(2 * 1e6 / 6)
+    assert out.loc["b", "top_bigram_n"] == 1
+    assert out.loc["b", "ttr_e6"] == 1_000_000
+    assert out.loc["c", "n_bigrams"] == 0 and out.loc["c", "ttr_e6"] == 0
+    assert out.loc["d", "n_bigrams"] == 0 and out.loc["d", "top_bigram_n"] == 0
+    assert out.loc["d", "ttr_e6"] == 1_000_000
