@@ -635,3 +635,97 @@ def export_kie_page_as(predictions: dict[str, list[dict]], fmt: str = "markdown"
         sep = "\n" if fmt == "html" else "\n\n"
         parts.append(f"{spec['class_header'](class_name)}{sep}{values}")
     return ("\n" if fmt == "html" else "\n\n").join(parts)
+
+
+def render_kie_hocr(
+    predictions: dict[str, list[dict]],
+    page_shape: tuple[int, int],
+    page_idx: int = 0,
+    language: str | None = None,
+    direction: str = "auto",
+    with_reading_order: bool = True,
+    file_title: str = "docTR - XML export (hOCR)",
+    ocr_system: str = "doctr_ray",
+) -> str:
+    """KIE page as hOCR XML — byte-identical to the reference
+    XMLExporter.export_kie_page (io/exporters.py:792-870) modulo the
+    ``ocr_system`` meta string: each prediction becomes its own
+    carea/par/line/word nest (PDF/A-compatible single-word areas), the
+    predictions of each class sorted in reading order."""
+    from xml.etree import ElementTree as ET
+    from xml.etree.ElementTree import Element as ETElement
+    from xml.etree.ElementTree import SubElement
+
+    from .reading_order import ReadingOrderPredictor
+
+    h, w = page_shape
+    root = ETElement("html", attrib={"xmlns": "http://www.w3.org/1999/xhtml", "xml:lang": language or "en"})
+    head = SubElement(root, "head")
+    SubElement(head, "title").text = file_title
+    SubElement(head, "meta", attrib={"http-equiv": "Content-Type", "content": "text/html; charset=utf-8"})
+    SubElement(head, "meta", attrib={"name": "ocr-system", "content": ocr_system})
+    SubElement(
+        head,
+        "meta",
+        attrib={"name": "ocr-capabilities", "content": "ocr_page ocr_carea ocr_par ocr_line ocrx_word"},
+    )
+    body = SubElement(root, "body")
+    SubElement(
+        body,
+        "div",
+        attrib={
+            "class": "ocr_page",
+            "id": f"page_{page_idx + 1}",
+            "title": f"image; bbox 0 0 {w} {h}; ppageno 0",
+        },
+    )
+
+    def bbox(geom) -> str:
+        x0, y0, x1, y1 = _flat_geom(geom)
+        return (
+            f"bbox {int(round(x0 * w))} {int(round(y0 * h))} "
+            f"{int(round(x1 * w))} {int(round(y1 * h))}"
+        )
+
+    count = 1
+    order_fn = ReadingOrderPredictor(direction=direction)
+    for class_name, preds in predictions.items():
+        if with_reading_order and len(preds) >= 2:
+            order = order_fn(
+                [p["geometry"] for p in preds],
+                texts=[p["value"] for p in preds],
+                language=language,
+                page_shape=page_shape,
+            )
+            ordered = [preds[i] for i in order]
+        else:
+            ordered = list(preds)
+        for p in ordered:
+            pb = bbox(p["geometry"])
+            area = SubElement(
+                body, "div",
+                attrib={"class": "ocr_carea", "id": f"{class_name}_prediction_{count}", "title": pb},
+            )
+            par = SubElement(
+                area, "p",
+                attrib={"class": "ocr_par", "id": f"{class_name}_par_{count}", "title": pb},
+            )
+            line = SubElement(
+                par, "span",
+                attrib={
+                    "class": "ocr_line",
+                    "id": f"{class_name}_line_{count}",
+                    "title": f"{pb}; baseline 0 0; x_size 0; x_descenders 0; x_ascenders 0",
+                },
+            )
+            word = SubElement(
+                line, "span",
+                attrib={
+                    "class": "ocrx_word",
+                    "id": f"{class_name}_word_{count}",
+                    "title": f"{pb}; x_wconf {int(round(float(p.get('confidence', 0.0)) * 100))}",
+                },
+            )
+            word.text = p["value"]
+            count += 1
+    return ET.tostring(root, encoding="utf-8", method="xml").decode("utf-8")

@@ -1601,3 +1601,35 @@ def test_ref_export_dict_roundtrips_through_engine_elements():
         doc = elements.Document([_random_reference_page(elements, rng) for _ in range(2)])
         dexp = doc.export()
         assert norm(RDoc.from_dict(dexp).export()) == norm(dexp)
+
+
+def test_ref_differential_kie_hocr():
+    """KIE hOCR export byte-identical to the reference XMLExporter."""
+    from doctr_ray.exporters import render_kie_hocr
+
+    rng = np.random.default_rng(12)
+    with _reference_elements() as elements:
+        Pred = elements.Prediction
+        preds = {}
+        pred_dicts = {}
+        for cls in ("date", "total", "vendor"):
+            ps, ds = [], []
+            for _ in range(int(rng.integers(1, 4))):
+                x0 = float(rng.uniform(0.05, 0.6))
+                y0 = float(rng.uniform(0.05, 0.8))
+                geom = ((x0, y0), (x0 + 0.2, y0 + 0.04))
+                val = f"v{int(rng.integers(0, 100))}"
+                ps.append(Pred(val, 0.87, geom, 0.8, {"value": 0, "confidence": None}))
+                ds.append({"value": val, "geometry": geom, "confidence": 0.87})
+            preds[cls] = ps
+            pred_dicts[cls] = ds
+        page = elements.KIEPage(
+            None, preds, 0, (120, 200),
+            {"value": 0.0, "confidence": 1.0}, {"value": "en", "confidence": 0.9},
+        )
+        ref_bytes, _tree = page.export_as_xml()
+        ours = render_kie_hocr(
+            pred_dicts, (120, 200), 0, language="en",
+            ocr_system="python-doctr 0.0-parity",
+        )
+        assert ours == ref_bytes.decode("utf-8")
