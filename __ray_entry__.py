@@ -21,6 +21,7 @@ from doctr_ray.functions.text import LANG_MARKERS, STOPWORDS
 
 N_ANN_QUERIES = 5
 ANN_K = 10
+BM25_QUERY = "query table row"
 
 
 def _chunk_cte(limit: int | None = None) -> str:
@@ -704,6 +705,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds.select_columns(["media_id", "frame_idx", "height", "width"])
 
+    def q_bm25_search(sf_dir: str):
+        """Distributed lexical retrieval: two-phase BM25 top-k (stats
+        pass -> broadcast -> per-batch scoring with partial top-k)."""
+        from doctr_ray.functions.search import bm25_topk
+
+        return bm25_topk(
+            _read(sf_dir, "documents", ["doc_id", "text"]), BM25_QUERY, k=20
+        )
+
     def q_doc_repetition(sf_dir: str):
         """Gopher-style repetition signals (top-bigram share, type-token
         ratio) — the filter inputs for boilerplate/spam removal."""
@@ -856,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "ocr_markdown": q_ocr_markdown,
+        "bm25_search": q_bm25_search,
         "doc_repetition": q_doc_repetition,
         "pdf_native_text": q_pdf_native,
         "doc_sample": q_doc_sample,
@@ -877,6 +888,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": user_sessions,
         "supplier_balance": supplier_balance_by_nation,
     }
+
+
+def _bm25_sql(query: str, k: int) -> str:
+    """Oracle for bm25_topk: identical rational-idf BM25 expression —
+    both engines evaluate the same IEEE-double formula, so score_e6 is
+    bit-stable (same trick as cosine_e6 / jaccard_e6)."""
+    from doctr_ray.functions.search import B, K1
+
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(query.split())))
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), "
+        "stats AS (SELECT count(*) AS n, sum(len(toks)) * 1.0 / count(*) AS avgdl FROM d), "
+        f"terms AS (SELECT unnest([{terms_sql}]) AS term), "
+        "df AS (SELECT term, (SELECT count(*) FROM d WHERE list_contains(d.toks, term)) AS df FROM terms), "
+        "tf AS (SELECT d.doc_id, t.term, len(list_filter(d.toks, x -> x = t.term)) AS tf, len(d.toks) AS dl "
+        "FROM d CROSS JOIN terms t), "
+        "sc AS (SELECT tf.doc_id, sum((s.n - df.df + 0.5) / (df.df + 0.5) * tf.tf * "
+        f"({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * tf.dl / s.avgdl))) AS score "
+        "FROM tf JOIN df USING (term) CROSS JOIN stats s WHERE tf.tf > 0 GROUP BY tf.doc_id) "
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_e6, "
+        "row_number() OVER (ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, CAST(doc_id AS VARCHAR)) AS rank "
+        f"FROM sc ORDER BY score_e6 DESC, doc_id LIMIT {k}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1056,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_native_text": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
         ),
+        "bm25_search": _bm25_sql(BM25_QUERY, 20),
         "doc_repetition": (
             "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), "
             "b AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 2 THEN "
