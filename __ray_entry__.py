@@ -705,6 +705,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds.select_columns(["media_id", "frame_idx", "height", "width"])
 
+    def q_embedding_clusters(sf_dir: str):
+        """Distributed Lloyd's k-means over the embeddings table —
+        centroids are the only mutable state (broadcast per round, one
+        streaming partial-sums pass each). Iterative float clustering
+        is not SQL-expressible, so this query is rows-only at the
+        driver; exactness vs a driver-side numpy reference (identical
+        init + iterations) and partitioning-independence are pinned in
+        tests/test_functions.py."""
+        from doctr_ray.functions.similarity import kmeans_embeddings
+
+        assigns, _C = kmeans_embeddings(
+            _emb(sf_dir), k=8, iters=10
+        )
+        return assigns
+
     def q_bm25_search(sf_dir: str):
         """Distributed lexical retrieval: two-phase BM25 top-k (stats
         pass -> broadcast -> per-batch scoring with partial top-k)."""
@@ -867,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": q_frame_sample,
         "ocr_markdown": q_ocr_markdown,
         "bm25_search": q_bm25_search,
+        "embedding_clusters": q_embedding_clusters,
         "doc_repetition": q_doc_repetition,
         "pdf_native_text": q_pdf_native,
         "doc_sample": q_doc_sample,

@@ -434,3 +434,93 @@ def ann_topk_lsh(
         .groupby("query_id")
         .map_groups(_final_topk, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------------- k-means
+
+
+def kmeans_embeddings(
+    embeddings_ds,
+    k: int = 8,
+    iters: int = 10,
+    tol: float = 1e-6,
+):
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Scale shape (the only one that works at 10^12 rows): centroids are
+    the ONLY mutable state — a (k, d) matrix broadcast via ``ray.put``
+    each round; every round is ONE streaming ``map_batches`` pass
+    emitting per-batch partial (sum, count) pairs per centroid, merged
+    driver-side (k x d floats, independent of the corpus size). No
+    shuffle anywhere; assignments are computed once more in a final
+    pass. Deterministic: centroids initialize from the k lexicographically
+    smallest vec_ids, partial sums are order-independent (float adds are
+    merged in sorted batch order), convergence by centroid movement.
+
+    Returns (assignments_ds with (vec_id, cluster, dist_e6), centroids
+    np.ndarray (k, d)).
+    """
+    import ray
+
+    # deterministic init: k smallest vec_ids (sorted limit is a tiny
+    # top-k shuffle over ids only)
+    first = (
+        embeddings_ds.sort("vec_id").limit(k).take_all()
+    )
+    C = np.stack([np.asarray(r["embedding"], np.float64) for r in first])
+
+    def partial_pass(cref):
+        def _partial(batch: pa.Table) -> pa.Table:
+            cm = ray.get(cref)
+            emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+            d2 = ((emb[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(cm)
+            counts = np.zeros(len(cm), np.int64)
+            np.add.at(sums, assign, emb)
+            np.add.at(counts, assign, 1)
+            return pa.Table.from_arrays(
+                [
+                    pa.array([sums.tolist()]),
+                    pa.array([counts.tolist()]),
+                ],
+                names=["sums", "counts"],
+            )
+
+        return embeddings_ds.map_batches(_partial, batch_format="pyarrow").take_all()
+
+    for _ in range(iters):
+        cref = ray.put(C)
+        parts = partial_pass(cref)
+        sums = np.zeros_like(C)
+        counts = np.zeros(len(C), np.int64)
+        for p in parts:
+            sums += np.asarray(p["sums"], np.float64)
+            counts += np.asarray(p["counts"], np.int64)
+        newC = C.copy()
+        nz = counts > 0
+        newC[nz] = sums[nz] / counts[nz, None]
+        move = float(np.abs(newC - C).max())
+        C = newC
+        if move < tol:
+            break
+
+    cref = ray.put(C)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        vec_ids = batch["vec_id"].to_pylist()
+        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        d2 = ((emb[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        dist = np.sqrt(d2[np.arange(len(emb)), assign])
+        return pa.Table.from_arrays(
+            [
+                pa.array(vec_ids),
+                pa.array(assign.astype(np.int64)),
+                pa.array((dist * 1_000_000).round().astype(np.int64)),
+            ],
+            names=["vec_id", "cluster", "dist_e6"],
+        )
+
+    return embeddings_ds.map_batches(_assign, batch_format="pyarrow"), C

@@ -231,3 +231,65 @@ def test_repetition_stats():
     assert out.loc["c", "n_bigrams"] == 0 and out.loc["c", "ttr_e6"] == 0
     assert out.loc["d", "n_bigrams"] == 0 and out.loc["d", "top_bigram_n"] == 0
     assert out.loc["d", "ttr_e6"] == 1_000_000
+
+
+def test_kmeans_embeddings_matches_numpy_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doctr_ray.functions.similarity import kmeans_embeddings
+
+    rng = np.random.default_rng(7)
+    # three well-separated blobs, INTERLEAVED so the deterministic init
+    # (k lexicographically smallest vec_ids) lands one seed per blob
+    raw = [rng.normal(c, 0.05, (20, 4)) for c in ((0, 0, 0, 0), (5, 5, 5, 5), (-5, 5, -5, 5))]
+    blobs = np.stack([raw[i % 3][i // 3] for i in range(60)])
+    ids = list(range(len(blobs)))
+    ds = rd.from_arrow(
+        pa.table({"vec_id": ids, "embedding": [list(map(float, v)) for v in blobs]})
+    ).repartition(4)
+
+    assigns_ds, C = kmeans_embeddings(ds, k=3, iters=20)
+    out = assigns_ds.to_pandas().sort_values("vec_id")
+
+    # driver-side reference: identical init (k smallest vec_ids) + Lloyd
+    Cr = blobs[:3].astype(np.float64).copy()
+    for _ in range(20):
+        d2 = ((blobs[:, None, :] - Cr[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        newC = Cr.copy()
+        for j in range(3):
+            if (a == j).any():
+                newC[j] = blobs[a == j].mean(axis=0)
+        if np.abs(newC - Cr).max() < 1e-6:
+            Cr = newC
+            break
+        Cr = newC
+    d2 = ((blobs[:, None, :] - Cr[None, :, :]) ** 2).sum(axis=2)
+    ref_assign = d2.argmin(axis=1)
+
+    assert np.allclose(C, Cr, atol=1e-9)
+    assert list(out["cluster"]) == list(ref_assign)
+    # blob membership: each true (interleaved) blob maps to ONE cluster
+    clusters = out["cluster"].to_numpy()
+    for r in range(3):
+        assert len(set(clusters[r::3])) == 1, r
+
+
+def test_kmeans_deterministic_across_partitionings(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doctr_ray.functions.similarity import kmeans_embeddings
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 1, (40, 3))
+    t = pa.table({"vec_id": list(range(40)), "embedding": [list(map(float, v)) for v in vecs]})
+    a1, c1 = kmeans_embeddings(rd.from_arrow(t).repartition(2), k=4, iters=5)
+    a2, c2 = kmeans_embeddings(rd.from_arrow(t).repartition(7), k=4, iters=5)
+    assert np.allclose(c1, c2, atol=1e-9)
+    p1 = a1.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    p2 = a2.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert list(p1["cluster"]) == list(p2["cluster"])
