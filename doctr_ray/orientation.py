@@ -165,3 +165,33 @@ def straighten_page(image: np.ndarray, min_angle: float = 1.0) -> tuple[np.ndarr
     if abs(angle) < min_angle:
         return image, 0.0
     return rotate_image(image, -angle), angle
+
+
+def rectify_crops(crops: list[np.ndarray], orientations: list[int]) -> list[np.ndarray]:
+    """Rotate each crop back upright given its predicted 90-degree
+    orientation class — the REFERENCE'S list contract
+    (models/_utils.py:163-179): class 1 (+90) undoes with three ccw
+    quarter-turns, class 2 with two, class 3 with one.
+    """
+    inv = [4 - o if o != 0 else 0 for o in orientations]
+    return (
+        [c if o == 0 else np.rot90(c, o) for o, c in zip(inv, crops)]
+        if len(orientations) > 0
+        else []
+    )
+
+
+def rectify_quad_preds(page_loc_preds: np.ndarray, orientations: list[int]):
+    """Re-order each (4,2) quadrangle's vertices for its predicted crop
+    orientation so they read TL,TR,BR,BL again — the reference's
+    ``rectify_loc_preds`` contract (models/_utils.py:182-199; the name
+    here differs because this engine's straight-box variant already
+    holds that name)."""
+    return (
+        np.stack(
+            [np.roll(p, o, axis=0) for o, p in zip(orientations, page_loc_preds)],
+            axis=0,
+        )
+        if len(orientations) > 0
+        else None
+    )

@@ -1633,3 +1633,69 @@ def test_ref_differential_kie_hocr():
             ocr_system="python-doctr 0.0-parity",
         )
         assert ours == ref_bytes.decode("utf-8")
+
+
+def _load_reference_model_utils():
+    """Execute the reference models/_utils.py directly (cv2/langdetect
+    stubbed — only the pure-numpy crop/quad rectification is under
+    differential test)."""
+    import importlib.util
+    import sys
+    import types
+
+    path = "/root/reference/doctr/models/_utils.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+
+    cv2 = types.ModuleType("cv2")
+    ld = types.ModuleType("langdetect")
+
+    class _LDE(Exception):
+        pass
+
+    ld.LangDetectException = _LDE
+    ld.detect_langs = lambda *a, **k: (_ for _ in ()).throw(_LDE())
+    dg = types.ModuleType("doctr.utils.geometry")
+    dg.rotate_image = lambda *a, **k: None
+    d = types.ModuleType("doctr")
+    du = types.ModuleType("doctr.utils")
+    mods = {"cv2": cv2, "langdetect": ld, "doctr": d, "doctr.utils": du, "doctr.utils.geometry": dg}
+    saved = {k: sys.modules.get(k) for k in mods}
+    sys.modules.update(mods)
+    try:
+        spec = importlib.util.spec_from_file_location("_ref_model_utils", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def test_ref_differential_rectify():
+    ref = _load_reference_model_utils()
+    from doctr_ray.orientation import rectify_crops, rectify_quad_preds
+
+    rng = np.random.default_rng(15)
+    crops = [
+        rng.integers(0, 255, (int(rng.integers(4, 12)), int(rng.integers(4, 12))), np.uint8)
+        for _ in range(8)
+    ]
+    orientations = [int(rng.integers(0, 4)) for _ in range(8)]
+    ref_out = ref.rectify_crops(list(crops), list(orientations))
+    our_out = rectify_crops(list(crops), list(orientations))
+    assert len(ref_out) == len(our_out)
+    for a, b in zip(ref_out, our_out):
+        assert np.array_equal(a, b)
+    assert ref.rectify_crops([], []) == rectify_crops([], [])
+
+    quads = rng.uniform(0, 1, (8, 4, 2))
+    assert np.array_equal(
+        ref.rectify_loc_preds(quads, orientations),
+        rectify_quad_preds(quads, orientations),
+    )
+    assert rectify_quad_preds(np.zeros((0, 4, 2)), []) is None
+    assert ref.rectify_loc_preds(np.zeros((0, 4, 2)), []) is None
