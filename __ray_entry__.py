@@ -705,6 +705,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ds.select_columns(["media_id", "frame_idx", "height", "width"])
 
+    def q_chunk_dedup(sf_dir: str):
+        """C4-style sub-document dedup: fixed token chunks hashed and
+        counted globally; per-doc duplicated-chunk fraction."""
+        from doctr_ray.functions.dedup import chunk_dedup_stats
+
+        return chunk_dedup_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
     def q_embedding_clusters(sf_dir: str):
         """Distributed Lloyd's k-means over the embeddings table —
         centroids are the only mutable state (broadcast per round, one
@@ -882,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": q_frame_sample,
         "ocr_markdown": q_ocr_markdown,
         "bm25_search": q_bm25_search,
+        "chunk_dedup": q_chunk_dedup,
         "embedding_clusters": q_embedding_clusters,
         "doc_repetition": q_doc_repetition,
         "pdf_native_text": q_pdf_native,
@@ -1107,6 +1115,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
         ),
         "bm25_search": _bm25_sql(BM25_QUERY, 20),
+        "chunk_dedup": (
+            "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), "
+            "ch AS (SELECT doc_id, array_to_string(toks[s.i * 12 + 1 : s.i * 12 + 12], ' ') AS chunk "
+            "FROM d CROSS JOIN generate_series(0, 200) s(i) WHERE s.i * 12 < len(toks)), "
+            "cnt AS (SELECT chunk, count(*) AS n FROM ch GROUP BY chunk), "
+            "per AS (SELECT ch.doc_id, count(*) AS n_chunks, sum(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END) AS n_dup "
+            "FROM ch JOIN cnt USING (chunk) GROUP BY ch.doc_id) "
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_chunks, CAST(n_dup AS BIGINT) AS n_dup_chunks, "
+            "CAST(round(n_dup * 1000000.0 / n_chunks) AS BIGINT) AS dup_frac_e6 FROM per"
+        ),
         "doc_repetition": (
             "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), "
             "b AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 2 THEN "

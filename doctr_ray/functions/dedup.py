@@ -860,3 +860,71 @@ def connected_components(pairs_ds, max_rounds: int = 50):
         )
 
     return labels.map_batches(_out, batch_format="pyarrow")
+
+
+# ------------------------------------------- chunk-level (C4-style) dedup
+
+
+def chunk_dedup_stats(docs_ds, tokens_per_chunk: int = 12, buckets: int = PAIR_BUCKETS):
+    """C4-style sub-document dedup signals: cut every document into
+    fixed token chunks, hash each chunk, count global occurrences, and
+    report per document how many of its chunks also appear elsewhere
+    (boilerplate / mirrored-paragraph detection).
+
+    Scale shape: explode to (bucket, fp, doc_id) rows — 16-byte hashes,
+    never text; ONE bucket shuffle computes global chunk counts and
+    per-doc partials inside a vectorized pandas reducer; a native
+    groupby-sum over doc_id finishes. Output: (doc_id, n_chunks,
+    n_dup_chunks, dup_frac_e6).
+    """
+    from ray.data.aggregate import Sum
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids, fps, cbs = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(0, len(toks), tokens_per_chunk):
+                chunk = " ".join(toks[i : i + tokens_per_chunk])
+                h = hashlib.md5(chunk.encode("utf-8")).digest()
+                fps.append(h.hex())
+                cbs.append(int.from_bytes(h[:4], "little") % buckets)
+                ids.append(str(did))
+        return pa.Table.from_arrays(
+            [
+                pa.array(cbs, pa.int32()),
+                pa.array(fps, pa.string()),
+                pa.array(ids, pa.string()),
+            ],
+            names=["cb", "fp", "doc_id"],
+        )
+
+    def _bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        # global count per fp is complete within its bucket (hash-keyed)
+        counts = g.groupby("fp", sort=False)["doc_id"].transform("size")
+        g = g.assign(dup=(counts > 1).astype("int64"), one=1)
+        out = g.groupby("doc_id", sort=False)[["one", "dup"]].sum().reset_index()
+        out.columns = ["doc_id", "n_chunks", "n_dup_chunks"]
+        return out
+
+    per_bucket = (
+        docs_ds.map_batches(_explode, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(_bucket_stats, batch_format="pandas")
+    )
+    agg = per_bucket.groupby("doc_id").aggregate(
+        Sum("n_chunks", alias_name="n_chunks"),
+        Sum("n_dup_chunks", alias_name="n_dup_chunks"),
+    )
+
+    def _frac(batch: pa.Table) -> pa.Table:
+        n = batch["n_chunks"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["n_dup_chunks"].to_numpy(zero_copy_only=False).astype(np.int64)
+        frac = np.where(n > 0, np.round(d * 1_000_000.0 / np.maximum(n, 1)), 0).astype(
+            np.int64
+        )
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(n), pa.array(d), pa.array(frac)],
+            names=["doc_id", "n_chunks", "n_dup_chunks", "dup_frac_e6"],
+        )
+
+    return agg.map_batches(_frac, batch_format="pyarrow")

@@ -81,3 +81,30 @@ def test_cc_long_path_converges(ray_session):
     got = _clusters(connected_components(_pairs(*edges)))
     assert set(got.values()) == {"p00"}
     assert len(got) == 12
+
+
+def test_chunk_dedup_stats(ray_session):
+    import pyarrow as pa
+
+    from doctr_ray.functions.dedup import chunk_dedup_stats
+
+    # 12-token chunks: doc a and b share their first chunk exactly;
+    # doc c is unique
+    shared = " ".join(f"w{i}" for i in range(12))
+    t = pa.table(
+        {
+            "doc_id": ["a", "b", "c"],
+            "text": [
+                shared + " tail-a unique words here",
+                shared + " different ending entirely now",
+                "totally distinct content with no repeats at all",
+            ],
+        }
+    )
+    import ray.data as rd
+
+    out = chunk_dedup_stats(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert out.loc["a", "n_chunks"] == 2 and out.loc["a", "n_dup_chunks"] == 1
+    assert out.loc["b", "n_chunks"] == 2 and out.loc["b", "n_dup_chunks"] == 1
+    assert out.loc["c", "n_dup_chunks"] == 0
+    assert out.loc["a", "dup_frac_e6"] == 500000
