@@ -773,6 +773,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
             roundtrip, batch_format="pyarrow"
         )
 
+    def q_pii_redact(sf_dir: str):
+        """PII scan + redaction (emails/phones/IPv4 -> placeholders).
+        The corpus text is deterministically augmented with synthetic
+        PII derived from doc_id (the raw corpus contains none) — the
+        SQL oracle applies the identical augmentation, then both sides
+        run the same ordered RE2 rules."""
+        import pyarrow as pa
+
+        from doctr_ray.functions.pii import pii_scan
+
+        def augment(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            d = df["doc_id"]
+            aug = df["text"].copy()
+            m = d % 3 == 0
+            aug[m] += " Contact user" + d[m].astype(str) + "@example.org now"
+            m = d % 5 == 0
+            aug[m] += (
+                " from 192.168."
+                + (d[m] % 256).astype(str)
+                + "."
+                + (d[m] % 100).astype(str)
+            )
+            m = d % 7 == 0
+            aug[m] += " call +1-202-555-" + (d[m] % 10000).astype(str).str.zfill(4)
+            return pa.Table.from_arrays(
+                [batch["doc_id"], pa.array(aug, pa.string())],
+                names=["doc_id", "text"],
+            )
+
+        return pii_scan(
+            _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+                augment, batch_format="pyarrow"
+            )
+        )
+
+    def q_decontamination(sf_dir: str):
+        """Benchmark decontamination: 8-gram overlap of the train split
+        against the deterministic eval slice (doc_id % 97 == 0) —
+        broadcast eval grams, streaming train scan, zero shuffle.
+        A fixed 12-token "benchmark passage" is appended to every
+        doc_id % 13 == 0 document on BOTH sides (doc 0 is eval and
+        carries it into the eval gram set), so real contamination hits
+        are exercised, not just the zero case."""
+        import pyarrow as pa
+
+        from doctr_ray.functions.decontam import BENCH_PASSAGE, decontaminate
+
+        def augment(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            m = df["doc_id"] % 13 == 0
+            aug = df["text"].copy()
+            aug[m] += " " + BENCH_PASSAGE
+            return pa.Table.from_arrays(
+                [batch["doc_id"], pa.array(aug, pa.string())],
+                names=["doc_id", "text"],
+            )
+
+        return decontaminate(
+            _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+                augment, batch_format="pyarrow"
+            )
+        )
+
+    def q_doc_commonness(sf_dir: str):
+        """Pruned-vocab unigram commonness (CCNet-style LM quality
+        proxy): corpus top-1000 vocab pass -> broadcast -> integer-exact
+        per-doc score."""
+        from doctr_ray.functions.text import doc_commonness
+
+        return doc_commonness(_read(sf_dir, "documents", ["doc_id", "text"]), k=1000)
+
     def q_doc_sample(sf_dir: str):
         """Deterministic 10% sample — md5-keyed membership, identical
         across runs/retries/cluster sizes; no shuffle, no RNG state."""
@@ -893,6 +965,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "doc_repetition": q_doc_repetition,
         "pdf_native_text": q_pdf_native,
+        "pii_redact": q_pii_redact,
+        "decontamination": q_decontamination,
+        "doc_commonness": q_doc_commonness,
         "doc_sample": q_doc_sample,
         "doc_split": q_doc_split,
         "dedup_exact": q_dedup_exact,
@@ -935,6 +1010,36 @@ def _bm25_sql(query: str, k: int) -> str:
         "row_number() OVER (ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, CAST(doc_id AS VARCHAR)) AS rank "
         f"FROM sc ORDER BY score_e6 DESC, doc_id LIMIT {k}"
     )
+
+
+def _pii_sql() -> str:
+    """pii_redact oracle: the same deterministic doc_id-derived PII
+    augmentation as the Ray query, then the shared RE2 rule chain."""
+    from doctr_ray.functions.pii import pii_redact_sql
+
+    aug = (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.org now' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' call +1-202-555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    return pii_redact_sql(source="documents", text_expr=aug)
+
+
+def _decontam_sql() -> str:
+    """decontamination oracle: same benchmark-passage augmentation as
+    the Ray query, then the shared n-gram overlap definition."""
+    from doctr_ray.functions.decontam import BENCH_PASSAGE, decontaminate_sql
+
+    aug = (
+        "text || CASE WHEN doc_id % 13 = 0 THEN ' "
+        + BENCH_PASSAGE
+        + "' ELSE '' END"
+    )
+    return decontaminate_sql(text_expr=aug)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1013,6 +1118,11 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'zh' END AS pred_lang FROM c"
         ),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "pii_redact": _pii_sql(),
+        "decontamination": _decontam_sql(),
+        "doc_commonness": __import__(
+            "doctr_ray.functions.text", fromlist=["doc_commonness_sql"]
+        ).doc_commonness_sql(k=1000),
         "top_tokens": (
             "SELECT token, count(*) AS n FROM "
             "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "

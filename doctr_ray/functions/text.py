@@ -197,3 +197,70 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
         ],
         names=["doc_id", "n_bigrams", "top_bigram_n", "ttr_e6"],
     )
+
+
+def doc_commonness(docs_ds, k: int = 1000):
+    """Corpus-level unigram commonness score per document — the
+    integer-exact core of unigram-LM quality scoring (CCNet-style: a
+    language model over the corpus scores each doc; rare-word soup and
+    gibberish score low).
+
+    Two-phase, the same shape as BM25 (functions/search.py):
+
+    1. corpus pass: distributed token counts -> global top-``k`` vocab
+       (count desc, token asc tie-break) — the *pruned* LM table.
+       Production LMs are pruned exactly like this (OOV mass -> 0), so
+       the broadcast is ~k rows regardless of corpus size;
+    2. scoring pass: broadcast the vocab via ``ray.put`` (read ONCE per
+       task, never re-shipped per batch) and stream the corpus:
+       ``hits`` = sum over token occurrences of that token's corpus
+       count (OOV contributes 0), ``commonness_e6`` =
+       ``(1e6 * hits) // n_tokens`` in exact int64 arithmetic so the
+       DuckDB oracle hash-matches bit-for-bit.
+
+    Docs with zero (non-empty) tokens carry no signal and are dropped,
+    mirroring the oracle's unnest semantics.
+    """
+    import ray
+
+    rows = top_tokens(docs_ds, k).take_all()  # k rows — tiny by design
+    vocab_ref = ray.put({r["token"]: int(r["n"]) for r in rows})
+
+    def _score(batch: pa.Table) -> pa.Table:
+        vocab: dict[str, int] = ray.get(vocab_ref)
+        ids, n_toks, hits = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = [w for w in (t or "").split(" ") if w]
+            if not toks:
+                continue
+            ids.append(d)
+            n_toks.append(len(toks))
+            hits.append(sum(vocab.get(w, 0) for w in toks))
+        e6 = [(1_000_000 * h) // n for h, n in zip(hits, n_toks)]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(n_toks, pa.int64()),
+                pa.array(hits, pa.int64()),
+                pa.array(e6, pa.int64()),
+            ],
+            names=["doc_id", "n_tokens", "hits", "commonness_e6"],
+        )
+
+    return docs_ds.map_batches(_score, batch_format="pyarrow")
+
+
+def doc_commonness_sql(k: int = 1000) -> str:
+    """DuckDB mirror of :func:`doc_commonness` (same vocab tie-break,
+    same integer floor-division score)."""
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS tok FROM documents), "
+        "counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+        f"topk AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT {k}), "
+        "per AS (SELECT t.doc_id, count(*) AS n_tokens, "
+        "CAST(coalesce(sum(k.c), 0) AS BIGINT) AS hits "
+        "FROM toks t LEFT JOIN topk k ON t.tok = k.tok GROUP BY t.doc_id) "
+        "SELECT doc_id, n_tokens, hits, "
+        "CAST((1000000 * hits) // n_tokens AS BIGINT) AS commonness_e6 FROM per"
+    )
