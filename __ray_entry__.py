@@ -837,6 +837,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def q_bpe_tokens(sf_dir: str):
+        """Subword-ish token counting (GPT-2-style RE2 pre-tokenizer):
+        the token-budget signal, one vectorized regex scan per batch."""
+        from doctr_ray.functions.text import bpe_token_stats
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            bpe_token_stats, batch_format="pyarrow"
+        )
+
     def q_doc_commonness(sf_dir: str):
         """Pruned-vocab unigram commonness (CCNet-style LM quality
         proxy): corpus top-1000 vocab pass -> broadcast -> integer-exact
@@ -967,6 +976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_native_text": q_pdf_native,
         "pii_redact": q_pii_redact,
         "decontamination": q_decontamination,
+        "doc_bpe_tokens": q_bpe_tokens,
         "doc_commonness": q_doc_commonness,
         "doc_sample": q_doc_sample,
         "doc_split": q_doc_split,
@@ -1120,6 +1130,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "pii_redact": _pii_sql(),
         "decontamination": _decontam_sql(),
+        "doc_bpe_tokens": __import__(
+            "doctr_ray.functions.text", fromlist=["bpe_token_sql"]
+        ).bpe_token_sql(),
         "doc_commonness": __import__(
             "doctr_ray.functions.text", fromlist=["doc_commonness_sql"]
         ).doc_commonness_sql(k=1000),

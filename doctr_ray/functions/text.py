@@ -264,3 +264,51 @@ def doc_commonness_sql(k: int = 1000) -> str:
         "SELECT doc_id, n_tokens, hits, "
         "CAST((1000000 * hits) // n_tokens AS BIGINT) AS commonness_e6 FROM per"
     )
+
+
+# GPT-2-style pre-tokenizer pattern, ASCII-simplified and RE2-portable
+# (pyarrow and DuckDB both run RE2, so counts match exactly): English
+# contraction suffixes, space-prefixed letter runs, 1-3 digit number
+# chunks (modern tokenizers split long numbers), punctuation runs.
+BPE_TOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[A-Za-z]+"
+    "| ?[0-9]{1,3}"
+    "| ?[^A-Za-z0-9\\s]+"
+)
+
+
+def bpe_token_stats(batch: pa.Table) -> pa.Table:
+    """doc_id, n_bpe_tokens, n_chars, chars_per_token_e6 — subword-ish
+    token counts via one vectorized RE2 scan (the budget/pricing signal
+    every training pipeline computes; whitespace-split counts live in
+    :func:`token_stats`). chars_per_token is the compression-ratio
+    proxy in exact int64 micro-units (floor division on both engines).
+    """
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_tok = pc.count_substring_regex(text, BPE_TOKEN_RE).cast(pa.int64())
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    import numpy as np
+
+    nt = n_tok.to_numpy(zero_copy_only=False)
+    nc = n_chars.to_numpy(zero_copy_only=False)
+    cpt = np.where(nt > 0, (1_000_000 * nc) // np.maximum(nt, 1), 0)
+    return pa.Table.from_arrays(
+        [batch["doc_id"], n_tok, n_chars, pa.array(cpt, pa.int64())],
+        names=["doc_id", "n_bpe_tokens", "n_chars", "chars_per_token_e6"],
+    )
+
+
+def bpe_token_sql() -> str:
+    """DuckDB mirror of :func:`bpe_token_stats` (identical RE2 pattern;
+    '' escapes the apostrophe inside the SQL literal)."""
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return (
+        f"WITH b AS (SELECT doc_id, len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens, "
+        "length(text) AS n_chars FROM documents) "
+        "SELECT doc_id, n_bpe_tokens, n_chars, "
+        "CASE WHEN n_bpe_tokens > 0 THEN (1000000 * n_chars) // n_bpe_tokens "
+        "ELSE 0 END AS chars_per_token_e6 FROM b"
+    )

@@ -133,3 +133,29 @@ def test_doc_commonness_integer_exact(ray_session):
     assert out.loc[1, "hits"] == 3 * 4 + 1  # three 'the' @4 + 'rare' @1
     assert out.loc[1, "commonness_e6"] == (1_000_000 * 13) // 4
     assert out.loc[2, "hits"] == 4  # 'the' @4, 'unique' out of vocab
+
+
+# ------------------------------------------------------- bpe token count
+
+
+def test_bpe_token_stats_matches_duckdb():
+    from doctr_ray.functions.text import bpe_token_stats, bpe_token_sql
+
+    texts = [
+        "don't stop 12345 times!! it's e.g. 3.14, ok?",
+        "",
+        "hello   world",
+        "ünïcode mixed ascii x9",
+        "they'll we've I'm you'd",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    got = bpe_token_stats(tbl).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(bpe_token_sql()).fetch_arrow_table().to_pandas()
+    assert want.equals(got)
+    # "don't" -> " don" + "'t"; long number chunks into 3+2 digits
+    row = got.set_index("doc_id").loc[0]
+    assert row["n_bpe_tokens"] == 19
