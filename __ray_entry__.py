@@ -878,6 +878,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id"])
         ).select_columns(["doc_id", "split"])
 
+    def q_dup_ngrams(sf_dir: str):
+        """Cross-doc duplicate n-gram fraction (MassiveText signal):
+        sliding 8-grams, distinct-doc dup rule, two honest shuffles of
+        md5 rows only — never text."""
+        from doctr_ray.functions.dedup import dup_ngram_stats
+
+        return dup_ngram_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
     def q_dedup_exact(sf_dir: str):
         return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -980,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_commonness": q_doc_commonness,
         "doc_sample": q_doc_sample,
         "doc_split": q_doc_split,
+        "dup_ngram_fraction": q_dup_ngrams,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_minhash": q_minhash_dups,
@@ -1221,6 +1230,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(s.i - 1 AS INT) AS rank, d.toks[s.i] AS value "
             "FROM d CROSS JOIN generate_series(1, 20) s(i) WHERE s.i <= len(d.toks)"
         ),
+        "dup_ngram_fraction": __import__(
+            "doctr_ray.functions.dedup", fromlist=["dup_ngram_sql"]
+        ).dup_ngram_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_dups "
             "FROM documents GROUP BY md5(text)"

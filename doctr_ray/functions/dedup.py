@@ -928,3 +928,101 @@ def chunk_dedup_stats(docs_ds, tokens_per_chunk: int = 12, buckets: int = PAIR_B
         )
 
     return agg.map_batches(_frac, batch_format="pyarrow")
+
+
+def dup_ngram_stats(docs_ds, n: int = 8, buckets: int = PAIR_BUCKETS):
+    """Cross-document duplicate n-gram fraction (the MassiveText /
+    Lee-et-al. sub-document duplication signal): for each document, the
+    share of its sliding word n-gram positions whose gram also occurs
+    in at least one OTHER document. Complements :func:`chunk_dedup_stats`
+    (disjoint chunks, any-repeat semantics) with sliding windows and
+    distinct-document semantics — the filter input for "this page is
+    40% mirrored boilerplate".
+
+    Scale shape — the honest two-shuffle form (the gram-count table is
+    corpus-sized, so no broadcast is possible):
+
+    1. per-batch explode to per-doc distinct (bucket, fp, doc_id, cnt)
+       rows — md5 grams, never text, pre-aggregated within the doc so a
+       gram repeated k times in one doc is ONE row with cnt=k;
+    2. ONE bucket shuffle (bucket = fp-hash % buckets): inside each
+       bucket a vectorized pandas reducer sees every (fp, doc_id) pair
+       for its grams — distinct-doc count per fp is complete there —
+       and collapses straight to per-doc partials (n_grams, n_dup);
+    3. a native groupby(doc_id) sum + exact integer frac finishes.
+
+    md5 hex on BOTH engines keys the grouping, so the oracle matches
+    even in the (astronomically unlikely) event of digest collisions.
+    """
+    from ray.data.aggregate import Sum
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids, fps, cbs, cnts = [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = [t for t in (text or "").split(" ") if t]
+            local: dict[str, int] = {}
+            for i in range(max(0, len(toks) - n + 1)):
+                h = hashlib.md5(" ".join(toks[i : i + n]).encode("utf-8")).hexdigest()
+                local[h] = local.get(h, 0) + 1
+            for h, c in local.items():
+                fps.append(h)
+                cbs.append(int(h[:8], 16) % buckets)
+                ids.append(did)
+                cnts.append(c)
+        return pa.Table.from_arrays(
+            [
+                pa.array(cbs, pa.int32()),
+                pa.array(fps, pa.string()),
+                pa.array(ids, pa.int64()),
+                pa.array(cnts, pa.int64()),
+            ],
+            names=["cb", "fp", "doc_id", "cnt"],
+        )
+
+    def _bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (fp, doc_id) -> group size == distinct docs
+        ndocs = g.groupby("fp", sort=False)["doc_id"].transform("size")
+        g = g.assign(dup_cnt=g["cnt"].where(ndocs > 1, 0))
+        out = g.groupby("doc_id", sort=False)[["cnt", "dup_cnt"]].sum().reset_index()
+        out.columns = ["doc_id", "n_grams", "n_dup"]
+        return out
+
+    per_bucket = (
+        docs_ds.map_batches(_explode, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(_bucket_stats, batch_format="pandas")
+    )
+    agg = per_bucket.groupby("doc_id").aggregate(
+        Sum("n_grams", alias_name="n_grams"), Sum("n_dup", alias_name="n_dup")
+    )
+
+    def _frac(batch: pa.Table) -> pa.Table:
+        ng = batch["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = batch["n_dup"].to_numpy(zero_copy_only=False).astype(np.int64)
+        frac = (1_000_000 * nd) // np.maximum(ng, 1)  # ng >= 1 by construction
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(ng), pa.array(nd), pa.array(frac)],
+            names=["doc_id", "n_grams", "n_dup", "dup_frac_e6"],
+        )
+
+    return agg.map_batches(_frac, batch_format="pyarrow")
+
+
+def dup_ngram_sql(n: int = 8) -> str:
+    """DuckDB mirror of :func:`dup_ngram_stats` (same md5 keys, same
+    distinct-doc dup rule, same integer floor division)."""
+    m = n - 1
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents), "
+        "grams AS (SELECT doc_id, "
+        f"md5(unnest([array_to_string(t[i:i+{m}], ' ') "
+        f"for i in range(1, greatest(len(t)-{m},0)+1)])) AS fp FROM toks), "
+        "gc AS (SELECT doc_id, fp, count(*) AS cnt FROM grams GROUP BY doc_id, fp), "
+        "dup AS (SELECT fp FROM gc GROUP BY fp HAVING count(*) > 1), "
+        "per AS (SELECT gc.doc_id, CAST(sum(gc.cnt) AS BIGINT) AS n_grams, "
+        "CAST(coalesce(sum(gc.cnt) FILTER (WHERE dup.fp IS NOT NULL), 0) AS BIGINT) AS n_dup "
+        "FROM gc LEFT JOIN dup ON gc.fp = dup.fp GROUP BY gc.doc_id) "
+        "SELECT doc_id, n_grams, n_dup, "
+        "(1000000 * n_dup) // greatest(n_grams, 1) AS dup_frac_e6 FROM per"
+    )

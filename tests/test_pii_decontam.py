@@ -159,3 +159,42 @@ def test_bpe_token_stats_matches_duckdb():
     # "don't" -> " don" + "'t"; long number chunks into 3+2 digits
     row = got.set_index("doc_id").loc[0]
     assert row["n_bpe_tokens"] == 19
+
+
+# -------------------------------------------------- dup n-gram fraction
+
+
+def test_dup_ngram_stats_matches_duckdb(ray_session):
+    from doctr_ray.functions.dedup import dup_ngram_sql, dup_ngram_stats
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, "prefix " + shared + " suffix a b c"),
+        (2, "other " + shared + " tail"),
+        (3, "independent text with no overlapping window at all here ok"),
+        (4, "tiny"),
+        (5, "rep rep rep rep rep rep rep rep rep"),  # within-doc only
+    ]
+    tbl = _docs_table(rows)
+    got = (
+        dup_ngram_stats(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.execute(dup_ngram_sql())
+        .fetch_arrow_table()
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert want.astype("int64").equals(got.astype("int64"))
+    g = got.set_index("doc_id")
+    assert 4 not in g.index  # < 8 tokens -> no grams
+    assert g.loc[1, "n_dup"] == 3  # three shared 8-gram windows
+    assert g.loc[3, "n_dup"] == 0
+    # within-doc repetition is NOT cross-doc duplication
+    assert g.loc[5, "n_dup"] == 0 and g.loc[5, "n_grams"] == 2
