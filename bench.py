@@ -139,6 +139,13 @@ def run_once() -> dict:
         "doc_sample",
         "doc_split",
         "events_sliding",
+        "pii_redact",
+        "decontamination",
+        "doc_commonness",
+        "doc_bpe_tokens",
+        "dup_ngram_fraction",
+        "chunk_dedup",
+        "bm25_search",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)
