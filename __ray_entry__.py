@@ -64,6 +64,12 @@ def _chunk_cte(limit: int | None = None) -> str:
 
 # --------------------------------------------------------------- helpers
 
+# target mixture for the source_mix query: relative weights 1..4 cycling
+# over the corpus's src0..src19 sources (any positive ints work; the
+# operator scales to the largest feasible corpus with these proportions)
+_MIX_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20)}
+
+
 def _docs_ds(sf_dir: str, limit: int | None = None):
     from doctr_ray.corpus import docs_dataset
 
@@ -886,6 +892,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dup_ngram_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_seq_packing(sf_dir: str):
+        """GPT-style concat-and-chunk packing layout: which training
+        sequence(s) each doc lands in. Shuffles (doc_id, n_tokens,
+        bucket) triples only — never text; fixed 8 streams so the SQL
+        window oracle recomputes the identical layout."""
+        from doctr_ray.functions.packing import pack_layout
+
+        return pack_layout(
+            _read(sf_dir, "documents", ["doc_id", "text"]), seq_len=512, buckets=8
+        )
+
+    def q_source_mix(sf_dir: str):
+        """Deterministic source mixing (Pile/Dolma-style): largest
+        corpus with the target per-source proportions, membership by
+        integer md5 threshold — tiny count aggregate + one filter pass."""
+        from doctr_ray.functions.packing import source_mix
+
+        return source_mix(
+            _read(sf_dir, "documents", ["doc_id", "source"]), _MIX_WEIGHTS
+        )
+
     def q_dedup_exact(sf_dir: str):
         return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -989,6 +1016,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": q_doc_sample,
         "doc_split": q_doc_split,
         "dup_ngram_fraction": q_dup_ngrams,
+        "seq_packing": q_seq_packing,
+        "source_mix": q_source_mix,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_minhash": q_minhash_dups,
@@ -1233,6 +1262,12 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_fraction": __import__(
             "doctr_ray.functions.dedup", fromlist=["dup_ngram_sql"]
         ).dup_ngram_sql(),
+        "seq_packing": __import__(
+            "doctr_ray.functions.packing", fromlist=["pack_layout_sql"]
+        ).pack_layout_sql(512, 8),
+        "source_mix": __import__(
+            "doctr_ray.functions.packing", fromlist=["source_mix_sql"]
+        ).source_mix_sql(_MIX_WEIGHTS),
         "dedup_exact": (
             "SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_dups "
             "FROM documents GROUP BY md5(text)"

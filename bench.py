@@ -146,6 +146,8 @@ def run_once() -> dict:
         "dup_ngram_fraction",
         "chunk_dedup",
         "bm25_search",
+        "seq_packing",
+        "source_mix",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

@@ -1,0 +1,222 @@
+"""Sequence packing and source mixing for LLM training-data prep.
+
+Two operators a 100 TB pre-training pipeline needs between "filtered
+corpus" and "training shards":
+
+- :func:`pack_layout` — GPT-style concat-and-chunk packing: documents
+  are tokenized, laid end-to-end (one EOD separator token per doc) into
+  per-bucket streams, and chunked into fixed-length training sequences.
+  The output is the *layout*: for every document, which sequence(s) of
+  which stream it lands in and at what offset. The layout is a pure
+  deterministic function of (doc_id, n_tokens) — independent of block
+  boundaries, parallelism, and retries — so a SQL window function can
+  recompute it exactly (the driver's hash oracle).
+- :func:`source_mix` — deterministic weighted downsampling to a target
+  source mixture (the "data mixing" step of e.g. The Pile / Dolma
+  recipes): the largest feasible corpus with the requested proportions
+  is kept, membership decided per row by an integer md5 threshold —
+  no RNG, no shuffle of the data rows, reproducible at any scale.
+
+Scale shape: packing shuffles only (doc_id, n_tokens, bucket) triples —
+never text; bucket count adapts to the corpus (~50k docs per reducer)
+so reducers stay coarse and vectorized. Mixing aggregates per-source
+counts (a tiny groupby), derives one integer threshold per source on
+the driver, and filters in a single map_batches pass.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# fixed-point headroom for the mixing rate arithmetic (exact integer
+# math end-to-end; DuckDB recomputes it in HUGEINT)
+_MIX_SCALE = 1_000_000
+_U64 = 1 << 64
+
+
+def _h64(s: str) -> int:
+    """First 8 md5 digest bytes, little-endian — equals DuckDB's
+    ``md5_number_upper`` (the established engine/oracle hash bridge,
+    see functions/dedup.py SimHash notes)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+# --------------------------------------------------------------- packing
+
+
+def pack_buckets_for(n_rows: int, rows_per_bucket: int = 50_000) -> int:
+    """Adaptive stream count: ~50k docs per packing reducer (CLAUDE.md
+    landmine: fixed wide splits fragment small corpora into hundreds of
+    near-empty ~1ms Python groups)."""
+    return max(1, n_rows // rows_per_bucket + 1)
+
+
+def pack_layout(docs_ds, seq_len: int = 2048, buckets: int | None = None,
+                salt: str = "pack"):
+    """Concat-and-chunk packing layout over whitespace tokens.
+
+    Documents are assigned to ``buckets`` independent token streams by
+    ``md5(doc_id|salt)``; within a stream, docs are laid out in doc_id
+    order, each contributing ``n_tokens + 1`` slots (its tokens plus one
+    EOD separator). Streams are chunked every ``seq_len`` slots into
+    training sequences.
+
+    Returns one row per document:
+    ``doc_id, bucket, n_tokens, start_offset, first_seq, last_seq``
+    where ``start_offset`` is the doc's first slot in its stream and
+    ``first_seq``/``last_seq`` the chunk indices its slots span (the
+    EOD slot included). ``last_seq - first_seq`` > 0 means the document
+    crosses a sequence boundary (GPT-style packing splits it).
+
+    Reference analog: datasets/loader collate + the recognition
+    training-set export feed the same "fixed-shape batches from
+    variable-length docs" need (reference doctr/datasets/loader.py);
+    this is the corpus-scale, layout-only formulation.
+    """
+    if buckets is None:
+        buckets = pack_buckets_for(docs_ds.count())
+    B = int(buckets)
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError(f"seq_len must be positive, got {L}")
+
+    def _tokens_and_bucket(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        toks = pc.split_pattern(texts, " ")
+        # count non-empty tokens: total slots minus empty-string slots
+        n_all = pc.list_value_length(toks).cast(pa.int64())
+        flat = pc.list_flatten(toks)
+        # per-list empty-string counts via cumulative flat offsets
+        offs = np.zeros(len(batch) + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(n_all.to_numpy(zero_copy_only=False))
+        emp = np.asarray(
+            pc.equal(flat, "").to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        emp_cum = np.concatenate([[0], np.cumsum(emp)])
+        n_tokens = (offs[1:] - offs[:-1]) - (emp_cum[offs[1:]] - emp_cum[offs[:-1]])
+        ids = batch["doc_id"].to_pylist()
+        bucket = np.array([_h64(f"{d}|{salt}") % B for d in ids], dtype=np.int64)
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(bucket, pa.int64()),
+             pa.array(n_tokens, pa.int64())],
+            names=["doc_id", "bucket", "n_tokens"],
+        )
+
+    def _pack_group(df):
+        # one coarse bucket per group: sort by doc_id, exclusive cumsum
+        # of (n_tokens + 1) slots, chunk arithmetic — all vectorized
+        order = np.argsort(df["doc_id"].to_numpy(), kind="stable")
+        df = df.iloc[order]
+        slots = df["n_tokens"].to_numpy(dtype=np.int64) + 1
+        start = np.concatenate([[0], np.cumsum(slots)[:-1]])
+        out = df.copy()
+        out["start_offset"] = start
+        out["first_seq"] = start // L
+        out["last_seq"] = (start + slots - 1) // L
+        return out
+
+    meta = docs_ds.map_batches(_tokens_and_bucket, batch_format="pyarrow")
+    return meta.groupby("bucket").map_groups(_pack_group, batch_format="pandas")
+
+
+def pack_layout_sql(seq_len: int, buckets: int, salt: str = "pack") -> str:
+    """DuckDB recomputation of :func:`pack_layout` (window function over
+    the same bucket/order/slot arithmetic)."""
+    # the window ORDER BY runs over the NATIVE doc_id type (matching the
+    # engine's argsort over native values); the cast is output-only
+    return (
+        "WITH d AS (SELECT doc_id, "
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens, "
+        f"CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || '|{salt}') % {buckets} AS BIGINT) AS bucket "
+        "FROM documents), "
+        "w AS (SELECT doc_id, bucket, n_tokens, "
+        "COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY bucket ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset FROM d) "
+        "SELECT doc_id, bucket, n_tokens, start_offset, "
+        f"start_offset // {seq_len} AS first_seq, "
+        f"(start_offset + n_tokens) // {seq_len} AS last_seq FROM w"
+    )
+
+
+# ---------------------------------------------------------------- mixing
+
+
+def source_mix(docs_ds, weights: dict[str, int], salt: str = "mix"):
+    """Deterministic weighted downsampling to a target source mixture.
+
+    ``weights`` are positive integers giving the desired relative
+    proportions per ``source`` value (they need not sum to anything).
+    The operator keeps the LARGEST corpus achievable with exactly those
+    proportions: the binding source (smallest ``count/weight``) is kept
+    whole, every other source is thinned to match. Membership is
+    ``md5(doc_id|salt)`` under a per-source 64-bit integer threshold —
+    exact integer arithmetic end-to-end, so DuckDB reproduces the exact
+    row set (HUGEINT math in :func:`source_mix_sql`).
+
+    Rows whose source has no weight are dropped. Returns
+    ``doc_id, source`` for every kept row; no shuffle touches the data
+    rows (the only aggregation is the tiny per-source count).
+    """
+    from ray.data.aggregate import Count
+
+    counts_rows = (
+        docs_ds.select_columns(["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )  # one row per distinct source: tiny by construction
+    counts = {r["source"]: int(r["n"]) for r in counts_rows}
+    thresholds = mix_thresholds(counts, weights)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        keep = [
+            s in thresholds and _h64(f"{d}|{salt}") < thresholds[s]
+            for d, s in zip(ids, srcs)
+        ]
+        return pa.Table.from_arrays(
+            [batch["doc_id"], batch["source"]], names=["doc_id", "source"]
+        ).filter(pa.array(keep, pa.bool_()))
+
+    return docs_ds.select_columns(["doc_id", "source"]).map_batches(
+        _filter, batch_format="pyarrow"
+    )
+
+
+def mix_thresholds(counts: dict[str, int], weights: dict[str, int]) -> dict[str, int]:
+    """Per-source 64-bit keep thresholds for :func:`source_mix`.
+
+    ``K = min_s(count_s * SCALE // weight_s)`` is the feasible scale of
+    the mixture; source ``s`` keeps ``~K * weight_s / SCALE`` rows via
+    ``h64 < K * weight_s * 2^64 // (count_s * SCALE)`` (Python big ints;
+    the binding source's threshold is exactly 2^64 = keep all).
+    """
+    present = {s: n for s, n in counts.items() if weights.get(s, 0) > 0 and n > 0}
+    if not present:
+        return {}
+    K = min(n * _MIX_SCALE // weights[s] for s, n in present.items())
+    return {
+        s: K * weights[s] * _U64 // (n * _MIX_SCALE) for s, n in present.items()
+    }
+
+
+def source_mix_sql(weights: dict[str, int], salt: str = "mix") -> str:
+    """DuckDB recomputation of :func:`source_mix` in exact HUGEINT."""
+    vals = ", ".join(f"('{s}', {int(w)})" for s, w in weights.items() if w > 0)
+    return (
+        f"WITH w(source, wgt) AS (VALUES {vals}), "
+        "c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), "
+        f"k AS (SELECT min(n * {_MIX_SCALE} // wgt) AS kv FROM c JOIN w USING (source)), "
+        "t AS (SELECT c.source, "
+        f"CAST(k.kv AS HUGEINT) * wgt * CAST('{_U64}' AS HUGEINT) // "
+        f"(CAST(n AS HUGEINT) * {_MIX_SCALE}) AS th "
+        "FROM c JOIN w USING (source) CROSS JOIN k) "
+        "SELECT d.doc_id, d.source FROM documents d "
+        "JOIN t USING (source) "
+        f"WHERE md5_number_upper(CAST(d.doc_id AS VARCHAR) || '|{salt}') < t.th"
+    )
