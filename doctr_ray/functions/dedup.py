@@ -873,11 +873,15 @@ def chunk_dedup_stats(docs_ds, tokens_per_chunk: int = 12, buckets: int = PAIR_B
 
     Scale shape: explode to (bucket, fp, doc_id) rows — 16-byte hashes,
     never text; ONE bucket shuffle computes global chunk counts and
-    per-doc partials inside a vectorized pandas reducer; a native
-    groupby-sum over doc_id finishes. Output: (doc_id, n_chunks,
+    per-doc partials inside a vectorized pandas reducer; a second
+    COARSE shuffle (adaptive doc-buckets) sums the partials in a
+    vectorized reducer (a native per-doc-key sort-aggregate here costs
+    ~1ms Python per key — the CLAUDE.md landmine, measured 29.6 s on
+    the sibling dup_ngram_stats). Output: (doc_id, n_chunks,
     n_dup_chunks, dup_frac_e6).
     """
-    from ray.data.aggregate import Sum
+    n_docs = docs_ds.count()
+    doc_buckets = max(1, n_docs // 50_000 + 1)
 
     def _explode(batch: pa.Table) -> pa.Table:
         ids, fps, cbs = [], [], []
@@ -904,30 +908,29 @@ def chunk_dedup_stats(docs_ds, tokens_per_chunk: int = 12, buckets: int = PAIR_B
         g = g.assign(dup=(counts > 1).astype("int64"), one=1)
         out = g.groupby("doc_id", sort=False)[["one", "dup"]].sum().reset_index()
         out.columns = ["doc_id", "n_chunks", "n_dup_chunks"]
+        out["db"] = [_md5_bucket(d, doc_buckets) for d in out["doc_id"]]
         return out
 
-    per_bucket = (
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("doc_id", sort=False)[["n_chunks", "n_dup_chunks"]]
+            .sum()
+            .reset_index()
+        )
+        n = out["n_chunks"].to_numpy(dtype=np.int64)
+        d = out["n_dup_chunks"].to_numpy(dtype=np.int64)
+        out["dup_frac_e6"] = np.where(
+            n > 0, np.round(d * 1_000_000.0 / np.maximum(n, 1)), 0
+        ).astype(np.int64)
+        return out
+
+    return (
         docs_ds.map_batches(_explode, batch_format="pyarrow")
         .groupby("cb")
         .map_groups(_bucket_stats, batch_format="pandas")
+        .groupby("db")
+        .map_groups(_final, batch_format="pandas")
     )
-    agg = per_bucket.groupby("doc_id").aggregate(
-        Sum("n_chunks", alias_name="n_chunks"),
-        Sum("n_dup_chunks", alias_name="n_dup_chunks"),
-    )
-
-    def _frac(batch: pa.Table) -> pa.Table:
-        n = batch["n_chunks"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch["n_dup_chunks"].to_numpy(zero_copy_only=False).astype(np.int64)
-        frac = np.where(n > 0, np.round(d * 1_000_000.0 / np.maximum(n, 1)), 0).astype(
-            np.int64
-        )
-        return pa.Table.from_arrays(
-            [batch["doc_id"], pa.array(n), pa.array(d), pa.array(frac)],
-            names=["doc_id", "n_chunks", "n_dup_chunks", "dup_frac_e6"],
-        )
-
-    return agg.map_batches(_frac, batch_format="pyarrow")
 
 
 def dup_ngram_stats(docs_ds, n: int = 8, buckets: int = PAIR_BUCKETS):
@@ -949,12 +952,20 @@ def dup_ngram_stats(docs_ds, n: int = 8, buckets: int = PAIR_BUCKETS):
        bucket a vectorized pandas reducer sees every (fp, doc_id) pair
        for its grams — distinct-doc count per fp is complete there —
        and collapses straight to per-doc partials (n_grams, n_dup);
-    3. a native groupby(doc_id) sum + exact integer frac finishes.
+    3. a second COARSE shuffle (adaptive doc-buckets, ~50k docs per
+       reducer) sums the per-bucket partials and computes the exact
+       integer frac inside a vectorized reducer. A native
+       ``groupby(doc_id).aggregate(Sum)`` here was 29.6 s for 155k
+       rows at sf0.1/32cpu — per-key sort-aggregate scheduling, the
+       CLAUDE.md landmine — vs 5.5 s end-to-end with coarse buckets.
 
     md5 hex on BOTH engines keys the grouping, so the oracle matches
     even in the (astronomically unlikely) event of digest collisions.
     """
-    from ray.data.aggregate import Sum
+    # adaptive doc-bucket count for the final combine (tiny partial
+    # rows; one reducer per ~50k docs keeps groups coarse + vectorized)
+    n_docs = docs_ds.count()
+    doc_buckets = max(1, n_docs // 50_000 + 1)
 
     def _explode(batch: pa.Table) -> pa.Table:
         ids, fps, cbs, cnts = [], [], [], []
@@ -985,27 +996,24 @@ def dup_ngram_stats(docs_ds, n: int = 8, buckets: int = PAIR_BUCKETS):
         g = g.assign(dup_cnt=g["cnt"].where(ndocs > 1, 0))
         out = g.groupby("doc_id", sort=False)[["cnt", "dup_cnt"]].sum().reset_index()
         out.columns = ["doc_id", "n_grams", "n_dup"]
+        out["db"] = [_md5_bucket(d, doc_buckets) for d in out["doc_id"]]
         return out
 
-    per_bucket = (
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        # db is dropped by the column selection; groups stay coarse
+        out = g.groupby("doc_id", sort=False)[["n_grams", "n_dup"]].sum().reset_index()
+        ng = out["n_grams"].to_numpy(dtype=np.int64)
+        nd = out["n_dup"].to_numpy(dtype=np.int64)
+        out["dup_frac_e6"] = (1_000_000 * nd) // np.maximum(ng, 1)
+        return out
+
+    return (
         docs_ds.map_batches(_explode, batch_format="pyarrow")
         .groupby("cb")
         .map_groups(_bucket_stats, batch_format="pandas")
+        .groupby("db")
+        .map_groups(_final, batch_format="pandas")
     )
-    agg = per_bucket.groupby("doc_id").aggregate(
-        Sum("n_grams", alias_name="n_grams"), Sum("n_dup", alias_name="n_dup")
-    )
-
-    def _frac(batch: pa.Table) -> pa.Table:
-        ng = batch["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nd = batch["n_dup"].to_numpy(zero_copy_only=False).astype(np.int64)
-        frac = (1_000_000 * nd) // np.maximum(ng, 1)  # ng >= 1 by construction
-        return pa.Table.from_arrays(
-            [batch["doc_id"], pa.array(ng), pa.array(nd), pa.array(frac)],
-            names=["doc_id", "n_grams", "n_dup", "dup_frac_e6"],
-        )
-
-    return agg.map_batches(_frac, batch_format="pyarrow")
 
 
 def dup_ngram_sql(n: int = 8) -> str:
