@@ -148,6 +148,7 @@ def run_once() -> dict:
         "bm25_search",
         "seq_packing",
         "source_mix",
+        "corpus_filter",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)
