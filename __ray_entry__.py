@@ -940,6 +940,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text", "source"])
         )
 
+    def q_bloom_dedup(sf_dir: str):
+        """Incremental-ingest dedup: Bloom filter over the base corpus
+        (doc_id % 5 != 0) broadcast once, incoming shard flagged in one
+        map_batches pass — oracle reproduces the exact flag set,
+        false positives included."""
+        import numpy as np
+        import pyarrow as pa
+
+        from doctr_ray.functions.bloom import incremental_dedup_flags
+
+        def _part(keep_incoming: bool):
+            def _f(batch: pa.Table) -> pa.Table:
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                mask = (ids % 5 == 0) == keep_incoming
+                return batch.filter(pa.array(mask))
+
+            return _f
+
+        base = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            _part(False), batch_format="pyarrow"
+        )
+        incoming = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            _part(True), batch_format="pyarrow"
+        )
+        return incremental_dedup_flags(base, incoming)
+
     def q_dedup_exact(sf_dir: str):
         return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1046,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_packing": q_seq_packing,
         "source_mix": q_source_mix,
         "corpus_filter": q_corpus_filter,
+        "bloom_dedup": q_bloom_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_minhash": q_minhash_dups,
@@ -1299,6 +1326,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": __import__(
             "doctr_ray.functions.filter_chain", fromlist=["corpus_filter_sql"]
         ).corpus_filter_sql(),
+        "bloom_dedup": __import__(
+            "doctr_ray.functions.bloom", fromlist=["bloom_dedup_sql"]
+        ).bloom_dedup_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_dups "
             "FROM documents GROUP BY md5(text)"

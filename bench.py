@@ -149,6 +149,7 @@ def run_once() -> dict:
         "seq_packing",
         "source_mix",
         "corpus_filter",
+        "bloom_dedup",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)
