@@ -966,6 +966,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return incremental_dedup_flags(base, incoming)
 
+    def q_doc_length_quantiles(sf_dir: str):
+        """Exact distributed quantiles (histogram-merge): per-source
+        document-length percentiles; the shuffle moves (source, value,
+        count) partials only, and integer ceil-rank arithmetic matches
+        DuckDB's quantile_disc bit-for-bit."""
+        from doctr_ray.functions.stats import group_quantiles
+
+        return group_quantiles(
+            _read(sf_dir, "documents", ["source", "n_chars"]),
+            value_col="n_chars",
+            group_col="source",
+        )
+
     def q_dedup_exact(sf_dir: str):
         return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1073,6 +1086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": q_source_mix,
         "corpus_filter": q_corpus_filter,
         "bloom_dedup": q_bloom_dedup,
+        "doc_length_quantiles": q_doc_length_quantiles,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_minhash": q_minhash_dups,
@@ -1329,6 +1343,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_dedup": __import__(
             "doctr_ray.functions.bloom", fromlist=["bloom_dedup_sql"]
         ).bloom_dedup_sql(),
+        "doc_length_quantiles": __import__(
+            "doctr_ray.functions.stats", fromlist=["group_quantiles_sql"]
+        ).group_quantiles_sql("n_chars", "source"),
         "dedup_exact": (
             "SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_dups "
             "FROM documents GROUP BY md5(text)"

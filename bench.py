@@ -150,6 +150,7 @@ def run_once() -> dict:
         "source_mix",
         "corpus_filter",
         "bloom_dedup",
+        "doc_length_quantiles",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)
