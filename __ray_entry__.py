@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         simhash_near_dups,
     )
     from doctr_ray.functions.relational import (
+        asof_click_attribution,
         events_hourly,
         events_sliding_window,
         pricing_summary,
@@ -1102,6 +1103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events_hourly,
         "events_sliding": events_sliding_window,
         "user_sessions": user_sessions,
+        "asof_attribution": asof_click_attribution,
         "supplier_balance": supplier_balance_by_nation,
     }
 
@@ -1522,6 +1524,20 @@ def oracle_sql() -> dict[str, str]:
             "min(ts) AS session_start, max(ts) AS session_end, "
             "count(*) AS n_events, CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c "
             "FROM s GROUP BY user_id, session_idx"
+        ),
+        "asof_attribution": (
+            # as-of join: latest same-user view with v.ts <= c.ts; ties
+            # on ts resolved toward the higher event_id (max over the
+            # (ts, event_id) pair — the engine's lexsort + running-max)
+            "WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click'), "
+            "v AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'view'), "
+            "m AS (SELECT c.event_id AS click_id, c.user_id, c.tsu AS click_ts_us, "
+            "max(row(v.tsu, v.event_id)) AS best "
+            "FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.tsu <= c.tsu "
+            "GROUP BY c.event_id, c.user_id, c.tsu) "
+            "SELECT click_id, user_id, click_ts_us, "
+            "COALESCE(best[2], -1) AS view_id, "
+            "CASE WHEN best[2] IS NULL THEN -1 ELSE click_ts_us - best[1] END AS gap_us FROM m"
         ),
         "supplier_balance": (
             "SELECT n.n_name, CAST(round(sum(s.s_acctbal) * 100) AS BIGINT) AS total_acctbal_c, "

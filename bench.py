@@ -151,6 +151,7 @@ def run_once() -> dict:
         "corpus_filter",
         "bloom_dedup",
         "doc_length_quantiles",
+        "asof_attribution",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

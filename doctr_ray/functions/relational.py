@@ -334,3 +334,76 @@ def events_sliding_window(sf_dir: str, width_minutes: int = 60, slide_minutes: i
         )
 
     return agg.map_batches(_fixed_point, batch_format="pyarrow")
+
+
+def asof_click_attribution(sf_dir: str):
+    """As-of join — the custom operator the Dataset API lacks, built as
+    co-bucketed map_groups: every 'click' event joins the latest 'view'
+    event of the SAME user with ``view.ts <= click.ts`` (ad-attribution
+    semantics; DuckDB's ASOF JOIN family).
+
+    Partitioning assumption (documented per the engine's custom-operator
+    policy): both sides co-locate by ``user_id`` bucket — the ONLY
+    shuffle — and the per-bucket reducer is one vectorized positional
+    scan, no per-user Python groups:
+
+    sort by (user, ts, view-before-click, event_id); a running maximum
+    over view positions then yields, for every click, the latest
+    eligible view index; a same-user check rejects carry-over from the
+    previous user's segment (any same-user view sorts later than every
+    previous user's row, so the running max is user-correct whenever a
+    same-user view exists). Tie semantics: a view sharing the click's
+    exact timestamp is eligible, and among equal-ts views the highest
+    event_id wins — the oracle's ``max(row(v.tsu, v.event_id))``.
+
+    Output: (click_id, user_id, click_ts_us, view_id, gap_us), with
+    ``view_id = gap_us = -1`` for never-matched clicks (LEFT semantics).
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.is_in(batch["event_type"], value_set=pa.array(["click", "view"]))
+        )
+        return pa.Table.from_arrays(
+            [
+                pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32()),
+                t["user_id"],
+                t["event_id"],
+                pc.cast(t["ts"], pa.int64()),  # timestamp[us] -> us since epoch
+                pc.cast(pc.equal(t["event_type"], "click"), pa.int8()),
+            ],
+            names=["ub", "user_id", "event_id", "ts_us", "is_click"],
+        )
+
+    def _asof(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        ic = g["is_click"].to_numpy(dtype=np.int64)
+        order = np.lexsort((eid, ic, ts, u))  # user, ts, view<click, eid
+        u, eid, ts, ic = u[order], eid[order], ts[order], ic[order]
+        pos = np.arange(len(u), dtype=np.int64)
+        last_view = np.maximum.accumulate(np.where(ic == 0, pos, -1))
+        clk = pos[ic == 1]
+        cand = last_view[clk]
+        valid = (cand >= 0) & (u[np.maximum(cand, 0)] == u[clk])
+        return pd.DataFrame(
+            {
+                "click_id": eid[clk],
+                "user_id": u[clk],
+                "click_ts_us": ts[clk],
+                "view_id": np.where(valid, eid[np.maximum(cand, 0)], -1),
+                "gap_us": np.where(valid, ts[clk] - ts[np.maximum(cand, 0)], -1),
+            }
+        )
+
+    return (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(_asof, batch_format="pandas")
+    )
