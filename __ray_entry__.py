@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from doctr_ray.functions.relational import (
         asof_click_attribution,
+        range_join_error_clicks,
         events_hourly,
         events_sliding_window,
         pricing_summary,
@@ -1104,6 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": events_sliding_window,
         "user_sessions": user_sessions,
         "asof_attribution": asof_click_attribution,
+        "range_join": range_join_error_clicks,
         "supplier_balance": supplier_balance_by_nation,
     }
 
@@ -1538,6 +1540,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT click_id, user_id, click_ts_us, "
             "COALESCE(best[2], -1) AS view_id, "
             "CASE WHEN best[2] IS NULL THEN -1 ELSE click_ts_us - best[1] END AS gap_us FROM m"
+        ),
+        "range_join": (
+            # interval join: same-user clicks within +/- 5 min of each
+            # error, inclusive bounds (engine: searchsorted left/right)
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'error'), "
+            "c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click') "
+            "SELECT e.event_id AS error_id, e.user_id, count(c.event_id) AS n_clicks "
+            "FROM e LEFT JOIN c ON c.user_id = e.user_id "
+            "AND c.tsu BETWEEN e.tsu - 300000000 AND e.tsu + 300000000 "
+            "GROUP BY e.event_id, e.user_id"
         ),
         "supplier_balance": (
             "SELECT n.n_name, CAST(round(sum(s.s_acctbal) * 100) AS BIGINT) AS total_acctbal_c, "

@@ -152,6 +152,7 @@ def run_once() -> dict:
         "bloom_dedup",
         "doc_length_quantiles",
         "asof_attribution",
+        "range_join",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

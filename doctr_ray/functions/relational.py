@@ -407,3 +407,72 @@ def asof_click_attribution(sf_dir: str):
         .groupby("ub")
         .map_groups(_asof, batch_format="pandas")
     )
+
+
+def range_join_error_clicks(sf_dir: str, window_minutes: int = 5):
+    """Range join — the second custom operator the Dataset API lacks:
+    for every 'error' event, the number of same-user 'click' events
+    within +/- ``window_minutes`` (inclusive both ends).
+
+    Partitioning assumption: both sides co-locate by user bucket (ONE
+    shuffle). The per-bucket reducer is fully vectorized: clicks sort
+    once on a combined ``user * 2^44 + (ts - t0)`` int64 key (the time
+    offset spans < 2^44 us, so user segments never interleave and the
+    window clamps to the segment), then every error row's count is two
+    ``np.searchsorted`` probes — O((E+C) log C) per bucket, no per-user
+    Python groups, no quadratic join.
+
+    Output: (error_id, user_id, n_clicks) with 0 for lonely errors
+    (LEFT semantics, matching the oracle's LEFT JOIN + count).
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    win_us = window_minutes * 60_000_000
+    SHIFT = np.int64(1) << 44  # > any ts offset in the corpus (asserted)
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.is_in(batch["event_type"], value_set=pa.array(["click", "error"]))
+        )
+        return pa.Table.from_arrays(
+            [
+                pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32()),
+                t["user_id"],
+                t["event_id"],
+                pc.cast(t["ts"], pa.int64()),
+                pc.cast(pc.equal(t["event_type"], "error"), pa.int8()),
+            ],
+            names=["ub", "user_id", "event_id", "ts_us", "is_err"],
+        )
+
+    def _range_join(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        ie = g["is_err"].to_numpy(dtype=np.int64)
+        t0 = ts.min()
+        dt = ts - t0
+        assert dt.max() < SHIFT - win_us, "time span exceeds key headroom"
+        err = ie == 1
+        clk_keys = np.sort(u[~err] * SHIFT + dt[~err])
+        lo = u[err] * SHIFT + np.maximum(dt[err] - win_us, 0)
+        hi = u[err] * SHIFT + (dt[err] + win_us)
+        n = np.searchsorted(clk_keys, hi, side="right") - np.searchsorted(
+            clk_keys, lo, side="left"
+        )
+        return pd.DataFrame(
+            {
+                "error_id": eid[err],
+                "user_id": u[err],
+                "n_clicks": n.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(_range_join, batch_format="pandas")
+    )
