@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from doctr_ray.functions.relational import (
         asof_click_attribution,
+        order_priority_check,
         range_join_error_clicks,
         events_hourly,
         events_sliding_window,
@@ -1106,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": user_sessions,
         "asof_attribution": asof_click_attribution,
         "range_join": range_join_error_clicks,
+        "order_priority": order_priority_check,
         "supplier_balance": supplier_balance_by_nation,
     }
 
@@ -1550,6 +1552,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM e LEFT JOIN c ON c.user_id = e.user_id "
             "AND c.tsu BETWEEN e.tsu - 300000000 AND e.tsu + 300000000 "
             "GROUP BY e.event_id, e.user_id"
+        ),
+        "order_priority": (
+            # TPC-H Q4 shape adapted to the available columns: a
+            # lineitem shipped > 90 days after the order date
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
+            "WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-04-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+            "AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + 7776000000000) "
+            "GROUP BY o_orderpriority"
         ),
         "supplier_balance": (
             "SELECT n.n_name, CAST(round(sum(s.s_acctbal) * 100) AS BIGINT) AS total_acctbal_c, "

@@ -153,6 +153,7 @@ def run_once() -> dict:
         "doc_length_quantiles",
         "asof_attribution",
         "range_join",
+        "order_priority",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

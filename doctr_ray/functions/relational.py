@@ -476,3 +476,97 @@ def range_join_error_clicks(sf_dir: str, window_minutes: int = 5):
         .groupby("ub")
         .map_groups(_range_join, batch_format="pandas")
     )
+
+
+def order_priority_check(sf_dir: str):
+    """TPC-H Q4 shape — the large-to-large co-partitioned SEMI-JOIN
+    (neither side is broadcastable at scale): orders placed in
+    [1996-01-01, 1996-04-01) that have at least one lineitem shipped
+    more than 90 days after the order date, counted by priority.
+
+    Scale shape: both sides prune at the read and pre-aggregate BEFORE
+    the exchange — lineitem collapses per batch to (orderkey,
+    max_shipdate) partials (the EXISTS predicate only needs the max),
+    so the ONE orderkey-bucket shuffle moves two int64s per distinct
+    key per batch instead of the lineitem fact rows. The per-bucket
+    reducer joins vectorized (pandas hash groupby + merge), emits
+    per-priority partial counts, and a single-group final combine sums
+    them (5 priorities — never a per-key native aggregate).
+    """
+    import ray.data as rd
+
+    NINETY_DAYS_US = 90 * 86_400_000_000
+    LO = pd.Timestamp("1996-01-01").value // 1000  # us
+    HI = pd.Timestamp("1996-04-01").value // 1000
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        od = pc.cast(batch["o_orderdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(od, LO), pc.less(od, HI))
+        t = batch.append_column("od_us", od).filter(keep)
+        return pa.Table.from_arrays(
+            [
+                pc.cast(pc.bit_wise_and(t["o_orderkey"], 63), pa.int32()),
+                t["o_orderkey"],
+                t["od_us"],
+                t["o_orderpriority"],
+                pa.array([0] * len(t), pa.int8()),
+            ],
+            names=["kb", "okey", "ts_us", "pr", "side"],
+        )
+
+    def _lineitem(batch: pa.Table) -> pa.Table:
+        # per-batch partial: max shipdate per orderkey (combiner)
+        df = pd.DataFrame(
+            {
+                "okey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "ship": batch["l_shipdate"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        agg = df.groupby("okey", sort=False)["ship"].max().reset_index()
+        n = len(agg)
+        return pa.Table.from_arrays(
+            [
+                pa.array(
+                    (agg["okey"].to_numpy() & 63).astype(np.int32), pa.int32()
+                ),
+                pa.array(agg["okey"].to_numpy(dtype=np.int64), pa.int64()),
+                pa.array(agg["ship"].to_numpy(dtype=np.int64), pa.int64()),
+                pa.array([""] * n, pa.string()),
+                pa.array([1] * n, pa.int8()),
+            ],
+            names=["kb", "okey", "ts_us", "pr", "side"],
+        )
+
+    def _join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        orders = g[g["side"] == 0]
+        li = g[g["side"] == 1]
+        ship_max = li.groupby("okey", sort=False)["ts_us"].max()
+        m = orders.merge(
+            ship_max.rename("ship_us"), left_on="okey", right_index=True, how="inner"
+        )
+        late = m[m["ship_us"] > m["ts_us"] + NINETY_DAYS_US]
+        out = late.groupby("pr", sort=False).size().reset_index(name="cnt")
+        out["z"] = 0
+        return out
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("pr", sort=False)["cnt"].sum().reset_index()
+        out.columns = ["o_orderpriority", "order_count"]
+        return out
+
+    orders_ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(_orders, batch_format="pyarrow")
+    li_ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(_lineitem, batch_format="pyarrow")
+    return (
+        orders_ds.union(li_ds)
+        .groupby("kb")
+        .map_groups(_join_bucket, batch_format="pandas")
+        .groupby("z")
+        .map_groups(_final, batch_format="pandas")
+    )
