@@ -112,20 +112,31 @@ def recover_skewed_page(
     base = int(round(est * 10))
     tried: set[int] = set()
     fallback: tuple[np.ndarray, np.ndarray, float] | None = None
+    no_text_at_zero = False
 
     def _try(dd: int):
         tried.add(dd)
         if dd == 0:
-            # validate the original as-is before touching a pixel; a
-            # page with no text-line components (artefacts only, empty)
-            # has nothing to validate against — leave it unchanged
+            # validate the original as-is before touching a pixel
             from .glyphs import CHAR_H
 
             boxes, _ = detect_page(image)
-            if len(boxes) == 0 or not (
-                np.abs((boxes[:, 3] - boxes[:, 1]) - CHAR_H) <= 2
-            ).any():
+            if len(boxes) == 0:
+                # no ink at all: no reconstruction can create text —
+                # the unchanged page is exact at any angle
                 return image, None, 0.0
+            if not (np.abs((boxes[:, 3] - boxes[:, 1]) - CHAR_H) <= 2).any():
+                # components exist but none at text-line height. This is
+                # EITHER an artefact-only page (leave unchanged) OR a
+                # skewed page whose every box is tilted past the height
+                # tolerance — only a later candidate can tell them
+                # apart, so record the unchanged page as a fallback and
+                # keep scanning (a false "success" here is the bug the
+                # skew property test caught: the brute scan reaches
+                # dd=0 before a far-from-estimate true angle).
+                nonlocal no_text_at_zero
+                no_text_at_zero = True
+                return None
             ones = np.ones(image.shape[:2], dtype=bool)
             if _validate(image, ones, recognizer):
                 return image, None, 0.0
@@ -158,7 +169,9 @@ def recover_skewed_page(
         got = _try(dd)
         if got is not None:
             return got
-    if fallback is None:
+    if no_text_at_zero or fallback is None:
+        # nothing validated anywhere: an artefact-only / empty page is
+        # exact unchanged; otherwise best-effort nearest reconstruction
         return image, None, 0.0
     return fallback
 
