@@ -969,6 +969,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return incremental_dedup_flags(base, incoming)
 
+    def q_top_tokens_by_source(sf_dir: str):
+        """Grouped top-k ranking (ROW_NUMBER-window shape): 5 most
+        frequent tokens per source, partial counts shuffled as
+        (source, token, n) pairs only."""
+        from doctr_ray.functions.text import top_tokens_by_group
+
+        return top_tokens_by_group(
+            _read(sf_dir, "documents", ["source", "text"]), "source", k=5
+        )
+
     def q_doc_length_quantiles(sf_dir: str):
         """Exact distributed quantiles (histogram-merge): per-source
         document-length percentiles; the shuffle moves (source, value,
@@ -1090,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_filter": q_corpus_filter,
         "bloom_dedup": q_bloom_dedup,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "top_tokens_by_source": q_top_tokens_by_source,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_minhash": q_minhash_dups,
@@ -1352,6 +1363,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles": __import__(
             "doctr_ray.functions.stats", fromlist=["group_quantiles_sql"]
         ).group_quantiles_sql("n_chars", "source"),
+        "top_tokens_by_source": __import__(
+            "doctr_ray.functions.text", fromlist=["top_tokens_by_group_sql"]
+        ).top_tokens_by_group_sql("source", 5),
         "dedup_exact": (
             "SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_dups "
             "FROM documents GROUP BY md5(text)"

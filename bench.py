@@ -154,6 +154,7 @@ def run_once() -> dict:
         "asof_attribution",
         "range_join",
         "order_priority",
+        "top_tokens_by_source",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

@@ -312,3 +312,59 @@ def bpe_token_sql() -> str:
         "CASE WHEN n_bpe_tokens > 0 THEN (1000000 * n_chars) // n_bpe_tokens "
         "ELSE 0 END AS chars_per_token_e6 FROM b"
     )
+
+
+def top_tokens_by_group(docs_ds, group_col: str = "source", k: int = 5):
+    """Grouped top-k — the window-function ranking shape (ROW_NUMBER
+    OVER (PARTITION BY g ORDER BY n DESC, token)): the k most frequent
+    tokens within every group.
+
+    Scale shape: per-batch (group, token, count) partials (the shuffle
+    moves distinct pairs, never token streams); one group-keyed
+    map_groups sums partials and ranks vectorized — group count is the
+    cardinality of ``group_col`` (small by construction for source/lang
+    columns; bucket a high-cardinality group key coarsely first).
+    Deterministic tie-break: (count desc, token asc).
+    """
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch[group_col].to_pandas(),
+                "toks": batch["text"].to_pandas().str.split(" "),
+            }
+        )
+        e = df.explode("toks")
+        e = e[e["toks"].notna() & (e["toks"] != "")]
+        out = e.groupby(["g", "toks"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_arrays(
+            [
+                pa.Array.from_pandas(out["g"], type=batch.schema.field(group_col).type),
+                pa.Array.from_pandas(out["toks"], type=pa.string()),
+                pa.array(out["n"].to_numpy(dtype="int64"), pa.int64()),
+            ],
+            names=[group_col, "token", "n"],
+        )
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False)["n"].sum().reset_index()
+        s = s.sort_values(["n", "token"], ascending=[False, True], kind="stable").head(k)
+        s.insert(0, group_col, g[group_col].iloc[0])
+        s["rank"] = range(1, len(s) + 1)
+        return s[[group_col, "rank", "token", "n"]]
+
+    return (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(_rank, batch_format="pandas")
+    )
+
+
+def top_tokens_by_group_sql(group_col: str = "source", k: int = 5) -> str:
+    """DuckDB mirror: ROW_NUMBER window with the same tie-break."""
+    return (
+        f"WITH t AS (SELECT {group_col}, unnest(string_split(text, ' ')) AS token FROM documents), "
+        f"c AS (SELECT {group_col}, token, count(*) AS n FROM t WHERE token <> '' GROUP BY {group_col}, token), "
+        f"r AS (SELECT {group_col}, token, n, row_number() OVER "
+        f"(PARTITION BY {group_col} ORDER BY n DESC, token) AS rank FROM c) "
+        f"SELECT {group_col}, CAST(rank AS BIGINT) AS rank, token, n FROM r WHERE rank <= {k}"
+    )

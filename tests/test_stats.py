@@ -72,3 +72,27 @@ def test_block_layout_independent(ray_session):
 def test_bad_percent_rejected():
     with pytest.raises(ValueError):
         group_quantiles(None, "v", "g", percents=(0,))
+
+
+def test_top_tokens_by_group(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doctr_ray.functions.text import top_tokens_by_group
+
+    t = pa.table(
+        {
+            "source": ["a", "a", "b"],
+            "text": ["x x y z", "y x", "q q  r"],  # double space -> empty tok
+        }
+    )
+    rows = sorted(
+        (r["source"], r["rank"], r["token"], r["n"])
+        for r in top_tokens_by_group(rd.from_arrow(t), "source", k=2).take_all()
+    )
+    assert rows == [
+        ("a", 1, "x", 3),
+        ("a", 2, "y", 2),
+        ("b", 1, "q", 2),
+        ("b", 2, "r", 1),
+    ]
