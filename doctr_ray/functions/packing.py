@@ -32,9 +32,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# fixed-point headroom for the mixing rate arithmetic (exact integer
-# math end-to-end; DuckDB recomputes it in HUGEINT)
-_MIX_SCALE = 1_000_000
 _U64 = 1 << 64
 
 
@@ -191,31 +188,42 @@ def source_mix(docs_ds, weights: dict[str, int], salt: str = "mix"):
 def mix_thresholds(counts: dict[str, int], weights: dict[str, int]) -> dict[str, int]:
     """Per-source 64-bit keep thresholds for :func:`source_mix`.
 
-    ``K = min_s(count_s * SCALE // weight_s)`` is the feasible scale of
-    the mixture; source ``s`` keeps ``~K * weight_s / SCALE`` rows via
-    ``h64 < K * weight_s * 2^64 // (count_s * SCALE)`` (Python big ints;
-    the binding source's threshold is exactly 2^64 = keep all).
+    Exact rational form: the mixture scale is ``K = min_r(count_r /
+    weight_r)`` and source ``s`` keeps ``K * weight_s`` rows via
+    ``h64 < th_s`` with ``th_s = min_r(count_r * weight_s * 2^64 //
+    (weight_r * count_s))`` — floor commutes with min, so no
+    intermediate fixed-point rounding: the binding source's threshold
+    is EXACTLY 2^64 (kept whole) for any counts/weights, not just when
+    ``count * SCALE`` divides its weight (the earlier pre-scaled-K form
+    dropped one-in-a-million binding-source rows; caught by the
+    mix-invariant property test). Python big ints here, HUGEINT in the
+    SQL oracle.
     """
     present = {s: n for s, n in counts.items() if weights.get(s, 0) > 0 and n > 0}
     if not present:
         return {}
-    K = min(n * _MIX_SCALE // weights[s] for s, n in present.items())
     return {
-        s: K * weights[s] * _U64 // (n * _MIX_SCALE) for s, n in present.items()
+        s: min(
+            nr * weights[s] * _U64 // (weights[r] * n)
+            for r, nr in present.items()
+        )
+        for s, n in present.items()
     }
 
 
 def source_mix_sql(weights: dict[str, int], salt: str = "mix") -> str:
-    """DuckDB recomputation of :func:`source_mix` in exact HUGEINT."""
+    """DuckDB recomputation of :func:`source_mix` in exact HUGEINT
+    (same rational min-over-sources threshold as
+    :func:`mix_thresholds`)."""
     vals = ", ".join(f"('{s}', {int(w)})" for s, w in weights.items() if w > 0)
     return (
         f"WITH w(source, wgt) AS (VALUES {vals}), "
         "c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), "
-        f"k AS (SELECT min(n * {_MIX_SCALE} // wgt) AS kv FROM c JOIN w USING (source)), "
-        "t AS (SELECT c.source, "
-        f"CAST(k.kv AS HUGEINT) * wgt * CAST('{_U64}' AS HUGEINT) // "
-        f"(CAST(n AS HUGEINT) * {_MIX_SCALE}) AS th "
-        "FROM c JOIN w USING (source) CROSS JOIN k) "
+        "cw AS (SELECT source, n, wgt FROM c JOIN w USING (source)), "
+        "t AS (SELECT s.source, "
+        f"min(CAST(r.n AS HUGEINT) * s.wgt * CAST('{_U64}' AS HUGEINT) // "
+        "(CAST(r.wgt AS HUGEINT) * s.n)) AS th "
+        "FROM cw s CROSS JOIN cw r GROUP BY s.source) "
         "SELECT d.doc_id, d.source FROM documents d "
         "JOIN t USING (source) "
         f"WHERE md5_number_upper(CAST(d.doc_id AS VARCHAR) || '|{salt}') < t.th"

@@ -96,3 +96,66 @@ def test_top_tokens_by_group(ray_session):
         ("b", 1, "q", 2),
         ("b", 2, "r", 1),
     ]
+
+
+# ---------------------------- property tests (no Ray) ----------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=120),
+    p=st.integers(min_value=1, max_value=100),
+)
+def test_rank_formula_matches_quantile_disc(vals, p):
+    """The engine's integer ceil-rank must equal DuckDB quantile_disc
+    for every list and percent — the exactness contract behind
+    doc_length_quantiles."""
+    import duckdb
+
+    n = len(vals)
+    rank = -(-p * n // 100)
+    mine = sorted(vals)[rank - 1]
+    got = duckdb.sql(
+        f"SELECT quantile_disc(x, {p / 100}) FROM (SELECT unnest({vals}) AS x)"
+    ).fetchone()[0]
+    assert mine == got
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=10_000),
+        min_size=1,
+    ),
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+    ),
+)
+def test_mix_thresholds_invariants(counts, weights):
+    """source_mix contract: some weighted source is kept whole (the
+    binding source, threshold == 2^64), no threshold exceeds 2^64, and
+    expected kept counts realize the requested proportions."""
+    from doctr_ray.functions.packing import mix_thresholds
+
+    th = mix_thresholds(counts, weights)
+    keyed = {s for s in counts if weights.get(s, 0) > 0}
+    assert set(th) == keyed
+    if not th:
+        return
+    U64 = 1 << 64
+    assert all(0 < v <= U64 for v in th.values())
+    assert max(th.values()) == U64  # binding source kept whole
+    # expected kept mass: count_s * th_s / 2^64 ~ K * w_s / SCALE,
+    # so kept ratios track weight ratios within integer-floor slack
+    exp = {s: counts[s] * th[s] / U64 for s in th}
+    ws = {s: weights[s] for s in th}
+    ref_s = max(th, key=lambda s: exp[s])
+    for s in th:
+        want = exp[ref_s] * ws[s] / ws[ref_s]
+        assert abs(exp[s] - want) <= 2.0  # floor slack only
