@@ -71,3 +71,33 @@ def test_partial_merge_independent_of_blocks(ray_session):
     a = build_bloom(_ds(texts))
     b = build_bloom(_ds(texts).repartition(7))
     assert (a == b).all()
+
+
+# ------------------- cross-engine hash-bridge property test (no Ray)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    text=st.text(max_size=60).filter(lambda s: "\x00" not in s),
+    salt=st.sampled_from(["", "mix", "pack"]),
+)
+def test_h64_matches_duckdb_md5_number_upper(text, salt):
+    """The engine/oracle hash bridge holds for ARBITRARY unicode text:
+    md5-first-8-bytes-little-endian == DuckDB md5_number_upper over the
+    same UTF-8 bytes (the foundation under the bloom/dedup/mix
+    oracles)."""
+    import duckdb
+
+    from doctr_ray.functions.bloom import _fp_halves
+    from doctr_ray.functions.packing import _h64
+
+    s = text + ("|" + salt if salt else "")
+    got = duckdb.execute(
+        "SELECT md5_number_upper(?)", [s]
+    ).fetchone()[0]
+    assert _h64(s) == got
+    lo, hi = _fp_halves([s])
+    assert (int(lo[0]) | (int(hi[0]) << 32)) == got
