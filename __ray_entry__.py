@@ -992,6 +992,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             group_col="source",
         )
 
+    def q_pretraining_corpus(sf_dir: str):
+        """The composed Dolma-shaped chain (filter -> mix -> pack) as
+        ONE operator, hash-gated end-to-end against a single spliced
+        SQL statement — composition introduces no new semantics."""
+        from doctr_ray.functions.pretrain import pretraining_corpus
+
+        return pretraining_corpus(
+            _read(sf_dir, "documents", ["doc_id", "text", "source"]), _MIX_WEIGHTS
+        )
+
     def q_dedup_exact(sf_dir: str):
         return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1098,6 +1108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_packing": q_seq_packing,
         "source_mix": q_source_mix,
         "corpus_filter": q_corpus_filter,
+        "pretraining_corpus": q_pretraining_corpus,
         "bloom_dedup": q_bloom_dedup,
         "doc_length_quantiles": q_doc_length_quantiles,
         "top_tokens_by_source": q_top_tokens_by_source,
@@ -1357,6 +1368,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": __import__(
             "doctr_ray.functions.filter_chain", fromlist=["corpus_filter_sql"]
         ).corpus_filter_sql(),
+        "pretraining_corpus": __import__(
+            "doctr_ray.functions.pretrain", fromlist=["pretraining_corpus_sql"]
+        ).pretraining_corpus_sql(_MIX_WEIGHTS),
         "bloom_dedup": __import__(
             "doctr_ray.functions.bloom", fromlist=["bloom_dedup_sql"]
         ).bloom_dedup_sql(),

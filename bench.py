@@ -149,6 +149,7 @@ def run_once() -> dict:
         "seq_packing",
         "source_mix",
         "corpus_filter",
+        "pretraining_corpus",
         "bloom_dedup",
         "doc_length_quantiles",
         "asof_attribution",

@@ -99,7 +99,22 @@ def corpus_filter_sql(
     SQL fragments as the standalone doc_lang_id / doc_quality /
     doc_repetition oracles."""
     return (
-        "WITH c AS (SELECT doc_id, "
+        "WITH "
+        + corpus_filter_ctes(min_tokens, min_ttr_e6, max_short_e6)
+        + " SELECT s.doc_id, s.source, s.n_tokens FROM surv s JOIN keep USING (doc_id)"
+    )
+
+
+def corpus_filter_ctes(
+    min_tokens: int = 20,
+    min_ttr_e6: int = 350_000,
+    max_short_e6: int = 120_000,
+) -> str:
+    """The filter chain as a reusable CTE body (``surv`` + ``keep``):
+    composed oracles (pretraining_corpus) splice it ahead of their own
+    CTEs so the chained query stays bit-identical to the standalone."""
+    return (
+        "c AS (SELECT doc_id, "
         "len(list_filter(string_split(text, ' '), x -> x IN ('und', 'der', 'das', 'nicht'))) AS c_de, "
         "len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'value', 'row'))) AS c_en, "
         "len(list_filter(string_split(text, ' '), x -> x IN ('el', 'la', 'los', 'una'))) AS c_es, "
@@ -122,6 +137,5 @@ def corpus_filter_sql(
         "surv AS (SELECT * FROM sig WHERE pred_lang <> 'und' "
         f"AND ttr_e6 >= {min_ttr_e6} AND short_e6 <= {max_short_e6} "
         f"AND n_tokens >= {min_tokens}), "
-        "keep AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM surv GROUP BY md5(text)) "
-        "SELECT s.doc_id, s.source, s.n_tokens FROM surv s JOIN keep USING (doc_id)"
+        "keep AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM surv GROUP BY md5(text))"
     )

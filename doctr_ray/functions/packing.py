@@ -103,6 +103,32 @@ def pack_layout(docs_ds, seq_len: int = 2048, buckets: int | None = None,
             names=["doc_id", "bucket", "n_tokens"],
         )
 
+    meta = docs_ds.map_batches(_tokens_and_bucket, batch_format="pyarrow")
+    return _pack_from_bucketed(meta, L)
+
+
+def pack_layout_from_counts(meta_ds, seq_len: int = 2048, buckets: int | None = None,
+                            salt: str = "pack"):
+    """:func:`pack_layout` over precomputed ``(doc_id, n_tokens)`` meta
+    rows (extra columns pass through) — lets composed pipelines pack a
+    filtered/mixed corpus without re-tokenizing the text."""
+    if buckets is None:
+        buckets = pack_buckets_for(meta_ds.count())
+    B = int(buckets)
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError(f"seq_len must be positive, got {L}")
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        bucket = np.array([_h64(f"{d}|{salt}") % B for d in ids], dtype=np.int64)
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    meta = meta_ds.map_batches(_bucketize, batch_format="pyarrow")
+    return _pack_from_bucketed(meta, L)
+
+
+def _pack_from_bucketed(meta_ds, L: int):
     def _pack_group(df):
         # one coarse bucket per group: sort by doc_id, exclusive cumsum
         # of (n_tokens + 1) slots, chunk arithmetic — all vectorized
@@ -116,8 +142,7 @@ def pack_layout(docs_ds, seq_len: int = 2048, buckets: int | None = None,
         out["last_seq"] = (start + slots - 1) // L
         return out
 
-    meta = docs_ds.map_batches(_tokens_and_bucket, batch_format="pyarrow")
-    return meta.groupby("bucket").map_groups(_pack_group, batch_format="pandas")
+    return meta_ds.groupby("bucket").map_groups(_pack_group, batch_format="pandas")
 
 
 def pack_layout_sql(seq_len: int, buckets: int, salt: str = "pack") -> str:

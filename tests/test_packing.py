@@ -124,3 +124,44 @@ def test_source_mix_membership_matches_thresholds(ray_session):
         d = f"d{i:03d}"
         s = "x" if i < 150 else "y"
         assert (d in kept) == (_h64(f"{d}|mix") < th[s])
+
+
+def test_pretraining_corpus_composition(ray_session):
+    """filter -> mix -> pack composition: survivors are a subset of the
+    filter output, the binding source is kept whole, and the pack
+    layout is gapless per bucket."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doctr_ray.functions.filter_chain import corpus_filter
+    from doctr_ray.functions.pretrain import pretraining_corpus
+
+    n = 400
+    texts = [
+        "the " + " ".join(f"w{i}x{j}" for j in range(25)) for i in range(n)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": list(range(n)),
+            "text": texts,
+            "source": ["a" if i % 4 else "b" for i in range(n)],
+        }
+    )
+    weights = {"a": 1, "b": 1}
+    out = pretraining_corpus(rd.from_arrow(tbl), weights, seq_len=64, buckets=4).take_all()
+    surv = {r["doc_id"] for r in corpus_filter(rd.from_arrow(tbl)).take_all()}
+    kept = {r["doc_id"] for r in out}
+    assert kept <= surv
+    # b is the scarce source (100 docs vs 300): kept whole by mixing
+    n_b = sum(1 for r in out if r["source"] == "b")
+    assert n_b == sum(1 for i in range(n) if i % 4 == 0)
+    # per-bucket gapless layout
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rows:
+            assert r["start_offset"] == off
+            off += r["n_tokens"] + 1
