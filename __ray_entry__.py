@@ -896,6 +896,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_epoch_shuffle(sf_dir: str):
+        """Deterministic epoch shuffle: keyed-hash global sort (the
+        reproducible, resumable alternative to random_shuffle), head-k
+        with ranks as the verification surface."""
+        from doctr_ray.functions.sampling import epoch_shuffle_head
+
+        return epoch_shuffle_head(_read(sf_dir, "documents", ["doc_id"]), epoch=1)
+
     def q_doc_split(sf_dir: str):
         """Deterministic 90/5/5 train/val/test labels per document."""
         from doctr_ray.functions.sampling import hash_split
@@ -1104,6 +1112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_commonness": q_doc_commonness,
         "doc_sample": q_doc_sample,
         "doc_split": q_doc_split,
+        "epoch_shuffle": q_epoch_shuffle,
         "dup_ngram_fraction": q_dup_ngrams,
         "seq_packing": q_seq_packing,
         "source_mix": q_source_mix,
@@ -1359,6 +1368,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_fraction": __import__(
             "doctr_ray.functions.dedup", fromlist=["dup_ngram_sql"]
         ).dup_ngram_sql(),
+        "epoch_shuffle": __import__(
+            "doctr_ray.functions.sampling", fromlist=["epoch_shuffle_sql"]
+        ).epoch_shuffle_sql(epoch=1),
         "seq_packing": __import__(
             "doctr_ray.functions.packing", fromlist=["pack_layout_sql"]
         ).pack_layout_sql(512, 8),

@@ -138,6 +138,7 @@ def run_once() -> dict:
         "pdf_native_text",
         "doc_sample",
         "doc_split",
+        "epoch_shuffle",
         "events_sliding",
         "pii_redact",
         "decontamination",

@@ -102,3 +102,57 @@ def sample_weighted_columns(ds, rate: float, key: str = "doc_id", salt: str = "s
     if columns:
         out = out.select_columns(columns)
     return out
+
+
+def epoch_shuffle_head(ds, epoch: int = 1, k: int = 100, key: str = "doc_id",
+                       salt: str = "shuffle"):
+    """Deterministic global shuffle for training epochs: order rows by
+    ``md5(key|epoch|salt)`` — a keyed SORT, not ``random_shuffle``, so
+    the permutation is reproducible across runs/retries/cluster sizes
+    and each epoch value yields an independent permutation. Returns the
+    first ``k`` rows with their shuffle rank (the verification surface;
+    a training exporter would stream the full sorted Dataset instead of
+    taking a head).
+
+    Scale: one all-to-all sort of (key, h) — unavoidable for a global
+    permutation, and strictly cheaper than ``random_shuffle`` because
+    the key is computed, not exchanged state. The rank column is
+    assigned inside ONE final block (k rows), never driver-side.
+    """
+    import pyarrow as pa
+
+    def _key(batch: pa.Table) -> pa.Table:
+        hx = _key_hex_salted(batch[key].to_pylist(), f"{epoch}|{salt}")
+        return pa.Table.from_arrays(
+            [batch[key], pa.array(hx, pa.string())], names=[key, "h"]
+        )
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rank", pa.array(range(1, len(batch) + 1), pa.int64())
+        )
+
+    return (
+        ds.map_batches(_key, batch_format="pyarrow")
+        .sort("h")
+        .limit(k)
+        .repartition(1)
+        .map_batches(_rank, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _key_hex_salted(values, salt: str) -> list[str]:
+    """Full md5 hex of ``value|salt`` (32 digits: rank ties impossible
+    short of an md5 collision, matching SQL ORDER BY md5(...))."""
+    return [hashlib.md5(f"{v}|{salt}".encode()).hexdigest() for v in values]
+
+
+def epoch_shuffle_sql(epoch: int = 1, k: int = 100, key: str = "doc_id",
+                      salt: str = "shuffle", table: str = "documents") -> str:
+    """DuckDB mirror: ROW_NUMBER over the same md5 ordering."""
+    h = f"md5(CAST({key} AS VARCHAR) || '|{epoch}|{salt}')"
+    return (
+        f"SELECT {key}, {h} AS h, "
+        f"CAST(row_number() OVER (ORDER BY {h}) AS BIGINT) AS rank "
+        f"FROM {table} ORDER BY h LIMIT {k}"
+    )

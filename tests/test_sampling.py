@@ -65,3 +65,18 @@ def test_split_counts_summary(ray_session):
 def test_bad_weights_raise(ray_session):
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(_docs(10), weights={"a": 0.5, "b": 0.2}).take_all()
+
+
+def test_epoch_shuffle_deterministic_and_epoch_independent(ray_session):
+    from doctr_ray.functions.sampling import epoch_shuffle_head
+
+    a = [(r["doc_id"], r["rank"]) for r in epoch_shuffle_head(_docs(300), epoch=1, k=20).take_all()]
+    b = [(r["doc_id"], r["rank"]) for r in epoch_shuffle_head(_docs(300), epoch=1, k=20).take_all()]
+    assert a == b and len(a) == 20
+    assert [r[1] for r in a] == list(range(1, 21))
+    # a different epoch yields a different permutation
+    c = [r["doc_id"] for r in epoch_shuffle_head(_docs(300), epoch=2, k=20).take_all()]
+    assert c != [r[0] for r in a]
+    # block layout does not change the permutation
+    d = [(r["doc_id"], r["rank"]) for r in epoch_shuffle_head(_docs(300).repartition(7), epoch=1, k=20).take_all()]
+    assert d == a
