@@ -977,6 +977,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return incremental_dedup_flags(base, incoming)
 
+    def q_source_moments(sf_dir: str):
+        """Exact distributed moments (mergeable n/sum/sumsq partials,
+        HUGEINT-exact fixed-point mean and population variance)."""
+        from doctr_ray.functions.stats import group_moments
+
+        return group_moments(
+            _read(sf_dir, "documents", ["source", "n_chars"]), "n_chars", "source"
+        )
+
     def q_top_tokens_by_source(sf_dir: str):
         """Grouped top-k ranking (ROW_NUMBER-window shape): 5 most
         frequent tokens per source, partial counts shuffled as
@@ -1121,6 +1130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_dedup": q_bloom_dedup,
         "doc_length_quantiles": q_doc_length_quantiles,
         "top_tokens_by_source": q_top_tokens_by_source,
+        "source_moments": q_source_moments,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_minhash": q_minhash_dups,
@@ -1392,6 +1402,9 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens_by_source": __import__(
             "doctr_ray.functions.text", fromlist=["top_tokens_by_group_sql"]
         ).top_tokens_by_group_sql("source", 5),
+        "source_moments": __import__(
+            "doctr_ray.functions.stats", fromlist=["group_moments_sql"]
+        ).group_moments_sql("n_chars", "source"),
         "dedup_exact": (
             "SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_dups "
             "FROM documents GROUP BY md5(text)"

@@ -157,6 +157,7 @@ def run_once() -> dict:
         "range_join",
         "order_priority",
         "top_tokens_by_source",
+        "source_moments",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

@@ -78,3 +78,83 @@ def group_quantiles_sql(value_col: str, group_col: str, table: str = "documents"
         f"SELECT {group_col}, count(*) AS n, {qs} FROM {table} "
         f"GROUP BY {group_col}"
     )
+
+
+def group_moments(ds, value_col: str, group_col: str):
+    """Exact distributed moments per group: the mergeable-partials
+    pattern (each batch collapses to (group, n, sum, sumsq); a tiny
+    groupby merges them; means/variances come out in int64 fixed-point
+    with HUGEINT-exact integer arithmetic — Python big ints here,
+    HUGEINT in the oracle — so no float accumulation order can flip a
+    ulp). Population variance: var = (n*sumsq - sum^2) / n^2.
+
+    Output: ``group_col, n, sum, mean_e6, var_e6``.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch[group_col].to_pandas(),
+                "v": batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        df["v2"] = df["v"] * df["v"]
+        df["one"] = 1
+        out = df.groupby("g", sort=False)[["one", "v", "v2"]].sum().reset_index()
+        out.columns = [group_col, "n", "sum", "sumsq"]
+        return pa.Table.from_arrays(
+            [
+                pa.Array.from_pandas(out[group_col], type=batch.schema.field(group_col).type),
+                pa.array(out["n"].to_numpy(dtype=np.int64), pa.int64()),
+                pa.array(out["sum"].to_numpy(dtype=np.int64), pa.int64()),
+                pa.array(out["sumsq"].to_numpy(dtype=np.int64), pa.int64()),
+            ],
+            names=[group_col, "n", "sum", "sumsq"],
+        )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        ns = batch["n"].to_pylist()
+        sums = batch["sum"].to_pylist()
+        sqs = batch["sumsq"].to_pylist()
+        mean_e6 = [s * 1_000_000 // n for s, n in zip(sums, ns)]  # exact big ints
+        var_e6 = [
+            (n * q - s * s) * 1_000_000 // (n * n)
+            for n, s, q in zip(ns, sums, sqs)
+        ]
+        return pa.Table.from_arrays(
+            [
+                batch[group_col],
+                pa.array(ns, pa.int64()),
+                pa.array(sums, pa.int64()),
+                pa.array(mean_e6, pa.int64()),
+                pa.array(var_e6, pa.int64()),
+            ],
+            names=[group_col, "n", "sum", "mean_e6", "var_e6"],
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum", alias_name="sum"),
+            Sum("sumsq", alias_name="sumsq"),
+        )
+        .map_batches(_finish, batch_format="pyarrow")
+    )
+
+
+def group_moments_sql(value_col: str, group_col: str, table: str = "documents") -> str:
+    """DuckDB mirror in HUGEINT-exact integer arithmetic (nonnegative
+    values assumed: Python floor division and DuckDB's truncating //
+    agree on nonnegative operands)."""
+    return (
+        f"WITH a AS (SELECT {group_col}, count(*) AS n, "
+        f"sum(CAST({value_col} AS HUGEINT)) AS s, "
+        f"sum(CAST({value_col} AS HUGEINT) * {value_col}) AS q FROM {table} "
+        f"GROUP BY {group_col}) "
+        f"SELECT {group_col}, n, CAST(s AS BIGINT) AS sum, "
+        "CAST(s * 1000000 // n AS BIGINT) AS mean_e6, "
+        "CAST((n * q - s * s) * 1000000 // (n * n) AS BIGINT) AS var_e6 FROM a"
+    )

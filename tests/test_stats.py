@@ -159,3 +159,28 @@ def test_mix_thresholds_invariants(counts, weights):
     for s in th:
         want = exp[ref_s] * ws[s] / ws[ref_s]
         assert abs(exp[s] - want) <= 2.0  # floor slack only
+
+
+def test_group_moments_exact(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doctr_ray.functions.stats import group_moments
+
+    t = pa.table(
+        {
+            "source": ["a"] * 4 + ["b"] * 2,
+            "n_chars": [1, 2, 3, 4, 10, 20],
+        }
+    )
+    rows = {r["source"]: r for r in group_moments(rd.from_arrow(t), "n_chars", "source").take_all()}
+    a = rows["a"]
+    assert (a["n"], a["sum"]) == (4, 10)
+    assert a["mean_e6"] == 2_500_000
+    # var = (4*30 - 100)/16 = 1.25
+    assert a["var_e6"] == 1_250_000
+    b = rows["b"]
+    assert b["mean_e6"] == 15_000_000 and b["var_e6"] == 25_000_000
+    # block-layout independence (mergeable partials)
+    rows2 = {r["source"]: r for r in group_moments(rd.from_arrow(t).repartition(5), "n_chars", "source").take_all()}
+    assert rows2 == rows
