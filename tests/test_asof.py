@@ -102,3 +102,94 @@ def test_matches_duckdb_asof(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         mine[oracle.columns].astype("int64"), oracle.astype("int64")
     )
+
+
+# ---- adversarial tie coverage: tiny ts domain forces exact-ts collisions
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),      # ts_us: collisions likely
+            st.integers(min_value=0, max_value=3),       # user_id
+            st.sampled_from(["view", "click", "error"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_asof_ties_match_duckdb(ray_session, tmp_path_factory, events):
+    """Equal-timestamp views/clicks are exactly where as-of semantics
+    can diverge — drive both engines over a tiny ts domain."""
+    import duckdb
+
+    from doctr_ray.functions.relational import asof_click_attribution
+
+    rows = [(i, ts, u, ty) for i, (ts, u, ty) in enumerate(events)]
+    sf = _write_events(tmp_path_factory.mktemp("asof"), rows)
+    mine = sorted(
+        (r["click_id"], r["view_id"], r["gap_us"])
+        for r in asof_click_attribution(sf).take_all()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    oracle = sorted(
+        tuple(r)
+        for r in con.sql(
+            "WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click'), "
+            "v AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'view'), "
+            "m AS (SELECT c.event_id AS click_id, c.user_id, c.tsu, "
+            "max(row(v.tsu, v.event_id)) AS best "
+            "FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.tsu <= c.tsu "
+            "GROUP BY c.event_id, c.user_id, c.tsu) "
+            "SELECT click_id, COALESCE(best[2], -1), "
+            "CASE WHEN best[2] IS NULL THEN -1 ELSE tsu - best[1] END FROM m"
+        ).fetchall()
+    )
+    assert mine == oracle
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=0, max_value=3),
+            st.sampled_from(["click", "error"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    win_min=st.integers(min_value=0, max_value=3),
+)
+def test_range_join_boundaries_match_duckdb(ray_session, tmp_path_factory, events, win_min):
+    """Inclusive-boundary and zero-width windows vs DuckDB BETWEEN."""
+    import duckdb
+
+    from doctr_ray.functions.relational import range_join_error_clicks
+
+    rows = [(i, ts * 60_000_000, u, ty) for i, (ts, u, ty) in enumerate(events)]
+    sf = _write_events(tmp_path_factory.mktemp("rj"), rows)
+    mine = sorted(
+        (r["error_id"], r["n_clicks"])
+        for r in range_join_error_clicks(sf, window_minutes=win_min).take_all()
+    )
+    w_us = win_min * 60_000_000
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    oracle = sorted(
+        tuple(r)
+        for r in con.sql(
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'error'), "
+            "c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click') "
+            "SELECT e.event_id, count(c.event_id) FROM e LEFT JOIN c "
+            "ON c.user_id = e.user_id AND c.tsu BETWEEN e.tsu - "
+            f"{w_us} AND e.tsu + {w_us} "
+            "GROUP BY e.event_id"
+        ).fetchall()
+    )
+    assert mine == oracle
