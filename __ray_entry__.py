@@ -977,6 +977,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return incremental_dedup_flags(base, incoming)
 
+    def q_fuzzy_name_pairs(sf_dir: str):
+        """Fuzzy join (record linkage): customer-name pairs at edit
+        distance 1 via deletion-neighborhood blocking — two coarse
+        shuffles of variant/pair rows; the O(n^2) Levenshtein oracle
+        is the recall gate at sf0.01."""
+        from doctr_ray.functions.fuzzy import fuzzy_pairs
+
+        return fuzzy_pairs(_read(sf_dir, "customer", ["c_name"]), "c_name")
+
     def q_source_moments(sf_dir: str):
         """Exact distributed moments (mergeable n/sum/sumsq partials,
         HUGEINT-exact fixed-point mean and population variance)."""
@@ -1131,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": q_doc_length_quantiles,
         "top_tokens_by_source": q_top_tokens_by_source,
         "source_moments": q_source_moments,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_minhash": q_minhash_dups,
@@ -1405,6 +1415,9 @@ def oracle_sql() -> dict[str, str]:
         "source_moments": __import__(
             "doctr_ray.functions.stats", fromlist=["group_moments_sql"]
         ).group_moments_sql("n_chars", "source"),
+        "fuzzy_name_pairs": __import__(
+            "doctr_ray.functions.fuzzy", fromlist=["fuzzy_pairs_sql"]
+        ).fuzzy_pairs_sql("c_name", "customer"),
         "dedup_exact": (
             "SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_dups "
             "FROM documents GROUP BY md5(text)"

@@ -158,6 +158,7 @@ def run_once() -> dict:
         "order_priority",
         "top_tokens_by_source",
         "source_moments",
+        "fuzzy_name_pairs",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)
