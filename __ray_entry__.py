@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from doctr_ray.functions.relational import (
         asof_click_attribution,
         order_priority_check,
+        orphan_orders,
         range_join_error_clicks,
         events_hourly,
         events_sliding_window,
@@ -1159,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_attribution": asof_click_attribution,
         "range_join": range_join_error_clicks,
         "order_priority": order_priority_check,
+        "orphan_orders": orphan_orders,
         "supplier_balance": supplier_balance_by_nation,
     }
 
@@ -1626,6 +1628,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-04-01' "
             "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
             "AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + 7776000000000) "
+            "GROUP BY o_orderpriority"
+        ),
+        "orphan_orders": (
+            # anti-join: orders with no lineitems, by priority
+            "SELECT o_orderpriority, count(*) AS n_orphans FROM orders o "
+            "WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) "
             "GROUP BY o_orderpriority"
         ),
         "supplier_balance": (

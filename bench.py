@@ -159,6 +159,7 @@ def run_once() -> dict:
         "top_tokens_by_source",
         "source_moments",
         "fuzzy_name_pairs",
+        "orphan_orders",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

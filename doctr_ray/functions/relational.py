@@ -570,3 +570,66 @@ def order_priority_check(sf_dir: str):
         .groupby("z")
         .map_groups(_final, batch_format="pandas")
     )
+
+
+def orphan_orders(sf_dir: str):
+    """ANTI-join — the referential-integrity audit shape: orders with
+    NO lineitems at all, counted by order priority. Complements the
+    semi-join (:func:`order_priority_check`) with the inverted
+    membership test over the same co-partitioned machinery: lineitem
+    collapses per batch to DISTINCT orderkeys (the anti predicate needs
+    nothing else), one orderkey-bucket shuffle co-locates both sides,
+    and the per-bucket reducer keeps orders whose key never appears.
+    """
+    import ray.data as rd
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(pc.bit_wise_and(batch["o_orderkey"], 63), pa.int32()),
+                batch["o_orderkey"],
+                batch["o_orderpriority"],
+                pa.array([0] * len(batch), pa.int8()),
+            ],
+            names=["kb", "okey", "pr", "side"],
+        )
+
+    def _lineitem(batch: pa.Table) -> pa.Table:
+        keys = pd.unique(batch["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays(
+            [
+                pa.array((keys & 63).astype(np.int32), pa.int32()),
+                pa.array(keys.astype(np.int64), pa.int64()),
+                pa.array([""] * len(keys), pa.string()),
+                pa.array([1] * len(keys), pa.int8()),
+            ],
+            names=["kb", "okey", "pr", "side"],
+        )
+
+    def _anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        orders = g[g["side"] == 0]
+        seen = set(g.loc[g["side"] == 1, "okey"].to_numpy())
+        lonely = orders[~orders["okey"].isin(seen)]
+        out = lonely.groupby("pr", sort=False).size().reset_index(name="cnt")
+        out["z"] = 0
+        return out
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("pr", sort=False)["cnt"].sum().reset_index()
+        out.columns = ["o_orderpriority", "n_orphans"]
+        return out
+
+    orders_ds = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority"]
+    ).map_batches(_orders, batch_format="pyarrow")
+    li_ds = read_table(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        _lineitem, batch_format="pyarrow"
+    )
+    return (
+        orders_ds.union(li_ds)
+        .repartition(16)  # coalesce tiny key partials (see order_priority_check)
+        .groupby("kb")
+        .map_groups(_anti_bucket, batch_format="pandas")
+        .groupby("z")
+        .map_groups(_final, batch_format="pandas")
+    )

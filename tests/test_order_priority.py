@@ -68,3 +68,19 @@ def test_partial_max_merges_across_batches(ray_session, tmp_path):
     sf = _write(tmp_path, orders=[(1, "1996-01-01", "5-LOW")], lineitems=lis)
     rows = order_priority_check(sf).take_all()
     assert rows == [{"o_orderpriority": "5-LOW", "order_count": 1}]
+
+
+def test_orphan_orders_anti_join(ray_session, tmp_path):
+    from doctr_ray.functions.relational import orphan_orders
+
+    sf = _write(
+        tmp_path,
+        orders=[
+            (1, "1996-01-10", "1-URGENT"),   # has lineitems
+            (2, "1996-02-01", "1-URGENT"),   # orphan
+            (3, "1996-03-01", "2-HIGH"),     # orphan
+        ],
+        lineitems=[(1, "1996-01-15"), (1, "1996-06-01")],
+    )
+    rows = {r["o_orderpriority"]: r["n_orphans"] for r in orphan_orders(sf).take_all()}
+    assert rows == {"1-URGENT": 1, "2-HIGH": 1}
