@@ -158,7 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_ocr_spans_staged(sf_dir: str):
         return ocr_spans(
-            _docs_ds(sf_dir, limit=64), mode="staged", repartition_blocks=8
+            _docs_ds(sf_dir, limit=64), mode="staged", repartition_blocks=8,
+            n_docs=64
         ).select_columns(SPAN_COLS)
 
     def _kie_full(sf_dir: str):
@@ -384,7 +385,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pandas as pd
         import pyarrow as pa
 
-        from doctr_ray.pipelines.ocr import _add_bucket, ocr_page_exports
+        import functools
+
+        from doctr_ray.pipelines.ocr import (
+            _add_bucket,
+            assembly_buckets_for,
+            ocr_page_exports,
+        )
 
         pat = re.compile(r"""<span class=["']ocrx_word["'][^>]*>(.*?)</span>""")
         pages = ocr_page_exports(_docs_ds(sf_dir, limit=60), fmt="hocr")
@@ -411,7 +418,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return (
             pages.map_batches(parse_words, batch_format="pyarrow")
-            .map_batches(_add_bucket, batch_format="pyarrow")
+            .map_batches(
+                functools.partial(_add_bucket, buckets=assembly_buckets_for(60)),
+                batch_format="pyarrow",
+            )
             .groupby("bucket")
             .map_groups(per_doc, batch_format="pandas")
         )
@@ -430,7 +440,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from doctr_ray.detection import detect_page
         from doctr_ray.geometry import extract_crops
         from doctr_ray.media import HTML_PREFIX, rasterize_synth
-        from doctr_ray.pipelines.ocr import _add_bucket, default_pool, explode_spans
+        import functools
+
+        from doctr_ray.pipelines.ocr import (
+            _add_bucket,
+            assembly_buckets_for,
+            default_pool,
+            explode_spans,
+        )
         from doctr_ray.recognition import GlyphRecognizer
         from doctr_ray.reconstitution import synthesize_page
 
@@ -495,7 +512,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return (
             media.map_batches(ReconWorker, batch_format="pyarrow", batch_size=16, concurrency=pool)
-            .map_batches(_add_bucket, batch_format="pyarrow")
+            .map_batches(
+                functools.partial(_add_bucket, buckets=assembly_buckets_for(60)),
+                batch_format="pyarrow",
+            )
             .groupby("bucket")
             .map_groups(per_doc, batch_format="pandas")
         )
@@ -652,8 +672,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (block layout is never a grouping guarantee)."""
         import pandas as pd
 
+        import functools
+
         from doctr_ray.exporters import escape_markdown
-        from doctr_ray.pipelines.ocr import _add_bucket
+        from doctr_ray.pipelines.ocr import _add_bucket, assembly_buckets_for
 
         spans = ocr_spans(_docs_ds(sf_dir, limit=100))
 
@@ -666,7 +688,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pd.DataFrame(out)
 
         return (
-            spans.map_batches(_add_bucket, batch_format="pyarrow")
+            spans.map_batches(
+                functools.partial(_add_bucket, buckets=assembly_buckets_for(100)),
+                batch_format="pyarrow",
+            )
             .groupby("bucket")
             .map_groups(to_md, batch_format="pandas")
         )

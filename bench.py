@@ -71,26 +71,38 @@ def count_corpus_pages(sf_dir: str) -> int:
 
 
 def bench_ocr(sf_dir: str) -> tuple[float, int]:
-    from doctr_ray.corpus import docs_dataset
+    import ray
+
+    from doctr_ray.corpus import raw_documents_dataset
     from doctr_ray.pipelines.ocr import ocr_extracted_text
 
-    def corpus(limit=None):
-        return docs_dataset(
-            sf_dir, media_fraction=BENCH_MEDIA_FRACTION, limit=limit, copies=BENCH_COPIES
+    # feed-fused flagship: the corpus expansion runs INSIDE the OCR
+    # worker (no separate feed stage), the raw read is a 0-cpu task
+    # stage, so the actor pool takes every CPU at ANY cluster size —
+    # the fixed feed reserve was the round-2 8->32 Amdahl residual
+    # (25% of an 8-cpu node vs 6% of a 32-cpu one, BASELINE.md)
+    pool = max(1, int(ray.cluster_resources().get("CPU", NUM_CPUS)))
+
+    def run(limit=None):
+        return ocr_extracted_text(
+            raw_documents_dataset(sf_dir, limit=limit, pool=pool),
+            expand_media_fraction=BENCH_MEDIA_FRACTION,
+            expand_copies=BENCH_COPIES,
+            recognize_concurrency=pool,
         )
 
     # warm the page cache AND the worker pool (untimed: Ray worker
     # processes import numpy/doctr_ray on first use — measuring that
     # would benchmark import time, not the pipeline)
-    corpus().count()
-    ocr_extracted_text(corpus(limit=32)).count()
+    raw_documents_dataset(sf_dir).count()
+    run(limit=32).count()
     # best of 3: the sandbox host has noisy neighbors (observed 2x
     # swings between identical runs); min is the low-noise estimate
     walls = []
     n = 0
     for _ in range(3):
         t0 = time.monotonic()
-        n = ocr_extracted_text(corpus()).count()
+        n = run().count()
         walls.append(time.monotonic() - t0)
     assert n > 0
     return min(walls), n

@@ -161,3 +161,31 @@ def make_inline_docs(rows: list[tuple[str, str]], media_fraction: float = 0.4) -
         names=["doc_id", "text"],
     )
     return documents_to_docs(t, media_fraction)
+
+
+def raw_documents_dataset(sf_dir: str, limit: int | None = None, pool: int | None = None):
+    """Pre-split RAW (doc_id, text) read for the feed-fused flagship.
+
+    The expansion to interleaved docs happens INSIDE the OCR worker
+    (``OcrDocWorker(expand_media_fraction=..., expand_copies=...)``),
+    so the pipeline is read -> one actor-pool map and nothing else.
+    Read tasks run with ``num_cpus=0``: they are footer-sized parquet
+    decodes (microseconds per block), and a zero-cost reservation lets
+    the actor pool take EVERY cpu without starving the stream — the
+    fixed feed reserve was 25% of an 8-cpu node but 6% of a 32-cpu one,
+    the round-2 scaling-efficiency gap (BASELINE.md).
+    """
+    import ray.data as rd
+
+    from .pool import default_pool
+
+    blocks = max(48, (pool or default_pool()) * 4)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=blocks,
+        ray_remote_args={"num_cpus": 0},
+    )
+    if limit is not None:
+        ds = ds.limit(limit)
+    return ds

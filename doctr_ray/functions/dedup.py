@@ -273,17 +273,25 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16, dedupe
         )
 
     def _pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+        # no-silent-caps: every pair carries the PRE-cap size of the LSH
+        # bucket it came from; n_bucket > MAX_BUCKET tells the consumer
+        # pairs were dropped there (boilerplate bucket) and how many
+        # docs it actually held
+        out_a, out_b, out_n = [], [], []
         for _, bucket in g.groupby(["band", "band_hash"], sort=False):
             if len(bucket) < 2:
                 continue
+            n_full = len(bucket)
             ids = sorted(bucket["doc_id"].tolist())[:MAX_BUCKET]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     out_a.append(ids[i])
                     out_b.append(ids[j])
-        df = pd.DataFrame({"a": out_a, "b": out_b})
-        return df.drop_duplicates()
+                    out_n.append(n_full)
+        df = pd.DataFrame(
+            {"a": out_a, "b": out_b, "n_bucket": pd.Series(out_n, dtype=np.int64)}
+        )
+        return df.drop_duplicates(subset=["a", "b"])
 
     pairs = (
         bands_ds.map_batches(_coarse, batch_format="pyarrow")

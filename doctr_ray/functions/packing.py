@@ -150,14 +150,19 @@ def pack_layout_sql(seq_len: int, buckets: int, salt: str = "pack") -> str:
     the same bucket/order/slot arithmetic)."""
     # the window ORDER BY runs over the NATIVE doc_id type (matching the
     # engine's argsort over native values); the cast is output-only
+    # CAST the window sum back to BIGINT: DuckDB's SUM(BIGINT) OVER is
+    # HUGEINT, which pandas converts to float64 — the engine emits int64,
+    # and the driver's value hash distinguishes 123 from 123.0 (this was
+    # the round-2 driver hash_match failure; the in-repo sim's %.6g float
+    # formatting masked it).
     return (
         "WITH d AS (SELECT doc_id, "
         "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens, "
         f"CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || '|{salt}') % {buckets} AS BIGINT) AS bucket "
         "FROM documents), "
         "w AS (SELECT doc_id, bucket, n_tokens, "
-        "COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY bucket ORDER BY doc_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset FROM d) "
+        "CAST(COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY bucket ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM d) "
         "SELECT doc_id, bucket, n_tokens, start_offset, "
         f"start_offset // {seq_len} AS first_seq, "
         f"(start_offset + n_tokens) // {seq_len} AS last_seq FROM w"

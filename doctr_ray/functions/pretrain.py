@@ -101,9 +101,11 @@ def pretraining_corpus_sql(
         "bkt AS (SELECT doc_id, source, n_tokens, "
         f"CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || '|{pack_salt}') % {buckets} AS BIGINT) AS bucket "
         "FROM mixed), "
+        # CAST back to BIGINT: SUM(BIGINT) OVER is HUGEINT -> float64 in
+        # pandas, which broke the driver's int-vs-float value hash (r2).
         "wnd AS (SELECT doc_id, source, n_tokens, bucket, "
-        "COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY bucket ORDER BY doc_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset FROM bkt) "
+        "CAST(COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY bucket ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM bkt) "
         "SELECT doc_id, source, n_tokens, bucket, start_offset, "
         f"start_offset // {seq_len} AS first_seq, "
         f"(start_offset + n_tokens) // {seq_len} AS last_seq FROM wnd"

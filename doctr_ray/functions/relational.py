@@ -32,6 +32,22 @@ def read_table(sf_dir: str, table: str, columns: list[str]):
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
+def bucket_mask_for(sf_dir: str, table: str, rows_per_bucket: int = 50_000) -> int:
+    """Adaptive power-of-two bucket mask for keyed reducers, sized from
+    the table's parquet footer (free): ~``rows_per_bucket`` rows land in
+    each reducer at ANY corpus size. A fixed 64-way split is wrong at
+    both ends — at 100x scale one bucket is 1/64 of ALL rows
+    concatenated into a single pandas frame (unbounded reducer memory),
+    and on a small table it fragments the groupby into near-empty ~1ms
+    Python tasks (CLAUDE.md landmine). Power of two so the hot path
+    stays a single ``bit_wise_and`` Arrow kernel."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+    want = max(1, n // rows_per_bucket + 1)
+    return (1 << math.ceil(math.log2(want))) - 1 if want > 1 else 0
+
+
 def pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary over lineitem.
 
@@ -130,7 +146,31 @@ def top_customer_revenue(sf_dir: str, limit: int = 20):
         )
 
     joined = per_cust.map_batches(join_dim, batch_format="pyarrow")
-    return joined.sort(["revenue_c", "c_custkey"], descending=[True, False]).limit(limit)
+
+    # top-k without a global sort: every per-customer aggregate row used
+    # to flow through sort().limit() (an all-to-all of the WHOLE
+    # customer dimension for a top-20). Partial top-k per block, then
+    # one single-block final combine over <= limit x n_blocks tiny rows
+    # (the bm25/_final_topk pattern, search.py / similarity.py).
+    def _partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["revenue_c", "c_custkey"], ascending=[False, True], kind="stable"
+        ).head(limit)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _final_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["revenue_c", "c_custkey"], ascending=[False, True], kind="stable"
+        ).head(limit)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        joined.map_batches(_partial_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_final_topk, batch_format="pyarrow", batch_size=None)
+    )
 
 
 def events_hourly(sf_dir: str):
@@ -210,12 +250,15 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
         ]
 
     # partition by user bucket (vectorized multi-user reducer, not one
-    # python call per user), sessionize per user inside
+    # python call per user), sessionize per user inside; bucket count
+    # adapts to the events table size (~50k rows per reducer)
+    mask = bucket_mask_for(sf_dir, "events")
+
     def _bucket(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         return batch.append_column(
-            "ub", pc.cast(pc.bit_wise_and(batch["user_id"], 63), pa.int32())
+            "ub", pc.cast(pc.bit_wise_and(batch["user_id"], mask), pa.int32())
         )
 
     def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -366,6 +409,7 @@ def asof_click_attribution(sf_dir: str):
     import ray.data as rd
 
     ds = read_table(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    mask = bucket_mask_for(sf_dir, "events")  # adaptive reducer count
 
     def _prep(batch: pa.Table) -> pa.Table:
         t = batch.filter(
@@ -373,7 +417,7 @@ def asof_click_attribution(sf_dir: str):
         )
         return pa.Table.from_arrays(
             [
-                pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32()),
+                pc.cast(pc.bit_wise_and(t["user_id"], mask), pa.int32()),
                 t["user_id"],
                 t["event_id"],
                 pc.cast(t["ts"], pa.int64()),  # timestamp[us] -> us since epoch
@@ -430,6 +474,7 @@ def range_join_error_clicks(sf_dir: str, window_minutes: int = 5):
     import ray.data as rd
 
     ds = read_table(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    mask = bucket_mask_for(sf_dir, "events")  # adaptive reducer count
     win_us = window_minutes * 60_000_000
     SHIFT = np.int64(1) << 44  # > any ts offset in the corpus (asserted)
 
@@ -439,7 +484,7 @@ def range_join_error_clicks(sf_dir: str, window_minutes: int = 5):
         )
         return pa.Table.from_arrays(
             [
-                pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32()),
+                pc.cast(pc.bit_wise_and(t["user_id"], mask), pa.int32()),
                 t["user_id"],
                 t["event_id"],
                 pc.cast(t["ts"], pa.int64()),
@@ -498,6 +543,8 @@ def order_priority_check(sf_dir: str):
     NINETY_DAYS_US = 90 * 86_400_000_000
     LO = pd.Timestamp("1996-01-01").value // 1000  # us
     HI = pd.Timestamp("1996-04-01").value // 1000
+    # both sides must bucket with the SAME mask; size from the big side
+    mask = bucket_mask_for(sf_dir, "lineitem")
 
     def _orders(batch: pa.Table) -> pa.Table:
         od = pc.cast(batch["o_orderdate"], pa.int64())
@@ -505,7 +552,7 @@ def order_priority_check(sf_dir: str):
         t = batch.append_column("od_us", od).filter(keep)
         return pa.Table.from_arrays(
             [
-                pc.cast(pc.bit_wise_and(t["o_orderkey"], 63), pa.int32()),
+                pc.cast(pc.bit_wise_and(t["o_orderkey"], mask), pa.int32()),
                 t["o_orderkey"],
                 t["od_us"],
                 t["o_orderpriority"],
@@ -529,7 +576,7 @@ def order_priority_check(sf_dir: str):
         return pa.Table.from_arrays(
             [
                 pa.array(
-                    (agg["okey"].to_numpy() & 63).astype(np.int32), pa.int32()
+                    (agg["okey"].to_numpy() & mask).astype(np.int32), pa.int32()
                 ),
                 pa.array(agg["okey"].to_numpy(dtype=np.int64), pa.int64()),
                 pa.array(agg["ship"].to_numpy(dtype=np.int64), pa.int64()),
@@ -583,10 +630,13 @@ def orphan_orders(sf_dir: str):
     """
     import ray.data as rd
 
+    # both sides must bucket with the SAME mask; size from the big side
+    mask = bucket_mask_for(sf_dir, "lineitem")
+
     def _orders(batch: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
             [
-                pc.cast(pc.bit_wise_and(batch["o_orderkey"], 63), pa.int32()),
+                pc.cast(pc.bit_wise_and(batch["o_orderkey"], mask), pa.int32()),
                 batch["o_orderkey"],
                 batch["o_orderpriority"],
                 pa.array([0] * len(batch), pa.int8()),
@@ -598,7 +648,7 @@ def orphan_orders(sf_dir: str):
         keys = pd.unique(batch["l_orderkey"].to_numpy(zero_copy_only=False))
         return pa.Table.from_arrays(
             [
-                pa.array((keys & 63).astype(np.int32), pa.int32()),
+                pa.array((keys & mask).astype(np.int32), pa.int32()),
                 pa.array(keys.astype(np.int64), pa.int64()),
                 pa.array([""] * len(keys), pa.string()),
                 pa.array([1] * len(keys), pa.int8()),

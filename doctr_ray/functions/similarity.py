@@ -462,11 +462,22 @@ def kmeans_embeddings(
     """
     import ray
 
-    # deterministic init: k smallest vec_ids (sorted limit is a tiny
-    # top-k shuffle over ids only)
+    # deterministic init: k smallest vec_ids WITHOUT a global sort of
+    # the embeddings table — per-block min-k partials (k rows each),
+    # then one single-block final combine (the _final_topk pattern)
+    def _min_k(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.nsmallest(k, "vec_id"), preserve_index=False
+        )
+
     first = (
-        embeddings_ds.sort("vec_id").limit(k).take_all()
+        embeddings_ds.map_batches(_min_k, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_min_k, batch_format="pyarrow", batch_size=None)
+        .take_all()
     )
+    first = sorted(first, key=lambda r: r["vec_id"])
     C = np.stack([np.asarray(r["embedding"], np.float64) for r in first])
 
     def partial_pass(cref):

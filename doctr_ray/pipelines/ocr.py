@@ -311,12 +311,21 @@ class OcrDocWorker:
         keep_reading_order: bool = False,
         detect_orientation: bool = False,
         straighten_pages: bool = False,
+        expand_media_fraction: float | None = None,
+        expand_copies: int = 1,
     ) -> None:
         self.recognizer = GlyphRecognizer()
         self.emit = emit
         self.keep_reading_order = keep_reading_order
         self.detect_orientation = detect_orientation
         self.straighten_pages = straighten_pages
+        # feed fusion: when set, the worker receives RAW
+        # (doc_id, text) rows and expands them to interleaved docs
+        # itself (corpus.documents_to_docs) — the corpus feed then
+        # scales WITH the pool instead of competing with it from a
+        # constant CPU reserve (the round-2 8->32 Amdahl residual)
+        self.expand_media_fraction = expand_media_fraction
+        self.expand_copies = expand_copies
 
     def _doc_parts(self, did: str, spans) -> list[tuple[str, str, str, int]]:
         parts: list[tuple[str, str, str, int]] = []
@@ -333,6 +342,12 @@ class OcrDocWorker:
         return parts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.expand_media_fraction is not None and "spans" not in batch.column_names:
+            from ..corpus import documents_to_docs
+
+            batch = documents_to_docs(
+                batch, self.expand_media_fraction, self.expand_copies
+            )
         ids = batch["doc_id"].to_pylist()
         spans_col = batch["spans"].to_pylist()
         if self.emit == "spans":
@@ -747,13 +762,24 @@ def ocr_work_rows(
     return markers.union(words)
 
 
-ASSEMBLY_BUCKETS = 64
+DOCS_PER_ASSEMBLY_BUCKET = 512
 
 
-def _add_bucket(batch: pa.Table, buckets: int = ASSEMBLY_BUCKETS) -> pa.Table:
+def assembly_buckets_for(n_docs: int) -> int:
+    """Adaptive assembly-shuffle bucket count: ~512 docs per reducer
+    (each doc contributes tens to hundreds of span/word work rows, so a
+    bucket stays in the tens of MB as a pandas frame at ANY corpus
+    size). A fixed 64-way split meant one reducer held 1/64 of ALL work
+    rows at 100x scale — unbounded memory (round-2 verdict); derive
+    from the doc count instead (pack_buckets_for / dedup.py pattern)."""
+    return max(1, int(n_docs) // DOCS_PER_ASSEMBLY_BUCKET + 1)
+
+
+def _add_bucket(batch: pa.Table, buckets: int) -> pa.Table:
     """Stable hash bucket of doc_id — the assembly groupby shuffles on
     ~`buckets` keys instead of one key per document, so the reducer
-    runs a few dozen vectorized tasks, not one python call per doc."""
+    runs vectorized multi-doc tasks, not one python call per doc.
+    ``buckets`` comes from :func:`assembly_buckets_for` (adaptive)."""
     import hashlib
 
     b = [
@@ -815,6 +841,7 @@ def _assemble_bucket(
 def _assembled(docs_ds, mode, keep_reading_order, emit, **kw):
     import functools
 
+    n_docs = kw.pop("n_docs", None)
     if mode == "fused":
         # zero-shuffle: whole docs assemble inside the worker task
         # (OcrDocWorker); the only remaining stages are the pre-split
@@ -839,8 +866,15 @@ def _assembled(docs_ds, mode, keep_reading_order, emit, **kw):
             max_restarts=3,
             max_task_retries=3,
         )
+    if n_docs is None:
+        # fallback only — forks the doc feed for a metadata-ish count;
+        # hot paths pass the n_docs hint (known at read time)
+        n_docs = docs_ds.count()
     work = ocr_work_rows(docs_ds, mode=mode, keep_reading_order=keep_reading_order, **kw)
-    work = work.map_batches(_add_bucket, batch_format="pyarrow")
+    work = work.map_batches(
+        functools.partial(_add_bucket, buckets=assembly_buckets_for(n_docs)),
+        batch_format="pyarrow",
+    )
     fn = functools.partial(
         _assemble_bucket, keep_reading_order=keep_reading_order, emit=emit
     )
@@ -995,11 +1029,14 @@ def ocr_spans(docs_ds, mode: str = "fused", keep_reading_order: bool = False, **
     return _assembled(docs_ds, mode, keep_reading_order, "spans", **kw)
 
 
-def spans_to_docs_table(spans_ds):
+def spans_to_docs_table(spans_ds, n_docs: int | None = None):
     """Exploded span rows -> the F7 output shape: one row per document
     with ``spans: list<struct<kind, text, media_ref, offset>>`` ordered
     by ``ord`` (FIXTURES.md F7 / BASELINE.json input_hint symmetry —
-    output schema mirrors the input schema)."""
+    output schema mirrors the input schema). Pass ``n_docs`` on hot
+    paths — the fallback count() forks the upstream pipeline."""
+    import functools
+
     from ..corpus import DOCS_SCHEMA, SPANS_TYPE
 
     def _collect(g: pd.DataFrame) -> pa.Table:
@@ -1027,7 +1064,12 @@ def spans_to_docs_table(spans_ds):
 
     # span rows of one doc are produced by one assembly bucket -> the
     # same bucketing co-locates them for the list build
-    bucketed = spans_ds.map_batches(_add_bucket, batch_format="pyarrow")
+    if n_docs is None:
+        n_docs = spans_ds.count()
+    bucketed = spans_ds.map_batches(
+        functools.partial(_add_bucket, buckets=assembly_buckets_for(n_docs)),
+        batch_format="pyarrow",
+    )
     return bucketed.groupby("bucket").map_groups(_collect, batch_format="pandas")
 
 

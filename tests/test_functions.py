@@ -293,3 +293,57 @@ def test_kmeans_deterministic_across_partitionings(ray_session):
     p1 = a1.to_pandas().sort_values("vec_id").reset_index(drop=True)
     p2 = a2.to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert list(p1["cluster"]) == list(p2["cluster"])
+
+
+def test_top_customers_plan_has_no_global_sort(ray_session):
+    # round-2 verdict: top-20 must be partial top-k + final combine, not
+    # an all-to-all sort of every per-customer aggregate row
+    from doctr_ray.functions.relational import top_customer_revenue
+
+    ds = top_customer_revenue("/root/testdata/sf0.001")
+    assert "Sort" not in repr(ds)
+    out = ds.to_pandas()
+    assert len(out) == 20
+    assert (out["revenue_c"].to_numpy()[:-1] >= out["revenue_c"].to_numpy()[1:]).all()
+
+
+def test_bucket_mask_adapts_to_table_size():
+    from doctr_ray.functions.relational import bucket_mask_for
+
+    # tiny table -> single bucket; shrinking rows_per_bucket grows the
+    # mask (power-of-two minus one), never a fixed constant
+    small = bucket_mask_for("/root/testdata/sf0.001", "events")
+    fine = bucket_mask_for("/root/testdata/sf0.001", "events", rows_per_bucket=100)
+    finer = bucket_mask_for("/root/testdata/sf0.001", "events", rows_per_bucket=10)
+    assert small <= fine <= finer
+    for m in (small, fine, finer):
+        assert (m + 1) & m == 0  # power of two
+
+
+def test_assembly_buckets_adapt():
+    from doctr_ray.pipelines.ocr import assembly_buckets_for
+
+    assert assembly_buckets_for(0) == 1
+    assert assembly_buckets_for(100) == 1
+    assert assembly_buckets_for(100_000) > 64  # old fixed constant
+    assert assembly_buckets_for(10_000_000) > assembly_buckets_for(100_000)
+
+
+def test_minhash_bucket_cap_is_surfaced(ray_session):
+    # no-silent-caps: a boilerplate LSH bucket beyond MAX_BUCKET(=256)
+    # drops pairs but must SAY so — n_bucket carries the pre-cap size
+    import ray
+
+    from doctr_ray.functions.dedup import minhash_candidate_pairs
+
+    n = 300
+    t = pa.table(
+        {
+            "doc_id": [f"d{i:04d}" for i in range(n)],
+            "text": ["the same boilerplate line repeated here"] * n,
+        }
+    )
+    pairs = minhash_candidate_pairs(ray.data.from_arrow(t)).to_pandas()
+    assert "n_bucket" in pairs.columns
+    assert pairs["n_bucket"].max() == n  # pre-cap size, not the capped 256
+    assert len(pairs) == 256 * 255 // 2  # capped pair set

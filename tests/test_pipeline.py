@@ -298,3 +298,30 @@ def test_spans_to_docs_table_roundtrip(ray_session, docs_rows):
         assert [
             (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in a
         ] == [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in b]
+
+
+def test_feed_fused_expansion_matches_docs_dataset(ray_session):
+    # the bench flagship expands the corpus INSIDE the worker
+    # (expand_media_fraction) — output must equal the docs_dataset path
+    from doctr_ray.corpus import docs_dataset, raw_documents_dataset
+    from doctr_ray.pipelines.ocr import ocr_extracted_text
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        ocr_extracted_text(docs_dataset(sf, media_fraction=1.0, limit=12, copies=2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        ocr_extracted_text(
+            raw_documents_dataset(sf, limit=12, pool=2),
+            expand_media_fraction=1.0,
+            expand_copies=2,
+            recognize_concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
