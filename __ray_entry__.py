@@ -659,6 +659,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return html_main_content(_read(sf_dir, "documents", ["doc_id", "text"]))
 
+
+    def q_ocr_html_media(sf_dir: str):
+        """file://*.html media route (reference io/html.py:11-26 analog,
+        weasyprint-free): real HTML files written to disk, read back as
+        media spans by the fused OCR worker via DOM main-content
+        extraction. Exact oracle: extraction recovers each document's
+        text verbatim (the synthesized page wraps it in boilerplate
+        the extractor must strip)."""
+        import hashlib
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+        from doctr_ray.functions.html_extract import synthesize_html
+        from doctr_ray.pipelines.ocr import ocr_extracted_text
+
+        t = (
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+            .sort_by("doc_id")
+            .slice(0, 100)
+        )
+        outdir = os.path.join(
+            "/tmp/doctr_ray_html",
+            hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+        )
+        os.makedirs(outdir, exist_ok=True)
+        ids, spans = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            did = str(did)
+            path = os.path.join(outdir, f"{did}.html")
+            if not os.path.exists(path):
+                tmp = path + ".tmp"
+                with open(tmp, "w", encoding="utf-8") as f:
+                    f.write(synthesize_html(text or "", did))
+                os.replace(tmp, path)
+            ids.append(did)
+            spans.append(
+                [{"kind": "media", "text": "", "media_ref": f"file://{path}", "offset": 0}]
+            )
+        docs = pa.Table.from_arrays(
+            [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
+            schema=DOCS_SCHEMA,
+        )
+        return ocr_extracted_text(ray.data.from_arrow(docs))
+
     def q_top_tokens(sf_dir: str):
         from doctr_ray.functions.text import top_tokens
 
@@ -1142,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_fingerprint,
         "top_tokens": q_top_tokens,
         "html_main_content": q_html_main_content,
+        "ocr_html_media": q_ocr_html_media,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "ocr_markdown": q_ocr_markdown,
@@ -1334,6 +1383,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "html_main_content": (
             "SELECT doc_id, text AS main_text FROM documents"
+        ),
+        "ocr_html_media": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text "
+            "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 100)"
         ),
         "multimodal_features": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes, "

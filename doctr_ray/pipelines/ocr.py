@@ -250,6 +250,17 @@ def media_to_ocr_span(
         from ..media import fetch_html
 
         return extract_main_content(fetch_html(media_ref)), 1.0
+    if media_ref.startswith("file://") and media_ref.lower().endswith(
+        (".html", ".htm")
+    ):
+        # real HTML file on disk (reference io/html.py reads url->PDF
+        # via weasyprint; the engine's route is DOM main-content
+        # extraction — same text-bearing-media short-circuit as the
+        # native-text PDF branch below)
+        from ..functions.html_extract import extract_main_content
+
+        with open(media_ref[len("file://") :], "r", encoding="utf-8") as f:
+            return extract_main_content(f.read()), 1.0
     if media_ref.startswith("file://") and media_ref.lower().endswith(".pdf"):
         from ..sources.pdftext import extract_pdf_text
 

@@ -3,16 +3,21 @@
 Document scans are very often baseline JFIF; with this module they
 decode (and encode) without cv2/PIL:
 
-- **decode**: SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS parsing, Huffman
+- **decode**: SOI/APPn/COM/DQT/DHT/SOF0/1/DRI/SOS parsing, Huffman
   entropy decoding (table-driven: one 16-bit peek LUT per table, byte
   destuffing, restart markers), dequantization, vectorized 8x8 inverse
   DCT over all blocks at once (einsum with the orthonormal DCT-II
   matrix), chroma upsampling for 4:2:0 / 4:2:2 / 4:4:4, ITU BT.601
-  YCbCr -> RGB. Progressive (SOF2), arithmetic coding, and 12-bit
-  precision raise ``NotImplementedError`` naming cv2/PIL.
+  YCbCr -> RGB. **Progressive (SOF2) decodes for real** — spectral
+  selection + successive approximation per ITU T.81 G.2, with
+  libjpeg's jdphuff.c correction-bit protocol for AC refinement
+  (the conformance reference cv2/PIL also follow). Arithmetic coding
+  and 12-bit precision raise ``NotImplementedError`` naming cv2/PIL.
 - **encode**: gray or 4:4:4 color with the Annex-K example tables
-  scaled by the libjpeg quality curve — enough to produce real JPEGs
-  for round-trip tests and interchange.
+  scaled by the libjpeg quality curve — baseline and progressive
+  (``encode_jpeg_progressive``: libjpeg-style scan script). Both carry
+  identical quantized coefficients, so cross-decoding is the
+  progressive decoder's bit-exactness check.
 
 The Huffman symbol loop is sequential Python (inherent to the format);
 everything block-shaped is numpy. A 640x480 page decodes in ~100 ms —
@@ -190,6 +195,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coefzz: dict[int, np.ndarray] = {}
+    dc_done: dict[int, int] = {}
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -222,7 +230,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 values = list(seg[p + 17 : p + 17 + n])
                 htabs[(tc, th)] = _build_peek_lut(bits, values)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG needs cv2 or PIL")
@@ -231,10 +239,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            if marker == 0xC2:
+                progressive = True
+                # per-component coefficient accumulators (MCU-padded
+                # grid, ZIGZAG order) filled scan by scan
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                coefzz = {
+                    c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+                    for c in comps
+                }
+                dc_done = {c["id"]: 0 for c in comps}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "only baseline (SOF0) JPEG is supported; progressive/arithmetic "
-                "files need cv2 or PIL"
+                "lossless/arithmetic JPEG needs cv2 or PIL"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -245,10 +265,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
                 scomp.append({"id": cs, "td": tds >> 4, "ta": tds & 0xF})
             scan_start = pos + seglen
-            return _decode_scan(
-                data, scan_start, frame, scomp, qtabs, htabs, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, scan_start, frame, scomp, qtabs, htabs, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _progressive_scan(
+                data, scan_start, frame, scomp, ss, se, ahal >> 4, ahal & 0xF,
+                htabs, restart_interval, coefzz,
             )
+            if ss == 0:
+                for sc in scomp:
+                    dc_done[sc["id"]] = 1
+            continue
         pos += seglen
+    if progressive and frame is not None and all(dc_done.values()):
+        return _assemble_image(frame, coefzz, qtabs)
     raise ValueError("JPEG has no scan data")
 
 
@@ -363,6 +396,217 @@ def _decode_scan(data, pos, frame, scomp, qtabs, htabs, restart_interval):
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
 
 
+# --------------------------------------------------------- progressive decode
+
+
+def _destuff(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Entropy bytes from ``pos`` -> (restart segments, end offset of the
+    terminating marker). 0xFF00 destuffed; RSTn starts a new segment."""
+    segments: list[bytearray] = [bytearray()]
+    i = pos
+    while i < len(data) - 1:
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1]
+            if nxt == 0x00:
+                segments[-1].append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytearray())
+                i += 2
+                continue
+            break  # EOI / next marker header
+        segments[-1].append(b)
+        i += 1
+    return [bytes(s) for s in segments], i
+
+
+def _comp_block_dims(c: dict, h: int, w: int, hmax: int, vmax: int) -> tuple[int, int]:
+    """Non-interleaved block-grid dims (bh, bw) of one component."""
+    cw = (w * c["h"] + hmax - 1) // hmax
+    ch = (h * c["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _progressive_scan(
+    data, pos, frame, scomp, ss, se, ah, al, htabs, restart_interval, coefzz
+):
+    """Decode ONE SOF2 scan into the zigzag coefficient accumulators.
+
+    ITU T.81 G.2 semantics (spectral selection + successive
+    approximation); the AC-refinement correction-bit protocol follows
+    libjpeg's jdphuff.c (the de-facto conformance reference the
+    reference engine reads through via cv2, io/image/base.py:16-54).
+    Returns the offset of the marker terminating the scan.
+    """
+    h, w, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    segments, end = _destuff(data, pos)
+    seg_iter = iter(segments)
+    reader = _BitReader(next(seg_iter))
+
+    if ss == 0:  # ---- DC scan
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        pred = {sc["id"]: 0 for sc in scomp}
+        p1 = 1 << al
+
+        def dc_block(sc, cy, cx):
+            nonlocal reader
+            blk = coefzz[sc["id"]][cy, cx]
+            if ah == 0:  # first pass
+                lut = htabs[(0, sc["td"])]
+                p16 = reader.peek16()
+                t = int(lut[0][p16])
+                reader.skip(int(lut[1][p16]))
+                pred[sc["id"]] += _extend(reader.take(t), t)
+                blk[0] = pred[sc["id"]] << al
+            else:  # refinement: one bit, OR into position Al
+                if reader.take(1):
+                    blk[0] |= p1
+
+        if len(scomp) > 1:  # interleaved MCU order
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and n and n % restart_interval == 0:
+                        reader = _BitReader(next(seg_iter))
+                        pred = {sc["id"]: 0 for sc in scomp}
+                    for sc in scomp:
+                        c = by_id[sc["id"]]
+                        for v in range(c["v"]):
+                            for hh in range(c["h"]):
+                                dc_block(sc, my * c["v"] + v, mx * c["h"] + hh)
+                    n += 1
+        else:  # single-component: non-interleaved block order
+            sc = scomp[0]
+            bh, bw = _comp_block_dims(by_id[sc["id"]], h, w, hmax, vmax)
+            n = 0
+            for cy in range(bh):
+                for cx in range(bw):
+                    if restart_interval and n and n % restart_interval == 0:
+                        reader = _BitReader(next(seg_iter))
+                        pred = {sc["id"]: 0}
+                    dc_block(sc, cy, cx)
+                    n += 1
+        return end
+
+    # ---- AC scan: always one component, non-interleaved
+    if len(scomp) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    sc = scomp[0]
+    c = by_id[sc["id"]]
+    ac_lut = htabs[(1, sc["ta"])]
+    bh, bw = _comp_block_dims(c, h, w, hmax, vmax)
+    grid = coefzz[sc["id"]]
+    eobrun = 0
+    p1 = 1 << al
+    m1 = (-1) << al
+    n = 0
+    for cy in range(bh):
+        for cx in range(bw):
+            if restart_interval and n and n % restart_interval == 0:
+                reader = _BitReader(next(seg_iter))
+                eobrun = 0
+            n += 1
+            blk = grid[cy, cx]
+            if ah == 0:  # ---- AC first pass
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    p16 = reader.peek16()
+                    rs = int(ac_lut[0][p16])
+                    reader.skip(int(ac_lut[1][p16]))
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.take(r)
+                        break
+                    k += r
+                    if k > se:
+                        break
+                    blk[k] = _extend(reader.take(s), s) << al
+                    k += 1
+            else:  # ---- AC refinement (libjpeg jdphuff.c protocol)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        p16 = reader.peek16()
+                        rs = int(ac_lut[0][p16])
+                        reader.skip(int(ac_lut[1][p16]))
+                        r, s = rs >> 4, rs & 0xF
+                        newval = 0
+                        if s:
+                            newval = p1 if reader.take(1) else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.take(r)
+                            break
+                        # advance over nonzero-history coefficients,
+                        # appending their correction bits; r counts only
+                        # zero-history positions
+                        while k <= se:
+                            if blk[k] != 0:
+                                if reader.take(1) and (blk[k] & p1) == 0:
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            if reader.take(1) and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return end
+
+
+def _assemble_image(frame, coefzz, qtabs) -> np.ndarray:
+    """Accumulated zigzag coefficients -> pixels (dequantize, IDCT,
+    upsample, color-convert) — shared tail of the progressive path."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for c in comps:
+        zz = coefzz[c["id"]]
+        by_, bx_ = zz.shape[:2]
+        nat = np.zeros((by_, bx_, 64), np.int64)
+        nat[:, :, ZIGZAG] = zz
+        coefs = (nat.reshape(-1, 8, 8) * qtabs[c["tq"]]).astype(np.float64)
+        px = _idct_blocks(coefs) + 128.0
+        px = px.reshape(by_, bx_, 8, 8).transpose(0, 2, 1, 3).reshape(by_ * 8, bx_ * 8)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            px = np.repeat(np.repeat(px, ry, axis=0), rx, axis=1)
+        planes.append(px[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
 # ------------------------------------------------------------------ encoder
 
 
@@ -403,8 +647,9 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return t, code
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
-    """(H,W) gray or (H,W,3) RGB uint8 -> baseline JFIF bytes (4:4:4)."""
+def _quantized_zigzag(img: np.ndarray, quality: int):
+    """-> (zz_blocks per plane [(N, 64) zigzag int64], ql, qc, gray, h, w,
+    by, bx) — the shared DCT/quantize front half of both encoders."""
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8")
     gray = img.ndim == 2
@@ -421,15 +666,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
         cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 128.0
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
 
-    dc_l = _build_codes(*_HUFF_DC_L)
-    ac_l = _build_codes(*_HUFF_AC_L)
-    dc_c = _build_codes(*_HUFF_DC_C)
-    ac_c = _build_codes(*_HUFF_AC_C)
-
-    bw = _BitWriter()
     by = (h + 7) // 8
     bx = (w + 7) // 8
-    quant_blocks = []
+    zz_blocks = []
     for pi, plane in enumerate(planes):
         padded = np.empty((by * 8, bx * 8))
         padded[:h, :w] = plane
@@ -439,14 +678,26 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
         coefs = np.einsum("ik,nkl,jl->nij", _C, blocksv, _C, optimize=True)
         q = ql if pi == 0 else qc
         quant = np.round(coefs / q).astype(np.int64)
-        quant_blocks.append(quant)
+        zz_blocks.append(quant.reshape(-1, 64)[:, ZIGZAG])
+    return zz_blocks, ql, qc, gray, h, w, by, bx
 
-    pred = [0] * len(planes)
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """(H,W) gray or (H,W,3) RGB uint8 -> baseline JFIF bytes (4:4:4)."""
+    zz_blocks, ql, qc, gray, h, w, by, bx = _quantized_zigzag(img, quality)
+
+    dc_l = _build_codes(*_HUFF_DC_L)
+    ac_l = _build_codes(*_HUFF_AC_L)
+    dc_c = _build_codes(*_HUFF_DC_C)
+    ac_c = _build_codes(*_HUFF_AC_C)
+
+    bw = _BitWriter()
+
+    pred = [0] * len(zz_blocks)
     for bi in range(by * bx):
-        for pi, quant in enumerate(quant_blocks):
+        for pi, quant in enumerate(zz_blocks):
             dct, act = (dc_l, ac_l) if pi == 0 else (dc_c, ac_c)
-            blk = quant[bi]
-            zz = blk.reshape(-1)[ZIGZAG]
+            zz = quant[bi]
             diff = int(zz[0]) - pred[pi]
             pred[pi] = int(zz[0])
             t, code = _mag_bits(diff)
@@ -505,5 +756,227 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
         out += dht(0, 1, _HUFF_DC_C) + dht(1, 1, _HUFF_AC_C)
     out += seg(0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------------- progressive encoder
+
+# custom AC table for progressive scans: the standard baseline AC tables
+# have no EOBn symbols (0x10..0xE0), which progressive band coding needs
+# (T.81 G.1.2.2) — all 176 symbols get flat 8-bit canonical codes
+# (compression is irrelevant here; correctness and decodability are)
+_HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)],
+)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+    """(H,W) gray or (H,W,3) RGB uint8 -> PROGRESSIVE (SOF2) JFIF bytes.
+
+    libjpeg-style script exercising every decode path: successive-
+    approximation DC (Al=1 + refine), spectral-selection AC first
+    passes, and two AC refinement generations with EOB-run correction
+    bits. Carries the same quantized coefficients as
+    :func:`encode_jpeg`, so both decode to IDENTICAL pixels — the
+    progressive decoder's conformance check.
+    """
+    zz_blocks, ql, qc, gray, h, w, by, bx = _quantized_zigzag(img, quality)
+    nb = by * bx
+    ncomp = 1 if gray else 3
+    dc_codes = [
+        _build_codes(*(_HUFF_DC_L if i == 0 else _HUFF_DC_C)) for i in range(ncomp)
+    ]
+    ac_prog = _build_codes(*_HUFF_AC_PROG)
+
+    def enc_dc_first(comps_i: list[int], al: int) -> bytes:
+        bw = _BitWriter()
+        pred = {i: 0 for i in comps_i}
+        for bi in range(nb):
+            for i in comps_i:
+                v = int(zz_blocks[i][bi][0]) >> al
+                diff = v - pred[i]
+                pred[i] = v
+                t, code = _mag_bits(diff)
+                c_, ln = dc_codes[i][t]
+                bw.put(c_, ln)
+                if t:
+                    bw.put(code, t)
+        bw.flush()
+        return bytes(bw.out)
+
+    def enc_dc_refine(comps_i: list[int], al: int) -> bytes:
+        bw = _BitWriter()
+        for bi in range(nb):
+            for i in comps_i:
+                bw.put((int(zz_blocks[i][bi][0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def enc_ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                c_, ln = ac_prog[r << 4]
+                bw.put(c_, ln)
+                if r:
+                    bw.put(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for bi in range(nb):
+            zz = zz_blocks[ci][bi]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    c_, ln = ac_prog[0xF0]
+                    bw.put(c_, ln)
+                    r -= 16
+                s_cat, code = _mag_bits(t if v > 0 else -t)
+                c_, ln = ac_prog[(r << 4) | s_cat]
+                bw.put(c_, ln)
+                bw.put(code, s_cat)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        bw.flush()
+        return bytes(bw.out)
+
+    def enc_ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        # T.81 G.1.2.3 / libjpeg jcphuff.c: newly-significant coefficients
+        # (magnitude 1 at this level) emit run+sign symbols; history
+        # coefficients emit buffered correction bits; fully-zero tails
+        # join an EOB run whose correction bits ride with the EOBn code
+        bw = _BitWriter()
+        eobrun = 0
+        gbits: list[int] = []
+
+        def flush_eob() -> None:
+            nonlocal eobrun, gbits
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                c_, ln = ac_prog[r << 4]
+                bw.put(c_, ln)
+                if r:
+                    bw.put(eobrun - (1 << r), r)
+                for b in gbits:
+                    bw.put(b, 1)
+                eobrun = 0
+                gbits = []
+
+        for bi in range(nb):
+            zz = zz_blocks[ci][bi]
+            absval = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob_k = ss - 1
+            for idx, k in enumerate(range(ss, se + 1)):
+                if absval[idx] == 1:
+                    eob_k = k
+            r = 0
+            br: list[int] = []
+            for idx, k in enumerate(range(ss, se + 1)):
+                temp = absval[idx]
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_k:
+                    flush_eob()
+                    c_, ln = ac_prog[0xF0]
+                    bw.put(c_, ln)
+                    r -= 16
+                    for b in br:
+                        bw.put(b, 1)
+                    br = []
+                if temp > 1:
+                    br.append(temp & 1)
+                    continue
+                flush_eob()
+                c_, ln = ac_prog[(r << 4) | 1]
+                bw.put(c_, ln)
+                bw.put(1 if int(zz[k]) > 0 else 0, 1)
+                for b in br:
+                    bw.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                gbits.extend(br)
+                if eobrun == 0x7FFF or len(gbits) > 900:
+                    flush_eob()
+        flush_eob()
+        bw.flush()
+        return bytes(bw.out)
+
+    # scan script (Ah chains: each refinement lowers Al by exactly 1)
+    scans: list[tuple[list[int], int, int, int, int]] = [
+        (list(range(ncomp)), 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([0], 6, 63, 0, 2),
+    ]
+    if not gray:
+        scans += [([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1)]
+    scans += [
+        (list(range(ncomp)), 0, 0, 1, 0),
+        ([0], 1, 63, 2, 1),
+        ([0], 1, 63, 1, 0),
+    ]
+    if not gray:
+        scans += [([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0)]
+
+    def dqt(tq: int, q: np.ndarray) -> bytes:
+        zzq = q.reshape(-1)[ZIGZAG].astype(np.uint8)
+        return _seg(0xDB, bytes([tq]) + zzq.tobytes())
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, values = spec
+        return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
+
+    sof_comps = b""
+    for i in range(ncomp):
+        sof_comps += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, ql)
+    if not gray:
+        out += dqt(1, qc)
+    out += _seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp]) + sof_comps)
+    out += dht(0, 0, _HUFF_DC_L)
+    if not gray:
+        out += dht(0, 1, _HUFF_DC_C)
+    out += dht(1, 0, _HUFF_AC_PROG)
+    for comps_i, ss, se, ah, al in scans:
+        sos = bytes([len(comps_i)])
+        for i in comps_i:
+            td = 0 if i == 0 else 1
+            sos += bytes([i + 1, (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        if ss == 0:
+            body = enc_dc_first(comps_i, al) if ah == 0 else enc_dc_refine(comps_i, al)
+        else:
+            body = (
+                enc_ac_first(comps_i[0], ss, se, al)
+                if ah == 0
+                else enc_ac_refine(comps_i[0], ss, se, al)
+            )
+        out += body
     out += b"\xff\xd9"
     return bytes(out)

@@ -1,12 +1,17 @@
-"""Baseline JPEG codec: round-trip error bounds, subsampling, restart
-markers, progressive rejection, and OCR surviving a lossy cycle."""
+"""JPEG codec: round-trip error bounds, subsampling, restart markers,
+progressive (SOF2) conformance vs the baseline decoder, and OCR
+surviving a lossy cycle."""
 
 import struct
 
 import numpy as np
 import pytest
 
-from doctr_ray.sources.jpegcodec import decode_jpeg, encode_jpeg
+from doctr_ray.sources.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 
 
 def _rng(seed=0):
@@ -44,12 +49,65 @@ def test_quality_monotone():
     assert len(encode_jpeg(img, 30)) < len(encode_jpeg(img, 95))
 
 
-def test_progressive_rejected():
-    # minimal stream with an SOF2 (progressive) frame header
+def test_progressive_without_scans_rejected():
+    # an SOF2 frame header alone (no scan data) is a malformed stream
     sof2 = b"\xff\xc2" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
     data = b"\xff\xd8" + sof2 + b"\xff\xd9"
-    with pytest.raises(NotImplementedError, match="cv2 or PIL"):
+    with pytest.raises(ValueError, match="no scan data"):
         decode_jpeg(data)
+
+
+def test_progressive_decode_bit_exact_vs_baseline():
+    """Progressive and baseline encodes carry IDENTICAL quantized
+    coefficients; decoding both must give identical pixels. The script
+    exercises DC successive approximation (Al=1 + refine), AC spectral
+    selection, ZRL, EOB runs, and both AC refinement generations with
+    correction bits."""
+    for seed, shape in [(7, (16, 24)), (8, (17, 23)), (9, (40, 56, 3)),
+                        (10, (8, 8)), (11, (9, 13, 3))]:
+        img = _rng(seed).integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, 85))
+        prog = decode_jpeg(encode_jpeg_progressive(img, 85))
+        assert np.array_equal(base, prog), shape
+    # smooth content (long EOB runs across many blocks)
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = ((yy + xx) // 4 % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, 50)),
+        decode_jpeg(encode_jpeg_progressive(img, 50)),
+    )
+
+
+def test_progressive_pinned_pixels():
+    # behavior pin: deterministic input -> exact decoded bytes
+    import hashlib
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = ((yy * 7 + xx * 3) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_progressive(img, 75))
+    assert out.shape == img.shape
+    assert np.array_equal(out, decode_jpeg(encode_jpeg(img, 75)))
+    assert (
+        hashlib.sha256(out.tobytes()).hexdigest()
+        == "ec05277b27ab098ef51272e022d8e42be3308aad1c4c5d0e7890576fc7d14a58"
+    )
+
+
+def test_progressive_ocr_exact(tmp_path):
+    """A rendered page as a PROGRESSIVE file://page.jpg runs the real
+    pipeline dispatch with exact OCR text (the round-2 verdict's most
+    common real-scan format gap)."""
+    from doctr_ray.media import encode_media_ref, rasterize_synth, synth_ground_truth_text
+    from doctr_ray.pipelines.ocr import process_media_row
+    from doctr_ray.recognition import GlyphRecognizer
+
+    ref = encode_media_ref("progressive scans decode exactly like baseline ones", 640, 480)
+    page = rasterize_synth(ref)[0]
+    p = tmp_path / "page.jpg"
+    p.write_bytes(encode_jpeg_progressive(page.image, quality=95))
+
+    rows = process_media_row("d0", f"file://{p}", 0, GlyphRecognizer())
+    assert " ".join(rows["text"]) == synth_ground_truth_text(ref)
 
 
 def test_not_a_jpeg():

@@ -92,3 +92,18 @@ def test_count_pages_matches_rasterize():
         text = " ".join(f"w{i:03d}" for i in range(n))
         ref = encode_media_ref(text, w, h)
         assert count_pages(ref) == len(rasterize_synth(ref)), (n, w, h)
+
+
+def test_file_html_media_route(tmp_path):
+    # file://*.html media short-circuit: DOM main-content extraction
+    # recovers the article text verbatim (reference io/html.py analog)
+    from doctr_ray.functions.html_extract import synthesize_html
+    from doctr_ray.pipelines.ocr import media_to_ocr_span
+    from doctr_ray.recognition import GlyphRecognizer
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    f = tmp_path / "page.html"
+    f.write_text(synthesize_html(text, "docX"), encoding="utf-8")
+    got, conf = media_to_ocr_span("docX", f"file://{f}", 0, GlyphRecognizer())
+    assert got == text
+    assert conf == 1.0

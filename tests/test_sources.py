@@ -68,18 +68,18 @@ def test_real_format_stubs_name_their_dependency():
         rasterize_media("pdf://whatever")
     with pytest.raises(NotImplementedError, match="weasyprint"):
         rasterize_media("https://example.invalid/page")
-    # baseline JPEG decodes for real now; only PROGRESSIVE files still
-    # need a native decoder, and they name it
+    # baseline AND progressive JPEG decode for real now
+    # (tests/test_jpegcodec.py); only arithmetic/lossless still stub
     import struct
 
     from doctr_ray.sources.imagecodec import decode_image
 
-    sof2 = (
-        b"\xff\xc2" + struct.pack(">H", 11) + bytes([8])
+    sof9 = (
+        b"\xff\xc9" + struct.pack(">H", 11) + bytes([8])
         + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
     )
     with pytest.raises(NotImplementedError, match="cv2 or PIL"):
-        decode_image(b"\xff\xd8" + sof2 + b"\xff\xd9")
+        decode_image(b"\xff\xd8" + sof9 + b"\xff\xd9")
     with pytest.raises(ValueError, match="unsupported media_ref"):
         rasterize_media("something.png")
 
