@@ -707,6 +707,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ocr_extracted_text(ray.data.from_arrow(docs))
 
+
+    def q_ocr_scanned_pdf(sf_dir: str):
+        """Scanned-image PDF route (reference io/pdf.py analog,
+        pypdfium2-free): each document's rendered pages embedded as
+        image XObjects — JPEG (/DCTDecode) for even doc_ids, deflated
+        samples (/FlateDecode) for odd — then rasterized back through
+        sources/pdfimage and OCR'd. Exact oracle: the full pipeline
+        must reconstruct every document's text byte-exactly."""
+        import hashlib
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+        from doctr_ray.media import encode_media_ref, rasterize_synth
+        from doctr_ray.pipelines.ocr import ocr_extracted_text
+        from doctr_ray.sources.pdfimage import make_scanned_pdf
+
+        t = (
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+            .sort_by("doc_id")
+            .slice(0, 60)
+        )
+        outdir = os.path.join(
+            "/tmp/doctr_ray_scanpdf",
+            hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+        )
+        os.makedirs(outdir, exist_ok=True)
+        ids, spans = [], []
+        for i, (did, text) in enumerate(
+            zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        ):
+            did = str(did)
+            path = os.path.join(outdir, f"{did}.pdf")
+            if not os.path.exists(path):
+                pages = rasterize_synth(encode_media_ref(text or ""))
+                fmt = "jpeg" if i % 2 == 0 else "flate"
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(
+                        make_scanned_pdf([p.image for p in pages], image_format=fmt)
+                    )
+                os.replace(tmp, path)
+            ids.append(did)
+            spans.append(
+                [{"kind": "media", "text": "", "media_ref": f"file://{path}", "offset": 0}]
+            )
+        docs = pa.Table.from_arrays(
+            [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
+            schema=DOCS_SCHEMA,
+        )
+        return ocr_extracted_text(ray.data.from_arrow(docs))
+
     def q_top_tokens(sf_dir: str):
         from doctr_ray.functions.text import top_tokens
 
@@ -1191,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": q_top_tokens,
         "html_main_content": q_html_main_content,
         "ocr_html_media": q_ocr_html_media,
+        "ocr_scanned_pdf": q_ocr_scanned_pdf,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "ocr_markdown": q_ocr_markdown,
@@ -1335,6 +1391,20 @@ def oracle_sql() -> dict[str, str]:
         f"len(list_filter(string_split(text, ' '), x -> x IN ({', '.join(chr(39) + w + chr(39) for w in LANG_MARKERS[lang])}))) AS c_{lang}"
         for lang in sorted(LANG_MARKERS)
     )
+    # argmax CASE generated from the SAME marker table as the engine —
+    # first-in-lexicographic-order wins ties, exactly like lang_id's
+    # strictly-greater scan over LANG_ORDER
+    _langs = sorted(LANG_MARKERS)
+    _all_c = ", ".join(f"c_{l}" for l in _langs)
+    _whens = " ".join(
+        f"WHEN {' AND '.join(f'c_{l} >= c_{r}' for r in _langs[i + 1:])} THEN '{l}'"
+        for i, l in enumerate(_langs[:-1])
+    )
+    lang_case = (
+        f"CASE WHEN greatest({_all_c}) = 0 THEN 'und' "
+        + _whens
+        + f" ELSE '{_langs[-1]}' END AS pred_lang"
+    )
     return {
         "ocr_roundtrip": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text FROM documents"
@@ -1359,13 +1429,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH c AS (SELECT doc_id,\n           "
             + marker_counts
             + "\n      FROM documents)\n"
-            "SELECT doc_id, CASE "
-            "WHEN greatest(c_de, c_en, c_es, c_fr, c_zh) = 0 THEN 'und' "
-            "WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de' "
-            "WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' "
-            "WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es' "
-            "WHEN c_fr >= c_zh THEN 'fr' "
-            "ELSE 'zh' END AS pred_lang FROM c"
+            "SELECT doc_id, " + lang_case + " FROM c"
         ),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "pii_redact": _pii_sql(),
@@ -1387,6 +1451,10 @@ def oracle_sql() -> dict[str, str]:
         "ocr_html_media": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text "
             "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 100)"
+        ),
+        "ocr_scanned_pdf": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text "
+            "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 60)"
         ),
         "multimodal_features": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes, "

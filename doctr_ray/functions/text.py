@@ -19,13 +19,37 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 # Marker stopword sets per language. Deliberately tiny and deterministic
-# (langdetect is unavailable); the SQL oracle reproduces the same argmax.
+# (langdetect is unavailable); the SQL oracle reproduces the same argmax
+# (the CASE chain in __ray_entry__.oracle_sql is GENERATED from this
+# table, so engine and oracle cannot drift). Coverage: the original five
+# plus the reference's full RTL language set (reading_order/base.py:33
+# RTL_LANGUAGES — the set its direction fallback consults), native
+# script marker words each. 'iw' is the legacy ISO code for Hebrew;
+# langdetect emits 'he', so 'iw' shares the markers and the
+# lexicographic tie-break makes 'he' win — documented, intentional.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "value", "row"),
     "de": ("und", "der", "das", "nicht"),
     "es": ("el", "la", "los", "una"),
     "fr": ("le", "les", "des", "une"),
     "zh": ("de", "shi", "bu", "wo"),
+    # reference RTL set (reading_order/base.py:33)
+    "ar": ("في", "من", "على", "إلى"),
+    "arc": ("ܡܠܟܐ", "ܒܪܐ", "ܐܠܗܐ", "ܫܡܝܐ"),
+    "ckb": ("لە", "بە", "کە", "ئەو"),
+    "dv": ("އަދި", "އެ", "ގެ", "މި"),
+    "fa": ("که", "از", "به", "را"),
+    "he": ("של", "את", "על", "לא"),
+    "iw": ("של", "את", "על", "לא"),
+    "ks": ("تہٕ", "چھُ", "یہِ", "أکھ"),
+    "ku": ("û", "ji", "bi", "ew"),
+    "nqo": ("ߞߊ", "ߟߋ", "ߦߋ", "ߡߍ"),
+    "ps": ("چې", "او", "دی", "په"),
+    "sd": ("۾", "جي", "آهي", "کي"),
+    "syr": ("ܕܝܢ", "ܗܘ", "ܥܠ", "ܡܢ"),
+    "ug": ("بىلەن", "بولۇپ", "ئۇ", "ھەم"),
+    "ur": ("کے", "میں", "نے", "کی"),
+    "yi": ("און", "דער", "איז", "פֿון"),
 }
 LANG_ORDER = sorted(LANG_MARKERS)  # deterministic tie-break: lexicographic
 

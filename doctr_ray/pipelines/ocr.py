@@ -324,8 +324,9 @@ class OcrDocWorker:
         straighten_pages: bool = False,
         expand_media_fraction: float | None = None,
         expand_copies: int = 1,
+        weights=None,
     ) -> None:
-        self.recognizer = GlyphRecognizer()
+        self.recognizer = GlyphRecognizer(weights=weights)
         self.emit = emit
         self.keep_reading_order = keep_reading_order
         self.detect_orientation = detect_orientation

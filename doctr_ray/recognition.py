@@ -130,10 +130,21 @@ class GlyphRecognizer:
     weights + vocab once — reference models/utils/pytorch.py:41).
     """
 
-    def __init__(self) -> None:
+    def __init__(self, weights=None) -> None:
         self.templates, self.vocab = template_matrix()
         self.t_sq = (self.templates**2).sum(axis=1)  # (K,)
         self.cell_px = float(CHAR_H * CHAR_W)
+        # optional checkpoint (path / ObjectRef / dict): per-template
+        # distance affine, loaded ONCE here — the torch-weights analog
+        # (reference models/utils/pytorch.py:41); identity blob leaves
+        # every prediction unchanged (tested)
+        self.d_scale = self.d_bias = None
+        if weights is not None:
+            from .weights import load_weights
+
+            w = load_weights(weights)
+            self.d_scale = np.asarray(w["template_scale"], np.float64)
+            self.d_bias = np.asarray(w["template_bias"], np.float64)
 
     def _cells(self, crop: np.ndarray) -> np.ndarray:
         """Crop (H,W) uint8 -> (n_chars, CHAR_H*CHAR_W) float32 ink cells.
@@ -223,6 +234,8 @@ class GlyphRecognizer:
             # squared L2 distance via one matmul
             d = self.t_sq[None, :] - 2.0 * (cells @ self.templates.T)
             d += (cells**2).sum(axis=1, keepdims=True)
+        if self.d_scale is not None:
+            d = d * self.d_scale[None, :] + self.d_bias[None, :]
         best = d.argmin(axis=1)
         conf = 1.0 - np.sqrt(np.maximum(d[np.arange(len(best)), best], 0.0)) / np.sqrt(self.cell_px)
         out: list[tuple[str, float]] = []

@@ -1,0 +1,308 @@
+"""Scanned-image PDF rasterization — pure stdlib + the in-repo codecs.
+
+The reference rasterizes every PDF with pypdfium2 (io/pdf.py:16-43).
+That native decoder is absent here, but the dominant OCR input in
+practice — the SCANNED PDF a copier produces — is just a container:
+one full-page image XObject per page, stored as baseline/progressive
+JPEG (``/DCTDecode``) or deflated raw samples (``/FlateDecode``).
+Both now decode in-repo (sources/jpegcodec, zlib), so these PDFs
+rasterize for real with zero native dependencies:
+
+- classic cross-referenced object graphs (same subset as
+  sources/pdftext — objects discovered by scanning, streams sliced by
+  their declared ``/Length``);
+- page ORDER from the document catalog: ``/Root -> /Pages -> /Kids``
+  walked recursively (the authoritative order), each page's
+  ``/Resources /XObject`` image refs resolved in dict order;
+- image XObjects: 8-bit ``/DeviceGray`` and ``/DeviceRGB``, filters
+  ``/DCTDecode`` (JPEG — baseline AND progressive) and
+  ``/FlateDecode`` (optionally with PNG ``/Predictor`` 10-15);
+- fallback when the catalog walk fails: images in object order.
+
+Out of scope (``NotImplementedError`` naming the dependency):
+``/CCITTFaxDecode`` / ``/JBIG2Decode`` / ``/JPXDecode`` (fax / JPEG
+2000 need native codecs), 1/2/4/16-bit samples, indexed palettes.
+
+``make_scanned_pdf`` writes the same subset (one full-page image per
+page) — the round-trip fixture generator AND a usable archival sink.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+
+from .pdftext import _LENGTH_RE, _OBJ_HEAD_RE, _STREAM_START_RE
+
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+_NUM_ENTRY = {
+    b"Width": re.compile(rb"/Width\s+(\d+)"),
+    b"Height": re.compile(rb"/Height\s+(\d+)"),
+    b"BitsPerComponent": re.compile(rb"/BitsPerComponent\s+(\d+)"),
+    b"Predictor": re.compile(rb"/Predictor\s+(\d+)"),
+    b"Columns": re.compile(rb"/Columns\s+(\d+)"),
+    b"Colors": re.compile(rb"/Colors\s+(\d+)"),
+}
+
+
+def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """objnum -> (header dict bytes, raw stream bytes or None)."""
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    pos = 0
+    while True:
+        om = _OBJ_HEAD_RE.search(data, pos)
+        if om is None:
+            break
+        num = int(om.group(1))
+        em = data.find(b"endobj", om.end())
+        sm = _STREAM_START_RE.search(data, om.end())
+        if sm is None or (em != -1 and em < sm.start()):
+            head = data[om.end() : em if em != -1 else len(data)]
+            objs[num] = (head, None)
+            pos = em + 6 if em != -1 else len(data)
+            continue
+        head = data[om.end() : sm.start()]
+        lm = _LENGTH_RE.search(head)
+        if lm is not None and lm.group(2) is None:
+            length = int(lm.group(1))
+            raw = data[sm.end() : sm.end() + length]
+            endpos = sm.end() + length
+        else:
+            if lm is not None:  # indirect /Length: resolve integer object
+                ref = re.search(
+                    rb"\b" + lm.group(1) + rb"\s+0\s+obj\s*(\d+)\s*endobj", data
+                )
+                if ref is not None:
+                    length = int(ref.group(1))
+                    raw = data[sm.end() : sm.end() + length]
+                    endpos = sm.end() + length
+                else:
+                    lm = None
+            if lm is None:
+                t = data.find(b"endstream", sm.end())
+                if t == -1:
+                    break
+                raw = data[sm.end() : t].rstrip(b"\r\n")
+                endpos = t
+        objs[num] = (head, raw)
+        nxt = data.find(b"endobj", endpos)
+        pos = nxt + 6 if nxt != -1 else endpos
+    return objs
+
+
+def _unpredict_png(raw: bytes, columns: int, colors: int) -> bytes:
+    """Reverse PNG row predictors (/Predictor >= 10) on decoded bytes."""
+    stride = columns * colors
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    while pos + 1 + stride <= len(raw) + stride and pos < len(raw):
+        ft = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(colors, stride):
+                row[i] = (row[i] + row[i - colors]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = row[i - colors] if i >= colors else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - colors] if i >= colors else 0
+                b = prev[i]
+                c = prev[i - colors] if i >= colors else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG predictor filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_image_obj(head: bytes, raw: bytes) -> np.ndarray:
+    """One /Subtype /Image stream object -> (H,W) or (H,W,3) uint8."""
+    if b"/DCTDecode" in head:
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(raw)
+    w = int(_NUM_ENTRY[b"Width"].search(head).group(1))
+    h = int(_NUM_ENTRY[b"Height"].search(head).group(1))
+    bm = _NUM_ENTRY[b"BitsPerComponent"].search(head)
+    bits = int(bm.group(1)) if bm else 8
+    if bits != 8:
+        raise NotImplementedError(
+            f"{bits}-bit PDF image samples: needs a full PDF library (pypdfium2)"
+        )
+    ncomp = 3 if b"/DeviceRGB" in head else 1
+    if b"/FlateDecode" in head:
+        raw = zlib.decompress(raw)
+        pm = _NUM_ENTRY[b"Predictor"].search(head)
+        if pm and int(pm.group(1)) >= 10:
+            raw = _unpredict_png(raw, w, ncomp)
+    elif b"/Filter" in head:
+        raise NotImplementedError(
+            "PDF image filter (CCITT/JBIG2/JPX) needs a native codec (pypdfium2)"
+        )
+    arr = np.frombuffer(raw[: h * w * ncomp], np.uint8)
+    if arr.size < h * w * ncomp:
+        raise ValueError("PDF image stream shorter than Width*Height")
+    arr = arr.reshape(h, w, ncomp)
+    return arr[:, :, 0] if ncomp == 1 else arr
+
+
+def _page_order(data: bytes, objs: dict) -> list[int]:
+    """Page object numbers in catalog /Kids order (recursive)."""
+    root = None
+    for num, (head, _) in objs.items():
+        if b"/Type" in head and b"/Catalog" in head:
+            m = re.search(rb"/Pages\s+(\d+)\s+0\s+R", head)
+            if m:
+                root = int(m.group(1))
+                break
+    if root is None:
+        return []
+    order: list[int] = []
+
+    def walk(num: int) -> None:
+        head, _ = objs.get(num, (b"", None))
+        if b"/Kids" in head:
+            km = re.search(rb"/Kids\s*\[(.*?)\]", head, re.S)
+            if km:
+                for rm in _REF_RE.finditer(km.group(1)):
+                    walk(int(rm.group(1)))
+        elif b"/Page" in head:
+            order.append(num)
+
+    walk(root)
+    return order
+
+
+def extract_pdf_page_images(data: bytes) -> list[np.ndarray]:
+    """All page images of a scanned PDF, in page order.
+
+    Raises ``ValueError`` for non-PDFs and ``NotImplementedError`` for
+    image encodings that genuinely need a native codec.
+    """
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    if b"/Encrypt" in data:
+        raise NotImplementedError(
+            "encrypted PDF: decryption requires a full PDF library (e.g. pypdfium2)"
+        )
+    objs = _scan_objects(data)
+    image_nums = [
+        num
+        for num, (head, raw) in objs.items()
+        if raw is not None and b"/Subtype" in head and b"/Image" in head
+    ]
+    if not image_nums:
+        return []
+    ordered: list[int] = []
+    for pnum in _page_order(data, objs):
+        head, _ = objs[pnum]
+        xm = re.search(rb"/XObject\s*<<(.*?)>>", head, re.S)
+        if not xm:
+            continue
+        for rm in _REF_RE.finditer(xm.group(1)):
+            n = int(rm.group(1))
+            if n in image_nums and n not in ordered:
+                ordered.append(n)
+    if not ordered:  # catalog walk found nothing: fall back to object order
+        ordered = sorted(image_nums)
+    return [_decode_image_obj(*objs[n]) for n in ordered]
+
+
+def make_scanned_pdf(
+    images: list[np.ndarray], image_format: str = "flate", quality: int = 95
+) -> bytes:
+    """One full-page image per page — what a scanner/copier emits.
+
+    ``image_format``: 'flate' (lossless deflated samples) or 'jpeg'
+    (DCTDecode via the in-repo encoder). Gray (H,W) or RGB (H,W,3).
+    """
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    img_ids, content_ids, dims = [], [], []
+    for img in images:
+        if img.dtype != np.uint8:
+            raise ValueError("make_scanned_pdf expects uint8 images")
+        h, w = img.shape[:2]
+        gray = img.ndim == 2
+        cs = b"/DeviceGray" if gray else b"/DeviceRGB"
+        if image_format == "jpeg":
+            from .jpegcodec import encode_jpeg
+
+            payload = encode_jpeg(img, quality)
+            filt = b"/DCTDecode"
+        else:
+            payload = zlib.compress(img.tobytes())
+            filt = b"/FlateDecode"
+        img_ids.append(
+            add(
+                b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+                + b" /Height " + str(h).encode()
+                + b" /ColorSpace " + cs
+                + b" /BitsPerComponent 8 /Filter " + filt
+                + b" /Length " + str(len(payload)).encode() + b" >>\nstream\n"
+                + payload + b"\nendstream"
+            )
+        )
+        content = (
+            b"q " + str(w).encode() + b" 0 0 " + str(h).encode()
+            + b" 0 0 cm /Im0 Do Q"
+        )
+        content_ids.append(
+            add(
+                b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+                + content + b"\nendstream"
+            )
+        )
+        dims.append((w, h))
+
+    pages_id = len(objects) + len(images) + 1
+    page_ids = []
+    for (w, h), iid, cid in zip(dims, img_ids, content_ids):
+        page_ids.append(
+            add(
+                b"<< /Type /Page /Parent " + str(pages_id).encode() + b" 0 R "
+                b"/MediaBox [0 0 " + str(w).encode() + b" " + str(h).encode() + b"] "
+                b"/Contents " + str(cid).encode() + b" 0 R "
+                b"/Resources << /XObject << /Im0 " + str(iid).encode() + b" 0 R >> >> >>"
+            )
+        )
+    kids = b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
+    assert add(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(len(page_ids)).encode() + b" >>"
+    ) == pages_id
+    catalog = add(b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objects) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d}".encode() + b" 00000 n \n"
+    out += (
+        b"trailer\n<< /Size " + str(len(objects) + 1).encode()
+        + b" /Root " + str(catalog).encode() + b" 0 R >>\n"
+        b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)

@@ -103,6 +103,20 @@ def rasterize_media(media_ref: str) -> list[PageGT]:
     """
     if media_ref.startswith(SYNTH_PREFIX):
         return rasterize_synth(media_ref)
+    if media_ref.startswith(FILE_PREFIX) and media_ref.lower().endswith(".pdf"):
+        # scanned-image PDF: page images embedded as DCTDecode (JPEG) or
+        # FlateDecode XObjects decode with the in-repo codecs — the
+        # copier-output case rasterizes for real (sources/pdfimage);
+        # PDFs that are neither text-layer nor image-per-page still
+        # need pypdfium2 and say so
+        from .pdfimage import extract_pdf_page_images
+
+        with open(media_ref[len(FILE_PREFIX) :], "rb") as f:
+            data = f.read()
+        images = extract_pdf_page_images(data)
+        if images:
+            return [PageGT(image=to_gray(img), words=[]) for img in images]
+        read_pdf(media_ref)
     if media_ref.lower().endswith(".pdf") or media_ref.startswith("pdf://"):
         read_pdf(media_ref)
     if media_ref.startswith("http://") or media_ref.startswith("https://"):

@@ -347,3 +347,38 @@ def test_minhash_bucket_cap_is_surfaced(ray_session):
     assert "n_bucket" in pairs.columns
     assert pairs["n_bucket"].max() == n  # pre-cap size, not the capped 256
     assert len(pairs) == 256 * 255 // 2  # capped pair set
+
+
+def test_lang_id_rtl_breadth_matches_oracle():
+    """The marker table now covers the reference's RTL language set
+    (reading_order/base.py:33); engine argmax and the GENERATED SQL
+    CASE must agree on native-script texts."""
+    import duckdb
+
+    import __ray_entry__ as e
+    from doctr_ray.functions.text import LANG_MARKERS, lang_id
+
+    rows = [
+        ("d_ar", "قال في من على إلى البيت"),
+        ("d_he", "הוא של את על לא כאן"),
+        ("d_fa", "او که از به را گفت"),
+        ("d_ur", "اس کے میں نے کی بات"),
+        ("d_yi", "און דער איז פֿון דאָ"),
+        ("d_ug", "بىلەن بولۇپ ئۇ ھەم بار"),
+        ("d_en", "the value of a row"),
+        ("d_und", "xyzzy plugh"),
+    ]
+    t = pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+    got = lang_id(t).set_index("doc_id")["pred_lang"].to_dict()
+    assert got["d_ar"] == "ar" and got["d_he"] == "he" and got["d_fa"] == "fa"
+    assert got["d_ur"] == "ur" and got["d_yi"] == "yi" and got["d_ug"] == "ug"
+    assert got["d_en"] == "en" and got["d_und"] == "und"
+    # every RTL language from the reference set is represented
+    for lang in ("ar", "arc", "ckb", "dv", "fa", "he", "iw", "ks", "ku",
+                 "nqo", "ps", "sd", "syr", "ug", "ur", "yi"):
+        assert lang in LANG_MARKERS
+    # oracle CASE (generated from the same table) agrees row for row
+    con = duckdb.connect()
+    con.register("documents", t)
+    odf = con.sql(e.oracle_sql()["doc_lang_id"]).df().set_index("doc_id")["pred_lang"].to_dict()
+    assert odf == got

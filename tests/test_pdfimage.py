@@ -1,0 +1,108 @@
+"""Scanned-image PDF rasterization: round-trips, page order, filters,
+predictors, and exact OCR through the real media dispatch."""
+
+import numpy as np
+import pytest
+
+from doctr_ray.sources.pdfimage import (
+    extract_pdf_page_images,
+    make_scanned_pdf,
+)
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+def test_flate_roundtrip_exact_gray_and_rgb():
+    imgs = [
+        _rng(1).integers(0, 256, (40, 60), np.uint8),
+        _rng(2).integers(0, 256, (32, 48, 3), np.uint8),
+    ]
+    out = extract_pdf_page_images(make_scanned_pdf(imgs, image_format="flate"))
+    assert len(out) == 2
+    for a, b in zip(imgs, out):
+        assert np.array_equal(a, b)
+
+
+def test_jpeg_pages_decode_with_bounded_error():
+    img = _rng(3).integers(0, 256, (24, 40), np.uint8)
+    out = extract_pdf_page_images(make_scanned_pdf([img], image_format="jpeg"))
+    assert out[0].shape == img.shape
+    assert np.abs(out[0].astype(int) - img.astype(int)).mean() < 3
+
+
+def test_page_order_follows_catalog_kids():
+    # distinguishable pages: constant gray levels 10, 20, 30
+    imgs = [np.full((8, 8), v, np.uint8) for v in (10, 20, 30)]
+    out = extract_pdf_page_images(make_scanned_pdf(imgs, image_format="flate"))
+    assert [int(o[0, 0]) for o in out] == [10, 20, 30]
+
+
+def test_png_predictor_streams_decode():
+    # hand-build a /Predictor 12 (Up) image object inside a minimal PDF
+    import zlib
+
+    img = _rng(4).integers(0, 256, (6, 10), np.uint8)
+    rows = []
+    prev = np.zeros(10, np.uint8)
+    for r in img:
+        rows.append(bytes([2]) + ((r.astype(int) - prev.astype(int)) % 256).astype(np.uint8).tobytes())
+        prev = r
+    payload = zlib.compress(b"".join(rows))
+    base = make_scanned_pdf([img], image_format="flate")
+    # swap the image object for the predictor-coded variant
+    new_obj = (
+        b"<< /Type /XObject /Subtype /Image /Width 10 /Height 6 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Colors 1 /Columns 10 >> "
+        b"/Length " + str(len(payload)).encode() + b" >>\nstream\n" + payload + b"\nendstream"
+    )
+    start = base.find(b"1 0 obj\n") + len(b"1 0 obj\n")
+    end = base.find(b"\nendobj", start)
+    data = base[:start] + new_obj + base[end:]
+    out = extract_pdf_page_images(data)
+    assert np.array_equal(out[0], img)
+
+
+def test_unsupported_filters_name_dependency():
+    base = make_scanned_pdf([np.zeros((4, 4), np.uint8)], image_format="flate")
+    data = base.replace(b"/Filter /FlateDecode", b"/Filter /CCITTFaxDecode")
+    with pytest.raises(NotImplementedError, match="pypdfium2"):
+        extract_pdf_page_images(data)
+    with pytest.raises(ValueError, match="%PDF-"):
+        extract_pdf_page_images(b"not a pdf")
+
+
+def test_scanned_pdf_ocr_exact_multipage(tmp_path):
+    """Multi-page scanned PDF (JPEG pages) -> full OCR pipeline ->
+    byte-exact ground-truth text, via the real media dispatch."""
+    from doctr_ray.media import (
+        encode_media_ref,
+        rasterize_synth,
+        synth_ground_truth_text,
+    )
+    from doctr_ray.pipelines.ocr import media_to_ocr_span
+    from doctr_ray.recognition import GlyphRecognizer
+
+    words = " ".join(f"word{i:04d}" for i in range(900))
+    ref = encode_media_ref(words)
+    pages = rasterize_synth(ref)
+    assert len(pages) > 1  # must actually span pages
+    p = tmp_path / "scan.pdf"
+    p.write_bytes(make_scanned_pdf([pg.image for pg in pages], image_format="jpeg"))
+    got, conf = media_to_ocr_span("d", f"file://{p}", 0, GlyphRecognizer())
+    assert got == synth_ground_truth_text(ref)
+
+
+def test_text_layer_still_wins_over_raster(tmp_path):
+    # a NATIVE-text PDF must keep short-circuiting (no OCR)
+    from doctr_ray.pipelines.ocr import media_to_ocr_span
+    from doctr_ray.recognition import GlyphRecognizer
+    from doctr_ray.sources.pdftext import make_simple_pdf
+
+    p = tmp_path / "digital.pdf"
+    p.write_bytes(make_simple_pdf([["hello native", "text layer"]]))
+    got, conf = media_to_ocr_span("d", f"file://{p}", 0, GlyphRecognizer())
+    assert got == "hello native text layer"
+    assert conf == 1.0

@@ -325,3 +325,68 @@ def test_feed_fused_expansion_matches_docs_dataset(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def _many_media_doc(n_media: int, doc_id: str = "giant") -> "pa.Table":
+    import pyarrow as pa
+
+    from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+    from doctr_ray.media import encode_media_ref
+
+    spans = [
+        {
+            "kind": "media",
+            "text": "",
+            "media_ref": encode_media_ref(f"chunk{i} holds words w{i}a w{i}b"),
+            "offset": i,
+        }
+        for i in range(n_media)
+    ]
+    return pa.Table.from_arrays(
+        [pa.array([doc_id], pa.string()), pa.array([spans], SPANS_TYPE)],
+        schema=DOCS_SCHEMA,
+    )
+
+
+def test_giant_doc_fused_memory_bounded():
+    """Round-2 verdict #10: a pathological doc (hundreds of media spans)
+    assembles inside ONE fused worker call — peak memory must track ONE
+    media at a time (plus the output text), not the media count."""
+    import tracemalloc
+
+    from doctr_ray.pipelines.ocr import OcrDocWorker
+
+    def peak_for(n: int) -> int:
+        w = OcrDocWorker(emit="text")
+        batch = _many_media_doc(n)
+        w(batch.slice(0, 1))  # warm caches/glyphs untimed
+        tracemalloc.start()
+        out = w(batch)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert out.num_rows == 1
+        return peak
+
+    p50, p500 = peak_for(50), peak_for(500)
+    # 10x the media -> peak must NOT scale with it (strings grow a
+    # little; pixel buffers must not accumulate)
+    assert p500 < 3 * p50, (p50, p500)
+
+
+def test_giant_doc_fused_equals_staged(ray_session):
+    import ray
+
+    from doctr_ray.pipelines.ocr import ocr_extracted_text
+
+    docs = _many_media_doc(120)
+    fused = (
+        ocr_extracted_text(ray.data.from_arrow(docs), mode="fused")
+        .to_pandas()
+    )
+    staged = (
+        ocr_extracted_text(ray.data.from_arrow(docs), mode="staged", n_docs=1)
+        .to_pandas()
+    )
+    assert fused.loc[0, "full_text"] == staged.loc[0, "full_text"]
+    assert "chunk0 holds words w0a w0b" in fused.loc[0, "full_text"]
+    assert "chunk119 holds words w119a w119b" in fused.loc[0, "full_text"]

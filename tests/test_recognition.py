@@ -129,3 +129,60 @@ def test_recognize_full_roundtrip_via_detection():
     rec = GlyphRecognizer()
     preds = rec.recognize_batch(crops)
     assert sorted(t for t, _ in preds) == sorted(text.split(" "))
+
+
+def test_weights_load_once_per_actor_and_identity_is_noop(tmp_path):
+    """Round-2 verdict #7: checkpoint plumbing — weights load ONCE in
+    __init__ (never per batch), identity weights leave the pipeline
+    output unchanged, and non-identity weights provably flow into the
+    predictions."""
+    import numpy as np
+
+    import doctr_ray.weights as W
+    from doctr_ray.media import encode_media_ref, rasterize_synth
+    from doctr_ray.pipelines.ocr import OcrDocWorker
+    from doctr_ray.recognition import GlyphRecognizer
+    from doctr_ray.weights import identity_recognizer_weights, save_weights
+
+    base = GlyphRecognizer()
+    k = base.templates.shape[0]
+    ckpt = tmp_path / "identity.npz"
+    save_weights(str(ckpt), identity_recognizer_weights(k))
+
+    page = rasterize_synth(encode_media_ref("weights load once per actor"))[0]
+    crops = [page.image[y0:y1, x0:x1] for (_, x0, y0, x1, y1) in page.words]
+
+    n0 = W.LOAD_COUNT
+    rec = GlyphRecognizer(weights=str(ckpt))
+    assert W.LOAD_COUNT == n0 + 1  # loaded in __init__
+    for _ in range(3):
+        got = rec.recognize_batch(crops)
+    assert W.LOAD_COUNT == n0 + 1  # NOT re-loaded per batch
+    assert got == base.recognize_batch(crops)  # identity == no weights
+
+    # non-identity weights actually flow: bias one template to always win
+    skew = identity_recognizer_weights(k)
+    skew["template_bias"] = np.full(k, 1e9)
+    skew["template_bias"][0] = -1e9
+    rec2 = GlyphRecognizer(weights=skew)
+    texts = [t for t, _ in rec2.recognize_batch(crops)]
+    assert all(set(t) == {base.vocab[0]} for t in texts if t)
+
+    # worker-level: constructor kwarg reaches the recognizer
+    w = OcrDocWorker(emit="text", weights=str(ckpt))
+    assert w.recognizer.d_scale is not None
+
+
+def test_weights_object_store_ref(ray_session, tmp_path):
+    # broadcast form: ray.put once, actors ray.get zero-copy
+    import ray
+
+    from doctr_ray.recognition import GlyphRecognizer
+    from doctr_ray.weights import identity_recognizer_weights
+
+    base = GlyphRecognizer()
+    ref = ray.put(identity_recognizer_weights(base.templates.shape[0]))
+    rec = GlyphRecognizer(weights=ref)
+    assert rec.d_scale is not None and float(rec.d_scale.sum()) == float(
+        base.templates.shape[0]
+    )
