@@ -5,17 +5,20 @@ io/image/base.py:16-54) that is expressible without native decoder
 libraries, so real encoded images — not just ``synth://`` assets — can
 flow through the extraction pipeline in this container:
 
-- **PNG**: non-interlaced, bit depth 1/2/4/8, gray / RGB / RGBA /
-  palette (+tRNS), all five scanline filters. Decode is numpy-vectorized
-  per row (Sub/Paeth need the sequential pass the format mandates; Up /
-  Average-without-left / None are whole-row ops). Adam7 interlacing and
-  16-bit channels raise with a clear message (rare for document scans).
+- **PNG**: bit depth 1/2/4/8/16, gray / RGB / RGBA / palette (+tRNS),
+  all five scanline filters, Adam7 INTERLACED and non-interlaced (seven
+  independently-filtered passes reassembled exactly); 16-bit samples
+  fold to the high byte (the cv2/PIL 8-bit convention). Decode is
+  numpy-vectorized per row (Sub/Paeth need the sequential pass the
+  format mandates; Up / Average-without-left / None are whole-row ops).
 - **BMP**: uncompressed (BI_RGB) 8-bit palette / 24-bit / 32-bit,
   bottom-up or top-down.
 - **PNM**: P1-P6 (ASCII + binary bitmap/gray/RGB), maxval <= 255.
 - **TIFF**: baseline scanner output — first IFD, strip-organized 1/8-bit
-  gray/RGB, uncompressed / PackBits / Deflate, horizontal-differencing
-  predictor. LZW and JPEG-in-TIFF raise naming the needed library.
+  gray/RGB, uncompressed / PackBits / Deflate / LZW (TIFF-variant early
+  code-width change, round-trip-tested incl. table reset),
+  horizontal-differencing predictor. JPEG-in-TIFF raises naming the
+  needed library.
 - **JPEG**: baseline JFIF decodes (and encodes) via
   :mod:`doctr_ray.sources.jpegcodec` — Huffman entropy coding with
   restart markers, vectorized IDCT, 4:2:0/4:2:2/4:4:4 chroma;
@@ -136,49 +139,71 @@ def decode_png(data: bytes) -> np.ndarray:
             idat.extend(cdata)
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported (re-encode non-interlaced)")
-    if bit_depth == 16:
-        raise NotImplementedError("16-bit PNG not supported (document scans are 8-bit)")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"bad PNG color type {color_type}")
-    if color_type != 0 and color_type != 3 and bit_depth != 8:
+    if color_type not in (0, 3) and bit_depth not in (8, 16):
         raise NotImplementedError(f"bit depth {bit_depth} with color type {color_type}")
 
     raw = zlib.decompress(bytes(idat))
-    bits_per_px = bit_depth * channels
-    stride = (width * bits_per_px + 7) // 8
-    bpp = max(1, bits_per_px // 8)
-    arr = np.frombuffer(raw, dtype=np.uint8)
-    if arr.size != height * (stride + 1):
-        raise ValueError("PNG IDAT size mismatch")
-    flat = _unfilter(arr.reshape(height, stride + 1), height, stride, bpp)
 
-    if bit_depth < 8:  # gray or palette, packed
-        rows = [_unpack_bits(flat[y], bit_depth, width) for y in range(height)]
-        samples = np.stack(rows)
-        if color_type == 0:
+    def decode_region(off: int, w_r: int, h_r: int):
+        """One filtered sub-image at byte ``off`` -> ((h,w,ch) uint8
+        samples, bytes consumed). 16-bit samples take the high byte
+        (cv2/PIL convention for 8-bit output)."""
+        if w_r == 0 or h_r == 0:
+            return None, 0
+        bits_px = bit_depth * channels
+        stride = (w_r * bits_px + 7) // 8
+        bpp = max(1, bits_px // 8)
+        need = h_r * (stride + 1)
+        if off + need > len(raw):
+            raise ValueError("PNG IDAT size mismatch")
+        arr = np.frombuffer(raw, np.uint8, count=need, offset=off)
+        flat = _unfilter(arr.reshape(h_r, stride + 1), h_r, stride, bpp)
+        if bit_depth < 8:
+            rows = [_unpack_bits(flat[y], bit_depth, w_r) for y in range(h_r)]
+            return np.stack(rows)[..., None], need
+        if bit_depth == 16:
+            px = flat[:, : w_r * channels * 2].reshape(h_r, w_r, channels, 2)
+            return np.ascontiguousarray(px[:, :, :, 0]), need
+        return flat[:, : w_r * channels].reshape(h_r, w_r, channels), need
+
+    if interlace:  # Adam7: seven independently-filtered passes
+        ADAM7 = [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+        samples = np.zeros((height, width, channels), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in ADAM7:
+            w_r = (width - x0 + dx - 1) // dx
+            h_r = (height - y0 + dy - 1) // dy
+            sub, used = decode_region(off, w_r, h_r)
+            off += used
+            if sub is not None:
+                samples[y0::dy, x0::dx] = sub
+    else:
+        samples, used = decode_region(0, width, height)
+        if used != len(raw):
+            raise ValueError("PNG IDAT size mismatch")
+
+    if color_type == 0:
+        if bit_depth < 8:
             # scale sample to full 0..255 range (PNG spec sample expansion)
             scale = 255 // ((1 << bit_depth) - 1)
-            return (samples * scale).astype(np.uint8)
-        # palette
-        if palette is None:
-            raise ValueError("palette PNG missing PLTE")
-        return _apply_palette(samples, palette, trns)
-    pixels = flat.reshape(height, stride)[:, : width * channels].reshape(height, width, channels)
+            return (samples[:, :, 0] * scale).astype(np.uint8)
+        return samples[:, :, 0]
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
-        return _apply_palette(pixels[:, :, 0], palette, trns)
-    if channels == 1:
-        return pixels[:, :, 0]
+        return _apply_palette(samples[:, :, 0], palette, trns)
     if channels == 2:  # gray + alpha
         out = np.empty((height, width, 4), np.uint8)
-        out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = pixels[:, :, 0]
-        out[:, :, 3] = pixels[:, :, 1]
+        out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = samples[:, :, 0]
+        out[:, :, 3] = samples[:, :, 1]
         return out
-    return pixels  # RGB / RGBA
+    return samples  # RGB / RGBA
 
 
 def _apply_palette(idx: np.ndarray, palette: np.ndarray, trns: bytes | None) -> np.ndarray:
@@ -368,8 +393,8 @@ _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 def decode_tiff(data: bytes) -> np.ndarray:
     """Baseline TIFF (the common scanner output): first IFD, gray or
     RGB, 1/8-bit samples, strip-organized, uncompressed / PackBits /
-    Deflate(AdobeDeflate); horizontal-differencing predictor. JPEG-in-
-    TIFF, LZW, and tiled files raise naming the needed library."""
+    Deflate(AdobeDeflate) / LZW; horizontal-differencing predictor.
+    JPEG-in-TIFF and tiled files raise naming the needed library."""
     if data[:4] == b"II*\x00":
         bo = "<"
     elif data[:4] == b"MM\x00*":
@@ -412,11 +437,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
     counts = tags.get("strip_byte_counts")
     if bits not in (1, 8):
         raise NotImplementedError(f"{bits}-bit TIFF samples not supported")
-    if comp in (5,):
-        raise NotImplementedError("LZW TIFF requires a full image library (PIL)")
     if comp in (6, 7):
         raise NotImplementedError("JPEG-in-TIFF requires a JPEG decoder (cv2 or PIL)")
-    if comp not in (1, 8, 32946, 32773):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(f"TIFF compression {comp} not supported")
 
     row_bytes = (width * spp * bits + 7) // 8
@@ -426,6 +449,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
         chunk = data[off : off + n]
         if comp in (8, 32946):
             chunk = zlib.decompress(chunk)
+        elif comp == 5:  # LZW (TIFF variant: MSB-first, early code-width change)
+            chunk = _tiff_lzw_decode(chunk)
         elif comp == 32773:  # PackBits
             out = bytearray()
             i = 0
@@ -458,3 +483,106 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if spp == 1:
         return px[:, :, 0].copy()
     return px[:, :, :3].copy()
+
+
+# ------------------------------------------------------------------ TIFF LZW
+
+def _tiff_lzw_decode(src: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first code packing, Clear=256,
+    EOI=257, EARLY code-width change (width grows when the table reaches
+    2^w - 1 entries, one code before the generic LZW rule)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    nbits = len(src) * 8
+    bitpos = 0
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return EOI
+        byte0 = bitpos >> 3
+        window = int.from_bytes(src[byte0 : byte0 + 4].ljust(4, b"\0"), "big")
+        val = (window >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        return val
+
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if not table:
+            raise ValueError("LZW stream does not start with Clear")
+        if prev is None:
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("bad LZW code")
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        # early change, decoder side: the encoder's table is one entry
+        # AHEAD (it adds on every emitted code; the decoder cannot add
+        # on the first code after Clear), so the decoder switches at
+        # 2^w - 2 where the encoder switched at 2^w - 1 (TIFF 6.0 §13 /
+        # libtiff tif_lzw.c convention)
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _tiff_lzw_encode(src: bytes) -> bytes:
+    """TIFF-variant LZW encoder (fixture generator for the decoder's
+    round-trip tests; symmetric early width change)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            out.append((acc >> (accbits - 8)) & 0xFF)
+            accbits -= 8
+            acc &= (1 << accbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    w = b""
+    for b in src:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:  # table nearly full: reset
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
