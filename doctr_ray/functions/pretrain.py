@@ -58,10 +58,16 @@ def pretraining_corpus(
     th = mix_thresholds({r["source"]: int(r["n"]) for r in counts_rows}, weights)
 
     def _mix(batch: pa.Table) -> pa.Table:
+        # same md5-bridge loop shape as packing.source_mix._filter:
+        # skip hashing for weightless sources, minimal per-row Python
+        import hashlib
+
         ids = batch["doc_id"].to_pylist()
         srcs = batch["source"].to_pylist()
+        md5, suffix, get = hashlib.md5, f"|{mix_salt}".encode(), th.get
         keep = [
-            s in th and _h64(f"{d}|{mix_salt}") < th[s]
+            (t := get(s)) is not None
+            and int.from_bytes(md5(str(d).encode() + suffix).digest()[:8], "little") < t
             for d, s in zip(ids, srcs)
         ]
         return batch.filter(pa.array(keep, pa.bool_()))

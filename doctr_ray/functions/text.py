@@ -79,49 +79,81 @@ def token_stats(batch: pa.Table) -> pa.Table:
     )
 
 
+def _per_row_token_counts(toks, mask_arr) -> "np.ndarray":
+    """list<token> column + flat boolean mask -> per-row True counts
+    (prefix-sum over the flattened token stream; zero Python per row)."""
+    import numpy as np
+
+    n_all = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    offs = np.zeros(len(n_all) + 1, np.int64)
+    offs[1:] = np.cumsum(n_all)
+    m = np.asarray(mask_arr.to_numpy(zero_copy_only=False), np.int64)
+    cum = np.concatenate([[0], np.cumsum(m)])
+    return cum[offs[1:]] - cum[offs[:-1]]
+
+
 def quality_score(batch: pa.Table) -> pa.Table:
     """doc_id, stopword_ratio, short_token_ratio, quality heuristic.
 
     Ratios of a fixed stopword list and of tokens shorter than 3 chars;
     quality = 1 - short_token_ratio clipped into [0,1], rounded —
-    a deterministic stand-in for model-based quality scoring.
+    a deterministic stand-in for model-based quality scoring. Fully
+    vectorized: one Arrow split, is_in / utf8_length over the flat
+    token stream, prefix-sum fold back to rows (the pii/bpe pattern —
+    no Python token loops; round-2 verdict note).
     """
     import numpy as np
 
-    df = batch.to_pandas()
-    toks = df["text"].str.split(" ")
-    n = toks.map(len).clip(lower=1).astype(np.float64)
-    stop = toks.map(lambda ws: sum(w in STOPWORDS for w in ws))
-    short = toks.map(lambda ws: sum(len(w) < 3 for w in ws))
+    toks = pc.split_pattern(batch["text"], " ")
+    flat = pc.list_flatten(toks)
+    stop = _per_row_token_counts(
+        toks, pc.is_in(flat, value_set=pa.array(STOPWORDS, pa.string()))
+    )
+    short = _per_row_token_counts(toks, pc.less(pc.utf8_length(flat), 3))
+    n = np.maximum(
+        pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False), 1
+    ).astype(np.float64)
     # fixed-point micro-unit ratios (deterministic across engines)
     stop_e6 = np.round(stop * 1e6 / n).astype(np.int64)
     short_e6 = np.round(short * 1e6 / n).astype(np.int64)
-    return pd.DataFrame(
-        {
-            "doc_id": df["doc_id"],
-            "stopword_ratio_e6": stop_e6,
-            "short_token_ratio_e6": short_e6,
-            "quality_e6": np.clip(1_000_000 - short_e6, 0, 1_000_000),
-        }
+    return pa.Table.from_arrays(
+        [
+            batch["doc_id"],
+            pa.array(stop_e6, pa.int64()),
+            pa.array(short_e6, pa.int64()),
+            pa.array(np.clip(1_000_000 - short_e6, 0, 1_000_000), pa.int64()),
+        ],
+        names=[
+            "doc_id", "stopword_ratio_e6", "short_token_ratio_e6", "quality_e6",
+        ],
     )
 
 
 def lang_id(batch: pa.Table) -> pa.Table:
     """doc_id, pred_lang — argmax of marker-word counts, lexicographic
-    tie-break, 'und' when no marker hits (get_language analog)."""
-    df = batch.to_pandas()
-    toks = df["text"].str.split(" ")
+    tie-break (LANG_ORDER is sorted and argmax keeps the FIRST max),
+    'und' when no marker hits (get_language analog). Vectorized: one
+    is_in pass per language over the flat token stream."""
+    import numpy as np
 
-    def pred(ws: list[str]) -> str:
-        best_lang, best_n = "und", 0
-        for lang in LANG_ORDER:
-            m = LANG_MARKERS[lang]
-            c = sum(w in m for w in ws)
-            if c > best_n:
-                best_lang, best_n = lang, c
-        return best_lang
-
-    return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": toks.map(pred)})
+    toks = pc.split_pattern(batch["text"], " ")
+    flat = pc.list_flatten(toks)
+    counts = np.stack(
+        [
+            _per_row_token_counts(
+                toks, pc.is_in(flat, value_set=pa.array(LANG_MARKERS[lang]))
+            )
+            for lang in LANG_ORDER
+        ],
+        axis=1,
+    )
+    best = counts.argmax(axis=1)
+    langs = np.array(LANG_ORDER, dtype=object)
+    pred = np.where(counts.max(axis=1) > 0, langs[best], "und")
+    return pa.Table.from_arrays(
+        [batch["doc_id"], pa.array(list(pred), pa.string())],
+        names=["doc_id", "pred_lang"],
+    )
 
 
 def get_language(text: str) -> tuple[str, float]:

@@ -386,6 +386,7 @@ _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits_per_sample", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "samples_per_pixel",
     278: "rows_per_strip", 279: "strip_byte_counts", 317: "predictor",
+    347: "jpeg_tables",
 }
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
@@ -393,8 +394,10 @@ _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 def decode_tiff(data: bytes) -> np.ndarray:
     """Baseline TIFF (the common scanner output): first IFD, gray or
     RGB, 1/8-bit samples, strip-organized, uncompressed / PackBits /
-    Deflate(AdobeDeflate) / LZW; horizontal-differencing predictor.
-    JPEG-in-TIFF and tiled files raise naming the needed library."""
+    Deflate(AdobeDeflate) / LZW / new-style JPEG (compression 7, per-
+    strip JFIF streams with optional shared /JPEGTables spliced in);
+    horizontal-differencing predictor. Old-style JPEG (compression 6)
+    and tiled files raise naming the needed library."""
     if data[:4] == b"II*\x00":
         bo = "<"
     elif data[:4] == b"MM\x00*":
@@ -437,10 +440,32 @@ def decode_tiff(data: bytes) -> np.ndarray:
     counts = tags.get("strip_byte_counts")
     if bits not in (1, 8):
         raise NotImplementedError(f"{bits}-bit TIFF samples not supported")
-    if comp in (6, 7):
-        raise NotImplementedError("JPEG-in-TIFF requires a JPEG decoder (cv2 or PIL)")
-    if comp not in (1, 5, 8, 32946, 32773):
+    if comp == 6:
+        raise NotImplementedError(
+            "old-style JPEG-in-TIFF (compression 6) requires cv2 or PIL"
+        )
+    if comp not in (1, 5, 7, 8, 32946, 32773):
         raise NotImplementedError(f"TIFF compression {comp} not supported")
+
+    if comp == 7:  # new-style JPEG: one JFIF stream per strip
+        from .jpegcodec import decode_jpeg
+
+        jt = bytes(tags["jpeg_tables"]) if "jpeg_tables" in tags else b""
+        # shared tables are an abbreviated stream SOI..tables..EOI
+        # (TIFF/EP): splice them between the strip's SOI and its body
+        tbl_body = jt[2:-2] if jt.startswith(b"\xff\xd8") else b""
+        strips_px = []
+        for si, off in enumerate(offsets):
+            n = counts[si] if counts else len(data) - off
+            stream = data[off : off + n]
+            if tbl_body:
+                stream = b"\xff\xd8" + tbl_body + stream[2:]
+            strips_px.append(decode_jpeg(stream))
+        px = strips_px[0] if len(strips_px) == 1 else np.concatenate(strips_px, axis=0)
+        px = px[:height]
+        if photometric == 0:
+            px = 255 - px
+        return px if px.ndim == 2 or spp != 1 else px[:, :, 0]
 
     row_bytes = (width * spp * bits + 7) // 8
     raw = bytearray()

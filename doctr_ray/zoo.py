@@ -54,6 +54,9 @@ class PredictorConfig:
     detect_language: bool = False
     keep_reading_order: bool = False
     kie: bool = False
+    # optional recognizer checkpoint path (.npz, see doctr_ray.weights)
+    # — loaded once per actor; the torch-weights slot on a real cluster
+    weights: str | None = None
 
 
 class OCRPredictor:
@@ -84,11 +87,14 @@ class OCRPredictor:
         return ocr_extracted_text(docs_ds, **self._pipeline_kwargs())
 
     def _pipeline_kwargs(self) -> dict:
-        return {
+        kw = {
             "keep_reading_order": self.cfg.keep_reading_order,
             "detect_orientation": self.cfg.detect_orientation,
             "straighten_pages": self.cfg.straighten_pages,
         }
+        if self.cfg.weights:
+            kw["weights"] = self.cfg.weights
+        return kw
 
     def forward_pages(self, pages: list[np.ndarray]) -> list[dict]:
         """Local mode: page images -> builder exports (one per page)."""
@@ -198,20 +204,32 @@ def kie_predictor(det_arch: str = "fast_base", reco_arch: str = "crnn_vgg16_bn",
 
 # ----------------------------------------------------------- local hub
 
-def save_predictor_config(predictor: OCRPredictor, name: str, hub_dir: str) -> str:
-    """Persist a predictor's configuration under ``hub_dir/name/``
-    (the push_to_hub analog, reference models/factory/hub.py:96-188 —
-    artifact = config.json; there are no weight files to ship)."""
+def save_predictor_config(
+    predictor: OCRPredictor, name: str, hub_dir: str, weights: dict | None = None
+) -> str:
+    """Persist a predictor under ``hub_dir/name/`` (the push_to_hub
+    analog, reference models/factory/hub.py:96-188): config.json plus,
+    when given, the recognizer checkpoint blob (weights.npz via
+    doctr_ray.weights) — the artifact pair a real hub ships."""
     d = os.path.join(hub_dir, name)
     os.makedirs(d, exist_ok=True)
+    cfg = asdict(predictor.cfg)
+    if weights is not None:
+        from .weights import save_weights
+
+        wpath = os.path.join(d, "weights.npz")
+        save_weights(wpath, weights)
+        cfg["weights"] = wpath
     path = os.path.join(d, "config.json")
     with open(path, "w") as f:
-        json.dump({"task": "kie" if predictor.cfg.kie else "ocr", **asdict(predictor.cfg)}, f, indent=1)
+        json.dump({"task": "kie" if predictor.cfg.kie else "ocr", **cfg}, f, indent=1)
     return path
 
 
 def from_name(name: str, hub_dir: str) -> OCRPredictor:
-    """Rebuild a saved predictor (the from_hub analog, hub.py:190-220)."""
+    """Rebuild a saved predictor (the from_hub analog, hub.py:190-220);
+    a recorded checkpoint rides along in the config and loads once per
+    actor when the pipeline runs."""
     with open(os.path.join(hub_dir, name, "config.json")) as f:
         raw = json.load(f)
     task = raw.pop("task", "ocr")

@@ -39,7 +39,7 @@ def test_token_stats():
 
 def test_quality_score():
     t = _docs_table([(1, "the a to xx yyy"), (2, "wonderful documents")])
-    out = quality_score(t)
+    out = quality_score(t).to_pandas()
     assert out["stopword_ratio_e6"].tolist() == [600_000, 0]
     assert out["short_token_ratio_e6"].tolist() == [600_000, 0]  # a, to, xx
     assert out["quality_e6"].tolist() == [400_000, 1_000_000]
@@ -54,7 +54,7 @@ def test_lang_id():
             (4, "le les une des"),
         ]
     )
-    out = lang_id(t)
+    out = lang_id(t).to_pandas()
     assert out["pred_lang"].tolist() == ["en", "de", "und", "fr"]
 
 
@@ -369,7 +369,7 @@ def test_lang_id_rtl_breadth_matches_oracle():
         ("d_und", "xyzzy plugh"),
     ]
     t = pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
-    got = lang_id(t).set_index("doc_id")["pred_lang"].to_dict()
+    got = lang_id(t).to_pandas().set_index("doc_id")["pred_lang"].to_dict()
     assert got["d_ar"] == "ar" and got["d_he"] == "he" and got["d_fa"] == "fa"
     assert got["d_ur"] == "ur" and got["d_yi"] == "yi" and got["d_ug"] == "ug"
     assert got["d_en"] == "en" and got["d_und"] == "und"

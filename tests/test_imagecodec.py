@@ -345,7 +345,12 @@ def _make_tiff(img: np.ndarray, compression: int = 1, photometric=None, rows_per
     strips = []
     for y0 in range(0, h, rps):
         chunk = px[y0 : y0 + rps].tobytes()
-        if compression == 8:
+        if compression == 7:  # new-style JPEG: strip is a JFIF stream
+            from doctr_ray.sources.jpegcodec import encode_jpeg
+
+            strip_img = img[y0 : y0 + rps]
+            chunk = encode_jpeg(strip_img, 95)
+        elif compression == 8:
             chunk = _zlib.compress(chunk)
         elif compression == 5:  # LZW (TIFF variant)
             from doctr_ray.sources.imagecodec import _tiff_lzw_encode
@@ -447,6 +452,36 @@ def test_tiff_white_is_zero():
     img = _rng(43).integers(0, 256, (6, 6), dtype=np.uint8)
     data = _make_tiff(img, photometric=0)
     assert np.array_equal(decode_tiff(data), 255 - img)
+
+
+def test_tiff_newstyle_jpeg_decodes():
+    """Compression 7 (new-style JPEG-in-TIFF): per-strip JFIF streams
+    decode through the in-repo JPEG codec; flat strips are bit-exact."""
+    from doctr_ray.sources.imagecodec import decode_tiff
+
+    img = np.full((20, 32), 130, np.uint8)
+    assert np.array_equal(decode_tiff(_make_tiff(img, compression=7)), img)
+    # multi-strip gradient: strip boundaries must reassemble in order
+    yy, xx = np.mgrid[0:24, 0:32]
+    grad = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    out = decode_tiff(_make_tiff(grad, compression=7, rows_per_strip=8))
+    assert out.shape == grad.shape
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 1
+
+
+def test_tiff_oldstyle_jpeg_rejected():
+    from doctr_ray.sources.imagecodec import decode_tiff
+
+    img = np.zeros((8, 8), np.uint8)
+    data = _make_tiff(img, compression=1)
+    # flip the compression tag value 1 -> 6 (old-style JPEG)
+    import struct as _st
+
+    idx = data.find(_st.pack("<HH", 259, 3))
+    assert idx != -1
+    data = data[:idx + 8] + _st.pack("<I", 6) + data[idx + 12:]
+    with pytest.raises(NotImplementedError, match="cv2 or PIL"):
+        decode_tiff(data)
 
 
 def test_tiff_lzw_decodes():

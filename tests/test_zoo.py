@@ -85,3 +85,28 @@ def test_detect_language_flag():
     assert export["language"]["confidence"] > 0
     # flag off -> no language key (export shape unchanged)
     assert "language" not in ocr_predictor().forward_pages([page.image])[0]
+
+
+def test_hub_ships_weights_blob(tmp_path, ray_session):
+    """push/load analog with a real artifact pair: config.json +
+    weights.npz; the reloaded predictor's pipeline output is unchanged
+    under the identity checkpoint (proves the blob actually loads)."""
+    import ray
+
+    from doctr_ray.corpus import make_inline_docs
+    from doctr_ray.recognition import GlyphRecognizer
+    from doctr_ray.weights import identity_recognizer_weights
+    from doctr_ray.zoo import from_name, ocr_predictor, save_predictor_config
+
+    k = GlyphRecognizer().templates.shape[0]
+    p = ocr_predictor()
+    save_predictor_config(
+        p, "glyph-identity", str(tmp_path), weights=identity_recognizer_weights(k)
+    )
+    q = from_name("glyph-identity", str(tmp_path))
+    assert q.cfg.weights and q.cfg.weights.endswith("weights.npz")
+
+    docs = make_inline_docs([("d1", "weights ride along in the hub artifact")], 1.0)
+    base = p.extract_text(ray.data.from_arrow(docs)).to_pandas()
+    got = q.extract_text(ray.data.from_arrow(docs)).to_pandas()
+    assert base.equals(got)
