@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events_hourly,
         events_sliding_window,
         pricing_summary,
+        shipping_priority,
         supplier_balance_by_nation,
         top_customer_revenue,
         user_sessions,
@@ -1291,6 +1292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": range_join_error_clicks,
         "order_priority": order_priority_check,
         "orphan_orders": orphan_orders,
+        "shipping_priority": shipping_priority,
         "supplier_balance": supplier_balance_by_nation,
     }
 
@@ -1781,6 +1783,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, count(*) AS n_orphans FROM orders o "
             "WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) "
             "GROUP BY o_orderpriority"
+        ),
+        "shipping_priority": (
+            # TPC-H Q3 shape: large-large orders x lineitem equi-join
+            "SELECT l_orderkey, CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) "
+            "AS revenue_c, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+            "AND l_orderkey = o_orderkey "
+            "AND o_orderdate < DATE '1997-06-30' AND l_shipdate > DATE '1997-06-30' "
+            "GROUP BY l_orderkey, o_orderdate_us, o_orderpriority "
+            "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"
         ),
         "supplier_balance": (
             "SELECT n.n_name, CAST(round(sum(s.s_acctbal) * 100) AS BIGINT) AS total_acctbal_c, "

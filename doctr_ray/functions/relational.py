@@ -683,3 +683,128 @@ def orphan_orders(sf_dir: str):
         .groupby("z")
         .map_groups(_final, batch_format="pandas")
     )
+
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1997-06-30",
+    limit: int = 10,
+):
+    """TPC-H Q3-shaped large-large equi-join: unshipped-order revenue.
+
+    The one join shape the suite lacked: BOTH sides are fact tables
+    (orders x lineitem on orderkey) so neither can be broadcast — this
+    is the canonical bucketed hash join. Each side filters and
+    pre-aggregates per batch (lineitem collapses to one revenue partial
+    per orderkey per batch), tags itself, buckets by ``orderkey &
+    mask`` with a mask sized from the BIG side's footer, and one union
+    + groupby co-locates matching keys; the per-bucket reducer builds
+    the orders hash side, sums lineitem partials against it, and emits
+    only its local top-``limit`` — the final combine sees
+    ``limit x n_buckets`` tiny rows, never a global sort. The customer
+    dimension IS small, so it stays a broadcast semi-filter on the
+    orders side (reference pattern: :func:`top_customer_revenue`).
+    """
+    import ray
+
+    mask = bucket_mask_for(sf_dir, "lineitem")
+    cutoff_us = np.int64(pd.Timestamp(cutoff).value // 1000)
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ckeys = np.sort(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].to_numpy())
+    cref = ray.put(ckeys)
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        keys = ray.get(cref)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        ocust = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        odate = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (odate < cutoff_us) & (
+            np.searchsorted(keys, ocust) < len(keys)
+        ) & (keys[np.minimum(np.searchsorted(keys, ocust), len(keys) - 1)] == ocust)
+        okey, odate = okey[keep], odate[keep]
+        pr = batch["o_orderpriority"].filter(pa.array(keep))
+        return pa.Table.from_arrays(
+            [
+                pa.array((okey & mask).astype(np.int32), pa.int32()),
+                pa.array(okey, pa.int64()),
+                pa.array(np.zeros(len(okey), np.int8), pa.int8()),
+                pa.array(np.zeros(len(okey), np.float64), pa.float64()),
+                pa.array(odate, pa.int64()),
+                pr,
+            ],
+            names=["kb", "okey", "side", "rev", "odate_us", "pr"],
+        )
+
+    def _lineitem(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ship > cutoff_us
+        df = pd.DataFrame(
+            {
+                "okey": batch["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                "rev": (
+                    batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+                )[keep],
+            }
+        )
+        g = df.groupby("okey", as_index=False)["rev"].sum()
+        n = len(g)
+        return pa.Table.from_arrays(
+            [
+                pa.array((g["okey"].to_numpy() & mask).astype(np.int32), pa.int32()),
+                pa.array(g["okey"].to_numpy(), pa.int64()),
+                pa.array(np.ones(n, np.int8), pa.int8()),
+                pa.array(g["rev"].to_numpy(), pa.float64()),
+                pa.array(np.zeros(n, np.int64), pa.int64()),
+                pa.array([""] * n, pa.string()),
+            ],
+            names=["kb", "okey", "side", "rev", "odate_us", "pr"],
+        )
+
+    def _join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        li = g[g["side"] == 1]
+        # deterministic float adds: merge partials in sorted okey order
+        li = li.sort_values("okey", kind="stable")
+        rev = li.groupby("okey", sort=True)["rev"].sum()
+        hit = o[o["okey"].isin(rev.index)]
+        out = pd.DataFrame(
+            {
+                "l_orderkey": hit["okey"].to_numpy(),
+                "revenue_c": np.round(
+                    rev.loc[hit["okey"]].to_numpy() * 100
+                ).astype(np.int64),
+                "o_orderdate_us": hit["odate_us"].to_numpy(),
+                "o_orderpriority": hit["pr"].to_numpy(),
+            }
+        )
+        return out.sort_values(
+            ["revenue_c", "l_orderkey"], ascending=[False, True], kind="stable"
+        ).head(limit)
+
+    def _final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["revenue_c", "l_orderkey"], ascending=[False, True], kind="stable"
+        ).head(limit)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    orders_ds = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(_orders, batch_format="pyarrow")
+    li_ds = read_table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(_lineitem, batch_format="pyarrow")
+    return (
+        orders_ds.union(li_ds)
+        .repartition(16)  # coalesce tiny per-batch partials before the shuffle
+        .groupby("kb")
+        .map_groups(_join_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
