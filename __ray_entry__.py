@@ -1050,6 +1050,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dup_ngram_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_substring_dup(sf_dir: str):
+        """Exact substring-level duplication (Lee et al. 2022 signal):
+        character 32-gram positions duplicated across documents, via
+        int64 double rolling-hash keys — the shuffle never carries
+        gram strings."""
+        from doctr_ray.functions.dedup import substring_dup_stats
+
+        return substring_dup_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
     def q_seq_packing(sf_dir: str):
         """GPT-style concat-and-chunk packing layout: which training
         sequence(s) each doc lands in. Shuffles (doc_id, n_tokens,
@@ -1264,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": q_doc_split,
         "epoch_shuffle": q_epoch_shuffle,
         "dup_ngram_fraction": q_dup_ngrams,
+        "substring_dup": q_substring_dup,
         "seq_packing": q_seq_packing,
         "source_mix": q_source_mix,
         "corpus_filter": q_corpus_filter,
@@ -1538,6 +1548,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_fraction": __import__(
             "doctr_ray.functions.dedup", fromlist=["dup_ngram_sql"]
         ).dup_ngram_sql(),
+        "substring_dup": __import__(
+            "doctr_ray.functions.dedup", fromlist=["substring_dup_sql"]
+        ).substring_dup_sql(),
         "epoch_shuffle": __import__(
             "doctr_ray.functions.sampling", fromlist=["epoch_shuffle_sql"]
         ).epoch_shuffle_sql(epoch=1),

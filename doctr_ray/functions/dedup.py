@@ -1042,3 +1042,155 @@ def dup_ngram_sql(n: int = 8) -> str:
         "SELECT doc_id, n_grams, n_dup, "
         "(1000000 * n_dup) // greatest(n_grams, 1) AS dup_frac_e6 FROM per"
     )
+
+
+# --- exact substring-level duplication (Lee et al. 2022 granularity) ---
+
+# two independent 31-bit polynomial rolling-hash schemes; combined key
+# is h1 * P2 + h2 < 2^62 so every product/mod stays in int64 (this
+# numpy build's uint64 multiply/mod kernels fall back to scalars —
+# CLAUDE.md landmine). P1 is the 31-bit Mersenne prime; P2 = 2^31 - 19.
+_SS_P1, _SS_B1 = (1 << 31) - 1, 1_000_003
+_SS_P2, _SS_B2 = (1 << 31) - 19, 911_382_323
+_SS_BINV1 = pow(_SS_B1, _SS_P1 - 2, _SS_P1)
+_SS_BINV2 = pow(_SS_B2, _SS_P2 - 2, _SS_P2)
+_SS_POWS: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _ss_pows(b: int, p: int, n: int) -> np.ndarray:
+    """b^0..b^(n-1) mod p, grown by doubling (b^(m+i) = b^m * b^i) so
+    the whole table is O(log n) vectorized passes; cached per scheme."""
+    pows = _SS_POWS.get((b, p))
+    if pows is None:
+        pows = np.ones(1, np.int64)
+    while len(pows) < n:
+        factor = (int(pows[-1]) * b) % p
+        pows = np.concatenate([pows, (pows * factor) % p])
+    _SS_POWS[(b, p)] = pows
+    return pows
+
+
+def _ss_gram_keys(text: str, k: int) -> np.ndarray:
+    """Combined 62-bit rolling-hash key for every character k-gram.
+
+    Characters are unicode code points (utf-32), matching SQL
+    substr/length semantics. For each scheme, prefix sums of
+    c_t * b^-t give F; gram hash h(i) = ((F[i+k]-F[i]) mod p) *
+    b^(i+k-1) mod p — all adds fit 2^55, all products 2^62.
+    """
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    n = len(cp)
+    m = n - k + 1
+    if m <= 0:
+        return np.empty(0, np.int64)
+    hs = []
+    for p, b, binv in (
+        (_SS_P1, _SS_B1, _SS_BINV1),
+        (_SS_P2, _SS_B2, _SS_BINV2),
+    ):
+        binv_pows = _ss_pows(binv, p, n)[:n]
+        pows = _ss_pows(b, p, n + k)[k - 1 : k - 1 + m]
+        terms = (cp % p) * binv_pows % p
+        F = np.concatenate([np.zeros(1, np.int64), np.cumsum(terms)])
+        hs.append((F[k:] - F[:m]) % p * pows % p)
+    return hs[0] * _SS_P2 + hs[1]
+
+
+def substring_dup_stats(docs_ds, k: int = 32):
+    """Exact substring-level duplication signals (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", at
+    character k-gram granularity): for every document, how many of its
+    character positions start a k-gram that also appears in ANOTHER
+    document. This is the signal the span-cutting dedup pass consumes;
+    it differs from :func:`dup_ngram_stats` (word grams, md5 string
+    keys) by working at character level with O(1)-per-position rolling
+    hashes — at 100 TB the shuffle carries one (int64 key, doc_id,
+    count) row per distinct gram per doc, never 32-char strings.
+
+    Scale shape: one hash-bucket shuffle computes cross-doc gram
+    frequency (rows are per-doc-unique, so a size()>1 group means >= 2
+    distinct docs); per-doc partials fold back through a second coarse
+    shuffle with adaptive doc buckets. Output: (doc_id, n_pos,
+    n_dup_pos, dup_frac_e6) — integer floor division, oracle-exact.
+    """
+    n_docs = docs_ds.count()
+    doc_buckets = max(1, n_docs // 50_000 + 1)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids, keys, cnts, gbs = [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            did = str(did)
+            gk = _ss_gram_keys(text or "", k)
+            if len(gk) == 0:
+                # keep short docs visible downstream with zero counts
+                ids.append(did)
+                keys.append(np.array([-1], np.int64))
+                cnts.append(np.array([0], np.int64))
+                continue
+            u, c = np.unique(gk, return_counts=True)
+            ids.extend([did] * len(u))
+            keys.append(u)
+            cnts.append(c.astype(np.int64))
+        key_arr = np.concatenate(keys) if keys else np.empty(0, np.int64)
+        cnt_arr = np.concatenate(cnts) if cnts else np.empty(0, np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array((key_arr & (PAIR_BUCKETS - 1)).astype(np.int32), pa.int32()),
+                pa.array(key_arr, pa.int64()),
+                pa.array(ids, pa.string()),
+                pa.array(cnt_arr, pa.int64()),
+            ],
+            names=["gb", "gkey", "doc_id", "n"],
+        )
+
+    def _bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are per-doc-unique -> group size == distinct-doc count
+        ndocs = g.groupby("gkey", sort=False)["doc_id"].transform("size")
+        dup = (ndocs > 1) & (g["gkey"].to_numpy() != -1)
+        g = g.assign(dup_n=np.where(dup, g["n"].to_numpy(), 0))
+        out = g.groupby("doc_id", sort=False)[["n", "dup_n"]].sum().reset_index()
+        out.columns = ["doc_id", "n_pos", "n_dup_pos"]
+        out["db"] = [_md5_bucket(d, doc_buckets) for d in out["doc_id"]]
+        return out
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("doc_id", sort=False)[["n_pos", "n_dup_pos"]]
+            .sum()
+            .reset_index()
+        )
+        n = out["n_pos"].to_numpy(dtype=np.int64)
+        d = out["n_dup_pos"].to_numpy(dtype=np.int64)
+        out["dup_frac_e6"] = (1_000_000 * d) // np.maximum(n, 1)
+        return out
+
+    return (
+        docs_ds.map_batches(_explode, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(_bucket_stats, batch_format="pandas")
+        .groupby("db")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+def substring_dup_sql(k: int = 32) -> str:
+    """DuckDB mirror of :func:`substring_dup_stats` (character substr
+    grams, distinct-doc dup rule, integer floor division)."""
+    m = k - 1
+    return (
+        "WITH pos AS (SELECT doc_id, "
+        f"unnest([substr(text, i, {k}) "
+        f"for i in range(1, greatest(length(text) - {m}, 0) + 1)]) AS g "
+        "FROM documents), "
+        "per AS (SELECT doc_id, g, count(*) AS c FROM pos GROUP BY doc_id, g), "
+        "dup AS (SELECT g FROM per GROUP BY g HAVING count(*) > 1), "
+        "stats AS (SELECT per.doc_id, CAST(sum(per.c) AS BIGINT) AS n_pos, "
+        "CAST(coalesce(sum(per.c) FILTER (WHERE dup.g IS NOT NULL), 0) AS BIGINT) "
+        "AS n_dup_pos FROM per LEFT JOIN dup ON per.g = dup.g GROUP BY per.doc_id) "
+        "SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, "
+        "CAST(coalesce(s.n_pos, 0) AS BIGINT) AS n_pos, "
+        "CAST(coalesce(s.n_dup_pos, 0) AS BIGINT) AS n_dup_pos, "
+        "(1000000 * CAST(coalesce(s.n_dup_pos, 0) AS BIGINT)) "
+        "// greatest(CAST(coalesce(s.n_pos, 0) AS BIGINT), 1) AS dup_frac_e6 "
+        "FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id"
+    )
