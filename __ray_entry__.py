@@ -883,6 +883,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return assigns
 
+    def q_bpe_merges(sf_dir: str):
+        """Distributed BPE tokenizer training (Sennrich 2016): ONE
+        corpus-scale word-count pass, then merge iterations over the
+        compressed word-type table driver-side; the merge table is the
+        shipped artifact. Iterative — not SQL-expressible, rows-only at
+        the driver; parity vs a textbook full-recount trainer and
+        partitioning invariance are pinned in tests/test_bpe.py."""
+        from doctr_ray.functions.bpe import train_bpe
+
+        return train_bpe(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            num_merges=200,
+            max_word_types=50_000,
+        )
+
+    def q_bpe_encode(sf_dir: str):
+        """Apply the learned merge table corpus-wide: (doc_id, n_words,
+        n_bpe_tokens). The table broadcasts once via ray.put into a
+        task stage. Depends on the iterative trainer -> rows-only;
+        lossless-encode and compression invariants pinned in tests."""
+        from doctr_ray.functions.bpe import apply_bpe, train_bpe
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        merges = train_bpe(
+            docs, num_merges=200, max_word_types=50_000
+        ).to_pandas()
+        return apply_bpe(docs, merges)
+
     def q_bm25_search(sf_dir: str):
         """Distributed lexical retrieval: two-phase BM25 top-k (stats
         pass -> broadcast -> per-batch scoring with partial top-k)."""
@@ -1263,6 +1291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": q_bm25_search,
         "chunk_dedup": q_chunk_dedup,
         "embedding_clusters": q_embedding_clusters,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "doc_repetition": q_doc_repetition,
         "pdf_native_text": q_pdf_native,
         "pii_redact": q_pii_redact,
