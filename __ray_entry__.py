@@ -957,6 +957,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             roundtrip, batch_format="pyarrow"
         )
 
+    def q_normalize_text(sf_dir: str):
+        """Unicode NFC + whitespace canonicalization (the cleaning
+        stage ahead of dedup hashing). The raw corpus is already clean
+        ASCII, so — like pii_redact — the text is deterministically
+        dirtied from doc_id (decomposed accents, tabs, doubled and
+        trailing spaces) on BOTH sides before cleaning; a vacuous
+        oracle would prove nothing."""
+        import pyarrow as pa
+
+        from doctr_ray.functions.text import normalize_clean
+
+        def dirty(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            d = df["doc_id"]
+            aug = df["text"].fillna("").copy()
+            m = d % 3 == 0
+            aug[m] = "Cafe\u0301  " + aug[m]  # decomposed acute: NFC must touch it
+            m = d % 2 == 0
+            aug[m] = aug[m] + "\tAngstro\u0308m"  # decomposed diaeresis
+            m = d % 5 == 0
+            aug[m] = aug[m] + "   "
+            return pa.Table.from_pydict({"doc_id": d, "text": aug})
+
+        return (
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(dirty, batch_format="pyarrow")
+            .map_batches(normalize_clean, batch_format="pyarrow")
+        )
+
     def q_pii_redact(sf_dir: str):
         """PII scan + redaction (emails/phones/IPv4 -> placeholders).
         The corpus text is deterministically augmented with synthetic
@@ -1296,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q_doc_repetition,
         "pdf_native_text": q_pdf_native,
         "pii_redact": q_pii_redact,
+        "normalize_text": q_normalize_text,
         "decontamination": q_decontamination,
         "doc_bpe_tokens": q_bpe_tokens,
         "doc_commonness": q_doc_commonness,
@@ -1375,6 +1405,21 @@ def _pii_sql() -> str:
         " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
     )
     return pii_redact_sql(source="documents", text_expr=aug)
+
+
+def _normalize_sql() -> str:
+    """normalize_text oracle: the same deterministic dirtying (chr(769)
+    = combining acute, chr(776) = combining diaeresis, chr(9) = tab)
+    as the Ray query, then the shared NFC + whitespace cleanup."""
+    from doctr_ray.functions.text import normalize_clean_sql
+
+    aug = (
+        "CASE WHEN doc_id % 3 = 0 THEN 'Cafe' || chr(769) || '  ' ELSE '' END"
+        " || text"
+        " || CASE WHEN doc_id % 2 = 0 THEN chr(9) || 'Angstro' || chr(776) || 'm' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN '   ' ELSE '' END"
+    )
+    return normalize_clean_sql(source="documents", text_expr=aug)
 
 
 def _decontam_sql() -> str:
@@ -1475,6 +1520,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "pii_redact": _pii_sql(),
+        "normalize_text": _normalize_sql(),
         "decontamination": _decontam_sql(),
         "doc_bpe_tokens": __import__(
             "doctr_ray.functions.text", fromlist=["bpe_token_sql"]

@@ -424,3 +424,50 @@ def top_tokens_by_group_sql(group_col: str = "source", k: int = 5) -> str:
         f"(PARTITION BY {group_col} ORDER BY n DESC, token) AS rank FROM c) "
         f"SELECT {group_col}, CAST(rank AS BIGINT) AS rank, token, n FROM r WHERE rank <= {k}"
     )
+
+
+# --- unicode normalization / whitespace cleanup ---
+
+_WS_RUN_RE = r"[ \t\n\r]+"
+
+
+def normalize_clean(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """NFC + whitespace canonicalization — the first stage of every
+    text-cleaning chain (CCNet/C4 normalize before hashing so that
+    decomposed accents and stray whitespace don't defeat dedup):
+
+    - unicode NFC (combining sequences -> precomposed),
+    - runs of space/tab/newline -> one space,
+    - leading/trailing whitespace stripped,
+    - ``changed``: 1 if the text was touched at all.
+
+    Fully vectorized (pandas .str kernels). SQL mirror:
+    :func:`normalize_clean_sql` (DuckDB nfc_normalize + regexp_replace
+    + trim compute the identical string).
+    """
+    import numpy as np
+
+    df = batch.to_pandas()
+    s = df[text_col].fillna("")
+    clean = (
+        s.str.normalize("NFC").str.replace(_WS_RUN_RE, " ", regex=True).str.strip()
+    )
+    return pa.Table.from_pydict(
+        {
+            "doc_id": df["doc_id"].astype(str),
+            "clean_text": clean,
+            "changed": (clean != s).to_numpy().astype(np.int64),
+        }
+    )
+
+
+def normalize_clean_sql(source: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB mirror of :func:`normalize_clean` over ``text_expr``."""
+    return (
+        f"WITH raw AS (SELECT doc_id, {text_expr} AS t FROM {source}), "
+        "c AS (SELECT doc_id, t, "
+        "trim(regexp_replace(nfc_normalize(t), '[ \\t\\n\\r]+', ' ', 'g')) "
+        "AS clean_text FROM raw) "
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id, clean_text, "
+        "CAST(t <> clean_text AS BIGINT) AS changed FROM c"
+    )

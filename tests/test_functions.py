@@ -382,3 +382,42 @@ def test_lang_id_rtl_breadth_matches_oracle():
     con.register("documents", t)
     odf = con.sql(e.oracle_sql()["doc_lang_id"]).df().set_index("doc_id")["pred_lang"].to_dict()
     assert odf == got
+
+
+def test_normalize_clean_unicode_and_whitespace():
+    import numpy as np
+    import pyarrow as pa
+
+    from doctr_ray.functions.text import normalize_clean
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "Café du  monde",   # decomposed + double space
+                    "  lead\t\ntrail  ",      # mixed runs + strip
+                    "already clean",
+                    None,                      # null -> empty, unchanged
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = normalize_clean(batch).to_pandas().set_index("doc_id")
+    assert out.loc["1", "clean_text"] == "Café du monde"  # precomposed
+    assert out.loc["1", "changed"] == 1
+    assert out.loc["2", "clean_text"] == "lead trail"
+    assert out.loc["2", "changed"] == 1
+    assert out.loc["3", "changed"] == 0
+    assert out.loc["4", "clean_text"] == ""
+    # idempotent: cleaning clean text changes nothing
+    again = normalize_clean(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array([out.loc["1", "clean_text"]], pa.string()),
+            }
+        )
+    ).to_pandas()
+    assert again["changed"].tolist() == [0]
