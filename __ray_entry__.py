@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from doctr_ray.functions.relational import (
         asof_click_attribution,
+        event_gaps,
+        events_rollup,
         order_priority_check,
         orphan_orders,
         range_join_error_clicks,
@@ -1067,6 +1069,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return doc_commonness(_read(sf_dir, "documents", ["doc_id", "text"]), k=1000)
 
+    def q_stratified_sample(sf_dir: str):
+        """Balanced per-source eval-set draw: exactly n rows per source
+        by smallest md5(doc_id|salt) — membership independent of
+        parallelism; one adaptive coarse shuffle of n x groups rows."""
+        import pyarrow.parquet as pq
+
+        from doctr_ray.functions.sampling import stratified_sample
+
+        n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        return stratified_sample(
+            _read(sf_dir, "documents", ["doc_id", "source"]),
+            n_per_group=5,
+            rows_hint=n_rows,
+        )
+
     def q_doc_sample(sf_dir: str):
         """Deterministic 10% sample — md5-keyed membership, identical
         across runs/retries/cluster sizes; no shuffle, no RNG state."""
@@ -1363,6 +1380,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority": order_priority_check,
         "orphan_orders": orphan_orders,
         "shipping_priority": shipping_priority,
+        "event_gaps": event_gaps,
+        "events_rollup": events_rollup,
+        "stratified_sample": q_stratified_sample,
         "supplier_balance": supplier_balance_by_nation,
     }
 
@@ -1884,6 +1904,24 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_orderkey, o_orderdate_us, o_orderpriority "
             "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"
         ),
+        "event_gaps": (
+            # per-user LAG window; -1 sentinel for the user's first event
+            "SELECT event_id, user_id, CAST(coalesce(epoch_us(ts) - "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), "
+            "-1) AS BIGINT) AS gap_us FROM events"
+        ),
+        "events_rollup": (
+            # GROUPING SETS in one corpus pass; sentinels 'ALL' / -1
+            "WITH e AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) "
+            "AS h, value FROM events) "
+            "SELECT coalesce(event_type, 'ALL') AS event_type, "
+            "CAST(coalesce(h, -1) AS BIGINT) AS hour_us, "
+            "count(*) AS n, CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c "
+            "FROM e GROUP BY GROUPING SETS ((event_type, h), (event_type), ())"
+        ),
+        "stratified_sample": __import__(
+            "doctr_ray.functions.sampling", fromlist=["stratified_sample_sql"]
+        ).stratified_sample_sql(),
         "supplier_balance": (
             "SELECT n.n_name, CAST(round(sum(s.s_acctbal) * 100) AS BIGINT) AS total_acctbal_c, "
             "count(*) AS n_suppliers FROM supplier s "

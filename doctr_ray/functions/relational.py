@@ -808,3 +808,99 @@ def shipping_priority(
         .repartition(1)
         .map_batches(_final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def event_gaps(sf_dir: str):
+    """Per-user LAG window: microseconds since the user's previous
+    event (-1 for their first). The window-function shape distinct
+    from sessionization: the full per-row answer, not per-session
+    aggregates. One user-bucket shuffle (adaptive mask), then a FULLY
+    vectorized reducer — one lexsort over the whole bucket and one
+    diff, no per-user Python loop.
+    """
+    mask = bucket_mask_for(sf_dir, "events")
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "ub", pc.cast(pc.bit_wise_and(batch["user_id"], mask), pa.int32())
+        )
+
+    def _gaps(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, u))  # user, then (ts, event_id)
+        u, ts, eid = u[order], ts[order], eid[order]
+        gap = np.empty(len(u), np.int64)
+        if len(u):
+            gap[0] = -1
+            gap[1:] = ts[1:] - ts[:-1]
+            gap[1:][u[1:] != u[:-1]] = -1  # first event of each user
+        return pd.DataFrame({"event_id": eid, "user_id": u, "gap_us": gap})
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(_gaps, batch_format="pandas")
+    )
+
+
+def events_rollup(sf_dir: str):
+    """GROUPING SETS / ROLLUP over events: (event_type, hour),
+    (event_type), and grand total — in ONE corpus pass. Per-batch
+    partials aggregate at the FINEST level only; the coarser levels
+    are derived from the finest aggregate (tiny: types x hours rows)
+    inside a single final task, so the corpus is never re-read per
+    level and no Dataset fork re-executes the upstream. Sentinels:
+    event_type 'ALL', hour_us -1.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+    HOUR_US = 3_600_000_000
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour_us"] = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // HOUR_US * HOUR_US
+        )
+        g = df.groupby(["event_type", "hour_us"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    finest = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "hour_us"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    )
+
+    def _levels(batch: pa.Table) -> pa.Table:
+        f = batch.to_pandas()
+        by_type = f.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        )
+        by_type["hour_us"] = np.int64(-1)
+        total = pd.DataFrame(
+            {
+                "event_type": ["ALL"],
+                "hour_us": np.array([-1], np.int64),
+                "n": [f["n"].sum()],
+                "sum_value": [f["sum_value"].sum()],
+            }
+        )
+        out = pd.concat(
+            [f[["event_type", "hour_us", "n", "sum_value"]], by_type, total],
+            ignore_index=True,
+        )
+        out["n"] = out["n"].astype(np.int64)
+        out["sum_value_c"] = np.round(out["sum_value"] * 100).astype(np.int64)
+        return pa.Table.from_pandas(
+            out[["event_type", "hour_us", "n", "sum_value_c"]], preserve_index=False
+        )
+
+    return finest.repartition(1).map_batches(
+        _levels, batch_format="pyarrow", batch_size=None
+    )

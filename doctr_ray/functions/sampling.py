@@ -156,3 +156,70 @@ def epoch_shuffle_sql(epoch: int = 1, k: int = 100, key: str = "doc_id",
         f"CAST(row_number() OVER (ORDER BY {h}) AS BIGINT) AS rank "
         f"FROM {table} ORDER BY h LIMIT {k}"
     )
+
+
+def stratified_sample(
+    ds,
+    n_per_group: int = 5,
+    group_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "strat",
+    rows_hint: int | None = None,
+):
+    """Deterministic stratified sample: exactly ``n_per_group`` rows
+    from every group (fewer if the group is smaller), picked by
+    smallest ``md5(key|salt)`` — the per-group analog of
+    :func:`deterministic_sample`, for balanced eval sets over skewed
+    source distributions.
+
+    Scale shape: per-batch vectorized top-n per group (pandas groupby
+    head over a sorted frame) collapses each batch to <= n x groups
+    rows; one coarse shuffle on an adaptive group-hash bucket (never
+    one reducer per group — the ~1ms-per-map_groups-call landmine)
+    finishes the selection and assigns ranks. Membership is a pure
+    function of the key: independent of parallelism and resumable.
+    """
+    import pandas as pd
+
+    n_buckets = max(1, (rows_hint or 0) // 50_000 + 1)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[[group_col, key]].copy()
+        df[key] = df[key].astype(str)
+        df["h"] = _key_hex_salted(df[key], salt)
+        df = df.sort_values(["h", key], kind="stable")
+        df = df.groupby(group_col, sort=False).head(n_per_group)
+        df["gb"] = [
+            int(hashlib.md5(str(g).encode()).hexdigest()[:8], 16) % n_buckets
+            for g in df[group_col]
+        ]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", key], kind="stable")
+        g = g.groupby(group_col, sort=False).head(n_per_group).copy()
+        g["rk"] = g.groupby(group_col, sort=False).cumcount() + 1
+        return g[[group_col, key, "rk"]]
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+def stratified_sample_sql(
+    n_per_group: int = 5,
+    group_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "strat",
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror: ROW_NUMBER over the same md5-within-group order."""
+    h = f"md5(CAST({key} AS VARCHAR) || '|{salt}')"
+    return (
+        f"SELECT {group_col}, CAST({key} AS VARCHAR) AS {key}, rk FROM ("
+        f"SELECT {group_col}, {key}, CAST(row_number() OVER ("
+        f"PARTITION BY {group_col} ORDER BY {h}, CAST({key} AS VARCHAR)"
+        f") AS BIGINT) AS rk FROM {table}) WHERE rk <= {n_per_group}"
+    )

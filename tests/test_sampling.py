@@ -67,6 +67,46 @@ def test_bad_weights_raise(ray_session):
         hash_split(_docs(10), weights={"a": 0.5, "b": 0.2}).take_all()
 
 
+def test_stratified_sample_exact_n_per_group(ray_session):
+    from doctr_ray.functions.sampling import stratified_sample
+
+    n = 900
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [f"d{i:05d}" for i in range(n)],
+                "source": [["web", "books", "code"][i % 3] for i in range(n)],
+            }
+        )
+    )
+    rows = stratified_sample(ds, n_per_group=5, rows_hint=n).take_all()
+    by = {}
+    for r in rows:
+        by.setdefault(r["source"], []).append((r["rk"], r["doc_id"]))
+    assert set(by) == {"web", "books", "code"}
+    assert all(sorted(rk for rk, _ in v) == [1, 2, 3, 4, 5] for v in by.values())
+    # membership independent of block layout
+    rows2 = stratified_sample(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [f"d{i:05d}" for i in range(n)],
+                    "source": [["web", "books", "code"][i % 3] for i in range(n)],
+                }
+            )
+        ).repartition(7),
+        n_per_group=5,
+        rows_hint=n,
+    ).take_all()
+    key = lambda rs: sorted((r["source"], r["rk"], r["doc_id"]) for r in rs)
+    assert key(rows) == key(rows2)
+    # a group smaller than n yields the whole group
+    small = rd.from_arrow(
+        pa.table({"doc_id": ["a", "b"], "source": ["tiny", "tiny"]})
+    )
+    assert len(stratified_sample(small, n_per_group=5, rows_hint=2).take_all()) == 2
+
+
 def test_epoch_shuffle_deterministic_and_epoch_independent(ray_session):
     from doctr_ray.functions.sampling import epoch_shuffle_head
 

@@ -1,0 +1,116 @@
+"""Per-user LAG gaps and GROUPING SETS rollup over events: semantics
+on hand-built fixtures plus a DuckDB parity sweep on the synthetic
+tables."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from doctr_ray.functions.relational import event_gaps, events_rollup
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_events(tmp_path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [pd.Timestamp(r[3]) for r in rows], pa.timestamp("us")
+                ),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_event_gaps_semantics(ray_session, tmp_path):
+    sf = _write_events(
+        tmp_path,
+        [
+            # user 1: three events, one ts tie broken by event_id
+            (1, 1, "click", "2024-01-01 00:00:00", 1.0),
+            (2, 1, "click", "2024-01-01 00:00:05", 1.0),
+            (3, 1, "view", "2024-01-01 00:00:05", 1.0),  # tie with event 2
+            # user 2: single event -> -1
+            (4, 2, "click", "2024-01-01 01:00:00", 1.0),
+        ],
+    )
+    got = (
+        event_gaps(sf)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["gap_us"].tolist() == [-1, 5_000_000, 0, -1]
+
+
+def test_events_rollup_semantics(ray_session, tmp_path):
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, 1, "a", "2024-01-01 00:10:00", 1.5),
+            (2, 1, "a", "2024-01-01 00:50:00", 2.5),
+            (3, 2, "a", "2024-01-01 01:10:00", 1.0),
+            (4, 2, "b", "2024-01-01 00:20:00", 4.0),
+        ],
+    )
+    got = events_rollup(sf).to_pandas()
+    h0 = pd.Timestamp("2024-01-01 00:00:00").value // 1000
+    h1 = pd.Timestamp("2024-01-01 01:00:00").value // 1000
+    rows = {
+        (r.event_type, r.hour_us): (r.n, r.sum_value_c)
+        for r in got.itertuples()
+    }
+    assert rows[("a", h0)] == (2, 400)
+    assert rows[("a", h1)] == (1, 100)
+    assert rows[("b", h0)] == (1, 400)
+    assert rows[("a", -1)] == (3, 500)  # per-type subtotal
+    assert rows[("b", -1)] == (1, 400)
+    assert rows[("ALL", -1)] == (4, 900)  # grand total
+    assert len(rows) == 6
+
+
+def test_duckdb_parity_sf(ray_session):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    got = (
+        event_gaps(SF)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "user_id", "gap_us"]]
+    )
+    want = con.sql(
+        "SELECT event_id, user_id, CAST(coalesce(epoch_us(ts) - "
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), "
+        "-1) AS BIGINT) AS gap_us FROM events ORDER BY event_id"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), want.astype(np.int64)
+    )
+
+    got_r = (
+        events_rollup(SF)
+        .to_pandas()
+        .sort_values(["event_type", "hour_us"])
+        .reset_index(drop=True)
+    )
+    want_r = con.sql(
+        "WITH e AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS h, "
+        "value FROM events) "
+        "SELECT coalesce(event_type, 'ALL') AS event_type, "
+        "CAST(coalesce(h, -1) AS BIGINT) AS hour_us, count(*) AS n, "
+        "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c FROM e "
+        "GROUP BY GROUPING SETS ((event_type, h), (event_type), ()) "
+        "ORDER BY event_type, hour_us"
+    ).df()
+    pd.testing.assert_frame_equal(got_r, want_r, check_dtype=False)
