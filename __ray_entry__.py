@@ -1069,6 +1069,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return doc_commonness(_read(sf_dir, "documents", ["doc_id", "text"]), k=1000)
 
+    def q_hll_registers(sf_dir: str):
+        """HyperLogLog register file per source: fixed-size mergeable
+        distinct-count state — the shuffle moves register partials,
+        never tokens. Registers (not the estimate) are integer-exact,
+        so the oracle reproduces them in SQL."""
+        from doctr_ray.functions.sketch import hll_registers
+
+        return hll_registers(_read(sf_dir, "documents", ["source", "text"]), b=12)
+
+    def q_cms_top_tokens(sf_dir: str):
+        """Count-Min heavy hitters: true top-20 tokens with exact and
+        CMS-estimated counts in ONE corpus pass (tagged sketch + token
+        partials share one coarse shuffle)."""
+        import pyarrow.parquet as pq
+
+        from doctr_ray.functions.sketch import cms_top_tokens
+
+        n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        return cms_top_tokens(
+            _read(sf_dir, "documents", ["text"]), k=20, rows_hint=n_rows
+        )
+
     def q_stratified_sample(sf_dir: str):
         """Balanced per-source eval-set draw: exactly n rows per source
         by smallest md5(doc_id|salt) — membership independent of
@@ -1346,6 +1368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontamination": q_decontamination,
         "doc_bpe_tokens": q_bpe_tokens,
         "doc_commonness": q_doc_commonness,
+        "hll_registers": q_hll_registers,
+        "cms_top_tokens": q_cms_top_tokens,
         "doc_sample": q_doc_sample,
         "doc_split": q_doc_split,
         "epoch_shuffle": q_epoch_shuffle,
@@ -1548,6 +1572,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_commonness": __import__(
             "doctr_ray.functions.text", fromlist=["doc_commonness_sql"]
         ).doc_commonness_sql(k=1000),
+        "hll_registers": __import__(
+            "doctr_ray.functions.sketch", fromlist=["hll_registers_sql"]
+        ).hll_registers_sql(b=12),
+        "cms_top_tokens": __import__(
+            "doctr_ray.functions.sketch", fromlist=["cms_top_tokens_sql"]
+        ).cms_top_tokens_sql(k=20),
         "top_tokens": (
             "SELECT token, count(*) AS n FROM "
             "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
