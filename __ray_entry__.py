@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         asof_click_attribution,
         event_gaps,
         events_rollup,
+        funnel_conversion,
         order_priority_check,
         orphan_orders,
         range_join_error_clicks,
@@ -1406,6 +1407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": shipping_priority,
         "event_gaps": event_gaps,
         "events_rollup": events_rollup,
+        "funnel_conversion": funnel_conversion,
         "stratified_sample": q_stratified_sample,
         "supplier_balance": supplier_balance_by_nation,
     }
@@ -1933,6 +1935,26 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate < DATE '1997-06-30' AND l_shipdate > DATE '1997-06-30' "
             "GROUP BY l_orderkey, o_orderdate_us, o_orderpriority "
             "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"
+        ),
+        "funnel_conversion": (
+            # ordered-sequence funnel with lexicographic (ts, event_id)
+            # anchors: first view -> first later click -> any later purchase
+            "WITH v AS (SELECT user_id, ts, event_id FROM ("
+            "SELECT user_id, ts, event_id, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events "
+            "WHERE event_type = 'view') WHERE rn = 1), "
+            "c AS (SELECT user_id, ts, event_id FROM ("
+            "SELECT e.user_id, e.ts, e.event_id, row_number() OVER ("
+            "PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn "
+            "FROM events e JOIN v ON e.user_id = v.user_id "
+            "WHERE e.event_type = 'click' AND (e.ts > v.ts OR "
+            "(e.ts = v.ts AND e.event_id > v.event_id))) WHERE rn = 1), "
+            "p AS (SELECT c.user_id FROM events e JOIN c ON e.user_id = c.user_id "
+            "WHERE e.event_type = 'purchase' AND (e.ts > c.ts OR "
+            "(e.ts = c.ts AND e.event_id > c.event_id)) GROUP BY c.user_id) "
+            "SELECT 'view' AS stage, count(*) AS n_users FROM v "
+            "UNION ALL SELECT 'click', count(*) FROM c "
+            "UNION ALL SELECT 'purchase', count(*) FROM p"
         ),
         "event_gaps": (
             # per-user LAG window; -1 sentinel for the user's first event

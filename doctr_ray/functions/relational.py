@@ -904,3 +904,86 @@ def events_rollup(sf_dir: str):
     return finest.repartition(1).map_batches(
         _levels, batch_format="pyarrow", batch_size=None
     )
+
+
+def funnel_conversion(sf_dir: str,
+                      stages: tuple[str, str, str] = ("view", "click", "purchase")):
+    """Ordered-sequence funnel over events: how many users had a view,
+    then a click strictly after their FIRST view, then a purchase
+    strictly after their first qualifying click. The sequential-pattern
+    shape (MATCH_RECOGNIZE-lite) that sessionization and plain windows
+    don't cover.
+
+    Ordering is lexicographic (ts, event_id) — total and tie-safe
+    without a combined int64 key (epoch_us * eid overflows). One
+    adaptive user-bucket shuffle; per bucket the three stage scans are
+    pandas groupby-first merges over a lexsorted frame (no per-user
+    Python). Per-bucket counts are disjoint (a user lives in exactly
+    one bucket), so the final combine is a 3-row sum.
+    """
+    mask = bucket_mask_for(sf_dir, "events")
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    s0, s1, s2 = stages
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch["event_type"], pa.array([s0, s1, s2])))
+        return batch.append_column(
+            "ub", pc.cast(pc.bit_wise_and(batch["user_id"], mask), pa.int32())
+        )
+
+    def _after(evs: pd.DataFrame, firsts: pd.DataFrame) -> pd.DataFrame:
+        """Events strictly after each user's first (ts, eid) anchor;
+        sorted order is preserved, so groupby.first() is the min."""
+        m = evs.merge(firsts, on="user_id", how="inner", sort=False)
+        keep = (m["ts"] > m["a_ts"]) | ((m["ts"] == m["a_ts"]) & (m["eid"] > m["a_eid"]))
+        return m[keep]
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "ts": g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "eid": g["event_id"].to_numpy(),
+                "et": g["event_type"].to_numpy(),
+            }
+        ).sort_values(["user_id", "ts", "eid"], kind="stable")
+        v = (
+            df[df["et"] == s0]
+            .groupby("user_id", sort=False)[["ts", "eid"]]
+            .first()
+            .reset_index()
+            .rename(columns={"ts": "a_ts", "eid": "a_eid"})
+        )
+        c_all = _after(df[df["et"] == s1], v)
+        c = (
+            c_all.groupby("user_id", sort=False)[["ts", "eid"]]
+            .first()
+            .reset_index()
+            .rename(columns={"ts": "a_ts", "eid": "a_eid"})
+        )
+        p = _after(df[df["et"] == s2], c)
+        return pd.DataFrame(
+            {
+                "stage": [s0, s1, s2],
+                "n_users": np.array(
+                    [len(v), len(c), p["user_id"].nunique()], np.int64
+                ),
+            }
+        )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.groupby("stage", sort=False)["n_users"].sum().reset_index()
+        order = {s: i for i, s in enumerate(stages)}
+        out = out.sort_values("stage", key=lambda s: s.map(order))
+        return pa.Table.from_pandas(
+            out.astype({"n_users": np.int64}), preserve_index=False
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(_count, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )

@@ -8,7 +8,11 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from doctr_ray.functions.relational import event_gaps, events_rollup
+from doctr_ray.functions.relational import (
+    event_gaps,
+    events_rollup,
+    funnel_conversion,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -76,6 +80,33 @@ def test_events_rollup_semantics(ray_session, tmp_path):
     assert rows[("b", -1)] == (1, 400)
     assert rows[("ALL", -1)] == (4, 900)  # grand total
     assert len(rows) == 6
+
+
+def test_funnel_semantics(ray_session, tmp_path):
+    sf = _write_events(
+        tmp_path,
+        [
+            # user 1 completes the funnel
+            (1, 1, "view", "2024-01-01 00:00:00", 0.0),
+            (2, 1, "click", "2024-01-01 00:01:00", 0.0),
+            (3, 1, "purchase", "2024-01-01 00:02:00", 0.0),
+            # user 2: click BEFORE the first view -> no click stage
+            (4, 2, "click", "2024-01-01 00:00:00", 0.0),
+            (5, 2, "view", "2024-01-01 00:01:00", 0.0),
+            (6, 2, "purchase", "2024-01-01 00:02:00", 0.0),
+            # user 3: ts tie — click same ts as view, larger event_id
+            # counts; purchase same ts as click, SMALLER event_id, does not
+            (8, 3, "view", "2024-01-01 00:00:00", 0.0),
+            (9, 3, "click", "2024-01-01 00:00:00", 0.0),
+            (7, 3, "purchase", "2024-01-01 00:00:00", 0.0),
+            # user 4: view only
+            (10, 4, "view", "2024-01-01 00:00:00", 0.0),
+        ],
+    )
+    got = funnel_conversion(sf).to_pandas()
+    assert dict(zip(got["stage"], got["n_users"])) == {
+        "view": 4, "click": 2, "purchase": 1,
+    }
 
 
 def test_duckdb_parity_sf(ray_session):
