@@ -1070,6 +1070,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return doc_commonness(_read(sf_dir, "documents", ["doc_id", "text"]), k=1000)
 
+    def q_rag_chunks(sf_dir: str):
+        """RAG ingest chunking: overlapping 128-token windows every 96
+        tokens — pure per-row fan-out, zero shuffle."""
+        from doctr_ray.functions.text import rag_chunks
+
+        return rag_chunks(_read(sf_dir, "documents", ["doc_id", "text"]))
+
     def q_hll_registers(sf_dir: str):
         """HyperLogLog register file per source: fixed-size mergeable
         distinct-count state — the shuffle moves register partials,
@@ -1369,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontamination": q_decontamination,
         "doc_bpe_tokens": q_bpe_tokens,
         "doc_commonness": q_doc_commonness,
+        "rag_chunks": q_rag_chunks,
         "hll_registers": q_hll_registers,
         "cms_top_tokens": q_cms_top_tokens,
         "doc_sample": q_doc_sample,
@@ -1574,6 +1582,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_commonness": __import__(
             "doctr_ray.functions.text", fromlist=["doc_commonness_sql"]
         ).doc_commonness_sql(k=1000),
+        "rag_chunks": __import__(
+            "doctr_ray.functions.text", fromlist=["rag_chunks_sql"]
+        ).rag_chunks_sql(),
         "hll_registers": __import__(
             "doctr_ray.functions.sketch", fromlist=["hll_registers_sql"]
         ).hll_registers_sql(b=12),

@@ -471,3 +471,62 @@ def normalize_clean_sql(source: str = "documents", text_expr: str = "text") -> s
         "SELECT CAST(doc_id AS VARCHAR) AS doc_id, clean_text, "
         "CAST(t <> clean_text AS BIGINT) AS changed FROM c"
     )
+
+
+def rag_chunks(docs_ds, size: int = 128, stride: int = 96):
+    """Overlapping token-window chunking for retrieval corpora (the
+    RAG ingest shape): each document becomes ceil((n-size)/stride)+1
+    chunks of ``size`` whitespace tokens starting every ``stride``
+    tokens (one chunk when n <= size; none when the document is
+    empty). The tail chunk is shorter, never fully contained in its
+    predecessor. Pure per-row fan-out inside ``map_batches`` — no
+    shuffle at any corpus size.
+
+    Output: ``doc_id, chunk_idx, n_tok, chunk_text`` (tokens re-joined
+    single-spaced, matching the SQL mirror's list_slice semantics).
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError(f"need 0 < stride <= size, got size={size} stride={stride}")
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        ids, idxs, ntoks, texts = [], [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = [x for x in (t or "").split(" ") if x]
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = 1 if n <= size else (n - size + stride - 1) // stride + 1
+            for i in range(n_chunks):
+                part = toks[i * stride : i * stride + size]
+                ids.append(did)
+                idxs.append(i)
+                ntoks.append(len(part))
+                texts.append(" ".join(part))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, batch.schema.field("doc_id").type),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "n_tok": pa.array(ntoks, pa.int64()),
+                "chunk_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(_chunks, batch_format="pyarrow")
+
+
+def rag_chunks_sql(size: int = 128, stride: int = 96,
+                   table: str = "documents") -> str:
+    """DuckDB mirror: list_slice over the same token windows; the chunk
+    count uses the identical integer ceil."""
+    return (
+        "WITH tk AS (SELECT doc_id, "
+        f"list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM {table}), "
+        "nn AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0), "
+        "ix AS (SELECT doc_id, toks, n, unnest(range(CASE WHEN n <= "
+        f"{size} THEN 1 ELSE (n - {size} + {stride} - 1) // {stride} + 1 END)) AS i "
+        "FROM nn) "
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+        f"CAST(least(n - i * {stride}, {size}) AS BIGINT) AS n_tok, "
+        f"array_to_string(list_slice(toks, i * {stride} + 1, "
+        f"i * {stride} + {size}), ' ') AS chunk_text FROM ix"
+    )

@@ -421,3 +421,41 @@ def test_normalize_clean_unicode_and_whitespace():
         )
     ).to_pandas()
     assert again["changed"].tolist() == [0]
+
+
+def test_rag_chunks_windows(ray_session):
+    from doctr_ray.functions.text import rag_chunks
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    " ".join(f"t{i}" for i in range(10)),  # 3 chunks
+                    "a b c",                               # 1 chunk (n <= size)
+                    "",                                    # empty -> none
+                    " ".join(f"t{i}" for i in range(7)),   # exactly 1+ceil(3/3)=2
+                ],
+            }
+        )
+    )
+    got = (
+        rag_chunks(docs, size=4, stride=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    by = {
+        (r.doc_id, r.chunk_idx): (r.n_tok, r.chunk_text) for r in got.itertuples()
+    }
+    # doc 1: n=10 -> chunks at 0,3,6 (ceil(6/3)+1 = 3); windows of 4
+    assert by[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert by[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert by[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert by[(2, 0)] == (3, "a b c")
+    assert 3 not in got["doc_id"].tolist()
+    assert by[(4, 0)] == (4, "t0 t1 t2 t3")
+    assert by[(4, 1)] == (4, "t3 t4 t5 t6")
+    assert len(got) == 6
+    with pytest.raises(ValueError, match="stride"):
+        rag_chunks(docs, size=4, stride=5)
