@@ -172,6 +172,17 @@ def run_once() -> dict:
         "source_moments",
         "fuzzy_name_pairs",
         "orphan_orders",
+        "shipping_priority",
+        "substring_dup",
+        "normalize_text",
+        "bpe_encode",
+        "event_gaps",
+        "events_rollup",
+        "funnel_conversion",
+        "stratified_sample",
+        "hll_registers",
+        "cms_top_tokens",
+        "rag_chunks",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

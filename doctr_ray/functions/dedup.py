@@ -746,7 +746,9 @@ def connected_components(pairs_ds, max_rounds: int = 50):
     # near-empty tasks (measured: 83 s for ONE converged iteration on
     # 256 pairs — pure scheduling overhead); at scale the bucket count
     # grows with the edge count so reducers stay ~50k rows each
-    B = max(1, min(PAIR_BUCKETS, n_rows // 50_000 + 1))
+    from doctr_ray.pool import adaptive_buckets
+
+    B = min(PAIR_BUCKETS, adaptive_buckets(n_rows))
 
     def _add_cb(batch: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
@@ -889,7 +891,9 @@ def chunk_dedup_stats(docs_ds, tokens_per_chunk: int = 12, buckets: int = PAIR_B
     n_dup_chunks, dup_frac_e6).
     """
     n_docs = docs_ds.count()
-    doc_buckets = max(1, n_docs // 50_000 + 1)
+    from doctr_ray.pool import adaptive_buckets
+
+    doc_buckets = adaptive_buckets(n_docs)
 
     def _explode(batch: pa.Table) -> pa.Table:
         ids, fps, cbs = [], [], []
@@ -973,7 +977,9 @@ def dup_ngram_stats(docs_ds, n: int = 8, buckets: int = PAIR_BUCKETS):
     # adaptive doc-bucket count for the final combine (tiny partial
     # rows; one reducer per ~50k docs keeps groups coarse + vectorized)
     n_docs = docs_ds.count()
-    doc_buckets = max(1, n_docs // 50_000 + 1)
+    from doctr_ray.pool import adaptive_buckets
+
+    doc_buckets = adaptive_buckets(n_docs)
 
     def _explode(batch: pa.Table) -> pa.Table:
         ids, fps, cbs, cnts = [], [], [], []
@@ -1114,7 +1120,9 @@ def substring_dup_stats(docs_ds, k: int = 32):
     n_dup_pos, dup_frac_e6) — integer floor division, oracle-exact.
     """
     n_docs = docs_ds.count()
-    doc_buckets = max(1, n_docs // 50_000 + 1)
+    from doctr_ray.pool import adaptive_buckets
+
+    doc_buckets = adaptive_buckets(n_docs)
 
     def _explode(batch: pa.Table) -> pa.Table:
         ids, keys, cnts, gbs = [], [], [], []

@@ -44,7 +44,9 @@ def corpus_filter(
        the smallest doc_id.
     """
     n_docs = docs_ds.count()
-    B = buckets or max(1, min(PAIR_BUCKETS, n_docs // 50_000 + 1))
+    from doctr_ray.pool import adaptive_buckets
+
+    B = buckets or min(PAIR_BUCKETS, adaptive_buckets(n_docs))
 
     def _signals(batch: pa.Table) -> pa.Table:
         # row-aligned reuse of the standalone oracled kernels

@@ -35,17 +35,20 @@ def read_table(sf_dir: str, table: str, columns: list[str]):
 def bucket_mask_for(sf_dir: str, table: str, rows_per_bucket: int = 50_000) -> int:
     """Adaptive power-of-two bucket mask for keyed reducers, sized from
     the table's parquet footer (free): ~``rows_per_bucket`` rows land in
-    each reducer at ANY corpus size. A fixed 64-way split is wrong at
-    both ends — at 100x scale one bucket is 1/64 of ALL rows
-    concatenated into a single pandas frame (unbounded reducer memory),
-    and on a small table it fragments the groupby into near-empty ~1ms
-    Python tasks (CLAUDE.md landmine). Power of two so the hot path
-    stays a single ``bit_wise_and`` Arrow kernel."""
+    each reducer at ANY corpus size, with a cluster-parallelism floor
+    (see pool.adaptive_buckets) so a mid-size table doesn't starve the
+    reduce phase. A fixed 64-way split is wrong at both ends — at 100x
+    scale one bucket is 1/64 of ALL rows concatenated into a single
+    pandas frame (unbounded reducer memory), and on a small table it
+    fragments the groupby into near-empty ~1ms Python tasks (CLAUDE.md
+    landmine). Power of two so the hot path stays a single
+    ``bit_wise_and`` Arrow kernel."""
     import pyarrow.parquet as pq
 
+    from doctr_ray.pool import adaptive_bucket_mask
+
     n = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
-    want = max(1, n // rows_per_bucket + 1)
-    return (1 << math.ceil(math.log2(want))) - 1 if want > 1 else 0
+    return adaptive_bucket_mask(n, rows_per_bucket)
 
 
 def pricing_summary(sf_dir: str):

@@ -164,7 +164,9 @@ def cms_top_tokens(docs_ds, k: int = 20, d: int = 4, width: int = 2048,
     group). A single final task picks the global top-k and probes the
     merged sketch.
     """
-    n_tok_buckets = max(1, (rows_hint or 0) // 50_000 + 1)
+    from doctr_ray.pool import adaptive_buckets
+
+    n_tok_buckets = adaptive_buckets(rows_hint or 0)
 
     def _partial(batch: pa.Table) -> pa.Table:
         import collections
