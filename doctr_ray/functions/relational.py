@@ -118,49 +118,40 @@ def top_customer_revenue(sf_dir: str, limit: int = 20):
     """
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    # coarse-bucket combine instead of a native groupby(custkey)
+    # aggregate: per-batch partials barely reduce (~10 orders/customer)
+    # so the native per-key shuffle moved ~130k rows through seconds of
+    # Aggregate overhead (the CLAUDE.md native-groupby landmine);
+    # bucketing by custkey & mask keeps the same co-location guarantee
+    # with a vectorized pandas combine per bucket.
+    mask = bucket_mask_for(sf_dir, "orders")
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         g = df.groupby("o_custkey", as_index=False)["o_totalprice"].sum()
+        g["cb"] = (g["o_custkey"].to_numpy(np.int64) & mask).astype(np.int32)
         return pa.Table.from_pandas(g, preserve_index=False)
-
-    per_cust = (
-        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("o_custkey")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"))
-    )
 
     cust = pd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
     )
     cref = ray.put(cust.set_index("c_custkey"))
 
-    def join_dim(batch: pa.Table) -> pa.Table:
-        dim = ray.get(cref)
-        df = batch.to_pandas()
-        df = df.join(dim, on="o_custkey", how="inner")
-        df = df.rename(columns={"o_custkey": "c_custkey"})
-        df["revenue_c"] = np.round(df["revenue"] * 100).astype(np.int64)
-        return pa.Table.from_pandas(
-            df[["c_custkey", "c_name", "c_mktsegment", "revenue_c"]], preserve_index=False
-        )
-
-    joined = per_cust.map_batches(join_dim, batch_format="pyarrow")
-
-    # top-k without a global sort: every per-customer aggregate row used
-    # to flow through sort().limit() (an all-to-all of the WHOLE
-    # customer dimension for a top-20). Partial top-k per block, then
-    # one single-block final combine over <= limit x n_blocks tiny rows
-    # (the bm25/_final_topk pattern, search.py / similarity.py).
-    def _partial_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values(
-            ["revenue_c", "c_custkey"], ascending=[False, True], kind="stable"
+    def _bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # full per-customer sums (a custkey lives wholly in one bucket),
+        # THEN the per-bucket top-k partial — the dimension join touches
+        # only the <= limit survivors, not the whole customer dimension
+        s = g.groupby("o_custkey", as_index=False)["o_totalprice"].sum()
+        s["revenue_c"] = np.round(s["o_totalprice"] * 100).astype(np.int64)
+        s = s.sort_values(
+            ["revenue_c", "o_custkey"], ascending=[False, True], kind="stable"
         ).head(limit)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        dim = ray.get(cref)
+        s = s.join(dim, on="o_custkey", how="inner")
+        s = s.rename(columns={"o_custkey": "c_custkey"})
+        return s[["c_custkey", "c_name", "c_mktsegment", "revenue_c"]]
 
     def _final_topk(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -170,7 +161,9 @@ def top_customer_revenue(sf_dir: str, limit: int = 20):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return (
-        joined.map_batches(_partial_topk, batch_format="pyarrow")
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("cb")
+        .map_groups(_bucket_topk, batch_format="pandas")
         .repartition(1)
         .map_batches(_final_topk, batch_format="pyarrow", batch_size=None)
     )
@@ -329,14 +322,20 @@ def events_sliding_window(sf_dir: str, width_minutes: int = 60, slide_minutes: i
     slide grid.
     """
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     assert width_minutes % slide_minutes == 0
     k = width_minutes // slide_minutes
     slide = np.timedelta64(slide_minutes, "m")
     width = np.timedelta64(width_minutes, "m")
+    slide_us = np.int64(slide_minutes) * 60_000_000
 
     ds = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+    # coarse window-bucket combine instead of a native groupby over
+    # (event_type, window_start) — thousands of composite keys through
+    # the Aggregate operator cost seconds (CLAUDE.md landmine); the
+    # bucket key is the slide-grid index masked adaptively, reducers
+    # finish with one vectorized pandas groupby each
+    mask = bucket_mask_for(sf_dir, "events")
 
     def fanout_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -363,27 +362,25 @@ def events_sliding_window(sf_dir: str, width_minutes: int = 60, slide_minutes: i
         g = out.groupby(["event_type", "window_start"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
+        ws_us = g["window_start"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g["wb"] = ((ws_us // slide_us) & mask).astype(np.int32)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        # a (type, window) key lives wholly in one wb bucket
+        out = g.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+        )
+        out["window_start"] = out["window_start"].astype("datetime64[us]")
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["sum_value_c"] = np.round(out["sum_value"] * 100).astype(np.int64)
+        return out[["event_type", "window_start", "n_events", "sum_value_c"]]
+
+    return (
         ds.map_batches(fanout_partial, batch_format="pyarrow", batch_size=65536)
-        .groupby(["event_type", "window_start"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
-        )
+        .groupby("wb")
+        .map_groups(_combine, batch_format="pandas")
     )
-
-    def _fixed_point(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["window_start"] = df["window_start"].astype("datetime64[us]")
-        df["sum_value_c"] = np.round(df["sum_value"] * 100).astype(np.int64)
-        return pa.Table.from_pandas(
-            df[["event_type", "window_start", "n_events", "sum_value_c"]],
-            preserve_index=False,
-        )
-
-    return agg.map_batches(_fixed_point, batch_format="pyarrow")
 
 
 def asof_click_attribution(sf_dir: str):

