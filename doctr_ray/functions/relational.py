@@ -173,13 +173,14 @@ def events_hourly(sf_dir: str):
     """Tumbling-window aggregate over the events stream table.
 
     Window = (event_type, hour bucket); implemented as a vectorized
-    per-batch partial count/sum then a small groupby — the streaming-
-    shaped workload pattern (ray_guide: groupby over time buckets).
+    per-batch partial count/sum then one coarse hour-bucket shuffle
+    with a vectorized combine — the streaming-shaped workload pattern
+    (ray_guide: groupby over time buckets).
     """
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     ds = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+    mask = bucket_mask_for(sf_dir, "events")
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -187,26 +188,27 @@ def events_hourly(sf_dir: str):
         g = df.groupby(["event_type", "hour"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
+        hr_us = g["hour"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g["hb"] = ((hr_us // 3_600_000_000) & mask).astype(np.int32)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        # a (type, hour) key lives wholly in one hb bucket; coarse
+        # combine instead of the native per-key Aggregate (CLAUDE.md
+        # landmine: seconds of overhead at thousands of composite keys)
+        out = g.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+        )
+        out["hour"] = out["hour"].astype("datetime64[us]")  # match duckdb precision
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["sum_value_c"] = np.round(out["sum_value"] * 100).astype(np.int64)
+        return out[["event_type", "hour", "n_events", "sum_value_c"]]
+
+    return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby(["event_type", "hour"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
-        )
+        .groupby("hb")
+        .map_groups(_combine, batch_format="pandas")
     )
-
-    def _fixed_point(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["hour"] = df["hour"].astype("datetime64[us]")  # match duckdb precision
-        df["sum_value_c"] = np.round(df["sum_value"] * 100).astype(np.int64)
-        return pa.Table.from_pandas(
-            df[["event_type", "hour", "n_events", "sum_value_c"]], preserve_index=False
-        )
-
-    return agg.map_batches(_fixed_point, batch_format="pyarrow")
 
 
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
@@ -855,10 +857,9 @@ def events_rollup(sf_dir: str):
     level and no Dataset fork re-executes the upstream. Sentinels:
     event_type 'ALL', hour_us -1.
     """
-    from ray.data.aggregate import Sum
-
     ds = read_table(sf_dir, "events", ["event_type", "ts", "value"])
     HOUR_US = 3_600_000_000
+    mask = bucket_mask_for(sf_dir, "events")
 
     def _partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -869,12 +870,22 @@ def events_rollup(sf_dir: str):
         g = df.groupby(["event_type", "hour_us"], as_index=False).agg(
             n=("value", "size"), sum_value=("value", "sum")
         )
+        g["hb"] = ((g["hour_us"].to_numpy(np.int64) // HOUR_US) & mask).astype(
+            np.int32
+        )
         return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        # coarse hour-bucket combine (a (type, hour) key lives wholly in
+        # one hb bucket) instead of the native per-key Aggregate
+        return g.groupby(["event_type", "hour_us"], as_index=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        )
 
     finest = (
         ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
-        .groupby(["event_type", "hour_us"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+        .groupby("hb")
+        .map_groups(_combine, batch_format="pandas")
     )
 
     def _levels(batch: pa.Table) -> pa.Table:
