@@ -319,7 +319,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     }
                 )
 
-        pool = max(1, default_pool() // 2)
+        # TASK stage, not an actor pool: the worker's only state is the
+        # 27 KB glyph bank (~2 ms build) — a per-query pool paid ~4 s of
+        # actor spin-up for ~1 s of parallel skew kernels
+        pool = default_pool()
         docs = _read(sf_dir, "documents", ["doc_id", "text"]).limit(100).map_batches(
             to_docs, batch_format="pyarrow"
         )
@@ -329,7 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .repartition(pool)
         )
         return media.map_batches(
-            SkewWorker, batch_format="pyarrow", batch_size=16, concurrency=pool
+            SkewWorker(), batch_format="pyarrow", batch_size=16
         )
 
     def q_ocr_eval(sf_dir: str):
@@ -507,7 +510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 rows.append({"doc_id": did, "words": " ".join(w for w in gg["w"] if w)})
             return pd.DataFrame(rows)
 
-        pool = max(1, default_pool() // 2)
+        # TASK stage (27 KB glyph-bank state; see q_ocr_skewed note)
+        pool = default_pool()
         media = (
             _docs_ds(sf_dir, limit=60)
             .map_batches(explode_spans, batch_format="pyarrow")
@@ -515,7 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .repartition(pool)
         )
         return (
-            media.map_batches(ReconWorker, batch_format="pyarrow", batch_size=16, concurrency=pool)
+            media.map_batches(ReconWorker(), batch_format="pyarrow", batch_size=16)
             .map_batches(
                 functools.partial(_add_bucket, buckets=assembly_buckets_for(60)),
                 batch_format="pyarrow",
@@ -615,17 +619,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents", ["doc_id", "text"]).limit(80).map_batches(
             to_docs, batch_format="pyarrow"
         )
-        pool = max(1, default_pool() // 2)
+        # TASK stage (27 KB glyph-bank state; see q_ocr_skewed note)
+        pool = default_pool()
         media = (
             docs.map_batches(explode_spans, batch_format="pyarrow")
             .filter(expr="kind == 'media'")
             # the limit upstream coalesces to ~2 blocks, which would cap
-            # the actor pool at 2 concurrent tasks — spread the work
+            # concurrency at 2 tasks — spread the work
             .repartition(pool)
         )
         return media.map_batches(
-            TableWorker, batch_format="pyarrow", batch_size=16,
-            concurrency=pool,
+            TableWorker(), batch_format="pyarrow", batch_size=16
         )
 
     def q_kie_word_text(sf_dir: str):

@@ -60,7 +60,11 @@ def classify_components(rel_scored: np.ndarray, page_shape: tuple[int, int]) -> 
 
 
 class KieMediaWorker:
-    """Actor-pool stage: media rows -> per-class prediction rows."""
+    """Media rows -> per-class prediction rows. Runs as a TASK stage
+    (instance passed to map_batches): the only state is the glyph
+    template bank (27 KB pickled, ~2 ms build), so an actor pool would
+    pay seconds of per-query actor spin-up for nothing (CLAUDE.md
+    cheap-state policy)."""
 
     def __init__(self) -> None:
         self.recognizer = GlyphRecognizer()
@@ -119,9 +123,13 @@ def kie_predictions(docs_ds, concurrency: int | tuple | None = None):
     work = docs_ds.map_batches(explode_spans, batch_format="pyarrow", batch_size=256)
     media = work.filter(expr="kind == 'media'")
     media = media.repartition(max(64, default_pool() * 8))
+    if concurrency is not None:
+        return media.map_batches(
+            KieMediaWorker,
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=concurrency,
+        )
     return media.map_batches(
-        KieMediaWorker,
-        batch_format="pyarrow",
-        batch_size=32,
-        concurrency=concurrency or default_pool(),
+        KieMediaWorker(), batch_format="pyarrow", batch_size=32
     )
