@@ -1074,6 +1074,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return doc_commonness(_read(sf_dir, "documents", ["doc_id", "text"]), k=1000)
 
+    def q_ann_topk_filtered(sf_dir: str):
+        """Predicate-gated exact ANN (the RAG shape): cosine top-k over
+        vectors whose document passes lang='en' AND n_chars >= 200.
+        The gate is a co-partitioned semi-join (both sides shuffle once
+        on vec_id & mask) — the allowed set is corpus-sized, only the
+        query matrix broadcasts."""
+        import pyarrow.parquet as pq
+
+        from doctr_ray.functions.similarity import ann_topk_filtered
+
+        n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+        allowed = (
+            _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+            .filter(expr="lang == 'en' and n_chars >= 200")
+            .select_columns(["doc_id"])
+        )
+        return ann_topk_filtered(
+            _emb(sf_dir), allowed, _ann_queries(sf_dir), k=ANN_K, rows_hint=n_rows
+        )
+
     def q_rag_chunks(sf_dir: str):
         """RAG ingest chunking: overlapping 128-token windows every 96
         tokens — pure per-row fan-out, zero shuffle."""
@@ -1380,6 +1400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontamination": q_decontamination,
         "doc_bpe_tokens": q_bpe_tokens,
         "doc_commonness": q_doc_commonness,
+        "ann_topk_filtered": q_ann_topk_filtered,
         "rag_chunks": q_rag_chunks,
         "hll_registers": q_hll_registers,
         "cms_top_tokens": q_cms_top_tokens,
@@ -1808,6 +1829,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5"
         ),
         "ann_topk": ann_topk_sql,
+        "ann_topk_filtered": (
+            f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            f"WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {N_ANN_QUERIES})), "
+            "f AS (SELECT e.vec_id, e.embedding FROM embeddings e "
+            "JOIN documents d ON e.vec_id = d.doc_id "
+            "WHERE d.lang = 'en' AND d.n_chars >= 200), "
+            "s AS (SELECT q.query_id, f.vec_id, "
+            "CAST(round(list_cosine_similarity(f.embedding::DOUBLE[], q.qe::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_e6 "
+            "FROM f CROSS JOIN q) "
+            "SELECT query_id, vec_id, cosine_e6, rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id "
+            f"ORDER BY cosine_e6 DESC, vec_id) AS rank FROM s) WHERE rank <= {ANN_K}"
+        ),
         # IVF is probe-pruned but must still return the exact top-k on
         # this corpus (recall 1 at n_probe=4/16 cells — measured, and now
         # gated by the exact oracle)

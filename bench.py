@@ -126,6 +126,13 @@ def run_once() -> dict:
 
     q = entrymod.queries()
     timings: dict[str, float] = {"ocr_roundtrip": round(ocr_sec, 3)}
+    # untimed task-worker warm-up, mirroring the untimed actor-pool
+    # warm-up in bench_ocr: the OCR phase occupies every CPU with actor
+    # processes, so Ray reaps the idle task workers — the first task
+    # query after it would pay ~3 s of worker respawn+import that a
+    # long-running job never sees (steady state is what BASELINE.md
+    # records)
+    q["doc_token_stats"](SF_DIR).count()
     for name in (
         "doc_token_stats",
         "doc_fingerprint",

@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -535,3 +536,92 @@ def kmeans_embeddings(
         )
 
     return embeddings_ds.map_batches(_assign, batch_format="pyarrow"), C
+
+
+def ann_topk_filtered(
+    embeddings_ds,
+    allowed_ids_ds,
+    queries: dict[int, np.ndarray],
+    k: int = 10,
+    rows_hint: int | None = None,
+):
+    """Predicate-gated exact ANN: cosine top-k over only the vectors
+    whose id passes a document-side filter (the RAG shape — "search
+    quality English docs only").
+
+    The gate is a CO-PARTITIONED SEMI-JOIN, not a broadcast: at corpus
+    scale the allowed-id set is itself huge, so both sides shuffle once
+    on ``vec_id & mask`` (adaptive bucket count) and each reducer keeps
+    the embedding rows whose id appears in its bucket's allowed set —
+    one vectorized ``np.isin`` per bucket. Survivors then flow through
+    the standard broadcast-query scorer + partial top-k (ann_topk's
+    machinery; the query matrix IS small, so THAT side broadcasts).
+    """
+    import ray
+
+    from doctr_ray.pool import adaptive_bucket_mask
+
+    mask = adaptive_bucket_mask(rows_hint or 0)
+
+    def _emb_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "eb": pc.cast(pc.bit_wise_and(batch["vec_id"], mask), pa.int32()),
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "side": pa.array(np.ones(batch.num_rows, np.int8)),
+            }
+        )
+
+    def _id_side(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[batch.schema.names[0]], pa.int64())
+        return pa.table(
+            {
+                "eb": pc.cast(pc.bit_wise_and(ids, mask), pa.int32()),
+                "vec_id": ids,
+                "embedding": pa.nulls(len(ids), pa.list_(pa.float32())),
+                "side": pa.array(np.zeros(len(ids), np.int8)),
+            }
+        )
+
+    def _semi(g: pd.DataFrame) -> pd.DataFrame:
+        allowed = g.loc[g["side"] == 0, "vec_id"].to_numpy(np.int64)
+        emb = g[g["side"] == 1]
+        keep = emb[np.isin(emb["vec_id"].to_numpy(np.int64), allowed)]
+        return keep[["vec_id", "embedding"]]
+
+    gated = (
+        embeddings_ds.map_batches(_emb_side, batch_format="pyarrow")
+        .union(allowed_ids_ds.map_batches(_id_side, batch_format="pyarrow"))
+        .groupby("eb")
+        .map_groups(_semi, batch_format="pandas")
+    )
+
+    qref = ray.put(
+        {int(k_): np.asarray(v, dtype=np.float64) for k_, v in queries.items()}
+    )
+    scored = gated.map_batches(
+        BruteForceScorer(qref), batch_format="pyarrow", batch_size=4096
+    )
+
+    def _partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = (
+            df.sort_values(
+                ["query_id", "cosine_e6", "vec_id"], ascending=[True, False, True]
+            )
+            .groupby("query_id", sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine_e6", "vec_id"], ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        scored.map_batches(_partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_final_topk, batch_format="pandas")
+    )

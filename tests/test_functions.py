@@ -158,6 +158,34 @@ def test_ann_topk_exact(ray_session, emb_table):
         assert got.iloc[0]["vec_id"] == qid and got.iloc[0]["cosine_e6"] == 1_000_000
 
 
+def test_ann_topk_filtered_semi_join(ray_session, emb_table):
+    from doctr_ray.functions.similarity import ann_topk_filtered
+
+    table, vecs = emb_table
+    queries = {0: vecs[0]}
+    allowed_ids = [i for i in range(100) if i % 3 == 0]
+    allowed = rd.from_arrow(pa.table({"doc_id": allowed_ids}))
+    out = ann_topk_filtered(
+        rd.from_arrow(table), allowed, queries, k=5, rows_hint=100
+    ).to_pandas().sort_values("rank")
+    # only gated vectors may appear, ranked exactly as numpy brute force
+    assert set(out["vec_id"]) <= set(allowed_ids)
+    sims = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ (
+        vecs[0] / np.linalg.norm(vecs[0])
+    )
+    order = sorted(allowed_ids, key=lambda i: (-round(sims[i] * 1e6), i))[:5]
+    assert out["vec_id"].tolist() == order
+    # block layout does not change the result
+    out2 = ann_topk_filtered(
+        rd.from_arrow(table).repartition(7),
+        allowed.repartition(3),
+        queries,
+        k=5,
+        rows_hint=100,
+    ).to_pandas().sort_values("rank")
+    assert out2["vec_id"].tolist() == order
+
+
 def test_ann_topk_lsh_recall(ray_session, emb_table):
     table, vecs = emb_table
     queries = {0: vecs[0], 5: vecs[5], 9: vecs[9]}
