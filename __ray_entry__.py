@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         funnel_conversion,
         order_priority_check,
         orphan_orders,
+        small_quantity_revenue,
         range_join_error_clicks,
         events_hourly,
         events_sliding_window,
@@ -1441,6 +1442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": event_gaps,
         "events_rollup": events_rollup,
         "funnel_conversion": funnel_conversion,
+        "small_qty_revenue": small_quantity_revenue,
         "stratified_sample": q_stratified_sample,
         "supplier_balance": supplier_balance_by_nation,
     }
@@ -1984,6 +1986,19 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate < DATE '1997-06-30' AND l_shipdate > DATE '1997-06-30' "
             "GROUP BY l_orderkey, o_orderdate_us, o_orderpriority "
             "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"
+        ),
+        "small_qty_revenue": (
+            # TPC-H Q17 shape: per-part avg-quantity scalar subquery;
+            # exact-integer threshold (5*qty*cnt < sum_qty)
+            "WITH pt AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'), "
+            "a AS (SELECT l_partkey, count(*) AS cnt, "
+            "sum(CAST(l_quantity AS BIGINT)) AS sq FROM lineitem GROUP BY l_partkey) "
+            "SELECT l.l_partkey, count(*) AS n_small, "
+            "CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT) AS small_revenue_c "
+            "FROM lineitem l JOIN pt ON l.l_partkey = pt.p_partkey "
+            "JOIN a ON a.l_partkey = l.l_partkey "
+            "WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.cnt < a.sq "
+            "GROUP BY l.l_partkey"
         ),
         "funnel_conversion": (
             # ordered-sequence funnel with lexicographic (ts, event_id)

@@ -998,3 +998,75 @@ def funnel_conversion(sf_dir: str,
         .repartition(1)
         .map_batches(_final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def small_quantity_revenue(sf_dir: str, brand: str = "Brand#23"):
+    """Correlated-scalar-subquery shape (TPC-H Q17): for each part of
+    one brand, revenue from lineitems whose quantity is below 20% of
+    that part's OWN average quantity. The per-group scalar (avg qty)
+    and the probe rows co-locate in ONE partkey-bucket shuffle; the
+    threshold test is exact integer arithmetic (qty < sum/(5*cnt) <=>
+    5*qty*cnt < sum — quantities are integral), so no float-boundary
+    ulp can flip a row between engines.
+
+    The brand-filtered part side is a DIMENSION (1/25 of an already
+    1/30-sized table), so it broadcasts via ``ray.put`` and lineitem is
+    pre-filtered vectorized in the map — only the ~4% surviving probe
+    rows enter the partkey-bucket shuffle (shuffling the full fact
+    table cost 7.6 s at sf0.1; this shape runs in well under 1 s).
+
+    Output: one row per qualifying part ``(l_partkey, n_small,
+    small_revenue_c)``.
+    """
+    import ray
+
+    mask = bucket_mask_for(sf_dir, "lineitem")
+    li = read_table(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    pt = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pks = np.sort(pt.loc[pt["p_brand"] == brand, "p_partkey"].to_numpy(np.int64))
+    pref = ray.put(pks)
+
+    class _Filter:
+        """Task-stage callable: broadcast partkey set, vectorized probe."""
+
+        def __init__(self, ref) -> None:
+            self.ref = ref
+            self.pks = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.pks is None:
+                self.pks = ray.get(self.ref)
+            pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(self.pks, pk)
+            idx[idx >= len(self.pks)] = 0
+            keep = self.pks[idx] == pk if len(self.pks) else np.zeros(len(pk), bool)
+            t = batch.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "pb": pc.cast(pc.bit_wise_and(t["l_partkey"], mask), pa.int32()),
+                    "pk": t["l_partkey"],
+                    "qty": pc.cast(t["l_quantity"], pa.int64()),
+                    "price": t["l_extendedprice"],
+                }
+            )
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # per-part scalar from ALL lineitems of the part (they co-locate
+        # here by construction), then the exact-integer threshold probe
+        agg = g.groupby("pk")["qty"].agg(["sum", "count"])
+        m = g.merge(agg, left_on="pk", right_index=True, sort=False)
+        small = m[5 * m["qty"].to_numpy(np.int64) * m["count"].to_numpy(np.int64)
+                  < m["sum"].to_numpy(np.int64)]
+        out = small.groupby("pk", sort=True).agg(
+            n_small=("qty", "size"), rev=("price", "sum")
+        ).reset_index()
+        out["small_revenue_c"] = np.round(out["rev"] * 100).astype(np.int64)
+        out = out.rename(columns={"pk": "l_partkey"})
+        out["n_small"] = out["n_small"].astype(np.int64)
+        return out[["l_partkey", "n_small", "small_revenue_c"]]
+
+    return (
+        li.map_batches(_Filter(pref), batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(_bucket, batch_format="pandas")
+    )
