@@ -1075,6 +1075,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return doc_commonness(_read(sf_dir, "documents", ["doc_id", "text"]), k=1000)
 
+    def q_filter_gate_audit(sf_dir: str):
+        """Gate-combination census over the cleaning signals (the
+        'what is rejecting my corpus' debugging view) — one pass,
+        <= 16 counter rows, no data-row shuffle."""
+        from doctr_ray.functions.audit import filter_gate_audit
+
+        return filter_gate_audit(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+        )
+
+    def q_lang_source_pivot(sf_dir: str):
+        """PIVOT crosstab: per-source language counts as columns."""
+        from doctr_ray.functions.audit import lang_source_pivot
+
+        return lang_source_pivot(
+            _read(sf_dir, "documents", ["doc_id", "text", "source"])
+        )
+
     def q_ann_topk_filtered(sf_dir: str):
         """Predicate-gated exact ANN (the RAG shape): cosine top-k over
         vectors whose document passes lang='en' AND n_chars >= 200.
@@ -1401,6 +1419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontamination": q_decontamination,
         "doc_bpe_tokens": q_bpe_tokens,
         "doc_commonness": q_doc_commonness,
+        "filter_gate_audit": q_filter_gate_audit,
+        "lang_source_pivot": q_lang_source_pivot,
         "ann_topk_filtered": q_ann_topk_filtered,
         "rag_chunks": q_rag_chunks,
         "hll_registers": q_hll_registers,
@@ -1609,6 +1629,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_commonness": __import__(
             "doctr_ray.functions.text", fromlist=["doc_commonness_sql"]
         ).doc_commonness_sql(k=1000),
+        "filter_gate_audit": __import__(
+            "doctr_ray.functions.audit", fromlist=["filter_gate_audit_sql"]
+        ).filter_gate_audit_sql(),
+        "lang_source_pivot": __import__(
+            "doctr_ray.functions.audit", fromlist=["lang_source_pivot_sql"]
+        ).lang_source_pivot_sql(),
         "rag_chunks": __import__(
             "doctr_ray.functions.text", fromlist=["rag_chunks_sql"]
         ).rag_chunks_sql(),
