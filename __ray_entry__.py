@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         order_priority_check,
         orphan_orders,
         small_quantity_revenue,
+        source_ntiles,
         range_join_error_clicks,
         events_hourly,
         events_sliding_window,
@@ -1463,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": events_rollup,
         "funnel_conversion": funnel_conversion,
         "small_qty_revenue": small_quantity_revenue,
+        "source_ntiles": source_ntiles,
         "stratified_sample": q_stratified_sample,
         "supplier_balance": supplier_balance_by_nation,
     }
@@ -2013,6 +2015,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_orderkey, o_orderdate_us, o_orderpriority "
             "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"
         ),
+        "source_ntiles": __import__(
+            "doctr_ray.functions.relational", fromlist=["source_ntiles_sql"]
+        ).source_ntiles_sql(),
         "small_qty_revenue": (
             # TPC-H Q17 shape: per-part avg-quantity scalar subquery;
             # exact-integer threshold (5*qty*cnt < sum_qty)

@@ -1070,3 +1070,59 @@ def small_quantity_revenue(sf_dir: str, brand: str = "Brand#23"):
         .groupby("pb")
         .map_groups(_bucket, batch_format="pandas")
     )
+
+
+def source_ntiles(sf_dir: str, k: int = 4):
+    """NTILE window shape: every document's length quartile within its
+    source (eval-set balancing / difficulty binning). DuckDB NTILE
+    semantics exactly: ordered by (n_chars, doc_id), the first
+    ``n mod k`` tiles get the extra row — implemented as exact integer
+    boundaries over a vectorized per-source argsort, no per-row Python.
+    One adaptive source-bucket shuffle of (doc_id, source, n_chars)
+    rows. Output: ``doc_id, source, n_chars, tile``.
+    """
+    import hashlib
+
+    mask = bucket_mask_for(sf_dir, "documents")
+    ds = read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        sb = pa.array(
+            [
+                int(hashlib.md5(str(s).encode()).hexdigest()[:8], 16) & mask
+                for s in batch["source"].to_pylist()
+            ],
+            pa.int32(),
+        )
+        return batch.append_column("sb", sb)
+
+    def _tiles(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for src, gg in g.groupby("source", sort=False):
+            n = len(gg)
+            order = np.lexsort((gg["doc_id"].to_numpy(), gg["n_chars"].to_numpy()))
+            # NTILE: first (n % k) tiles have size n//k + 1
+            base, extra = divmod(n, k)
+            sizes = np.full(min(k, n), base, np.int64)
+            sizes[:extra] += 1
+            tile = np.repeat(np.arange(1, len(sizes) + 1, dtype=np.int64), sizes)
+            df = gg.iloc[order].copy()
+            df["tile"] = tile
+            out.append(df)
+        res = pd.concat(out, ignore_index=True)
+        return res[["doc_id", "source", "n_chars", "tile"]]
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("sb")
+        .map_groups(_tiles, batch_format="pandas")
+    )
+
+
+def source_ntiles_sql(k: int = 4) -> str:
+    """DuckDB mirror: NTILE over the identical (n_chars, doc_id) order."""
+    return (
+        f"SELECT doc_id, source, n_chars, CAST(ntile({k}) OVER ("
+        "PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS tile "
+        "FROM documents"
+    )

@@ -145,3 +145,30 @@ def test_duckdb_parity_sf(ray_session):
         "ORDER BY event_type, hour_us"
     ).df()
     pd.testing.assert_frame_equal(got_r, want_r, check_dtype=False)
+
+
+def test_source_ntiles_boundaries(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from doctr_ray.functions.relational import source_ntiles
+
+    # n=10, k=4 -> NTILE sizes 3,3,2,2 in (n_chars, doc_id) order
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(10)), pa.int64()),
+                "source": ["s"] * 10,
+                "n_chars": pa.array([5, 5, 5, 1, 2, 3, 9, 9, 9, 9], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        source_ntiles(str(tmp_path))
+        .to_pandas()
+        .sort_values(["n_chars", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert got["tile"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    # ordered ids: 3(1),4(2),5(3),0,1,2(5s),6,7,8,9(9s)
+    assert got["doc_id"].tolist() == [3, 4, 5, 0, 1, 2, 6, 7, 8, 9]
