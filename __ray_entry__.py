@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         orphan_orders,
         small_quantity_revenue,
         source_ntiles,
+        user_running_total,
         range_join_error_clicks,
         events_hourly,
         events_sliding_window,
@@ -1121,6 +1122,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rag_chunks(_read(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_source_distinct(sf_dir: str):
+        """EXACT distinct tokens per source — the precise counterpart
+        to hll_registers (sketch-vs-exact trade-off pairing): distinct
+        (source, hash) int64 pairs shuffle once, raw tokens never."""
+        import pyarrow.parquet as pq
+
+        from doctr_ray.functions.sketch import source_distinct_tokens
+
+        n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        return source_distinct_tokens(
+            _read(sf_dir, "documents", ["source", "text"]), rows_hint=n_rows
+        )
+
     def q_hll_registers(sf_dir: str):
         """HyperLogLog register file per source: fixed-size mergeable
         distinct-count state — the shuffle moves register partials,
@@ -1424,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_pivot": q_lang_source_pivot,
         "ann_topk_filtered": q_ann_topk_filtered,
         "rag_chunks": q_rag_chunks,
+        "source_distinct_tokens": q_source_distinct,
         "hll_registers": q_hll_registers,
         "cms_top_tokens": q_cms_top_tokens,
         "doc_sample": q_doc_sample,
@@ -1465,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": funnel_conversion,
         "small_qty_revenue": small_quantity_revenue,
         "source_ntiles": source_ntiles,
+        "user_running_total": user_running_total,
         "stratified_sample": q_stratified_sample,
         "supplier_balance": supplier_balance_by_nation,
     }
@@ -2018,6 +2034,12 @@ def oracle_sql() -> dict[str, str]:
         "source_ntiles": __import__(
             "doctr_ray.functions.relational", fromlist=["source_ntiles_sql"]
         ).source_ntiles_sql(),
+        "user_running_total": __import__(
+            "doctr_ray.functions.relational", fromlist=["user_running_total_sql"]
+        ).user_running_total_sql(),
+        "source_distinct_tokens": __import__(
+            "doctr_ray.functions.sketch", fromlist=["source_distinct_tokens_sql"]
+        ).source_distinct_tokens_sql(),
         "small_qty_revenue": (
             # TPC-H Q17 shape: per-part avg-quantity scalar subquery;
             # exact-integer threshold (5*qty*cnt < sum_qty)

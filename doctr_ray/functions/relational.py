@@ -1126,3 +1126,57 @@ def source_ntiles_sql(k: int = 4) -> str:
         "PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS tile "
         "FROM documents"
     )
+
+
+def user_running_total(sf_dir: str):
+    """Running-aggregate window: each event's cumulative value for its
+    user in (ts, event_id) order (the account-balance / running-spend
+    shape — per-row output, unlike sessionization's per-session rows).
+    One adaptive user-bucket shuffle; the reducer is one lexsort + one
+    segment-reset cumulative sum over the whole bucket, no per-user
+    Python. Output: ``event_id, user_id, cum_value_c`` (int64 cents:
+    per-row values are rounded to cents BEFORE accumulating so the
+    running sum is integer-exact on both engines).
+    """
+    mask = bucket_mask_for(sf_dir, "events")
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "ub", pc.cast(pc.bit_wise_and(batch["user_id"], mask), pa.int32())
+        )
+
+    def _cum(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        val_c = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, eid, val_c = u[order], eid[order], val_c[order]
+        cum = np.cumsum(val_c)
+        # reset at user boundaries: subtract each segment's preceding
+        # prefix (indexed by segment id — values may be negative, so no
+        # monotone-accumulate shortcut)
+        if len(u):
+            new_seg = np.r_[False, u[1:] != u[:-1]]
+            seg_id = np.cumsum(new_seg.astype(np.int64))
+            starts = np.flatnonzero(np.r_[True, new_seg[1:]])
+            offsets = np.r_[np.int64(0), cum[starts[1:] - 1]]
+            cum = cum - offsets[seg_id]
+        return pd.DataFrame({"event_id": eid, "user_id": u, "cum_value_c": cum})
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(_cum, batch_format="pandas")
+    )
+
+
+def user_running_total_sql() -> str:
+    """DuckDB mirror: SUM OVER with the identical per-row cent rounding
+    before accumulation."""
+    return (
+        "SELECT event_id, user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_c FROM events"
+    )

@@ -270,3 +270,74 @@ def cms_top_tokens_sql(k: int = 20, d: int = 4, width: int = 2048,
         "JOIN sk ON sk.i = probe.i AND sk.b = probe.b "
         "GROUP BY topk.tok, topk.n"
     )
+
+
+def source_distinct_tokens(docs_ds, group_col: str = "source",
+                           rows_hint: int | None = None):
+    """EXACT distinct-token count per group — the precise counterpart
+    to :func:`hll_registers` (same question, exact answer, linear
+    shuffle cost; the pairing shows the classic sketch-vs-exact
+    trade-off). Per-batch partials collapse to distinct
+    (group, token-hash) int64 pairs — raw tokens never shuffle — and
+    one adaptive hash-bucket reduce counts distinct pairs per group
+    (a (group, hash) pair lives wholly in one bucket, so per-bucket
+    distinct counts sum exactly). Output: ``(group, n_distinct)``.
+    """
+    from doctr_ray.pool import adaptive_buckets
+
+    n_b = adaptive_buckets(rows_hint or 0)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        pairs: set = set()
+        for g, t in zip(batch[group_col].to_pylist(), batch["text"].to_pylist()):
+            for tok in (t or "").split(" "):
+                if tok:
+                    pairs.add((g, _h64(tok)))
+        gs = [p[0] for p in pairs]
+        hs = np.fromiter((p[1] for p in pairs), np.uint64, len(pairs)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "hb": pa.array((hs % n_b).astype(np.int32), pa.int32()),
+                group_col: pa.array(gs, pa.string()),
+                "h": pa.array(hs, pa.int64()),
+            }
+        )
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates([group_col, "h"])
+            .groupby(group_col, sort=False)
+            .size()
+            .reset_index(name="n_distinct")
+        )
+        out["n_distinct"] = out["n_distinct"].astype(np.int64)
+        return out
+
+    def _final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.groupby(group_col, sort=True)["n_distinct"].sum().reset_index()
+        out["n_distinct"] = out["n_distinct"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(_count, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def source_distinct_tokens_sql(group_col: str = "source",
+                               table: str = "documents") -> str:
+    """DuckDB mirror: COUNT(DISTINCT token) per group (distinct md5
+    hashes == distinct tokens short of an md5 collision — counted on
+    tokens directly here, which is the same set)."""
+    return (
+        f"WITH t AS (SELECT {group_col}, unnest(string_split(text, ' ')) AS tok "
+        f"FROM {table}) "
+        f"SELECT {group_col}, count(DISTINCT tok) AS n_distinct FROM t "
+        f"WHERE tok <> '' GROUP BY {group_col}"
+    )

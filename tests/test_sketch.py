@@ -96,3 +96,22 @@ def test_cms_one_sided_and_topk(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), got2.reset_index(drop=True)
     )
+
+
+def test_exact_distinct_matches_truth_and_hll(ray_session):
+    from doctr_ray.functions.sketch import source_distinct_tokens
+
+    tbl = _docs(n=400)
+    got = source_distinct_tokens(
+        rd.from_arrow(tbl), rows_hint=400
+    ).to_pandas().set_index("source")["n_distinct"]
+    truth: dict = {}
+    for src, text in zip(tbl["source"].to_pylist(), tbl["text"].to_pylist()):
+        truth.setdefault(src, set()).update(t for t in text.split(" ") if t)
+    for src, toks in truth.items():
+        assert got[src] == len(toks)
+    # block layout does not change the counts
+    got2 = source_distinct_tokens(
+        rd.from_arrow(tbl).repartition(7), rows_hint=400
+    ).to_pandas().set_index("source")["n_distinct"]
+    assert got.to_dict() == got2.to_dict()

@@ -172,3 +172,28 @@ def test_source_ntiles_boundaries(ray_session, tmp_path):
     assert got["tile"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
     # ordered ids: 3(1),4(2),5(3),0,1,2(5s),6,7,8,9(9s)
     assert got["doc_id"].tolist() == [3, 4, 5, 0, 1, 2, 6, 7, 8, 9]
+
+
+def test_user_running_total_negative_values(ray_session, tmp_path):
+    from doctr_ray.functions.relational import user_running_total
+
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, 1, "a", "2024-01-01 00:00:00", 10.0),
+            (2, 1, "a", "2024-01-01 00:01:00", -3.5),
+            (3, 1, "a", "2024-01-01 00:02:00", 1.25),
+            # user 2 (later in sorted order) must reset even after a
+            # NEGATIVE-prefix user: catches monotone-accumulate bugs
+            (4, 2, "a", "2024-01-01 00:00:00", -7.0),
+            (5, 2, "a", "2024-01-01 00:01:00", 2.0),
+            (6, 3, "a", "2024-01-01 00:00:00", 5.0),
+        ],
+    )
+    got = (
+        user_running_total(sf)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["cum_value_c"].tolist() == [1000, 650, 775, -700, -500, 500]
