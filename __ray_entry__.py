@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         funnel_conversion,
         order_priority_check,
         orphan_orders,
+        props_stats,
         small_quantity_revenue,
         source_ntiles,
         user_running_total,
@@ -1481,6 +1482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": small_quantity_revenue,
         "source_ntiles": source_ntiles,
         "user_running_total": user_running_total,
+        "props_stats": props_stats,
         "stratified_sample": q_stratified_sample,
         "supplier_balance": supplier_balance_by_nation,
     }
@@ -2037,6 +2039,9 @@ def oracle_sql() -> dict[str, str]:
         "user_running_total": __import__(
             "doctr_ray.functions.relational", fromlist=["user_running_total_sql"]
         ).user_running_total_sql(),
+        "props_stats": __import__(
+            "doctr_ray.functions.relational", fromlist=["props_stats_sql"]
+        ).props_stats_sql(),
         "source_distinct_tokens": __import__(
             "doctr_ray.functions.sketch", fromlist=["source_distinct_tokens_sql"]
         ).source_distinct_tokens_sql(),

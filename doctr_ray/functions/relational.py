@@ -1180,3 +1180,56 @@ def user_running_total_sql() -> str:
         "OVER (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_c FROM events"
     )
+
+
+def props_stats(sf_dir: str):
+    """Semi-structured extraction: parse the JSON ``props`` column,
+    pull the numeric ``k`` field, aggregate per event_type (n, sum,
+    min, max). Extraction is one vectorized RE2 pass per batch
+    (pyarrow ``extract_regex`` — zero Python per row, the pii/bpe
+    pattern); the aggregate is per-batch partials into one tiny
+    final combine (5 types). Oracle: DuckDB ``json_extract``.
+    """
+    ds = read_table(sf_dir, "events", ["event_type", "props"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "k": k.to_pandas(),
+            }
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"), max_k=("max_k", "max"),
+        )
+        for c in ("n", "sum_k", "min_k", "max_k"):
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def props_stats_sql() -> str:
+    """DuckDB mirror via json_extract."""
+    return (
+        "SELECT event_type, count(*) AS n, "
+        "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+        "min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k, "
+        "max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k "
+        "FROM events GROUP BY event_type"
+    )
