@@ -1123,6 +1123,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rag_chunks(_read(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_embedding_quantize(sf_dir: str):
+        """Symmetric int8 embedding quantization — the 4x-storage op
+        for cluster-scale ANN indexes; bit-identical sign*floor
+        half-away rounding on both engines; zero shuffle."""
+        from doctr_ray.functions.similarity import embedding_quantize
+
+        return embedding_quantize(_emb(sf_dir))
+
     def q_source_distinct(sf_dir: str):
         """EXACT distinct tokens per source — the precise counterpart
         to hll_registers (sketch-vs-exact trade-off pairing): distinct
@@ -1440,6 +1448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_filtered": q_ann_topk_filtered,
         "rag_chunks": q_rag_chunks,
         "source_distinct_tokens": q_source_distinct,
+        "embedding_quantize": q_embedding_quantize,
         "hll_registers": q_hll_registers,
         "cms_top_tokens": q_cms_top_tokens,
         "doc_sample": q_doc_sample,
@@ -2045,6 +2054,9 @@ def oracle_sql() -> dict[str, str]:
         "source_distinct_tokens": __import__(
             "doctr_ray.functions.sketch", fromlist=["source_distinct_tokens_sql"]
         ).source_distinct_tokens_sql(),
+        "embedding_quantize": __import__(
+            "doctr_ray.functions.similarity", fromlist=["embedding_quantize_sql"]
+        ).embedding_quantize_sql(),
         "small_qty_revenue": (
             # TPC-H Q17 shape: per-part avg-quantity scalar subquery;
             # exact-integer threshold (5*qty*cnt < sum_qty)

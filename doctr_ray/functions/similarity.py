@@ -625,3 +625,52 @@ def ann_topk_filtered(
         .groupby("query_id")
         .map_groups(_final_topk, batch_format="pandas")
     )
+
+
+def embedding_quantize(embeddings_ds):
+    """Per-vector symmetric int8 quantization (the embedding-storage
+    op: 4x smaller vectors for 100-TB ANN indexes): q = sign(x) *
+    floor(|x| * 127 / max|x| + 0.5). The explicit sign*floor form is
+    ROUND-HALF-AWAY on both engines (numpy's round is half-even,
+    DuckDB's is half-away — neither matches the other, this matches
+    both). All arithmetic is the same double-precision expression tree
+    on identical inputs, so results are bit-identical; output is
+    exploded to (vec_id, dim, q, scale_e9) rows for the exact oracle.
+    Pure map — zero shuffle.
+    """
+
+    def _quant(batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        n, d = emb.shape
+        m = np.abs(emb).max(axis=1)
+        safe = np.where(m > 0, m, 1.0)
+        q = np.sign(emb) * np.floor(
+            np.abs(emb) * 127.0 / safe[:, None] + 0.5
+        )
+        q = np.where(m[:, None] > 0, q, 0.0).astype(np.int64)
+        scale_e9 = np.floor(m * 1e9 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vec_ids, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+                "q": pa.array(q.reshape(-1), pa.int64()),
+                "scale_e9": pa.array(np.repeat(scale_e9, d), pa.int64()),
+            }
+        )
+
+    return embeddings_ds.map_batches(_quant, batch_format="pyarrow")
+
+
+def embedding_quantize_sql(table: str = "embeddings") -> str:
+    """DuckDB mirror: the identical sign*floor half-away expression."""
+    return (
+        "SELECT vec_id, CAST(i AS BIGINT) AS dim, "
+        "CAST(CASE WHEN m = 0 THEN 0 WHEN x < 0 THEN -floor(abs(x) * 127.0 / m + 0.5) "
+        "ELSE floor(abs(x) * 127.0 / m + 0.5) END AS BIGINT) AS q, "
+        "CAST(floor(m * 1000000000 + 0.5) AS BIGINT) AS scale_e9 "
+        "FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x, "
+        "generate_subscripts(embedding, 1) AS i, "
+        "list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) AS m "
+        f"FROM {table})"
+    )
