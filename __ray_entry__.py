@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         event_gaps,
         events_rollup,
         funnel_conversion,
+        latest_user_event,
         order_priority_check,
         orphan_orders,
         props_stats,
@@ -1492,6 +1493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ntiles": source_ntiles,
         "user_running_total": user_running_total,
         "props_stats": props_stats,
+        "latest_user_event": latest_user_event,
         "stratified_sample": q_stratified_sample,
         "supplier_balance": supplier_balance_by_nation,
     }
@@ -2051,6 +2053,9 @@ def oracle_sql() -> dict[str, str]:
         "props_stats": __import__(
             "doctr_ray.functions.relational", fromlist=["props_stats_sql"]
         ).props_stats_sql(),
+        "latest_user_event": __import__(
+            "doctr_ray.functions.relational", fromlist=["latest_user_event_sql"]
+        ).latest_user_event_sql(),
         "source_distinct_tokens": __import__(
             "doctr_ray.functions.sketch", fromlist=["source_distinct_tokens_sql"]
         ).source_distinct_tokens_sql(),

@@ -1233,3 +1233,59 @@ def props_stats_sql() -> str:
         "max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k "
         "FROM events GROUP BY event_type"
     )
+
+
+def latest_user_event(sf_dir: str):
+    """Arg-max row per group (the QUALIFY rn = 1 / latest-state shape,
+    the CDC-compaction primitive): each user's most recent event by
+    (ts, event_id). Per-batch partial arg-max first — only one
+    candidate row per user per batch enters the shuffle — then the
+    adaptive user-bucket reducer repeats the same vectorized pick.
+    Output: ``user_id, event_id, ts_us, event_type``.
+    """
+    mask = bucket_mask_for(sf_dir, "events")
+    ds = read_table(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def _pick(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (-df["event_id"].to_numpy(), -df["ts_us"].to_numpy(),
+             df["user_id"].to_numpy())
+        )
+        d = df.iloc[order]
+        return d[~d["user_id"].duplicated()]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+                "ts_us": batch["ts"]
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64),
+                "event_type": batch["event_type"].to_pandas(),
+            }
+        )
+        out = _pick(df).copy()
+        out["ub"] = (out["user_id"].to_numpy(np.int64) & mask).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return _pick(g)[["user_id", "event_id", "ts_us", "event_type"]]
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+def latest_user_event_sql() -> str:
+    """DuckDB mirror: ROW_NUMBER() = 1 over the identical descending
+    (ts, event_id) order."""
+    return (
+        "SELECT user_id, event_id, ts_us, event_type FROM ("
+        "SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+    )
