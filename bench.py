@@ -190,6 +190,16 @@ def run_once() -> dict:
         "hll_registers",
         "cms_top_tokens",
         "rag_chunks",
+        "source_distinct_tokens",
+        "user_running_total",
+        "props_stats",
+        "latest_user_event",
+        "small_qty_revenue",
+        "source_ntiles",
+        "ann_topk_filtered",
+        "filter_gate_audit",
+        "lang_source_pivot",
+        "embedding_quantize",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)
