@@ -1124,6 +1124,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rag_chunks(_read(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_quantile_gated(sf_dir: str):
+        """Percentile-gated filter: keep docs at or above their OWN
+        source's exact p25 length — exact-quantile pass, broadcast
+        thresholds, vectorized gate; zero shuffle of data rows."""
+        from doctr_ray.functions.stats import quantile_gated_docs
+
+        return quantile_gated_docs(
+            _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+        )
+
     def q_embedding_quantize(sf_dir: str):
         """Symmetric int8 embedding quantization — the 4x-storage op
         for cluster-scale ANN indexes; bit-identical sign*floor
@@ -1450,6 +1460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_chunks": q_rag_chunks,
         "source_distinct_tokens": q_source_distinct,
         "embedding_quantize": q_embedding_quantize,
+        "quantile_gated_docs": q_quantile_gated,
         "hll_registers": q_hll_registers,
         "cms_top_tokens": q_cms_top_tokens,
         "doc_sample": q_doc_sample,
@@ -2062,6 +2073,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": __import__(
             "doctr_ray.functions.similarity", fromlist=["embedding_quantize_sql"]
         ).embedding_quantize_sql(),
+        "quantile_gated_docs": __import__(
+            "doctr_ray.functions.stats", fromlist=["quantile_gated_docs_sql"]
+        ).quantile_gated_docs_sql(),
         "small_qty_revenue": (
             # TPC-H Q17 shape: per-part avg-quantity scalar subquery;
             # exact-integer threshold (5*qty*cnt < sum_qty)

@@ -158,3 +158,51 @@ def group_moments_sql(value_col: str, group_col: str, table: str = "documents") 
         "CAST(s * 1000000 // n AS BIGINT) AS mean_e6, "
         "CAST((n * q - s * s) * 1000000 // (n * n) AS BIGINT) AS var_e6 FROM a"
     )
+
+
+def quantile_gated_docs(ds, p: int = 25, value_col: str = "n_chars",
+                        group_col: str = "source"):
+    """Two-pass percentile-gated filter: keep documents whose value is
+    >= their OWN group's exact p-th percentile (per-source length
+    floor — the grouped-threshold cleaning shape). Pass 1 is the exact
+    distributed quantile (histogram-merge partials, one tiny row per
+    group); the thresholds broadcast via ``ray.put`` (group count is
+    small by construction); pass 2 is a vectorized gate — the corpus
+    streams through once per pass and never shuffles.
+
+    Output: ``doc_id, group_col, value_col`` for survivors.
+    """
+    import ray
+
+    th_rows = group_quantiles(ds, value_col, group_col, percents=(p,)).to_pandas()
+    thresholds = dict(zip(th_rows[group_col], th_rows[f"p{p}"].astype(np.int64)))
+    tref = ray.put(thresholds)
+
+    class _Gate:
+        def __init__(self, ref) -> None:
+            self.ref = ref
+            self.th = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.th is None:
+                self.th = ray.get(self.ref)
+            groups = batch[group_col].to_pylist()
+            vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            lim = np.array([self.th.get(g, np.iinfo(np.int64).max) for g in groups])
+            return batch.filter(pa.array(vals >= lim))
+
+    return ds.map_batches(_Gate(tref), batch_format="pyarrow")
+
+
+def quantile_gated_docs_sql(p: int = 25, value_col: str = "n_chars",
+                            group_col: str = "source",
+                            table: str = "documents") -> str:
+    """DuckDB mirror: quantile_disc threshold join (same exact rank
+    arithmetic as group_quantiles)."""
+    return (
+        f"WITH th AS (SELECT {group_col}, "
+        f"CAST(quantile_disc({value_col}, {p / 100}) AS BIGINT) AS lim "
+        f"FROM {table} GROUP BY {group_col}) "
+        f"SELECT d.doc_id, d.{group_col}, d.{value_col} FROM {table} d "
+        f"JOIN th USING ({group_col}) WHERE d.{value_col} >= th.lim"
+    )
