@@ -184,3 +184,37 @@ def test_group_moments_exact(ray_session):
     # block-layout independence (mergeable partials)
     rows2 = {r["source"]: r for r in group_moments(rd.from_arrow(t).repartition(5), "n_chars", "source").take_all()}
     assert rows2 == rows
+
+
+def test_quantile_gated_docs_edge(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doctr_ray.functions.stats import quantile_gated_docs
+
+    # group g: values 1..4 -> p25 = value at rank ceil(0.25*4)=1 -> 1
+    # group h: values 10,20,30 -> p25 = rank ceil(0.75)=1 -> 10
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(range(7)),
+                "source": ["g"] * 4 + ["h"] * 3,
+                "n_chars": [1, 2, 3, 4, 10, 20, 30],
+            }
+        )
+    )
+    got = quantile_gated_docs(ds).to_pandas().sort_values("doc_id")
+    # thresholds: g -> 1 (all pass, boundary INCLUDED), h -> 10 (all pass)
+    assert got["doc_id"].tolist() == list(range(7))
+    # raise group g's p25: values 1..8 -> rank 2 -> threshold 2, doc 0 drops
+    ds2 = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(range(8)),
+                "source": ["g"] * 8,
+                "n_chars": [1, 2, 3, 4, 5, 6, 7, 8],
+            }
+        )
+    )
+    got2 = quantile_gated_docs(ds2).to_pandas().sort_values("doc_id")
+    assert got2["doc_id"].tolist() == list(range(1, 8))
