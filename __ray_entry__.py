@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         asof_click_attribution,
         event_gaps,
         events_rollup,
+        events_seasonality,
         funnel_conversion,
         latest_user_event,
         order_priority_check,
@@ -1505,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_total": user_running_total,
         "props_stats": props_stats,
         "latest_user_event": latest_user_event,
+        "events_seasonality": events_seasonality,
         "stratified_sample": q_stratified_sample,
         "supplier_balance": supplier_balance_by_nation,
     }
@@ -2067,6 +2069,9 @@ def oracle_sql() -> dict[str, str]:
         "latest_user_event": __import__(
             "doctr_ray.functions.relational", fromlist=["latest_user_event_sql"]
         ).latest_user_event_sql(),
+        "events_seasonality": __import__(
+            "doctr_ray.functions.relational", fromlist=["events_seasonality_sql"]
+        ).events_seasonality_sql(),
         "source_distinct_tokens": __import__(
             "doctr_ray.functions.sketch", fromlist=["source_distinct_tokens_sql"]
         ).source_distinct_tokens_sql(),

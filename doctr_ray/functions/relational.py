@@ -1289,3 +1289,60 @@ def latest_user_event_sql() -> str:
         "row_number() OVER (PARTITION BY user_id "
         "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
     )
+
+
+def events_seasonality(sf_dir: str):
+    """Calendar/date-part aggregate: event counts and value sums per
+    (day-of-week, hour-of-day) cell — the seasonality-heatmap shape.
+    Date parts come from integer epoch arithmetic (dow = (days + 4)
+    % 7 matches DuckDB's Sunday=0 dayofweek; 1970-01-01 was a
+    Thursday), so no timezone/locale library can disagree. Per-batch
+    partials collapse to <= 168 cells; one single-block combine.
+    Output: ``dow, hour, n, sum_value_c``.
+    """
+    ds = read_table(sf_dir, "events", ["ts", "value"])
+    DAY_US = 86_400_000_000
+    HOUR_US = 3_600_000_000
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        dow = ((ts // DAY_US) + 4) % 7
+        hour = (ts % DAY_US) // HOUR_US
+        df = pd.DataFrame(
+            {"dow": dow, "hour": hour,
+             "value": batch["value"].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby(["dow", "hour"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.groupby(["dow", "hour"], as_index=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        out["sum_value_c"] = np.round(out["sum_value"] * 100).astype(np.int64)
+        out = out.astype({"dow": np.int64, "hour": np.int64})
+        return pa.Table.from_pandas(
+            out[["dow", "hour", "n", "sum_value_c"]], preserve_index=False
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def events_seasonality_sql() -> str:
+    """DuckDB mirror via dayofweek/hour (UTC timestamps, no tz)."""
+    return (
+        "SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, "
+        "CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n, "
+        "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c "
+        "FROM events GROUP BY dow, hour"
+    )
