@@ -134,8 +134,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         event_gaps,
         events_rollup,
         events_seasonality,
+        event_type_transitions,
         funnel_conversion,
         latest_user_event,
+        nation_revenue,
+        user_moving_average,
+        value_histogram,
         order_priority_check,
         orphan_orders,
         props_stats,
@@ -780,6 +784,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from doctr_ray.functions.text import top_tokens
 
         return top_tokens(_read(sf_dir, "documents", ["doc_id", "text"]), k=20)
+
+    def q_inverted_index(sf_dir: str):
+        from doctr_ray.functions.text import inverted_index
+
+        return inverted_index(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def q_shared_vocab(sf_dir: str):
+        from doctr_ray.functions.text import shared_vocab
+
+        return shared_vocab(sf_dir)
+
+    def q_source_overlap(sf_dir: str):
+        from doctr_ray.functions.dedup import source_overlap
+
+        return source_overlap(sf_dir)
 
     def q_ocr_markdown(sf_dir: str):
         """Markdown rendering of extracted docs (exporter surface).
@@ -1437,6 +1456,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "top_tokens": q_top_tokens,
+        "inverted_index": q_inverted_index,
+        "shared_vocab": q_shared_vocab,
+        "source_overlap": q_source_overlap,
         "html_main_content": q_html_main_content,
         "ocr_html_media": q_ocr_html_media,
         "ocr_scanned_pdf": q_ocr_scanned_pdf,
@@ -1507,6 +1529,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_stats": props_stats,
         "latest_user_event": latest_user_event,
         "events_seasonality": events_seasonality,
+        "event_type_transitions": event_type_transitions,
+        "nation_revenue": nation_revenue,
+        "user_moving_average": user_moving_average,
+        "value_histogram": value_histogram,
         "stratified_sample": q_stratified_sample,
         "supplier_balance": supplier_balance_by_nation,
     }
@@ -2072,6 +2098,27 @@ def oracle_sql() -> dict[str, str]:
         "events_seasonality": __import__(
             "doctr_ray.functions.relational", fromlist=["events_seasonality_sql"]
         ).events_seasonality_sql(),
+        "event_type_transitions": __import__(
+            "doctr_ray.functions.relational", fromlist=["event_type_transitions_sql"]
+        ).event_type_transitions_sql(),
+        "nation_revenue": __import__(
+            "doctr_ray.functions.relational", fromlist=["nation_revenue_sql"]
+        ).nation_revenue_sql(),
+        "user_moving_average": __import__(
+            "doctr_ray.functions.relational", fromlist=["user_moving_average_sql"]
+        ).user_moving_average_sql(),
+        "value_histogram": __import__(
+            "doctr_ray.functions.relational", fromlist=["value_histogram_sql"]
+        ).value_histogram_sql(),
+        "inverted_index": __import__(
+            "doctr_ray.functions.text", fromlist=["inverted_index_sql"]
+        ).inverted_index_sql(),
+        "shared_vocab": __import__(
+            "doctr_ray.functions.text", fromlist=["shared_vocab_sql"]
+        ).shared_vocab_sql(),
+        "source_overlap": __import__(
+            "doctr_ray.functions.dedup", fromlist=["source_overlap_sql"]
+        ).source_overlap_sql(),
         "source_distinct_tokens": __import__(
             "doctr_ray.functions.sketch", fromlist=["source_distinct_tokens_sql"]
         ).source_distinct_tokens_sql(),

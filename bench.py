@@ -200,6 +200,14 @@ def run_once() -> dict:
         "filter_gate_audit",
         "lang_source_pivot",
         "embedding_quantize",
+        "events_seasonality",
+        "nation_revenue",
+        "user_moving_average",
+        "event_type_transitions",
+        "value_histogram",
+        "inverted_index",
+        "shared_vocab",
+        "source_overlap",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

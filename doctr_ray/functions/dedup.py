@@ -1202,3 +1202,129 @@ def substring_dup_sql(k: int = 32) -> str:
         "// greatest(CAST(coalesce(s.n_pos, 0) AS BIGINT), 1) AS dup_frac_e6 "
         "FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id"
     )
+
+
+def source_overlap(sf_dir: str, n: int = 8):
+    """Pairwise cross-source n-gram contamination matrix (the corpus
+    audit shape behind "which crawl snapshots mirror each other"): for
+    every unordered source pair, the number of DISTINCT word n-grams
+    present in both sources.
+
+    Scale shape: per-batch explode to distinct (gram-md5, source-id)
+    rows — grams hash to 16-byte keys before anything moves, raw text
+    never shuffles; ONE gram-bucket shuffle gives each reducer complete
+    source membership for its grams, which it collapses to a presence
+    BITMASK histogram (one int64 row per distinct source combination —
+    thousands of grams become tens of rows); the final combine turns
+    the merged histogram into pair counts with one vectorized bit-test
+    per source pair. Packing presence into int64 bounds this
+    implementation at 63 sources — beyond that the mask needs multiple
+    words (explicit error, no silent truncation).
+    """
+    from doctr_ray.functions.relational import read_table
+    from doctr_ray.pool import adaptive_buckets
+
+    def _src_partial(batch: pa.Table) -> pa.Table:
+        u = pd.unique(batch["source"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict({"source": list(u)})
+
+    sources = sorted(
+        set(
+            read_table(sf_dir, "documents", ["source"])
+            .map_batches(_src_partial, batch_format="pyarrow")
+            .to_pandas()["source"]
+        )
+    )
+    if len(sources) > 63:
+        raise NotImplementedError(
+            f"{len(sources)} sources exceed the 63-bit presence mask; "
+            "extend source_overlap to multi-word masks"
+        )
+    src_id = {s: i for i, s in enumerate(sources)}
+
+    docs_ds = read_table(sf_dir, "documents", ["text", "source"])
+    n_docs = docs_ds.count()
+    # grams/doc ~ tokens; ~500 docs/reducer keeps bucket frames small
+    buckets = adaptive_buckets(n_docs, rows_per_bucket=500)
+    m = n - 1
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        fps: list[str] = []
+        sids: list[int] = []
+        gbs: list[int] = []
+        seen: set[tuple[str, int]] = set()
+        for src, text in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            sid = src_id[src]
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(max(0, len(toks) - m)):
+                h = hashlib.md5(" ".join(toks[i : i + n]).encode("utf-8")).hexdigest()
+                if (h, sid) in seen:
+                    continue
+                seen.add((h, sid))
+                fps.append(h)
+                sids.append(sid)
+                gbs.append(int(h[:8], 16) % buckets)
+        return pa.Table.from_pydict(
+            {
+                "gb": pa.array(gbs, pa.int32()),
+                "fp": pa.array(fps, pa.string()),
+                "sid": pa.array(sids, pa.int8()),
+            }
+        )
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["fp", "sid"])
+        bits = np.int64(1) << g["sid"].to_numpy().astype(np.int64)
+        masks = pd.DataFrame({"fp": g["fp"], "bit": bits}).groupby("fp", sort=False)[
+            "bit"
+        ].sum()  # distinct (fp, sid) -> sum == OR
+        hist = masks.value_counts()
+        out = pd.DataFrame(
+            {"mask": hist.index.to_numpy(np.int64), "cnt": hist.to_numpy(np.int64)}
+        )
+        out["z"] = 0
+        return out
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("mask", as_index=False)["cnt"].sum()
+        masks = h["mask"].to_numpy(np.int64)
+        cnt = h["cnt"].to_numpy(np.int64)
+        rows_a, rows_b, rows_n = [], [], []
+        for i in range(len(sources)):
+            for j in range(i + 1, len(sources)):
+                both = ((masks >> i) & (masks >> j) & 1).astype(bool)
+                c = int(cnt[both].sum())
+                if c:
+                    rows_a.append(sources[i])
+                    rows_b.append(sources[j])
+                    rows_n.append(c)
+        return pd.DataFrame(
+            {
+                "src_a": rows_a,
+                "src_b": rows_b,
+                "shared_grams": np.asarray(rows_n, np.int64),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(_explode, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(_bucket, batch_format="pandas")
+        .groupby("z")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+def source_overlap_sql(n: int = 8) -> str:
+    """DuckDB mirror of :func:`source_overlap` (same md5 gram keys)."""
+    m = n - 1
+    return (
+        "WITH toks AS (SELECT source, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents), "
+        "grams AS (SELECT DISTINCT source, "
+        f"md5(unnest([array_to_string(t[i:i+{m}], ' ') "
+        f"for i in range(1, greatest(len(t)-{m},0)+1)])) AS fp FROM toks) "
+        "SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_grams "
+        "FROM grams a JOIN grams b ON a.fp = b.fp AND a.source < b.source "
+        "GROUP BY src_a, src_b"
+    )

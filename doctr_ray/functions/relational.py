@@ -1346,3 +1346,343 @@ def events_seasonality_sql() -> str:
         "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c "
         "FROM events GROUP BY dow, hour"
     )
+
+
+def nation_revenue(sf_dir: str, region: str = "ASIA"):
+    """TPC-H Q5 shape — the multi-dimensional star join with a
+    large-large core: revenue per customer nation, for lineitems whose
+    SUPPLIER sits in the same nation as the order's customer, customers
+    limited to one region (reference Q5 semantics minus the date
+    window).
+
+    Scale shape: the only all-to-all is ONE orderkey-bucket shuffle
+    co-locating per-batch lineitem revenue partials with orders rows.
+    No dimension ever shuffles: customer (custkey -> nationkey) and
+    supplier (suppkey -> nationkey) broadcast once via ``ray.put`` and
+    are probed with sorted-array searchsorted inside the map stages;
+    nation/region prune to a 25-entry closure dict. Revenue enters the
+    exact-integer domain per row (``cents(price) * (100 - bp(disc))``
+    is int64), so partial sums are order-independent — no float drift
+    against the oracle regardless of bucketing.
+    """
+    import ray
+
+    mask = bucket_mask_for(sf_dir, "lineitem")
+
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    nat_in = nat[nat["n_regionkey"] == rkey]
+    allowed_nk = np.sort(nat_in["n_nationkey"].to_numpy().astype(np.int64))
+    nk_to_name = dict(
+        zip(nat_in["n_nationkey"].astype(int), nat_in["n_name"])
+    )
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).sort_values("c_custkey")
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).sort_values("s_suppkey")
+    cref = ray.put(
+        (cust["c_custkey"].to_numpy(np.int64), cust["c_nationkey"].to_numpy(np.int64))
+    )
+    sref = ray.put(
+        (supp["s_suppkey"].to_numpy(np.int64), supp["s_nationkey"].to_numpy(np.int64))
+    )
+
+    def _probe(keys: np.ndarray, vals: np.ndarray, q: np.ndarray):
+        """sorted-key dimension lookup: (values, found-mask)."""
+        pos = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
+        ok = keys[pos] == q
+        return vals[pos], ok
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(cref)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        nk, ok = _probe(keys, vals, batch["o_custkey"].to_numpy(zero_copy_only=False))
+        keep = ok & np.isin(nk, allowed_nk)
+        okey, nk = okey[keep], nk[keep]
+        return pa.Table.from_arrays(
+            [
+                pa.array((okey & mask).astype(np.int32), pa.int32()),
+                pa.array(okey, pa.int64()),
+                pa.array(nk, pa.int64()),
+                pa.array(np.zeros(len(okey), np.int64), pa.int64()),
+                pa.array(np.zeros(len(okey), np.int8), pa.int8()),
+            ],
+            names=["kb", "okey", "nk", "rev_e4", "side"],
+        )
+
+    def _lineitem(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(sref)
+        nk, ok = _probe(keys, vals, batch["l_suppkey"].to_numpy(zero_copy_only=False))
+        keep = ok & np.isin(nk, allowed_nk)
+        price_c = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_bp = np.round(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "okey": batch["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                "nk": nk[keep],
+                "rev_e4": (price_c * (100 - disc_bp))[keep],
+            }
+        )
+        g = df.groupby(["okey", "nk"], as_index=False)["rev_e4"].sum()
+        n = len(g)
+        return pa.Table.from_arrays(
+            [
+                pa.array((g["okey"].to_numpy() & mask).astype(np.int32), pa.int32()),
+                pa.array(g["okey"].to_numpy(np.int64), pa.int64()),
+                pa.array(g["nk"].to_numpy(np.int64), pa.int64()),
+                pa.array(g["rev_e4"].to_numpy(np.int64), pa.int64()),
+                pa.array(np.ones(n, np.int8), pa.int8()),
+            ],
+            names=["kb", "okey", "nk", "rev_e4", "side"],
+        )
+
+    def _join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        li = g[g["side"] == 1]
+        m = li.merge(
+            o[["okey", "nk"]], on=["okey", "nk"], how="inner"
+        )  # supplier nation == customer nation, co-located by okey
+        out = m.groupby("nk", as_index=False)["rev_e4"].sum()
+        out["z"] = 0
+        return out
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("nk", as_index=False)["rev_e4"].sum()
+        return pd.DataFrame(
+            {
+                "n_name": out["nk"].map(nk_to_name),
+                "revenue_e4": out["rev_e4"].astype(np.int64),
+            }
+        )
+
+    orders_ds = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey"]
+    ).map_batches(_orders, batch_format="pyarrow")
+    li_ds = read_table(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_lineitem, batch_format="pyarrow")
+    return (
+        orders_ds.union(li_ds)
+        .repartition(16)  # coalesce tiny key partials (see order_priority_check)
+        .groupby("kb")
+        .map_groups(_join_bucket, batch_format="pandas")
+        .groupby("z")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+def nation_revenue_sql(region: str = "ASIA") -> str:
+    """DuckDB mirror of :func:`nation_revenue` in the same exact-integer
+    revenue domain (cents x (100 - discount basis points))."""
+    return (
+        "SELECT n_name, CAST(sum("
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+        "AS revenue_e4 "
+        "FROM lineitem, orders, customer, supplier, nation, region "
+        "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey "
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        f"AND r_name = '{region}' GROUP BY n_name"
+    )
+
+
+def user_moving_average(sf_dir: str, window: int = 4):
+    """Frame-based window aggregate (ROWS BETWEEN k PRECEDING AND
+    CURRENT ROW): per-user moving sum/count of the last ``window``
+    event values ordered by (ts, event_id) — the rolling-metric shape
+    the suite's other window queries (LAG gaps, running totals) don't
+    cover.
+
+    One user-bucket shuffle; the per-bucket reducer lexsorts its users'
+    rows once and computes every window with two prefix-sum gathers
+    (no per-row Python, no per-user groups). Values enter the int64
+    cents domain per row so sums are order-independent and exact.
+    Output: ``event_id, w_sum_c, w_n`` (sum and count of the frame —
+    integer-exact; the average is their ratio, left unrounded by
+    design: float division is the one ulp-unstable step).
+    """
+    mask = bucket_mask_for(sf_dir, "events")
+    k = window - 1
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array((uid & mask).astype(np.int32), pa.int32()),
+                pa.array(uid, pa.int64()),
+                batch["ts"].cast(pa.int64()),
+                batch["event_id"],
+                pa.array(
+                    np.round(
+                        batch["value"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            ],
+            names=["ub", "user_id", "ts_us", "event_id", "value_c"],
+        )
+
+    def _windows(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        v = g["value_c"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, v = uid[order], eid[order], v[order]
+        n = len(uid)
+        new_seg = np.empty(n, bool)
+        new_seg[0] = True
+        new_seg[1:] = uid[1:] != uid[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        seg_first = np.flatnonzero(new_seg)[seg_id]
+        i = np.arange(n)
+        lo = np.maximum(i - k, seg_first)
+        csum = np.concatenate([[0], np.cumsum(v)])
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "w_sum_c": (csum[i + 1] - csum[lo]).astype(np.int64),
+                "w_n": (i - lo + 1).astype(np.int64),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(_windows, batch_format="pandas")
+    )
+
+
+def user_moving_average_sql(window: int = 4) -> str:
+    """DuckDB mirror: SUM/COUNT OVER a ROWS frame in the cents domain."""
+    return (
+        "SELECT event_id, CAST(sum(value_c) OVER w AS BIGINT) AS w_sum_c, "
+        "CAST(count(*) OVER w AS BIGINT) AS w_n "
+        "FROM (SELECT event_id, user_id, ts, "
+        "CAST(round(value * 100) AS BIGINT) AS value_c FROM events) "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)"
+    )
+
+
+def event_type_transitions(sf_dir: str):
+    """Per-user event-sequence bigrams (the Markov-transition-matrix /
+    clickstream-mining shape): count (previous event_type -> event_type)
+    transitions within each user's (ts, event_id)-ordered stream.
+
+    One user-bucket shuffle; the reducer lexsorts once, pairs each row
+    with its predecessor by a shifted compare (no per-user Python
+    groups), and pre-aggregates to <= n_types^2 partial rows per
+    bucket; a single-group final combine sums the ~25 cells.
+    """
+    mask = bucket_mask_for(sf_dir, "events")
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array((uid & mask).astype(np.int32), pa.int32()),
+                pa.array(uid, pa.int64()),
+                batch["ts"].cast(pa.int64()),
+                batch["event_id"],
+                batch["event_type"],
+            ],
+            names=["ub", "user_id", "ts_us", "event_id", "event_type"],
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid = uid[order]
+        et = g["event_type"].to_numpy()[order]
+        same = np.empty(len(uid), bool)
+        same[0] = False
+        same[1:] = uid[1:] == uid[:-1]
+        prev = np.roll(et, 1)
+        df = pd.DataFrame({"prev_type": prev[same], "event_type": et[same]})
+        out = df.groupby(["prev_type", "event_type"], as_index=False).size()
+        out.columns = ["prev_type", "event_type", "n"]
+        out["z"] = 0
+        return out
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["prev_type", "event_type"], as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out[["prev_type", "event_type", "n"]]
+
+    ds = read_table(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby("z")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+def event_type_transitions_sql() -> str:
+    """DuckDB mirror via LAG OVER the same (ts, event_id) order."""
+    return (
+        "SELECT prev_type, event_type, count(*) AS n FROM ("
+        "SELECT lag(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS prev_type, event_type FROM events) "
+        "WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type"
+    )
+
+
+def value_histogram(sf_dir: str, bin_width_c: int = 2500):
+    """Equal-width histogram of event values (the distribution-profiling
+    shape): bin id, row count and value mass per bin, binned in the
+    exact int64 cents domain (``value_c // bin_width_c``) so bin edges
+    cannot drift between engines. Per-batch partials collapse to the
+    ~20 occupied bins; one single-block combine.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v_c = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame({"bin": v_c // bin_width_c, "value_c": v_c})
+        g = df.groupby("bin", as_index=False).agg(
+            n=("value_c", "size"), sum_value_c=("value_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.groupby("bin", as_index=False).agg(
+            n=("n", "sum"), sum_value_c=("sum_value_c", "sum")
+        )
+        out = out.astype({"bin": np.int64, "n": np.int64, "sum_value_c": np.int64})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = read_table(sf_dir, "events", ["value"])
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def value_histogram_sql(bin_width_c: int = 2500) -> str:
+    """DuckDB mirror in the same integer cents domain."""
+    return (
+        "SELECT CAST(round(value * 100) AS BIGINT) // "
+        f"{bin_width_c} AS bin, count(*) AS n, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_value_c FROM events GROUP BY bin"
+    )

@@ -530,3 +530,201 @@ def rag_chunks_sql(size: int = 128, stride: int = 96,
         f"array_to_string(list_slice(toks, i * {stride} + 1, "
         f"i * {stride} + {size}), ' ') AS chunk_text FROM ix"
     )
+
+
+def inverted_index(docs_ds, k: int = 10, head: int = 16):
+    """Inverted-index construction (the search/retrieval build shape):
+    for the ``k`` highest-document-frequency tokens, emit the document
+    frequency and the first ``head`` postings (ascending doc_ids,
+    comma-joined) — bounded output per token, per the no-unbounded-rows
+    rule (a stop-word's full postings list is corpus-sized at scale).
+
+    Scale shape: the index build inherently moves every distinct
+    (token, doc) pair exactly once — ONE md5-token-bucket shuffle; each
+    reducer owns complete postings for its tokens (df + head are exact
+    locally), emits only its local top-``k``, and a single-group final
+    combine picks the global top-``k`` from ``k x buckets`` rows.
+    Deterministic tie-break: (df desc, token asc).
+    """
+    import hashlib
+
+    import numpy as np
+
+    from doctr_ray.pool import adaptive_buckets
+
+    # pairs ~ docs x distinct-tokens/doc; ~2k docs/reducer keeps each
+    # bucket's pair frame tens-of-KB..MB at any corpus size
+    n_docs = docs_ds.count()
+    buckets = adaptive_buckets(n_docs, rows_per_bucket=2_000)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        toks_out: list[str] = []
+        docs_out: list[int] = []
+        tb_out: list[int] = []
+        bcache: dict[str, int] = {}
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for t in set((text or "").split(" ")) - {""}:
+                b = bcache.get(t)
+                if b is None:
+                    b = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % buckets
+                    bcache[t] = b
+                toks_out.append(t)
+                docs_out.append(did)
+                tb_out.append(b)
+        return pa.Table.from_pydict(
+            {
+                "tb": pa.array(tb_out, pa.int32()),
+                "token": pa.array(toks_out, pa.string()),
+                "doc_id": pa.array(docs_out, pa.int64()),
+            }
+        )
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # (token, doc_id) pairs are already distinct (one set per doc,
+        # each doc row lives in exactly one batch)
+        g = g.sort_values(["token", "doc_id"], kind="stable")
+        grp = g.groupby("token", sort=False)["doc_id"]
+        out = pd.DataFrame(
+            {
+                "df": grp.size().astype("int64"),
+                "postings_head": grp.apply(
+                    lambda s: ",".join(map(str, s.iloc[:head]))
+                ),
+            }
+        ).reset_index()
+        out = out.sort_values(
+            ["df", "token"], ascending=[False, True], kind="stable"
+        ).head(k)
+        out["z"] = 0
+        return out
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(
+            ["df", "token"], ascending=[False, True], kind="stable"
+        ).head(k)
+        import numpy as np
+
+        out["df"] = out["df"].astype(np.int64)
+        return out[["token", "df", "postings_head"]]
+
+    return (
+        docs_ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(_bucket, batch_format="pandas")
+        .groupby("z")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+def inverted_index_sql(k: int = 10, head: int = 16) -> str:
+    """DuckDB mirror of :func:`inverted_index` (distinct pairs, windowed
+    head postings, same (df desc, token asc) tie-break)."""
+    return (
+        "WITH pairs AS (SELECT DISTINCT token, doc_id FROM ("
+        "SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS token FROM documents)), "
+        "ranked AS (SELECT token, doc_id, row_number() OVER ("
+        "PARTITION BY token ORDER BY doc_id) AS rn FROM pairs), "
+        "heads AS (SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' "
+        f"ORDER BY doc_id) AS postings_head FROM ranked WHERE rn <= {head} "
+        "GROUP BY token), "
+        "stats AS (SELECT token, count(*) AS df FROM pairs GROUP BY token) "
+        "SELECT s.token, s.df, h.postings_head FROM stats s "
+        "JOIN heads h USING (token) "
+        f"ORDER BY s.df DESC, s.token LIMIT {k}"
+    )
+
+
+def shared_vocab(sf_dir: str):
+    """Cross-group set operations on vocabularies (INTERSECT / EXCEPT
+    shape): for every token, how many sources contain it, whether it is
+    in the intersection of ALL source vocabularies, and — when a single
+    source owns it exclusively (set difference) — which one.
+
+    Scale shape: per-batch distinct (token, source) pairs (bounded by
+    vocab x sources, not by rows) -> ONE md5-token-bucket shuffle ->
+    per-token counts inside vectorized reducers. The total source count
+    comes from a separate streaming pass that collapses to per-batch
+    unique partials before the driver sees ~|sources| values.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from doctr_ray.functions.relational import read_table
+    from doctr_ray.pool import adaptive_buckets
+
+    def _src_partial(batch: pa.Table) -> pa.Table:
+        u = pd.unique(batch["source"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict({"source": list(u)})
+
+    n_src_total = len(
+        set(
+            read_table(sf_dir, "documents", ["source"])
+            .map_batches(_src_partial, batch_format="pyarrow")
+            .to_pandas()["source"]
+        )
+    )
+
+    docs_ds = read_table(sf_dir, "documents", ["text", "source"])
+    n_docs = docs_ds.count()
+    buckets = adaptive_buckets(n_docs, rows_per_bucket=2_000)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        srcs: list[str] = []
+        tb: list[int] = []
+        seen: set[tuple[str, str]] = set()
+        bcache: dict[str, int] = {}
+        for src, text in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for t in set((text or "").split(" ")) - {""}:
+                if (t, src) in seen:
+                    continue
+                seen.add((t, src))
+                b = bcache.get(t)
+                if b is None:
+                    b = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % buckets
+                    bcache[t] = b
+                toks.append(t)
+                srcs.append(src)
+                tb.append(b)
+        return pa.Table.from_pydict(
+            {
+                "tb": pa.array(tb, pa.int32()),
+                "token": pa.array(toks, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        )
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["token", "source"])  # cross-batch dups
+        grp = g.groupby("token", sort=False)["source"]
+        out = pd.DataFrame(
+            {"n_sources": grp.size().astype(np.int64), "min_src": grp.min()}
+        ).reset_index()
+        out["in_all"] = (out["n_sources"] == n_src_total).astype(np.int64)
+        out["only_src"] = np.where(out["n_sources"] == 1, out["min_src"], "")
+        return out[["token", "n_sources", "in_all", "only_src"]]
+
+    return (
+        docs_ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(_bucket, batch_format="pandas")
+    )
+
+
+def shared_vocab_sql() -> str:
+    """DuckDB mirror of :func:`shared_vocab`."""
+    return (
+        "WITH pairs AS (SELECT DISTINCT source, token FROM ("
+        "SELECT source, unnest(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS token FROM documents)), "
+        "tot AS (SELECT count(DISTINCT source) AS t FROM documents) "
+        "SELECT token, count(*) AS n_sources, "
+        "CAST(CASE WHEN count(*) = (SELECT t FROM tot) THEN 1 ELSE 0 END "
+        "AS BIGINT) AS in_all, "
+        "CASE WHEN count(*) = 1 THEN min(source) ELSE '' END AS only_src "
+        "FROM pairs GROUP BY token"
+    )
