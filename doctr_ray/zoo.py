@@ -167,7 +167,21 @@ def ocr_predictor(
 ) -> OCRPredictor:
     """The reference's ``ocr_predictor`` signature (models/zoo.py:100-181),
     mapped onto this engine's pipeline knobs. ``pretrained`` is accepted
-    and ignored (the procedural kernels ARE the weights)."""
+    and ignored (the procedural kernels ARE the weights). Like the
+    reference zoos (detection/zoo.py:45-54, recognition/zoo.py:38-52),
+    each arch argument also accepts a loaded ``HubModel`` instance —
+    its arch name routes the kernel and its checkpoint (weights.npz
+    path) rides into the recognizer actors."""
+    weights = kwargs.get("weights")
+    if isinstance(det_arch, HubModel):
+        if det_arch.task != "detection":
+            raise ValueError(f"hub model '{det_arch.name}' is not a detection model")
+        det_arch = det_arch.arch
+    if isinstance(reco_arch, HubModel):
+        if reco_arch.task != "recognition":
+            raise ValueError(f"hub model '{reco_arch.name}' is not a recognition model")
+        weights = reco_arch.weights_path or weights
+        reco_arch = reco_arch.arch
     if det_arch not in DET_ARCHS:
         raise ValueError(f"unknown detection architecture '{det_arch}'")
     if reco_arch not in RECO_ARCHS:
@@ -181,6 +195,7 @@ def ocr_predictor(
             straighten_pages=straighten_pages,
             detect_language=detect_language,
             keep_reading_order=keep_reading_order,
+            weights=weights,
         )
     )
 
@@ -237,3 +252,131 @@ def from_name(name: str, hub_dir: str) -> OCRPredictor:
     if task == "kie":
         return kie_predictor(cfg.det_arch, cfg.reco_arch)
     return OCRPredictor(cfg)
+
+
+# ------------------------------------------------- hub (per-model artifacts)
+
+# reference AVAILABLE_ARCHS (models/factory/hub.py:30-36): per-task
+# architecture inventories a hub artifact may declare
+AVAILABLE_HUB_ARCHS: dict[str, set] = {
+    "detection": DET_ARCHS,
+    "recognition": RECO_ARCHS,
+    "classification": {"mobilenet_v3_small_crop_orientation",
+                       "mobilenet_v3_small_page_orientation"},
+    "layout": {"lw_detr_s", "lw_detr_m", "component_classify"},
+    "table_structure": {"tablecenternet", "lattice_detect"},
+}
+
+
+@dataclass(frozen=True)
+class HubModel:
+    """A loaded hub artifact: task + arch + optional checkpoint blobs.
+
+    The reference's zoos accept model INSTANCES as well as names
+    (detection/zoo.py:45-54, recognition/zoo.py:38-52); passing a
+    ``HubModel`` to :func:`ocr_predictor` is this engine's analog —
+    the arch name routes to the matching kernel and the weights ride
+    along into the actor constructors.
+    """
+
+    name: str
+    task: str
+    arch: str
+    weights_path: str | None = None
+
+    def load_weights(self) -> dict | None:
+        if self.weights_path is None:
+            return None
+        from .weights import load_weights
+
+        return load_weights(self.weights_path)
+
+
+def push_to_hub(
+    model_name: str,
+    task: str,
+    arch: str,
+    hub_dir: str,
+    weights: dict | None = None,
+    run_config: dict | None = None,
+) -> str:
+    """Publish a model artifact under ``hub_dir/model_name/`` — the
+    ``push_to_hf_hub`` analog (reference models/factory/hub.py:80-188)
+    with the hub replaced by a directory (no network in this
+    container): validates task (hub.py:100-101) and arch against the
+    per-task inventory (hub.py:161-165), refuses to overwrite an
+    existing artifact (``create_repo(..., exist_ok=False)``,
+    hub.py:168), and writes the artifact triple a real hub ships —
+    ``config.json`` (arch + task, hub.py:56-77), ``weights.npz``
+    (checkpoint blob via doctr_ray.weights) and a ``README.md`` model
+    card with tags + optional run configuration (hub.py:104-158).
+    """
+    if task not in AVAILABLE_HUB_ARCHS:
+        raise ValueError(
+            f"task must be one of {sorted(AVAILABLE_HUB_ARCHS)}"
+        )
+    if arch not in AVAILABLE_HUB_ARCHS[task]:
+        raise ValueError(
+            f"Architecture: {arch} for task: {task} not found.\n"
+            f"Available architectures: "
+            f"{ {k: sorted(v) for k, v in AVAILABLE_HUB_ARCHS.items()} }"
+        )
+    d = os.path.join(hub_dir, model_name)
+    if os.path.exists(d):
+        raise FileExistsError(f"hub artifact '{model_name}' already exists")
+    os.makedirs(d)
+
+    cfg: dict = {"arch": arch, "task": task}
+    if weights is not None:
+        from .weights import save_weights
+
+        save_weights(os.path.join(d, "weights.npz"), weights)
+        cfg["weights"] = "weights.npz"
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=1)
+
+    card = (
+        "---\nlanguage: en\ntags:\n- ocr\n- ray-data\n"
+        f"- {task}\n---\n\n## Task: {task}\n\narch: {arch}\n"
+    )
+    if run_config is not None:
+        card += (
+            "\n### Run Configuration\n\n```json\n"
+            + json.dumps(run_config, indent=2, ensure_ascii=False)
+            + "\n```\n"
+        )
+    with open(os.path.join(d, "README.md"), "w") as f:
+        f.write(card)
+    return d
+
+
+def from_hub(model_name: str, hub_dir: str) -> HubModel:
+    """Load a hub artifact (the ``from_hub`` analog, reference
+    models/factory/hub.py:190-224): reads config.json, routes on its
+    recorded task exactly like the reference's task dispatch
+    (hub.py:212-224), and resolves the checkpoint path."""
+    d = os.path.join(hub_dir, model_name)
+    with open(os.path.join(d, "config.json")) as f:
+        cfg = json.load(f)
+    task, arch = cfg["task"], cfg["arch"]
+    if task not in AVAILABLE_HUB_ARCHS:
+        raise ValueError(f"unknown task '{task}' in hub artifact")
+    wpath = cfg.get("weights")
+    return HubModel(
+        name=model_name,
+        task=task,
+        arch=arch,
+        weights_path=os.path.join(d, wpath) if wpath else None,
+    )
+
+
+def list_hub_models(hub_dir: str) -> list[str]:
+    """Names of artifacts published under ``hub_dir`` (models with a
+    config.json), sorted — the hub listing surface."""
+    if not os.path.isdir(hub_dir):
+        return []
+    return sorted(
+        n
+        for n in os.listdir(hub_dir)
+        if os.path.isfile(os.path.join(hub_dir, n, "config.json"))
+    )

@@ -110,3 +110,85 @@ def test_hub_ships_weights_blob(tmp_path, ray_session):
     base = p.extract_text(ray.data.from_arrow(docs)).to_pandas()
     got = q.extract_text(ray.data.from_arrow(docs)).to_pandas()
     assert base.equals(got)
+
+
+def test_hub_push_from_list(tmp_path):
+    from doctr_ray.weights import identity_recognizer_weights
+    from doctr_ray.zoo import (
+        from_hub,
+        list_hub_models,
+        ocr_predictor,
+        push_to_hub,
+    )
+
+    hub = str(tmp_path / "hub")
+    # validation: bad task / bad arch / name collision
+    with pytest.raises(ValueError):
+        push_to_hub("m", "nonsense_task", "fast_base", hub)
+    with pytest.raises(ValueError):
+        push_to_hub("m", "recognition", "fast_base", hub)  # det arch
+
+    from doctr_ray.recognition import GlyphRecognizer
+
+    k = GlyphRecognizer().templates.shape[0]
+    w = identity_recognizer_weights(k)
+    d = push_to_hub(
+        "my-reco", "recognition", "crnn_vgg16_bn", hub, weights=w,
+        run_config={"epochs": 3},
+    )
+    with pytest.raises(FileExistsError):
+        push_to_hub("my-reco", "recognition", "crnn_vgg16_bn", hub)
+    push_to_hub("my-det", "detection", "fast_base", hub)
+    assert list_hub_models(hub) == ["my-det", "my-reco"]
+
+    # artifact triple on disk (config + checkpoint + model card)
+    import os
+
+    assert os.path.isfile(os.path.join(d, "config.json"))
+    assert os.path.isfile(os.path.join(d, "weights.npz"))
+    card = open(os.path.join(d, "README.md")).read()
+    assert "recognition" in card and '"epochs": 3' in card
+
+    m = from_hub("my-reco", hub)
+    assert m.task == "recognition" and m.arch == "crnn_vgg16_bn"
+    loaded = m.load_weights()
+    assert set(loaded) == set(w)
+
+    # instance-parity: hub models plug into the predictor zoo
+    p = ocr_predictor(det_arch=from_hub("my-det", hub), reco_arch=m)
+    assert p.cfg.det_arch == "fast_base"
+    assert p.cfg.reco_arch == "crnn_vgg16_bn"
+    assert p.cfg.weights == m.weights_path
+    # task mismatch is rejected
+    with pytest.raises(ValueError):
+        ocr_predictor(det_arch=m)
+
+
+def test_hub_model_output_unchanged(tmp_path):
+    """Identity hub weights flow through local-mode extraction without
+    changing the result (weights plumbing, not semantics)."""
+    from doctr_ray.weights import identity_recognizer_weights
+    from doctr_ray.zoo import from_hub, ocr_predictor, push_to_hub
+
+    hub = str(tmp_path / "hub")
+    from doctr_ray.recognition import GlyphRecognizer
+
+    k = GlyphRecognizer().templates.shape[0]
+    push_to_hub(
+        "id-reco", "recognition", "glyph_template", hub,
+        weights=identity_recognizer_weights(k),
+    )
+    page = rasterize_synth(encode_media_ref("hello hub world", 640, 480))[0].image
+    base = ocr_predictor().forward_pages([page])
+    hubbed = ocr_predictor(reco_arch=from_hub("id-reco", hub)).forward_pages([page])
+
+    def words(exports):
+        return [
+            w["value"]
+            for e in exports
+            for b in e["blocks"]
+            for l in b["lines"]
+            for w in l["words"]
+        ]
+
+    assert words(base) == words(hubbed)
