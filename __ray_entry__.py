@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         latest_user_event,
         nation_revenue,
         user_moving_average,
+        user_retention,
         value_histogram,
         order_priority_check,
         orphan_orders,
@@ -1532,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions": event_type_transitions,
         "nation_revenue": nation_revenue,
         "user_moving_average": user_moving_average,
+        "user_retention": user_retention,
         "value_histogram": value_histogram,
         "stratified_sample": q_stratified_sample,
         "supplier_balance": supplier_balance_by_nation,
@@ -2107,6 +2109,9 @@ def oracle_sql() -> dict[str, str]:
         "user_moving_average": __import__(
             "doctr_ray.functions.relational", fromlist=["user_moving_average_sql"]
         ).user_moving_average_sql(),
+        "user_retention": __import__(
+            "doctr_ray.functions.relational", fromlist=["user_retention_sql"]
+        ).user_retention_sql(),
         "value_histogram": __import__(
             "doctr_ray.functions.relational", fromlist=["value_histogram_sql"]
         ).value_histogram_sql(),

@@ -208,6 +208,7 @@ def run_once() -> dict:
         "inverted_index",
         "shared_vocab",
         "source_overlap",
+        "user_retention",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

@@ -1686,3 +1686,69 @@ def value_histogram_sql(bin_width_c: int = 2500) -> str:
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
         "AS sum_value_c FROM events GROUP BY bin"
     )
+
+
+def user_retention(sf_dir: str):
+    """Cohort retention matrix (the product-analytics shape): users are
+    cohorted by their first-activity day; each cell counts distinct
+    users of cohort ``cohort_day`` active ``day_offset`` days later.
+
+    Scale shape: ONE user-bucket shuffle co-locates each user's whole
+    history, so the per-bucket reducer computes first-day AND the
+    distinct active-day set locally; users are unique to their bucket,
+    so per-(cohort, offset) counts are ADDITIVE partials — the final
+    combine sums ~|days|^2 tiny cells, never user rows. Days come from
+    integer epoch floor-division (no calendar library involved).
+    """
+    mask = bucket_mask_for(sf_dir, "events")
+    DAY_US = 86_400_000_000
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        day = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US
+        )
+        df = pd.DataFrame({"ub": (uid & mask).astype(np.int32),
+                           "user_id": uid, "day": day})
+        # per-batch distinct (user, day): the reducer only needs day sets
+        df = df.drop_duplicates(["user_id", "day"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _cohort(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        first = g.groupby("user_id", sort=False)["day"].transform("min")
+        out = pd.DataFrame(
+            {"cohort_day": first, "day_offset": g["day"] - first}
+        ).groupby(["cohort_day", "day_offset"], as_index=False).size()
+        out.columns = ["cohort_day", "day_offset", "n_users"]
+        out["z"] = 0
+        return out
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cohort_day", "day_offset"], as_index=False)[
+            "n_users"
+        ].sum()
+        return out.astype(
+            {"cohort_day": np.int64, "day_offset": np.int64, "n_users": np.int64}
+        )
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+    return (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(_cohort, batch_format="pandas")
+        .groupby("z")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+def user_retention_sql() -> str:
+    """DuckDB mirror via the same integer epoch-day arithmetic."""
+    return (
+        "WITH d AS (SELECT DISTINCT user_id, "
+        "epoch_us(ts) // 86400000000 AS day FROM events), "
+        "f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id) "
+        "SELECT cohort_day, day - cohort_day AS day_offset, "
+        "count(*) AS n_users FROM d JOIN f USING (user_id) "
+        "GROUP BY cohort_day, day_offset"
+    )

@@ -44,6 +44,13 @@ def main(argv: list[str] | None = None) -> int:
         help="ignore existing partition manifests (default: resume)",
     )
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--query",
+        default=None,
+        help="instead of the OCR pipeline, run a named signal query "
+        "(any __ray_entry__.queries() entry) over --input and write "
+        "its result to --output as parquet",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -59,6 +66,9 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if args.query:
+        return _run_query(args)
 
     from doctr_ray.corpus import docs_dataset
     from doctr_ray.pipelines.ocr import ocr_spans
@@ -101,6 +111,58 @@ def main(argv: list[str] | None = None) -> int:
         "wall_sec": round(sum(r.metrics.get("wall_sec", 0) for r in results if not r.skipped), 3),
         "output": args.output,
     }
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+def _run_query(args) -> int:
+    """Run one named signal pipeline and write its result as parquet —
+    the CLI surface for every ``__ray_entry__.queries()`` operator, so
+    a user can ``ray job submit`` any of them, not only OCR."""
+    import importlib.util
+    import os
+    import time
+
+    import ray
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "__ray_entry__.py"),
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    qs = entry.queries()
+    if args.query not in qs:
+        print(
+            f"unknown query '{args.query}'; available: {sorted(qs)}",
+            file=sys.stderr,
+        )
+        return 2
+
+    t0 = time.monotonic()
+    res = qs[args.query](args.input)
+    if hasattr(res, "write_parquet"):  # ray Dataset: streamed, block-partitioned
+        res.write_parquet(args.output)
+        n_rows = None
+    else:  # small pandas/arrow result
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        os.makedirs(args.output, exist_ok=True)
+        if isinstance(res, pd.DataFrame):
+            res.to_parquet(os.path.join(args.output, "part-0.parquet"))
+            n_rows = len(res)
+        else:
+            pq.write_table(res, os.path.join(args.output, "part-0.parquet"))
+            n_rows = res.num_rows
+    summary = {
+        "query": args.query,
+        "output": args.output,
+        "wall_sec": round(time.monotonic() - t0, 3),
+    }
+    if n_rows is not None:
+        summary["rows"] = n_rows
     print(json.dumps(summary))
     ray.shutdown()
     return 0

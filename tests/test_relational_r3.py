@@ -279,3 +279,27 @@ def test_duckdb_parity_sf(ray_session):
         g = got[cols].sort_values(cols).reset_index(drop=True)
         w = want[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(g, w, check_dtype=False), name
+
+
+def test_user_retention_cohorts(ray_session, tmp_path):
+    from doctr_ray.functions.relational import user_retention
+
+    sf = _write_events(
+        tmp_path,
+        [
+            # user 1: first day 0, active days 0 and 2 (two events day 0)
+            (1, 1, "a", "1970-01-01 08:00:00", 0.0),
+            (2, 1, "a", "1970-01-01 20:00:00", 0.0),
+            (3, 1, "a", "1970-01-03 01:00:00", 0.0),
+            # user 2: first day 0, active day 0 only
+            (4, 2, "a", "1970-01-01 12:00:00", 0.0),
+            # user 3: first day 2, active days 2 and 3
+            (5, 3, "a", "1970-01-03 00:00:00", 0.0),
+            (6, 3, "a", "1970-01-04 00:00:00", 0.0),
+        ],
+    )
+    got = user_retention(sf).to_pandas()
+    cells = {
+        (r.cohort_day, r.day_offset): r.n_users for r in got.itertuples()
+    }
+    assert cells == {(0, 0): 2, (0, 2): 1, (2, 0): 1, (2, 1): 1}
