@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         funnel_conversion,
         latest_user_event,
         nation_revenue,
+        promo_revenue,
         user_moving_average,
         user_retention,
         value_histogram,
@@ -1532,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonality": events_seasonality,
         "event_type_transitions": event_type_transitions,
         "nation_revenue": nation_revenue,
+        "promo_revenue": promo_revenue,
         "user_moving_average": user_moving_average,
         "user_retention": user_retention,
         "value_histogram": value_histogram,
@@ -2106,6 +2108,9 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue": __import__(
             "doctr_ray.functions.relational", fromlist=["nation_revenue_sql"]
         ).nation_revenue_sql(),
+        "promo_revenue": __import__(
+            "doctr_ray.functions.relational", fromlist=["promo_revenue_sql"]
+        ).promo_revenue_sql(),
         "user_moving_average": __import__(
             "doctr_ray.functions.relational", fromlist=["user_moving_average_sql"]
         ).user_moving_average_sql(),

@@ -209,6 +209,7 @@ def run_once() -> dict:
         "shared_vocab",
         "source_overlap",
         "user_retention",
+        "promo_revenue",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

@@ -1752,3 +1752,94 @@ def user_retention_sql() -> str:
         "count(*) AS n_users FROM d JOIN f USING (user_id) "
         "GROUP BY cohort_day, day_offset"
     )
+
+
+def promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape — the revenue-share ratio: per ship year, the
+    fraction of revenue from PROMO-type parts.
+
+    Scale shape: zero shuffle. The part dimension reduces to the PROMO
+    partkey SET, broadcast once (a filtered dimension — a fraction of
+    part, which is itself ~30x smaller than lineitem; FK integrity lets
+    the denominator skip the join entirely). One streaming lineitem
+    pass emits per-(year) integer partials; the final combine runs in
+    PYTHON ints because ``1e6 * promo_e4`` exceeds int64 at any real
+    scale (DuckDB's side is HUGEINT for the same reason) — the share
+    itself is < 1e6 and round-trips exactly.
+    """
+    import ray
+
+    pt = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    promo = np.sort(pt.loc[pt["p_type"] == "PROMO", "p_partkey"].to_numpy(np.int64))
+    pref = ray.put(promo)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pref)
+        yr = (
+            batch["l_shipdate"]
+            .to_pandas()
+            .dt.year.to_numpy()
+            .astype(np.int64)
+        )
+        e4 = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64) * (
+            100
+            - np.round(
+                batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+        )
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, pk), max(len(keys) - 1, 0))
+        is_promo = (len(keys) > 0) & (keys[pos] == pk)
+        df = pd.DataFrame(
+            {"yr": yr, "e4": e4, "promo_e4": np.where(is_promo, e4, 0)}
+        )
+        g = df.groupby("yr", as_index=False).agg(
+            promo_e4=("promo_e4", "sum"), total_e4=("e4", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("yr", as_index=False).agg(
+            promo_e4=("promo_e4", "sum"), total_e4=("total_e4", "sum")
+        )
+        share = [
+            int((1_000_000 * int(p)) // int(t)) if t else 0
+            for p, t in zip(g["promo_e4"], g["total_e4"])
+        ]  # python ints: 1e6 * promo_e4 overflows int64
+        out = pd.DataFrame(
+            {
+                "yr": g["yr"].astype(np.int64),
+                "promo_e4": g["promo_e4"].astype(np.int64),
+                "total_e4": g["total_e4"].astype(np.int64),
+                "promo_share_e6": np.asarray(share, np.int64),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+        .repartition(1)
+        .map_batches(_final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def promo_revenue_sql() -> str:
+    """DuckDB mirror (HUGEINT sums; share floor-divided then cast)."""
+    return (
+        "WITH li AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS e4, p_type "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey) "
+        "SELECT yr, CAST(sum(CASE WHEN p_type = 'PROMO' THEN e4 ELSE 0 END) "
+        "AS BIGINT) AS promo_e4, CAST(sum(e4) AS BIGINT) AS total_e4, "
+        "CAST((1000000 * sum(CASE WHEN p_type = 'PROMO' THEN e4 ELSE 0 END)) "
+        "// sum(e4) AS BIGINT) AS promo_share_e6 FROM li GROUP BY yr"
+    )

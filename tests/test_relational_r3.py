@@ -303,3 +303,32 @@ def test_user_retention_cohorts(ray_session, tmp_path):
         (r.cohort_day, r.day_offset): r.n_users for r in got.itertuples()
     }
     assert cells == {(0, 0): 2, (0, 2): 1, (2, 0): 1, (2, 1): 1}
+
+
+def test_promo_revenue_share(ray_session, tmp_path):
+    from doctr_ray.functions.relational import promo_revenue
+
+    pq.write_table(
+        pa.table({
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_type": ["PROMO", "STANDARD"],
+        }),
+        str(tmp_path / "part.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "l_partkey": pa.array([1, 2, 1], pa.int64()),
+            "l_shipdate": pa.array(
+                [pd.Timestamp("1995-03-01"), pd.Timestamp("1995-06-01"),
+                 pd.Timestamp("1996-01-01")], pa.timestamp("us")),
+            "l_extendedprice": pa.array([10.0, 30.0, 7.0], pa.float64()),
+            "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64()),
+        }),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = promo_revenue(str(tmp_path)).to_pandas().sort_values("yr")
+    # 1995: promo 10.00 of 40.00 -> share 250000; 1996: all promo
+    assert got["yr"].tolist() == [1995, 1996]
+    assert got["promo_e4"].tolist() == [100_000, 70_000]
+    assert got["total_e4"].tolist() == [400_000, 70_000]
+    assert got["promo_share_e6"].tolist() == [250_000, 1_000_000]
