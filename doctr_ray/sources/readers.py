@@ -58,12 +58,50 @@ def read_image(data: bytes, output_size: tuple[int, int] | None = None) -> np.nd
     return arr
 
 
-def read_html(url: str) -> bytes:
-    """URL -> PDF bytes. STUB — needs weasyprint + network.
+def read_html(src: str | bytes) -> bytes:
+    """HTML -> PDF bytes (reference io/html.py:11-26, weasyprint's
+    ``HTML(string).write_pdf()``).
 
-    reference: io/html.py:11-26.
+    No browser engine ships in this container, so the render is a
+    TEXT-LAYER analog: the DOM main-content extractor
+    (functions/html_extract) pulls the readable text and a minimal
+    text-layer PDF is composed (sources/pdftext.make_simple_pdf) — the
+    exact well-behaved subset this engine's PDF reader round-trips, so
+    DocumentFile-style dispatch over the returned bytes extracts the
+    same text. ``src`` may be an HTML string, HTML bytes, or a
+    ``file://`` path; a network URL raises (no network here, matching
+    the reference without weasyprint installed).
     """
-    raise NotImplementedError("read_html requires weasyprint and network access")
+    from doctr_ray.functions.html_extract import extract_main_content
+
+    from .pdftext import make_simple_pdf
+
+    if isinstance(src, bytes):
+        src = src.decode("utf-8", "replace")
+    if src.startswith(("http://", "https://")):
+        raise NotImplementedError(
+            "network URLs require weasyprint and network access"
+        )
+    if src.startswith(FILE_PREFIX):
+        with open(src[len(FILE_PREFIX):], encoding="utf-8") as f:
+            src = f.read()
+    text = extract_main_content(src)
+    # greedy wrap at ~80 chars; 46 lines/page fits the 12pt/14-leading
+    # layout inside the 792pt media box, so long documents paginate
+    lines: list[str] = []
+    cur = ""
+    for w in text.split(" "):
+        if not w:
+            continue
+        if cur and len(cur) + 1 + len(w) > 80:
+            lines.append(cur)
+            cur = w
+        else:
+            cur = f"{cur} {w}" if cur else w
+    if cur:
+        lines.append(cur)
+    pages = [lines[i : i + 46] for i in range(0, len(lines), 46)] or [[]]
+    return make_simple_pdf(pages)
 
 
 def read_raw_gray(data: bytes, height: int, width: int) -> np.ndarray:

@@ -89,3 +89,40 @@ def test_rasterize_media_synth_branch():
 
     pages = rasterize_media(encode_media_ref("hello world"))
     assert len(pages) == 1 and pages[0].image.ndim == 2
+
+
+def test_read_html_pdf_roundtrip(tmp_path):
+    """HTML -> PDF bytes -> text layer round-trips the DOM main content
+    (reference io/html.py contract with the render swapped for the
+    text-layer analog)."""
+    from doctr_ray.functions.html_extract import extract_main_content
+    from doctr_ray.sources.pdftext import extract_pdf_text
+    from doctr_ray.sources.readers import read_html
+
+    html = (
+        "<html><body><nav><a href='/'>home</a> <a href='/x'>nav link "
+        "row</a></nav><div id='main'><p>"
+        + " ".join(f"word{i}" for i in range(300))
+        + "</p></div></body></html>"
+    )
+    pdf = read_html(html)
+    assert pdf.startswith(b"%PDF")
+    pages = extract_pdf_text(pdf)
+    joined = " ".join(" ".join(p.split()) for p in pages).strip()
+    assert joined == extract_main_content(html)
+
+    # file:// path variant
+    f = tmp_path / "page.html"
+    f.write_text(html)
+    assert read_html(f"file://{f}") == pdf
+
+    # long documents paginate (46 lines/page)
+    big = "<html><body><p>" + " ".join(
+        f"tok{i}" for i in range(3000)
+    ) + "</p></body></html>"
+    assert len(extract_pdf_text(read_html(big))) > 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="weasyprint"):
+        read_html("https://example.invalid/a")
