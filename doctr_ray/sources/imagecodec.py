@@ -367,6 +367,10 @@ def decode_image(data: bytes) -> np.ndarray:
         from .jpegcodec import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gifcodec import decode_gif
+
+        return decode_gif(data)
     raise ValueError(f"unrecognized image format (magic {data[:4]!r})")
 
 
