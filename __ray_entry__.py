@@ -802,6 +802,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return source_overlap(sf_dir)
 
+    def q_token_cooccurrence(sf_dir: str):
+        from doctr_ray.functions.text import token_cooccurrence
+
+        return token_cooccurrence(sf_dir)
+
     def q_ocr_markdown(sf_dir: str):
         """Markdown rendering of extracted docs (exporter surface).
 
@@ -1461,6 +1466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "shared_vocab": q_shared_vocab,
         "source_overlap": q_source_overlap,
+        "token_cooccurrence": q_token_cooccurrence,
         "html_main_content": q_html_main_content,
         "ocr_html_media": q_ocr_html_media,
         "ocr_scanned_pdf": q_ocr_scanned_pdf,
@@ -2129,6 +2135,9 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": __import__(
             "doctr_ray.functions.dedup", fromlist=["source_overlap_sql"]
         ).source_overlap_sql(),
+        "token_cooccurrence": __import__(
+            "doctr_ray.functions.text", fromlist=["token_cooccurrence_sql"]
+        ).token_cooccurrence_sql(),
         "source_distinct_tokens": __import__(
             "doctr_ray.functions.sketch", fromlist=["source_distinct_tokens_sql"]
         ).source_distinct_tokens_sql(),

@@ -210,6 +210,7 @@ def run_once() -> dict:
         "source_overlap",
         "user_retention",
         "promo_revenue",
+        "token_cooccurrence",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

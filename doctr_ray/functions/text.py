@@ -728,3 +728,132 @@ def shared_vocab_sql() -> str:
         "CASE WHEN count(*) = 1 THEN min(source) ELSE '' END AS only_src "
         "FROM pairs GROUP BY token"
     )
+
+
+def token_cooccurrence(sf_dir: str, min_df: int = 5, k: int = 20):
+    """A-priori frequent-pairs (the market-basket shape): the ``k``
+    most frequent token PAIRS, counted as distinct documents containing
+    both tokens, restricted to tokens with document frequency >=
+    ``min_df``.
+
+    Scale shape — the two-pass A-priori pruning that keeps the pair
+    explosion bounded: pass 1 streams distinct (token, doc) partials
+    through a tiny token-count combine to find the frequent singletons
+    (bounded by vocabulary, broadcast once); pass 2 re-streams the
+    corpus emitting per-batch PAIR COUNT partials only over frequent
+    tokens (candidate pairs are |frequent|^2 at worst, not |vocab|^2,
+    and pre-aggregated per batch) into one coarse pair-bucket shuffle;
+    per-bucket reducers sum and emit local top-``k``; a single-group
+    combine picks the global top-``k``. Tie-break: (n desc, token_a
+    asc, token_b asc).
+    """
+    import hashlib
+
+    import numpy as np
+    import ray
+
+    from doctr_ray.functions.relational import read_table
+    from doctr_ray.pool import adaptive_buckets
+
+    docs_ds = read_table(sf_dir, "documents", ["text"])
+    n_docs = docs_ds.count()
+
+    # ---- pass 1: document frequency per token (distinct per doc)
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        import collections
+
+        c: collections.Counter = collections.Counter()
+        for t in batch["text"].to_pylist():
+            c.update(set((t or "").split(" ")) - {""})
+        return pa.Table.from_pydict(
+            {"token": list(c.keys()), "n": list(c.values())}
+        )
+
+    def _df_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", as_index=False)["n"].sum()
+        return out[out["n"] >= min_df]
+
+    freq = (
+        docs_ds.map_batches(_df_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.append_column(
+                "z", pa.array(np.zeros(len(b), np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("z")
+        .map_groups(_df_final, batch_format="pandas")
+        .to_pandas()
+    )
+    frequent = sorted(freq["token"])
+    fref = ray.put(frequent)
+    buckets = adaptive_buckets(n_docs, rows_per_bucket=2_000)
+
+    # ---- pass 2: pair counts over frequent tokens only
+    def _pairs(batch: pa.Table) -> pa.Table:
+        import collections
+
+        fset = set(ray.get(fref))
+        c: collections.Counter = collections.Counter()
+        for t in batch["text"].to_pylist():
+            toks = sorted((set((t or "").split(" ")) - {""}) & fset)
+            for i in range(len(toks)):
+                for j in range(i + 1, len(toks)):
+                    c[(toks[i], toks[j])] += 1
+        a = [p[0] for p in c]
+        b = [p[1] for p in c]
+        pb = [
+            int(hashlib.md5(f"{x}|{y}".encode()).hexdigest()[:8], 16) % buckets
+            for x, y in c
+        ]
+        return pa.Table.from_pydict(
+            {
+                "pb": pa.array(pb, pa.int32()),
+                "token_a": pa.array(a, pa.string()),
+                "token_b": pa.array(b, pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["token_a", "token_b"], as_index=False)["n"].sum()
+        out = out.sort_values(
+            ["n", "token_a", "token_b"], ascending=[False, True, True],
+            kind="stable",
+        ).head(k)
+        out["z"] = 0
+        return out
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(
+            ["n", "token_a", "token_b"], ascending=[False, True, True],
+            kind="stable",
+        ).head(k)
+        out["n"] = out["n"].astype("int64")
+        return out[["token_a", "token_b", "n"]]
+
+    return (
+        docs_ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(_bucket, batch_format="pandas")
+        .groupby("z")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+def token_cooccurrence_sql(min_df: int = 5, k: int = 20) -> str:
+    """DuckDB mirror of :func:`token_cooccurrence` (distinct-per-doc
+    tokens, df filter, same pair orientation and tie-break)."""
+    return (
+        "WITH pairs_raw AS (SELECT DISTINCT doc_id, token FROM ("
+        "SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS token FROM documents)), "
+        "freq AS (SELECT token FROM pairs_raw GROUP BY token "
+        f"HAVING count(*) >= {min_df}), "
+        "ft AS (SELECT doc_id, token FROM pairs_raw "
+        "WHERE token IN (SELECT token FROM freq)) "
+        "SELECT a.token AS token_a, b.token AS token_b, count(*) AS n "
+        "FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token "
+        "GROUP BY token_a, token_b "
+        f"ORDER BY n DESC, token_a, token_b LIMIT {k}"
+    )

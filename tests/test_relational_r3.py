@@ -332,3 +332,20 @@ def test_promo_revenue_share(ray_session, tmp_path):
     assert got["promo_e4"].tolist() == [100_000, 70_000]
     assert got["total_e4"].tolist() == [400_000, 70_000]
     assert got["promo_share_e6"].tolist() == [250_000, 1_000_000]
+
+
+def test_token_cooccurrence_apriori(ray_session, tmp_path):
+    from doctr_ray.functions.text import token_cooccurrence
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "a b c rare", "s0"),   # 'rare' df=1 pruned by min_df=2
+            (2, "a b b", "s0"),        # repeated token: one doc count
+            (3, "a c", "s1"),
+        ],
+    )
+    got = token_cooccurrence(sf, min_df=2, k=3).to_pandas()
+    assert list(map(tuple, got.itertuples(index=False))) == [
+        ("a", "b", 2), ("a", "c", 2), ("b", "c", 1),
+    ]
