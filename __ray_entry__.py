@@ -807,6 +807,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return token_cooccurrence(sf_dir)
 
+    def q_winnow_fingerprints(sf_dir: str):
+        from doctr_ray.functions.dedup import winnow_fingerprints
+
+        return winnow_fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
     def q_ocr_markdown(sf_dir: str):
         """Markdown rendering of extracted docs (exporter surface).
 
@@ -1467,6 +1472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_vocab": q_shared_vocab,
         "source_overlap": q_source_overlap,
         "token_cooccurrence": q_token_cooccurrence,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "html_main_content": q_html_main_content,
         "ocr_html_media": q_ocr_html_media,
         "ocr_scanned_pdf": q_ocr_scanned_pdf,
@@ -2138,6 +2144,9 @@ def oracle_sql() -> dict[str, str]:
         "token_cooccurrence": __import__(
             "doctr_ray.functions.text", fromlist=["token_cooccurrence_sql"]
         ).token_cooccurrence_sql(),
+        "winnow_fingerprints": __import__(
+            "doctr_ray.functions.dedup", fromlist=["winnow_fingerprints_sql"]
+        ).winnow_fingerprints_sql(),
         "source_distinct_tokens": __import__(
             "doctr_ray.functions.sketch", fromlist=["source_distinct_tokens_sql"]
         ).source_distinct_tokens_sql(),

@@ -211,6 +211,7 @@ def run_once() -> dict:
         "user_retention",
         "promo_revenue",
         "token_cooccurrence",
+        "winnow_fingerprints",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

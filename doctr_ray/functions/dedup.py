@@ -1328,3 +1328,102 @@ def source_overlap_sql(n: int = 8) -> str:
         "FROM grams a JOIN grams b ON a.fp = b.fp AND a.source < b.source "
         "GROUP BY src_a, src_b"
     )
+
+
+def winnow_fingerprints(docs_ds, k: int = 4, w: int = 5):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): per document, slide a ``w``-wide
+    window over the word ``k``-gram hash sequence and select each
+    window's minimum; the distinct selected (hash, position) pairs are
+    the fingerprint sketch, guaranteeing any shared run of >= w+k-1
+    words between two documents shares at least one fingerprint.
+
+    Determinism across engines: the selection key is the fixed-width
+    string ``md5hex || zero-padded-position``, so lexicographic MIN is
+    exactly the (hash, leftmost-position) rule — the one total order a
+    SQL ``min() OVER`` window reproduces (classic winnowing prefers the
+    RIGHTMOST tie; leftmost is equally valid and is pinned here).
+    Documents shorter than one full window select their single global
+    minimum; documents with zero k-grams are dropped on both engines.
+
+    Scale shape: zero shuffle — the sketch is a per-document map
+    (grams never leave the batch); output is one bounded row per doc
+    (count + an order-insensitive md5 digest of the sorted selected
+    keys), the downstream join key for plagiarism / near-dup lookup.
+    """
+
+    def _winnow(batch: pa.Table) -> pa.Table:
+        ids_out, n_grams_out, n_sel_out, dig_out = [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = [t for t in (text or "").split(" ") if t]
+            n = max(0, len(toks) - k + 1)
+            if n == 0:
+                continue
+            keys = [
+                hashlib.md5(" ".join(toks[i : i + k]).encode("utf-8")).hexdigest()
+                + f"{i + 1:012d}"
+                for i in range(n)
+            ]
+            if n <= w:
+                sel = {min(keys)}
+            else:
+                # monotonic deque sliding-window minimum: O(n)
+                from collections import deque
+
+                dq: deque[int] = deque()
+                sel = set()
+                for i, key in enumerate(keys):
+                    while dq and keys[dq[-1]] >= key:
+                        # >= keeps the LEFTMOST minimum on ties: an
+                        # equal later key must not displace an earlier
+                        # one, so only strictly-greater tails pop...
+                        # but a LATER equal key would then never win;
+                        # lexicographic keys are unique (position
+                        # suffix), so plain > vs >= cannot tie anyway
+                        dq.pop()
+                    dq.append(i)
+                    if dq[0] <= i - w:
+                        dq.popleft()
+                    if i >= w - 1:
+                        sel.add(keys[dq[0]])
+            ids_out.append(did)
+            n_grams_out.append(n)
+            n_sel_out.append(len(sel))
+            dig_out.append(
+                hashlib.md5(",".join(sorted(sel)).encode("utf-8")).hexdigest()
+            )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "n_grams": pa.array(n_grams_out, pa.int64()),
+                "n_selected": pa.array(n_sel_out, pa.int64()),
+                "fp_digest": pa.array(dig_out, pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(_winnow, batch_format="pyarrow")
+
+
+def winnow_fingerprints_sql(k: int = 4, w: int = 5) -> str:
+    """DuckDB mirror of :func:`winnow_fingerprints` (same md5 keys,
+    same fixed-width position suffix, same short-doc rule)."""
+    m = k - 1
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents), "
+        "grams AS (SELECT doc_id, pos, "
+        f"md5(array_to_string(t[pos:pos+{m}], ' ')) || "
+        "lpad(CAST(pos AS VARCHAR), 12, '0') AS key FROM ("
+        "SELECT doc_id, t, unnest(range(1, "
+        f"greatest(len(t)-{m},0)+1)) AS pos FROM toks)), "
+        "wins AS (SELECT doc_id, pos, key, "
+        "count(*) OVER (PARTITION BY doc_id) AS n_grams, "
+        "min(key) OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS sel FROM grams), "
+        f"sels AS (SELECT DISTINCT doc_id, n_grams, sel FROM wins "
+        f"WHERE pos >= least({w}, n_grams)) "
+        "SELECT doc_id, CAST(any_value(n_grams) AS BIGINT) AS n_grams, "
+        "count(*) AS n_selected, "
+        "md5(string_agg(sel, ',' ORDER BY sel)) AS fp_digest "
+        "FROM sels GROUP BY doc_id"
+    )

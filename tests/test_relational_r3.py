@@ -4,6 +4,7 @@ the vocabulary/index/overlap text shapes."""
 
 import duckdb
 import numpy as np
+import ray
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -349,3 +350,56 @@ def test_token_cooccurrence_apriori(ray_session, tmp_path):
     assert list(map(tuple, got.itertuples(index=False))) == [
         ("a", "b", 2), ("a", "c", 2), ("b", "c", 1),
     ]
+
+
+def test_winnow_fingerprints_brute_force(ray_session, tmp_path):
+    """Operator vs an independent brute-force winnower (min over every
+    explicit window slice) on random token streams, plus the MOSS
+    guarantee: docs sharing a run of >= w+k-1 words share a
+    fingerprint."""
+    import hashlib as hl
+
+    from doctr_ray.functions.dedup import winnow_fingerprints
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=n))
+        for n in (3, 4, 5, 9, 40, 120)  # below/at/above the window size
+    ]
+    # two docs sharing an 8-token run (w+k-1 = 8 at k=4, w=5)
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    texts += [f"x y z {shared}", f"{shared} p q r"]
+    sf = _write_docs(
+        tmp_path, [(i, t, "s0") for i, t in enumerate(texts)]
+    )
+
+    def brute(text, k=4, w=5):
+        toks = [t for t in text.split(" ") if t]
+        n = len(toks) - k + 1
+        if n <= 0:
+            return None
+        keys = [
+            hl.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+            + f"{i + 1:012d}"
+            for i in range(n)
+        ]
+        if n <= w:
+            return {min(keys)}
+        return {min(keys[max(0, i - w + 1):i + 1]) for i in range(w - 1, n)}
+
+    got = winnow_fingerprints(
+        ray.data.read_parquet(f"{sf}/documents.parquet")
+    ).to_pandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        sel = brute(t)
+        if sel is None:  # zero k-grams: dropped on both engines
+            assert i not in got.index
+            continue
+        assert got.loc[i, "n_selected"] == len(sel)
+        assert got.loc[i, "fp_digest"] == hl.md5(
+            ",".join(sorted(sel)).encode()
+        ).hexdigest()
+    # the winnowing guarantee: the shared 8-run yields a common key
+    a, b = brute(texts[-2]), brute(texts[-1])
+    assert {s[:32] for s in a} & {s[:32] for s in b}
