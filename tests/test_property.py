@@ -110,3 +110,86 @@ def test_multipage_media_roundtrip(words, page, rec):
     if all(word_width(w) <= 300 - 32 for w in words):
         assert got == exp
         assert n_pages >= 1
+
+
+# ---------------- round-3 window/histogram operators vs pandas oracles
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),                      # user
+            st.integers(0, 50),                     # ts offset (seconds)
+            st.integers(1, 49_000),                 # value cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_moving_average_matches_pandas_rolling(ray_session, tmp_path_factory, rows):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from doctr_ray.functions.relational import user_moving_average
+
+    tmp = tmp_path_factory.mktemp("ma")
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": [r[0] for r in rows],
+            "event_type": "a",
+            "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=r[1]) for r in rows],
+            "value": [r[2] / 100 for r in rows],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(tmp / "events.parquet"))
+    got = (
+        user_moving_average(str(tmp))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = df.assign(value_c=(df["value"] * 100).round().astype("int64"))
+    ref = ref.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    grp = ref.groupby("user_id", sort=False)["value_c"]
+    ref["w_sum_c"] = grp.transform(lambda s: s.rolling(4, min_periods=1).sum()).astype("int64")
+    ref["w_n"] = grp.transform(lambda s: s.rolling(4, min_periods=1).count()).astype("int64")
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert got["w_sum_c"].tolist() == ref["w_sum_c"].tolist()
+    assert got["w_n"].tolist() == ref["w_n"].tolist()
+
+
+@given(st.lists(st.integers(1, 49_002), min_size=1, max_size=80))
+@settings(max_examples=20, deadline=None)
+def test_value_histogram_matches_numpy(ray_session, tmp_path_factory, cents):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from doctr_ray.functions.relational import value_histogram
+
+    tmp = tmp_path_factory.mktemp("vh")
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(cents)),
+            "user_id": 1,
+            "event_type": "a",
+            "ts": pd.Timestamp("2024-01-01"),
+            "value": [c / 100 for c in cents],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(tmp / "events.parquet"))
+    got = value_histogram(str(tmp)).to_pandas().sort_values("bin").reset_index(drop=True)
+    c = np.asarray(cents, np.int64)
+    bins = c // 2500
+    want = (
+        pd.DataFrame({"bin": bins, "c": c})
+        .groupby("bin", as_index=False)
+        .agg(n=("c", "size"), sum_value_c=("c", "sum"))
+    )
+    assert got["bin"].tolist() == want["bin"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["sum_value_c"].tolist() == want["sum_value_c"].tolist()
