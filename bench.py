@@ -234,11 +234,16 @@ def run_once() -> dict:
 
 def run_scaling() -> dict:
     """Same job at N and 4N CPUs in fresh processes (north-rule stand-in
-    for N vs 4N cluster nodes). Default N=4: this box's 32 cores share
-    one memory bus, and the page-sweeping kernels hit the bandwidth
-    wall near ~24 busy cores — cluster nodes add memory bandwidth with
-    CPUs, a single socket does not. Override with RAY_GRAFT_SCALING=8,32."""
-    levels = os.environ.get("RAY_GRAFT_SCALING", "4,16")
+    for N vs 4N cluster nodes). Default N=2: this box's 32 cores share
+    ONE memory bus and the page-sweeping kernels are bandwidth-hungry —
+    after the round-3 kernel speedup the wall reaches down to ~16 busy
+    cores (BASELINE.md intercept probe: marginal per-page core-time
+    1.76 -> 2.06 ms from 4 to 16 cpus), so 2 vs 8 is the pair that
+    keeps BOTH levels below the knee and measures pipeline scaling
+    rather than the socket's DRAM ceiling (cluster nodes add memory
+    bandwidth with CPUs, a single socket does not). Override with
+    RAY_GRAFT_SCALING=4,16 or 8,32."""
+    levels = os.environ.get("RAY_GRAFT_SCALING", "2,8")
     n_lo, n_hi = (int(x) for x in levels.split(","))
 
     def run(ncpu: int) -> dict:
