@@ -34,6 +34,19 @@ PARAGRAPH_BREAK = 0.035  # reference models/builder.py:57
 BLOCK_DIST_T = 0.1       # reference models/builder.py:271
 
 
+def _median(a: np.ndarray) -> float:
+    """``float(np.median(a))`` without the _ureduce machinery — the
+    builder calls this ~3x per page on <100-element arrays where
+    np.median's dispatch is 4x the partition itself (15 -> 3.6 us).
+    Bit-identical: same partition selection, same two-middle mean
+    (equality fuzz-tested against np.median in tests)."""
+    n = a.shape[0]
+    if n % 2:
+        return float(np.partition(a, n // 2)[n // 2])
+    b = np.partition(a, (n // 2 - 1, n // 2))
+    return float((b[n // 2 - 1] + b[n // 2]) / 2)
+
+
 def sort_boxes(
     boxes: np.ndarray, shape: tuple[int, int] | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -57,7 +70,7 @@ def sort_boxes(
                 new_centers = rotated.mean(axis=1, keepdims=True)
                 rotated[keep] = boxes[keep] - centers[keep] + new_centers[keep]
         boxes = np.concatenate((rotated.min(1), rotated.max(1)), -1)
-    med_height = float(np.median(boxes[:, 3] - boxes[:, 1])) if len(boxes) else 1.0
+    med_height = _median(boxes[:, 3] - boxes[:, 1]) if len(boxes) else 1.0
     if not np.isfinite(med_height) or med_height <= 0:
         med_height = 1.0
     key = boxes[:, 0] + 2 * boxes[:, 3] / med_height
@@ -98,7 +111,7 @@ def resolve_lines(
     if len(boxes) == 0:
         return [], boxes.reshape(0, 4)
     idxs, boxes = sort_boxes(boxes, shape)
-    y_med = float(np.median(boxes[:, 3] - boxes[:, 1]))
+    y_med = _median(boxes[:, 3] - boxes[:, 1])
 
     # visual rows: accumulate while |y_center - running mean| < y_med/2.
     # y-centers precomputed once; the sequential loop runs on plain
@@ -136,7 +149,7 @@ def resolve_lines(
     aspect = (shape[0] / shape[1]) if shape is not None else 1.0
     floor = y_med * aspect
     if len(pos) >= 5 and len(pos) >= 0.5 * n_pairs:
-        break_dist = min(paragraph_break, max(3.0 * float(np.median(pos)), floor))
+        break_dist = min(paragraph_break, max(3.0 * _median(pos), floor))
     elif n_pairs >= 5:
         break_dist = min(paragraph_break, floor)
     else:

@@ -183,3 +183,17 @@ def test_rtl_line_word_order():
     assert built.order == [2, 1, 0]
     latin = build_page(boxes, ["a", "b", "c"], [1.0] * 3)
     assert latin.order == [0, 1, 2]
+
+
+def test_median_helper_matches_numpy():
+    """_median must stay bit-identical to np.median (builder thresholds
+    are discontinuous — a ulp of drift flips line membership)."""
+    import numpy as np
+
+    from doctr_ray.builder import _median
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 3, 4, 9, 10, 57, 100, 101):
+        for _ in range(100):
+            a = rng.random(n) * rng.choice([1e-3, 1.0, 1e3])
+            assert _median(a.copy()) == float(np.median(a))
