@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         props_stats,
         small_quantity_revenue,
         source_ntiles,
+        source_rank,
         user_running_total,
         range_join_error_clicks,
         events_hourly,
@@ -1548,6 +1549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": promo_revenue,
         "user_moving_average": user_moving_average,
         "user_retention": user_retention,
+        "source_rank": source_rank,
         "value_histogram": value_histogram,
         "stratified_sample": q_stratified_sample,
         "supplier_balance": supplier_balance_by_nation,
@@ -2129,6 +2131,9 @@ def oracle_sql() -> dict[str, str]:
         "user_retention": __import__(
             "doctr_ray.functions.relational", fromlist=["user_retention_sql"]
         ).user_retention_sql(),
+        "source_rank": __import__(
+            "doctr_ray.functions.relational", fromlist=["source_rank_sql"]
+        ).source_rank_sql(),
         "value_histogram": __import__(
             "doctr_ray.functions.relational", fromlist=["value_histogram_sql"]
         ).value_histogram_sql(),

@@ -212,6 +212,7 @@ def run_once() -> dict:
         "promo_revenue",
         "token_cooccurrence",
         "winnow_fingerprints",
+        "source_rank",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

@@ -1843,3 +1843,48 @@ def promo_revenue_sql() -> str:
         "CAST((1000000 * sum(CASE WHEN p_type = 'PROMO' THEN e4 ELSE 0 END)) "
         "// sum(e4) AS BIGINT) AS promo_share_e6 FROM li GROUP BY yr"
     )
+
+
+def source_rank(sf_dir: str):
+    """RANK / DENSE_RANK window shapes (the remaining rank-family
+    class beside NTILE, ROW_NUMBER-argmax and running totals): each
+    document's rank of ``n_chars`` within its source — ties share a
+    rank and leave gaps (RANK) or don't (DENSE_RANK) — plus the source
+    row count.
+
+    Scale shape: one partition-key shuffle (``groupby(source)`` — the
+    rank's own partition, inherently co-located); inside each reducer
+    the ranks come from ONE argsort + searchsorted against the sorted
+    values (no per-row Python). Sources are the natural coarse key
+    here; a skewed source is the operator's semantic unit, same as the
+    SQL window.
+    """
+
+    def _ranks(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["n_chars"].to_numpy(np.int64)
+        sv = np.sort(v)
+        rnk = np.searchsorted(sv, v, side="left") + 1
+        dense = np.searchsorted(np.unique(sv), v, side="left") + 1
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "source": g["source"].to_numpy(),
+                "rnk": rnk.astype(np.int64),
+                "dense_rnk": dense.astype(np.int64),
+                "n_src": np.full(len(v), len(v), np.int64),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return ds.groupby("source").map_groups(_ranks, batch_format="pandas")
+
+
+def source_rank_sql() -> str:
+    """DuckDB mirror via rank()/dense_rank() windows."""
+    return (
+        "SELECT doc_id, source, "
+        "CAST(rank() OVER w AS BIGINT) AS rnk, "
+        "CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk, "
+        "CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src "
+        "FROM documents WINDOW w AS (PARTITION BY source ORDER BY n_chars)"
+    )

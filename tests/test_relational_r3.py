@@ -403,3 +403,23 @@ def test_winnow_fingerprints_brute_force(ray_session, tmp_path):
     # the winnowing guarantee: the shared 8-run yields a common key
     a, b = brute(texts[-2]), brute(texts[-1])
     assert {s[:32] for s in a} & {s[:32] for s in b}
+
+
+def test_source_rank_ties(ray_session, tmp_path):
+    from doctr_ray.functions.relational import source_rank
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "source": ["s0", "s0", "s0", "s0", "s1"],
+            "n_chars": pa.array([10, 10, 20, 5, 7], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = source_rank(str(tmp_path)).to_pandas().set_index("doc_id")
+    # s0 order: 5, 10, 10, 20 -> ranks 1,2,2,4 dense 1,2,2,3
+    assert got.loc[4, ["rnk", "dense_rnk", "n_src"]].tolist() == [1, 1, 4]
+    assert got.loc[1, ["rnk", "dense_rnk"]].tolist() == [2, 2]
+    assert got.loc[2, ["rnk", "dense_rnk"]].tolist() == [2, 2]
+    assert got.loc[3, ["rnk", "dense_rnk"]].tolist() == [4, 3]
+    assert got.loc[5, ["rnk", "n_src"]].tolist() == [1, 1]
