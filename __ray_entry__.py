@@ -138,7 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         funnel_conversion,
         latest_user_event,
         nation_revenue,
+        power_users,
         promo_revenue,
+        source_mad,
         user_moving_average,
         user_retention,
         value_histogram,
@@ -1550,6 +1552,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_moving_average": user_moving_average,
         "user_retention": user_retention,
         "source_rank": source_rank,
+        "power_users": power_users,
+        "source_mad": source_mad,
         "value_histogram": value_histogram,
         "stratified_sample": q_stratified_sample,
         "supplier_balance": supplier_balance_by_nation,
@@ -2134,6 +2138,12 @@ def oracle_sql() -> dict[str, str]:
         "source_rank": __import__(
             "doctr_ray.functions.relational", fromlist=["source_rank_sql"]
         ).source_rank_sql(),
+        "power_users": __import__(
+            "doctr_ray.functions.relational", fromlist=["power_users_sql"]
+        ).power_users_sql(),
+        "source_mad": __import__(
+            "doctr_ray.functions.relational", fromlist=["source_mad_sql"]
+        ).source_mad_sql(),
         "value_histogram": __import__(
             "doctr_ray.functions.relational", fromlist=["value_histogram_sql"]
         ).value_histogram_sql(),

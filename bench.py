@@ -213,6 +213,8 @@ def run_once() -> dict:
         "token_cooccurrence",
         "winnow_fingerprints",
         "source_rank",
+        "power_users",
+        "source_mad",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

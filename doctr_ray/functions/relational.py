@@ -1888,3 +1888,104 @@ def source_rank_sql() -> str:
         "CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src "
         "FROM documents WINDOW w AS (PARTITION BY source ORDER BY n_chars)"
     )
+
+
+def power_users(sf_dir: str, min_types: int = 4):
+    """Grouped-distinct-count HAVING gate (the "power users" shape):
+    users who performed at least ``min_types`` DISTINCT event types,
+    with their distinct-type and total event counts.
+
+    Scale shape: per-batch rows collapse to distinct (user, type)
+    pairs plus per-user count partials BEFORE the one user-bucket
+    shuffle; reducers own whole users (distinct-type counts are exact
+    locally) and apply the HAVING gate before anything returns.
+    """
+    mask = bucket_mask_for(sf_dir, "events")
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        g.columns = ["user_id", "event_type", "n"]
+        g["ub"] = (g["user_id"].to_numpy() & mask).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _gate(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("user_id").agg(
+            n_types=("event_type", "nunique"), n_events=("n", "sum")
+        )
+        out = per[per["n_types"] >= min_types].reset_index()
+        return out.astype(
+            {"user_id": np.int64, "n_types": np.int64, "n_events": np.int64}
+        )
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_type"])
+    return (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(_gate, batch_format="pandas")
+    )
+
+
+def power_users_sql(min_types: int = 4) -> str:
+    """DuckDB mirror via HAVING count(DISTINCT ...)."""
+    return (
+        "SELECT user_id, count(DISTINCT event_type) AS n_types, "
+        "count(*) AS n_events FROM events GROUP BY user_id "
+        f"HAVING count(DISTINCT event_type) >= {min_types}"
+    )
+
+
+def source_mad(sf_dir: str):
+    """Robust dispersion per source — median and median absolute
+    deviation of document lengths — kept EXACT across engines by
+    working in doubled integer domains: ``med_x2 = 2 * median``
+    (always an integer: interpolated medians of ints are x.0 or x.5)
+    and ``mad_x4 = 4 * MAD`` (deviations |2x - med_x2| live in the 2x
+    domain, their median doubles once more). DuckDB's
+    quantile_cont-based median reproduces both after CAST.
+
+    Scale shape: one partition-key shuffle (``groupby(source)``), the
+    medians via two partitions per reducer — no global sort. The per-
+    group value VECTOR must fit a reducer, the standard constraint for
+    exact (non-sketch) medians; hll/doc_length_quantiles cover the
+    mergeable-sketch and histogram alternatives.
+    """
+
+    def _med2(v: np.ndarray) -> int:
+        n = len(v)
+        if n % 2:
+            return 2 * int(np.partition(v, n // 2)[n // 2])
+        b = np.partition(v, (n // 2 - 1, n // 2))
+        return int(b[n // 2 - 1]) + int(b[n // 2])
+
+    def _mad(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["n_chars"].to_numpy(np.int64)
+        med2 = _med2(v)
+        mad4 = _med2(np.abs(2 * v - med2))
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n": np.asarray([len(v)], np.int64),
+                "med_x2": np.asarray([med2], np.int64),
+                "mad_x4": np.asarray([mad4], np.int64),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", ["source", "n_chars"])
+    return ds.groupby("source").map_groups(_mad, batch_format="pandas")
+
+
+def source_mad_sql() -> str:
+    """DuckDB mirror in the same doubled-integer domains."""
+    return (
+        "WITH m AS (SELECT source, CAST(2 * median(n_chars) AS BIGINT) "
+        "AS med_x2 FROM documents GROUP BY source) "
+        "SELECT d.source, count(*) AS n, any_value(m.med_x2) AS med_x2, "
+        "CAST(2 * median(abs(2 * d.n_chars - m.med_x2)) AS BIGINT) AS mad_x4 "
+        "FROM documents d JOIN m ON d.source = m.source GROUP BY d.source"
+    )

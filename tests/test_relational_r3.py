@@ -423,3 +423,42 @@ def test_source_rank_ties(ray_session, tmp_path):
     assert got.loc[2, ["rnk", "dense_rnk"]].tolist() == [2, 2]
     assert got.loc[3, ["rnk", "dense_rnk"]].tolist() == [4, 3]
     assert got.loc[5, ["rnk", "n_src"]].tolist() == [1, 1]
+
+
+def test_power_users_having_gate(ray_session, tmp_path):
+    from doctr_ray.functions.relational import power_users
+
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, 1, "view", "2024-01-01 00:00:00", 0.0),
+            (2, 1, "click", "2024-01-01 00:01:00", 0.0),
+            (3, 1, "view", "2024-01-01 00:02:00", 0.0),   # dup type
+            (4, 2, "view", "2024-01-01 00:00:00", 0.0),
+            (5, 2, "click", "2024-01-01 00:01:00", 0.0),
+            (6, 2, "purchase", "2024-01-01 00:02:00", 0.0),
+        ],
+    )
+    got = power_users(sf, min_types=2).to_pandas().set_index("user_id")
+    assert got.loc[1, ["n_types", "n_events"]].tolist() == [2, 3]
+    assert got.loc[2, ["n_types", "n_events"]].tolist() == [3, 3]
+    assert len(power_users(sf, min_types=3).to_pandas()) == 1
+
+
+def test_source_mad_exact_domains(ray_session, tmp_path):
+    from doctr_ray.functions.relational import source_mad
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(list(range(7)), pa.int64()),
+            "source": ["a"] * 4 + ["b"] * 3,
+            "n_chars": pa.array([1, 3, 5, 100, 10, 10, 40], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = source_mad(str(tmp_path)).to_pandas().set_index("source")
+    # a: median(1,3,5,100)=4 -> med_x2=8; |2x-8|: 6,2,2,192 -> med=2 -> x4=8... 
+    # in the 2x domain median of (6,2,2,192) = (2+6)/2=4 -> mad_x4=8
+    assert got.loc["a", ["n", "med_x2", "mad_x4"]].tolist() == [4, 8, 8]
+    # b: median(10,10,40)=10 -> med_x2=20; |2x-20|: 0,0,60 -> median 0
+    assert got.loc["b", ["n", "med_x2", "mad_x4"]].tolist() == [3, 20, 0]
