@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         nation_revenue,
         power_users,
         promo_revenue,
+        rolling_active_users,
         source_mad,
         user_moving_average,
         user_retention,
@@ -1553,6 +1554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": user_retention,
         "source_rank": source_rank,
         "power_users": power_users,
+        "rolling_active_users": rolling_active_users,
         "source_mad": source_mad,
         "value_histogram": value_histogram,
         "stratified_sample": q_stratified_sample,
@@ -2141,6 +2143,9 @@ def oracle_sql() -> dict[str, str]:
         "power_users": __import__(
             "doctr_ray.functions.relational", fromlist=["power_users_sql"]
         ).power_users_sql(),
+        "rolling_active_users": __import__(
+            "doctr_ray.functions.relational", fromlist=["rolling_active_users_sql"]
+        ).rolling_active_users_sql(),
         "source_mad": __import__(
             "doctr_ray.functions.relational", fromlist=["source_mad_sql"]
         ).source_mad_sql(),

@@ -215,6 +215,7 @@ def run_once() -> dict:
         "source_rank",
         "power_users",
         "source_mad",
+        "rolling_active_users",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

@@ -1989,3 +1989,93 @@ def source_mad_sql() -> str:
         "CAST(2 * median(abs(2 * d.n_chars - m.med_x2)) AS BIGINT) AS mad_x4 "
         "FROM documents d JOIN m ON d.source = m.source GROUP BY d.source"
     )
+
+
+def rolling_active_users(sf_dir: str, window_days: int = 7):
+    """Rolling DISTINCT count (the DAU/WAU engagement shape): for every
+    observed activity day, the distinct users active THAT day (dau) and
+    within the trailing ``window_days`` window (wau). Rolling distinct
+    is not frame-decomposable — a user active twice in the window must
+    count once — so no windowed SUM can express it.
+
+    Scale shape: per-batch rows collapse to distinct (user, day) pairs;
+    ONE user-bucket shuffle gives each reducer whole users, where a
+    sorted-day searchsorted probe against the (broadcast, tiny) set of
+    observed days marks each user's covered windows once — users never
+    double-count because they never straddle buckets. Reducers emit
+    (day, dau, wau) partials that are ADDITIVE by construction; a
+    single-block combine sums them. The observed-day set comes from a
+    streaming distinct pass that collapses to per-batch partials before
+    the driver sees ~|days| values.
+    """
+    import ray
+
+    mask = bucket_mask_for(sf_dir, "events")
+    DAY_US = 86_400_000_000
+
+    def _days_partial(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US
+        return pa.Table.from_pydict({"day": np.unique(day)})
+
+    observed = np.array(
+        sorted(
+            set(
+                read_table(sf_dir, "events", ["ts"])
+                .map_batches(_days_partial, batch_format="pyarrow")
+                .to_pandas()["day"]
+            )
+        ),
+        dtype=np.int64,
+    )
+    oref = ray.put(observed)
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        day = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US
+        df = pd.DataFrame({"user_id": uid, "day": day}).drop_duplicates()
+        df["ub"] = (df["user_id"].to_numpy() & mask).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _cover(g: pd.DataFrame) -> pd.DataFrame:
+        W = ray.get(oref)
+        g = g.drop_duplicates(["user_id", "day"])
+        dau = g.groupby("day").size()
+        wau = np.zeros(len(W), np.int64)
+        for _, days in g.groupby("user_id", sort=False)["day"]:
+            d = np.sort(days.to_numpy(np.int64))
+            # user counts for window-day w iff some active day sits in
+            # [w - window + 1, w]
+            idx = np.searchsorted(d, W - (window_days - 1), side="left")
+            hit = (idx < len(d)) & (d[np.minimum(idx, len(d) - 1)] <= W)
+            wau += hit
+        out = pd.DataFrame({"day": W, "wau": wau})
+        out["dau"] = out["day"].map(dau).fillna(0).astype(np.int64)
+        out["z"] = 0
+        return out[out["wau"] > 0][["day", "dau", "wau", "z"]]
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("day", as_index=False)[["dau", "wau"]].sum()
+        return out.astype({"day": np.int64, "dau": np.int64, "wau": np.int64})
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+    return (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(_cover, batch_format="pandas")
+        .groupby("z")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+def rolling_active_users_sql(window_days: int = 7) -> str:
+    """DuckDB mirror via a range join over distinct (user, day) pairs."""
+    return (
+        "WITH d AS (SELECT DISTINCT user_id, "
+        "epoch_us(ts) // 86400000000 AS day FROM events), "
+        "w AS (SELECT DISTINCT day FROM d) "
+        "SELECT w.day, count(DISTINCT CASE WHEN d.day = w.day "
+        "THEN d.user_id END) AS dau, "
+        "count(DISTINCT d.user_id) AS wau FROM w JOIN d "
+        f"ON d.day BETWEEN w.day - {window_days - 1} AND w.day "
+        "GROUP BY w.day"
+    )

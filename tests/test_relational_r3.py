@@ -462,3 +462,28 @@ def test_source_mad_exact_domains(ray_session, tmp_path):
     assert got.loc["a", ["n", "med_x2", "mad_x4"]].tolist() == [4, 8, 8]
     # b: median(10,10,40)=10 -> med_x2=20; |2x-20|: 0,0,60 -> median 0
     assert got.loc["b", ["n", "med_x2", "mad_x4"]].tolist() == [3, 20, 0]
+
+
+def test_rolling_active_users_semantics(ray_session, tmp_path):
+    from doctr_ray.functions.relational import rolling_active_users
+
+    sf = _write_events(
+        tmp_path,
+        [
+            # user 1 active day 0 (twice: distinct!) and day 8
+            (1, 1, "a", "1970-01-01 01:00:00", 0.0),
+            (2, 1, "a", "1970-01-01 23:00:00", 0.0),
+            (3, 1, "a", "1970-01-09 00:00:00", 0.0),
+            # user 2 active days 0 and 5
+            (4, 2, "a", "1970-01-01 12:00:00", 0.0),
+            (5, 2, "a", "1970-01-06 12:00:00", 0.0),
+        ],
+    )
+    got = rolling_active_users(sf).to_pandas().set_index("day")
+    # observed days: 0, 5, 8
+    assert got.loc[0, ["dau", "wau"]].tolist() == [2, 2]
+    # day 5: window [-1..5] -> both users (day 0 within 7 days)
+    assert got.loc[5, ["dau", "wau"]].tolist() == [1, 2]
+    # day 8: window [2..8] -> user 1 (day 8), user 2 (day 5)
+    assert got.loc[8, ["dau", "wau"]].tolist() == [1, 2]
+    assert len(got) == 3
