@@ -279,8 +279,38 @@ def run_scaling() -> dict:
     }
 
 
+def run_queries_subset(names: list[str]) -> dict:
+    """Time a named subset (``--queries a,b,c``): warm-up pass then
+    min-of-2 per query — the targeted-iteration loop for optimizing a
+    single operator without paying the full bench."""
+    _init_ray(NUM_CPUS)
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()
+    unknown = [n for n in names if n not in q]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+    timings: dict[str, float] = {}
+    for name in names:
+        bench_query(q[name], SF_DIR)  # warm (workers, page cache)
+        timings[name] = round(
+            min(bench_query(q[name], SF_DIR) for _ in range(2)), 3
+        )
+    return {
+        "metric": "query_subset_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
 def main() -> None:
-    if "--scaling" in sys.argv:
+    if "--queries" in sys.argv:
+        arg = sys.argv[sys.argv.index("--queries") + 1]
+        result = run_queries_subset(arg.split(","))
+    elif "--scaling" in sys.argv:
         result = run_scaling()
     elif "--ocr-only" in sys.argv:
         _init_ray(NUM_CPUS)
