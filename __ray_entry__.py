@@ -2097,15 +2097,20 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_orderpriority"
         ),
         "shipping_priority": (
-            # TPC-H Q3 shape: large-large orders x lineitem equi-join
-            "SELECT l_orderkey, CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) "
-            "AS revenue_c, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority "
+            # TPC-H Q3 shape: large-large orders x lineitem equi-join.
+            # Revenue in the exact int64 e4 domain (cents x (100 -
+            # discount bp)) so sums are order-independent and no float
+            # round() half-even/half-away divergence can flip the cut.
+            "SELECT l_orderkey, CAST(sum("
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_e4, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority "
             "FROM customer, orders, lineitem "
             "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
             "AND l_orderkey = o_orderkey "
             "AND o_orderdate < DATE '1997-06-30' AND l_shipdate > DATE '1997-06-30' "
             "GROUP BY l_orderkey, o_orderdate_us, o_orderpriority "
-            "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"
+            "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"
         ),
         "source_ntiles": __import__(
             "doctr_ray.functions.relational", fromlist=["source_ntiles_sql"]

@@ -424,17 +424,40 @@ def add_simhash(batch: pa.Table) -> pa.Table:
     )
 
 
-def jaccard_pairs_exact(docs_ds, threshold: float = 0.5, k: int = 3):
+#: Hard bound on the ground-truth all-pairs operator: above this many
+#: docs the driver-side shingle-set materialization (and the O(n^2)
+#: compare) is a design error, not a slow query — callers must sample
+#: first or use the MinHash scale path.
+JACCARD_EXACT_MAX_DOCS = 200_000
+
+
+def jaccard_pairs_exact(
+    docs_ds, threshold: float = 0.5, k: int = 3,
+    max_docs: int = JACCARD_EXACT_MAX_DOCS,
+):
     """EXACT all-pairs n-gram Jaccard >= threshold.
 
     Small-corpus ground-truth operator (and the oracle target the
     probabilistic MinHash path approximates): shingle sets are computed
     distributed, broadcast once via ``ray.put``, and each task compares
     its docs against all higher ids — O(n^2) comparisons spread over
-    the cluster. At 100 TB use :func:`minhash_near_dups`; this exists
-    to *measure* its recall. Emits (a, b, jaccard_e6), a < b.
+    the cluster. BY DESIGN this materializes every shingle set on the
+    driver, so it is hard-bounded: more than ``max_docs`` documents
+    raises ``ValueError`` (no silent sampling — a truncated recall
+    oracle would silently overstate MinHash recall). At 100 TB use
+    :func:`minhash_near_dups`; this exists to *measure* its recall.
+    Emits (a, b, jaccard_e6), a < b.
     """
     import ray
+
+    n_docs = docs_ds.count()
+    if n_docs > max_docs:
+        raise ValueError(
+            f"jaccard_pairs_exact is the O(n^2) ground-truth oracle and "
+            f"materializes all shingle sets on the driver: got {n_docs} "
+            f"docs > max_docs={max_docs}. Sample the corpus first or use "
+            f"minhash_near_dups for the scale path."
+        )
 
     def _shingle_sets(batch: pa.Table) -> pa.Table:
         ids, sets_ = [], []
@@ -686,25 +709,29 @@ def _cc_candidate_rows(key, cand, buckets: int) -> pa.Table:
     )
 
 
-_CC_FP_MOD = (1 << 61) - 1
-
-
 def _cc_fingerprint(labels_ds) -> int:
     """Order-independent fingerprint of a (node, label) dataset.
 
     Hash-min labels only ever decrease, so the propagation is monotone
     and 'fingerprint unchanged' == 'fixpoint reached' (no oscillation
-    is possible). Additive mod-prime hash keeps partials mergeable."""
+    is possible). Additive mod-2^64 mixing keeps partials mergeable.
+    The fingerprint is INTERNAL (convergence detection only — no SQL
+    oracle reproduces it), so hashing is one vectorized
+    ``pd.util.hash_pandas_object`` call per batch instead of a per-row
+    Python md5 loop (round-3 verdict: O(V) Python x O(log diameter)
+    rounds); the int64 view keeps the sum off this numpy build's slow
+    uint64 kernels."""
 
     def _partial(batch: pa.Table) -> pa.Table:
-        s = 0
-        for n, l in zip(batch["node"].to_pylist(), batch["label"].to_pylist()):
-            h = hashlib.md5(f"{n}|{l}".encode()).digest()
-            s = (s + int.from_bytes(h[:8], "little")) % _CC_FP_MOD
+        df = batch.to_pandas()
+        h = pd.util.hash_pandas_object(
+            df["node"] + "\x1f" + df["label"], index=False
+        ).to_numpy()
+        s = int(h.view(np.int64).sum())  # silent int64 wrap: mod 2^64, order-free
         return pa.Table.from_arrays([pa.array([s], pa.int64())], names=["p"])
 
     parts = labels_ds.map_batches(_partial, batch_format="pyarrow").take_all()
-    return sum(r["p"] for r in parts) % _CC_FP_MOD
+    return sum(r["p"] for r in parts) & ((1 << 64) - 1)
 
 
 def connected_components(pairs_ds, max_rounds: int = 50):

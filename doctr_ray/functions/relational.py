@@ -687,11 +687,36 @@ def orphan_orders(sf_dir: str):
     )
 
 
+#: Dimension tables whose parquet footer reports more rows than this are
+#: fact-sized: they are co-partitioned through the bucketed-join machinery
+#: instead of being read into driver pandas and broadcast (a customer or
+#: part table at sf100 is 15-20M rows — a multi-GB driver materialization).
+DIM_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def table_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet footer (free: no data pages read)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
+def sorted_key_lookup(keys: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Membership mask of ``q`` against sorted ``keys`` — empty-safe
+    (``keys[pos]`` on an empty array raises; a segment/type with no
+    dimension rows is a legal query)."""
+    if len(keys) == 0:
+        return np.zeros(len(q), bool)
+    pos = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
+    return keys[pos] == q
+
+
 def shipping_priority(
     sf_dir: str,
     segment: str = "BUILDING",
     cutoff: str = "1997-06-30",
     limit: int = 10,
+    dim_broadcast_max_rows: int = DIM_BROADCAST_MAX_ROWS,
 ):
     """TPC-H Q3-shaped large-large equi-join: unshipped-order revenue.
 
@@ -704,100 +729,187 @@ def shipping_priority(
     + groupby co-locates matching keys; the per-bucket reducer builds
     the orders hash side, sums lineitem partials against it, and emits
     only its local top-``limit`` — the final combine sees
-    ``limit x n_buckets`` tiny rows, never a global sort. The customer
-    dimension IS small, so it stays a broadcast semi-filter on the
-    orders side (reference pattern: :func:`top_customer_revenue`).
+    ``limit x n_buckets`` tiny rows, never a global sort.
+
+    Revenue is carried in the EXACT int64 e4 domain per row
+    (``round(price*100) * (100 - round(disc*100))``) so partial sums
+    are order-independent under any partitioning — float summation
+    order plus a final ``np.round`` (half-even) vs DuckDB ``round()``
+    (half-away) differs by one cent on values landing exactly on half
+    cents, which TPC-H prices do.
+
+    The customer dimension broadcasts only while its footer says it is
+    small (``dim_broadcast_max_rows``); above that it is co-partitioned
+    with orders on custkey (a second bucketed semi-join stage) so the
+    driver never materializes a fact-sized table.
     """
     import ray
 
     mask = bucket_mask_for(sf_dir, "lineitem")
     cutoff_us = np.int64(pd.Timestamp(cutoff).value // 1000)
 
-    cust = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    ckeys = np.sort(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].to_numpy())
-    cref = ray.put(ckeys)
-
-    def _orders(batch: pa.Table) -> pa.Table:
-        keys = ray.get(cref)
-        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
-        ocust = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        odate = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        keep = (odate < cutoff_us) & (
-            np.searchsorted(keys, ocust) < len(keys)
-        ) & (keys[np.minimum(np.searchsorted(keys, ocust), len(keys) - 1)] == ocust)
-        okey, odate = okey[keep], odate[keep]
-        pr = batch["o_orderpriority"].filter(pa.array(keep))
+    def _orders_row_table(okey, odate, pr) -> pa.Table:
         return pa.Table.from_arrays(
             [
                 pa.array((okey & mask).astype(np.int32), pa.int32()),
                 pa.array(okey, pa.int64()),
                 pa.array(np.zeros(len(okey), np.int8), pa.int8()),
-                pa.array(np.zeros(len(okey), np.float64), pa.float64()),
+                pa.array(np.zeros(len(okey), np.int64), pa.int64()),
                 pa.array(odate, pa.int64()),
                 pr,
             ],
-            names=["kb", "okey", "side", "rev", "odate_us", "pr"],
+            names=["kb", "okey", "side", "rev_e4", "odate_us", "pr"],
+        )
+
+    orders_cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    if table_rows(sf_dir, "customer") <= dim_broadcast_max_rows:
+        cust = pd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        ckeys = np.sort(
+            cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].to_numpy()
+        )
+        cref = ray.put(ckeys)
+
+        def _orders(batch: pa.Table) -> pa.Table:
+            keys = ray.get(cref)
+            okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            ocust = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            odate = (
+                batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+            keep = (odate < cutoff_us) & sorted_key_lookup(keys, ocust)
+            pr = batch["o_orderpriority"].filter(pa.array(keep))
+            return _orders_row_table(okey[keep], odate[keep], pr)
+
+        orders_ds = read_table(sf_dir, "orders", orders_cols).map_batches(
+            _orders, batch_format="pyarrow"
+        )
+    else:
+        # fact-sized customer: bucketed semi-join on custkey, no driver read
+        cmask = bucket_mask_for(sf_dir, "customer")
+
+        def _cust_rows(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(batch["c_mktsegment"], segment)
+            ck = batch["c_custkey"].filter(keep).to_numpy(zero_copy_only=False)
+            n = len(ck)
+            return pa.Table.from_arrays(
+                [
+                    pa.array((ck & cmask).astype(np.int32), pa.int32()),
+                    pa.array(ck, pa.int64()),
+                    pa.array(np.zeros(n, np.int8), pa.int8()),
+                    pa.array(np.zeros(n, np.int64), pa.int64()),
+                    pa.array(np.zeros(n, np.int64), pa.int64()),
+                    pa.array([""] * n, pa.string()),
+                ],
+                names=["cb", "ckey", "side", "okey", "odate_us", "pr"],
+            )
+
+        def _order_rows(batch: pa.Table) -> pa.Table:
+            odate = (
+                batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+            keep = odate < cutoff_us
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)[keep]
+            okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+            pr = batch["o_orderpriority"].filter(pa.array(keep))
+            n = len(ck)
+            return pa.Table.from_arrays(
+                [
+                    pa.array((ck & cmask).astype(np.int32), pa.int32()),
+                    pa.array(ck, pa.int64()),
+                    pa.array(np.ones(n, np.int8), pa.int8()),
+                    pa.array(okey, pa.int64()),
+                    pa.array(odate[keep], pa.int64()),
+                    pr,
+                ],
+                names=["cb", "ckey", "side", "okey", "odate_us", "pr"],
+            )
+
+        def _semi_bucket(g: pd.DataFrame) -> pa.Table:
+            # Arrow out: the result unions with _lineitem's Arrow blocks
+            # and Ray's Sort shuffle requires a single block type.
+            keys = np.sort(g.loc[g["side"] == 0, "ckey"].to_numpy())
+            o = g[g["side"] == 1]
+            hit = o[sorted_key_lookup(keys, o["ckey"].to_numpy())]
+            okey = hit["okey"].to_numpy()
+            return pa.Table.from_arrays(
+                [
+                    pa.array((okey & mask).astype(np.int32), pa.int32()),
+                    pa.array(okey, pa.int64()),
+                    pa.array(np.zeros(len(okey), np.int8), pa.int8()),
+                    pa.array(np.zeros(len(okey), np.int64), pa.int64()),
+                    pa.array(hit["odate_us"].to_numpy(), pa.int64()),
+                    pa.array(hit["pr"].to_numpy(), pa.string()),
+                ],
+                names=["kb", "okey", "side", "rev_e4", "odate_us", "pr"],
+            )
+
+        cust_ds = read_table(
+            sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+        ).map_batches(_cust_rows, batch_format="pyarrow")
+        o_raw = read_table(sf_dir, "orders", orders_cols).map_batches(
+            _order_rows, batch_format="pyarrow"
+        )
+        orders_ds = (
+            cust_ds.union(o_raw)
+            .groupby("cb")
+            .map_groups(_semi_bucket, batch_format="pandas")
         )
 
     def _lineitem(batch: pa.Table) -> pa.Table:
         ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         keep = ship > cutoff_us
+        price_c = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_bp = np.round(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
         df = pd.DataFrame(
             {
                 "okey": batch["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
-                "rev": (
-                    batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-                    * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
-                )[keep],
+                "rev_e4": (price_c * (100 - disc_bp))[keep],
             }
         )
-        g = df.groupby("okey", as_index=False)["rev"].sum()
+        g = df.groupby("okey", as_index=False)["rev_e4"].sum()
         n = len(g)
         return pa.Table.from_arrays(
             [
                 pa.array((g["okey"].to_numpy() & mask).astype(np.int32), pa.int32()),
                 pa.array(g["okey"].to_numpy(), pa.int64()),
                 pa.array(np.ones(n, np.int8), pa.int8()),
-                pa.array(g["rev"].to_numpy(), pa.float64()),
+                pa.array(g["rev_e4"].to_numpy(np.int64), pa.int64()),
                 pa.array(np.zeros(n, np.int64), pa.int64()),
                 pa.array([""] * n, pa.string()),
             ],
-            names=["kb", "okey", "side", "rev", "odate_us", "pr"],
+            names=["kb", "okey", "side", "rev_e4", "odate_us", "pr"],
         )
 
     def _join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         o = g[g["side"] == 0]
         li = g[g["side"] == 1]
-        # deterministic float adds: merge partials in sorted okey order
-        li = li.sort_values("okey", kind="stable")
-        rev = li.groupby("okey", sort=True)["rev"].sum()
+        rev = li.groupby("okey", sort=True)["rev_e4"].sum()  # int64: order-free
         hit = o[o["okey"].isin(rev.index)]
         out = pd.DataFrame(
             {
                 "l_orderkey": hit["okey"].to_numpy(),
-                "revenue_c": np.round(
-                    rev.loc[hit["okey"]].to_numpy() * 100
-                ).astype(np.int64),
+                "revenue_e4": rev.loc[hit["okey"]].to_numpy(np.int64),
                 "o_orderdate_us": hit["odate_us"].to_numpy(),
                 "o_orderpriority": hit["pr"].to_numpy(),
             }
         )
         return out.sort_values(
-            ["revenue_c", "l_orderkey"], ascending=[False, True], kind="stable"
+            ["revenue_e4", "l_orderkey"], ascending=[False, True], kind="stable"
         ).head(limit)
 
     def _final(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df = df.sort_values(
-            ["revenue_c", "l_orderkey"], ascending=[False, True], kind="stable"
+            ["revenue_e4", "l_orderkey"], ascending=[False, True], kind="stable"
         ).head(limit)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    orders_ds = read_table(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
-    ).map_batches(_orders, batch_format="pyarrow")
     li_ds = read_table(
         sf_dir, "lineitem",
         ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
@@ -1348,19 +1460,26 @@ def events_seasonality_sql() -> str:
     )
 
 
-def nation_revenue(sf_dir: str, region: str = "ASIA"):
+def nation_revenue(
+    sf_dir: str,
+    region: str = "ASIA",
+    dim_broadcast_max_rows: int = DIM_BROADCAST_MAX_ROWS,
+):
     """TPC-H Q5 shape — the multi-dimensional star join with a
     large-large core: revenue per customer nation, for lineitems whose
     SUPPLIER sits in the same nation as the order's customer, customers
     limited to one region (reference Q5 semantics minus the date
     window).
 
-    Scale shape: the only all-to-all is ONE orderkey-bucket shuffle
-    co-locating per-batch lineitem revenue partials with orders rows.
-    No dimension ever shuffles: customer (custkey -> nationkey) and
-    supplier (suppkey -> nationkey) broadcast once via ``ray.put`` and
-    are probed with sorted-array searchsorted inside the map stages;
-    nation/region prune to a 25-entry closure dict. Revenue enters the
+    Scale shape: the core all-to-all is ONE orderkey-bucket shuffle
+    co-locating per-batch lineitem revenue partials with orders rows;
+    nation/region prune to a 25-entry closure dict. Customer
+    (custkey -> nationkey) and supplier (suppkey -> nationkey)
+    broadcast once via ``ray.put`` + searchsorted probes while their
+    parquet footers say they are small (``dim_broadcast_max_rows``);
+    above that each is co-partitioned with its fact side on the foreign
+    key (one extra bucketed shuffle per fact-sized dim) so the driver
+    never materializes a table that scales with SF. Revenue enters the
     exact-integer domain per row (``cents(price) * (100 - bp(disc))``
     is int64), so partial sums are order-independent — no float drift
     against the oracle regardless of bucketing.
@@ -1378,70 +1497,178 @@ def nation_revenue(sf_dir: str, region: str = "ASIA"):
         zip(nat_in["n_nationkey"].astype(int), nat_in["n_name"])
     )
 
-    cust = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).sort_values("c_custkey")
-    supp = pd.read_parquet(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    ).sort_values("s_suppkey")
-    cref = ray.put(
-        (cust["c_custkey"].to_numpy(np.int64), cust["c_nationkey"].to_numpy(np.int64))
-    )
-    sref = ray.put(
-        (supp["s_suppkey"].to_numpy(np.int64), supp["s_nationkey"].to_numpy(np.int64))
-    )
-
     def _probe(keys: np.ndarray, vals: np.ndarray, q: np.ndarray):
-        """sorted-key dimension lookup: (values, found-mask)."""
+        """sorted-key dimension lookup: (values, found-mask) — empty-safe."""
+        if len(keys) == 0:
+            return np.zeros(len(q), vals.dtype), np.zeros(len(q), bool)
         pos = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
         ok = keys[pos] == q
         return vals[pos], ok
 
-    def _orders(batch: pa.Table) -> pa.Table:
-        keys, vals = ray.get(cref)
-        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
-        nk, ok = _probe(keys, vals, batch["o_custkey"].to_numpy(zero_copy_only=False))
-        keep = ok & np.isin(nk, allowed_nk)
-        okey, nk = okey[keep], nk[keep]
-        return pa.Table.from_arrays(
-            [
-                pa.array((okey & mask).astype(np.int32), pa.int32()),
-                pa.array(okey, pa.int64()),
-                pa.array(nk, pa.int64()),
-                pa.array(np.zeros(len(okey), np.int64), pa.int64()),
-                pa.array(np.zeros(len(okey), np.int8), pa.int8()),
-            ],
-            names=["kb", "okey", "nk", "rev_e4", "side"],
-        )
-
-    def _lineitem(batch: pa.Table) -> pa.Table:
-        keys, vals = ray.get(sref)
-        nk, ok = _probe(keys, vals, batch["l_suppkey"].to_numpy(zero_copy_only=False))
-        keep = ok & np.isin(nk, allowed_nk)
+    def _li_e4(batch: pa.Table) -> np.ndarray:
         price_c = np.round(
             batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
         disc_bp = np.round(
             batch["l_discount"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
-        df = pd.DataFrame(
-            {
-                "okey": batch["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
-                "nk": nk[keep],
-                "rev_e4": (price_c * (100 - disc_bp))[keep],
-            }
-        )
-        g = df.groupby(["okey", "nk"], as_index=False)["rev_e4"].sum()
-        n = len(g)
+        return price_c * (100 - disc_bp)
+
+    def _out_table(okey, nk, rev_e4, side) -> pa.Table:
+        n = len(okey)
         return pa.Table.from_arrays(
             [
-                pa.array((g["okey"].to_numpy() & mask).astype(np.int32), pa.int32()),
-                pa.array(g["okey"].to_numpy(np.int64), pa.int64()),
-                pa.array(g["nk"].to_numpy(np.int64), pa.int64()),
-                pa.array(g["rev_e4"].to_numpy(np.int64), pa.int64()),
-                pa.array(np.ones(n, np.int8), pa.int8()),
+                pa.array((np.asarray(okey) & mask).astype(np.int32), pa.int32()),
+                pa.array(np.asarray(okey, np.int64), pa.int64()),
+                pa.array(np.asarray(nk, np.int64), pa.int64()),
+                pa.array(np.asarray(rev_e4, np.int64), pa.int64()),
+                pa.array(np.full(n, side, np.int8), pa.int8()),
             ],
             names=["kb", "okey", "nk", "rev_e4", "side"],
+        )
+
+    def _small_dim_ref(table: str, key: str, val: str):
+        d = pd.read_parquet(
+            f"{sf_dir}/{table}.parquet", columns=[key, val]
+        ).sort_values(key)
+        return ray.put((d[key].to_numpy(np.int64), d[val].to_numpy(np.int64)))
+
+    def _copartition_attach(fact_ds, dim_table, dim_key, dim_val, fact_to_rows,
+                            emit_side, preagg):
+        """Bucketed dim-value attach for a FACT-SIZED dimension: dim rows
+        (already pruned to allowed nations) and fact rows co-locate on
+        ``dim_key & dmask``; each reducer probes its local sorted dim
+        slice — the dimension never materializes on the driver and never
+        broadcasts. Output rows are already in the (kb, okey, nk, rev_e4,
+        side) orderkey-shuffle schema."""
+        dmask = bucket_mask_for(sf_dir, dim_table)
+
+        def _dim_rows(batch: pa.Table) -> pa.Table:
+            k = batch[dim_key].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch[dim_val].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = np.isin(v, allowed_nk)
+            k, v = k[keep], v[keep]
+            return pa.Table.from_arrays(
+                [
+                    pa.array((k & dmask).astype(np.int32), pa.int32()),
+                    pa.array(k, pa.int64()),
+                    pa.array(np.zeros(len(k), np.int8), pa.int8()),
+                    pa.array(v, pa.int64()),
+                    pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                    pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                ],
+                names=["db", "dkey", "dside", "nk", "okey", "rev_e4"],
+            )
+
+        def _fact_rows(batch: pa.Table) -> pa.Table:
+            dkey, okey, rev = fact_to_rows(batch)
+            n = len(dkey)
+            return pa.Table.from_arrays(
+                [
+                    pa.array((dkey & dmask).astype(np.int32), pa.int32()),
+                    pa.array(dkey, pa.int64()),
+                    pa.array(np.ones(n, np.int8), pa.int8()),
+                    pa.array(np.zeros(n, np.int64), pa.int64()),
+                    pa.array(okey, pa.int64()),
+                    pa.array(rev, pa.int64()),
+                ],
+                names=["db", "dkey", "dside", "nk", "okey", "rev_e4"],
+            )
+
+        def _attach_bucket(g: pd.DataFrame) -> pa.Table:
+            d = g[g["dside"] == 0].sort_values("dkey")
+            keys = d["dkey"].to_numpy()
+            vals = d["nk"].to_numpy()
+            f = g[g["dside"] == 1]
+            nk, ok = _probe(keys, vals, f["dkey"].to_numpy())
+            f, nk = f[ok], nk[ok]
+            if preagg:
+                df = pd.DataFrame(
+                    {"okey": f["okey"].to_numpy(), "nk": nk,
+                     "rev_e4": f["rev_e4"].to_numpy()}
+                )
+                gg = df.groupby(["okey", "nk"], as_index=False)["rev_e4"].sum()
+                return _out_table(
+                    gg["okey"].to_numpy(), gg["nk"].to_numpy(),
+                    gg["rev_e4"].to_numpy(), emit_side,
+                )
+            return _out_table(
+                f["okey"].to_numpy(), nk, f["rev_e4"].to_numpy(), emit_side
+            )
+
+        dim_ds = read_table(sf_dir, dim_table, [dim_key, dim_val]).map_batches(
+            _dim_rows, batch_format="pyarrow"
+        )
+        return (
+            dim_ds.union(fact_ds.map_batches(_fact_rows, batch_format="pyarrow"))
+            .groupby("db")
+            .map_groups(_attach_bucket, batch_format="pandas")
+        )
+
+    # --- orders side: attach customer nation ---------------------------
+    orders_raw = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    if table_rows(sf_dir, "customer") <= dim_broadcast_max_rows:
+        cref = _small_dim_ref("customer", "c_custkey", "c_nationkey")
+
+        def _orders(batch: pa.Table) -> pa.Table:
+            keys, vals = ray.get(cref)
+            okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            nk, ok = _probe(
+                keys, vals, batch["o_custkey"].to_numpy(zero_copy_only=False)
+            )
+            keep = ok & np.isin(nk, allowed_nk)
+            okey, nk = okey[keep], nk[keep]
+            return _out_table(okey, nk, np.zeros(len(okey), np.int64), 0)
+
+        orders_ds = orders_raw.map_batches(_orders, batch_format="pyarrow")
+    else:
+        def _orders_to_rows(batch: pa.Table):
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            return ck, okey, np.zeros(len(ck), np.int64)
+
+        orders_ds = _copartition_attach(
+            orders_raw, "customer", "c_custkey", "c_nationkey",
+            _orders_to_rows, emit_side=0, preagg=False,
+        )
+
+    # --- lineitem side: attach supplier nation -------------------------
+    li_raw = read_table(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    if table_rows(sf_dir, "supplier") <= dim_broadcast_max_rows:
+        sref = _small_dim_ref("supplier", "s_suppkey", "s_nationkey")
+
+        def _lineitem(batch: pa.Table) -> pa.Table:
+            keys, vals = ray.get(sref)
+            nk, ok = _probe(
+                keys, vals, batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            )
+            keep = ok & np.isin(nk, allowed_nk)
+            df = pd.DataFrame(
+                {
+                    "okey": batch["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                    "nk": nk[keep],
+                    "rev_e4": _li_e4(batch)[keep],
+                }
+            )
+            g = df.groupby(["okey", "nk"], as_index=False)["rev_e4"].sum()
+            return _out_table(
+                g["okey"].to_numpy(), g["nk"].to_numpy(), g["rev_e4"].to_numpy(), 1
+            )
+
+        li_ds = li_raw.map_batches(_lineitem, batch_format="pyarrow")
+    else:
+        def _li_to_rows(batch: pa.Table):
+            sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            return sk, okey, _li_e4(batch)
+
+        li_ds = _copartition_attach(
+            li_raw, "supplier", "s_suppkey", "s_nationkey",
+            _li_to_rows, emit_side=1, preagg=True,
         )
 
     def _join_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -1463,14 +1690,6 @@ def nation_revenue(sf_dir: str, region: str = "ASIA"):
             }
         )
 
-    orders_ds = read_table(
-        sf_dir, "orders", ["o_orderkey", "o_custkey"]
-    ).map_batches(_orders, batch_format="pyarrow")
-    li_ds = read_table(
-        sf_dir,
-        "lineitem",
-        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(_lineitem, batch_format="pyarrow")
     return (
         orders_ds.union(li_ds)
         .repartition(16)  # coalesce tiny key partials (see order_priority_check)
@@ -1754,27 +1973,26 @@ def user_retention_sql() -> str:
     )
 
 
-def promo_revenue(sf_dir: str):
+def promo_revenue(
+    sf_dir: str, dim_broadcast_max_rows: int = DIM_BROADCAST_MAX_ROWS
+):
     """TPC-H Q14 shape — the revenue-share ratio: per ship year, the
     fraction of revenue from PROMO-type parts.
 
-    Scale shape: zero shuffle. The part dimension reduces to the PROMO
-    partkey SET, broadcast once (a filtered dimension — a fraction of
-    part, which is itself ~30x smaller than lineitem; FK integrity lets
-    the denominator skip the join entirely). One streaming lineitem
-    pass emits per-(year) integer partials; the final combine runs in
-    PYTHON ints because ``1e6 * promo_e4`` exceeds int64 at any real
-    scale (DuckDB's side is HUGEINT for the same reason) — the share
-    itself is < 1e6 and round-trips exactly.
+    Scale shape: zero shuffle while the part footer says the dimension
+    is small (``dim_broadcast_max_rows``): the PROMO partkey SET
+    broadcasts once and one streaming lineitem pass emits per-year
+    integer partials. Above the threshold part is fact-sized (sf100 ~
+    20M rows), so lineitem pre-aggregates to (partkey, year) partials
+    per batch and ONE partkey-bucket shuffle co-locates them with the
+    PROMO keys — the driver never reads the dimension. The final
+    combine runs in PYTHON ints because ``1e6 * promo_e4`` exceeds
+    int64 at any real scale (DuckDB's side is HUGEINT for the same
+    reason) — the share itself is < 1e6 and round-trips exactly.
     """
     import ray
 
-    pt = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
-    promo = np.sort(pt.loc[pt["p_type"] == "PROMO", "p_partkey"].to_numpy(np.int64))
-    pref = ray.put(promo)
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        keys = ray.get(pref)
+    def _yr_e4(batch: pa.Table):
         yr = (
             batch["l_shipdate"]
             .to_pandas()
@@ -1789,16 +2007,7 @@ def promo_revenue(sf_dir: str):
                 batch["l_discount"].to_numpy(zero_copy_only=False) * 100
             ).astype(np.int64)
         )
-        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
-        pos = np.minimum(np.searchsorted(keys, pk), max(len(keys) - 1, 0))
-        is_promo = (len(keys) > 0) & (keys[pos] == pk)
-        df = pd.DataFrame(
-            {"yr": yr, "e4": e4, "promo_e4": np.where(is_promo, e4, 0)}
-        )
-        g = df.groupby("yr", as_index=False).agg(
-            promo_e4=("promo_e4", "sum"), total_e4=("e4", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return yr, e4
 
     def _final(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -1824,9 +2033,101 @@ def promo_revenue(sf_dir: str):
         "lineitem",
         ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
     )
+
+    if table_rows(sf_dir, "part") <= dim_broadcast_max_rows:
+        pt = pd.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        )
+        promo = np.sort(
+            pt.loc[pt["p_type"] == "PROMO", "p_partkey"].to_numpy(np.int64)
+        )
+        pref = ray.put(promo)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            keys = ray.get(pref)
+            yr, e4 = _yr_e4(batch)
+            pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            is_promo = sorted_key_lookup(keys, pk)
+            df = pd.DataFrame(
+                {"yr": yr, "e4": e4, "promo_e4": np.where(is_promo, e4, 0)}
+            )
+            g = df.groupby("yr", as_index=False).agg(
+                promo_e4=("promo_e4", "sum"), total_e4=("e4", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
+    else:
+        # fact-sized part: co-partition PROMO keys with per-(partkey,
+        # year) lineitem partials on partkey — no driver dim read.
+        pmask = bucket_mask_for(sf_dir, "part")
+
+        def _promo_rows(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(batch["p_type"], "PROMO")
+            pk = (
+                batch["p_partkey"].filter(keep).to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            n = len(pk)
+            return pa.Table.from_arrays(
+                [
+                    pa.array((pk & pmask).astype(np.int32), pa.int32()),
+                    pa.array(pk, pa.int64()),
+                    pa.array(np.zeros(n, np.int8), pa.int8()),
+                    pa.array(np.zeros(n, np.int64), pa.int64()),
+                    pa.array(np.zeros(n, np.int64), pa.int64()),
+                ],
+                names=["pb", "pkey", "side", "yr", "e4"],
+            )
+
+        def _li_rows(batch: pa.Table) -> pa.Table:
+            yr, e4 = _yr_e4(batch)
+            pk = (
+                batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            df = pd.DataFrame({"pkey": pk, "yr": yr, "e4": e4})
+            g = df.groupby(["pkey", "yr"], as_index=False)["e4"].sum()
+            n = len(g)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(
+                        (g["pkey"].to_numpy() & pmask).astype(np.int32), pa.int32()
+                    ),
+                    pa.array(g["pkey"].to_numpy(np.int64), pa.int64()),
+                    pa.array(np.ones(n, np.int8), pa.int8()),
+                    pa.array(g["yr"].to_numpy(np.int64), pa.int64()),
+                    pa.array(g["e4"].to_numpy(np.int64), pa.int64()),
+                ],
+                names=["pb", "pkey", "side", "yr", "e4"],
+            )
+
+        def _flag_bucket(g: pd.DataFrame) -> pa.Table:
+            keys = np.sort(g.loc[g["side"] == 0, "pkey"].to_numpy())
+            li = g[g["side"] == 1]
+            is_promo = sorted_key_lookup(keys, li["pkey"].to_numpy())
+            df = pd.DataFrame(
+                {
+                    "yr": li["yr"].to_numpy(),
+                    "e4": li["e4"].to_numpy(),
+                    "promo_e4": np.where(is_promo, li["e4"].to_numpy(), 0),
+                }
+            )
+            gg = df.groupby("yr", as_index=False).agg(
+                promo_e4=("promo_e4", "sum"), total_e4=("e4", "sum")
+            )
+            return pa.Table.from_pandas(gg, preserve_index=False)
+
+        part_ds = read_table(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+            _promo_rows, batch_format="pyarrow"
+        )
+        partials = (
+            part_ds.union(ds.map_batches(_li_rows, batch_format="pyarrow",
+                                         batch_size=65536))
+            .groupby("pb")
+            .map_groups(_flag_bucket, batch_format="pandas")
+        )
+
     return (
-        ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536)
-        .repartition(1)
+        partials.repartition(1)
         .map_batches(_final, batch_format="pyarrow", batch_size=None)
     )
 

@@ -110,6 +110,22 @@ def test_minhash_near_dups_finds_planted_pair(ray_session):
     assert (out["jaccard_e6"] >= 800000).all()
 
 
+def test_jaccard_exact_guard(ray_session):
+    # the O(n^2) ground-truth operator must REFUSE oversized corpora
+    # (driver-side shingle-set materialization) rather than sample
+    import pytest
+
+    from doctr_ray.functions.dedup import jaccard_pairs_exact
+
+    rows = [(i, f"doc {i} words here") for i in range(10)]
+    ds = rd.from_arrow(_docs_table(rows))
+    with pytest.raises(ValueError, match="max_docs=5"):
+        jaccard_pairs_exact(ds, max_docs=5)
+    # at/below the bound it still runs
+    out = jaccard_pairs_exact(ds, threshold=0.99, max_docs=10).to_pandas()
+    assert len(out) == 0
+
+
 def test_simhash_properties():
     a = simhash64("the quick brown fox jumps over the lazy dog")
     b = simhash64("the quick brown fox jumps over the lazy cat")

@@ -8,6 +8,7 @@ import ray
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 from doctr_ray.functions.relational import (
     event_type_transitions,
@@ -170,11 +171,39 @@ def _write_star(tmp_path):
     return str(tmp_path)
 
 
-def test_nation_revenue_semantics(ray_session, tmp_path):
+@pytest.mark.parametrize("dim_max", [10**6, 0], ids=["broadcast", "copartition"])
+def test_nation_revenue_semantics(ray_session, tmp_path, dim_max):
     sf = _write_star(tmp_path)
-    got = nation_revenue(sf).to_pandas().sort_values("n_name")
+    got = (
+        nation_revenue(sf, dim_broadcast_max_rows=dim_max)
+        .to_pandas()
+        .sort_values("n_name")
+    )
     # N0: 1000c * (100-10) = 90_000; N1: 2000c * 75 = 150_000
     assert got["n_name"].tolist() == ["N0", "N1"]
+    assert got["revenue_e4"].tolist() == [90_000, 150_000]
+
+
+def test_nation_revenue_copartition_no_driver_dim_read(
+    ray_session, tmp_path, monkeypatch
+):
+    # Above the threshold customer/supplier must never hit driver pandas;
+    # nation/region (constant-size) still may.
+    import doctr_ray.functions.relational as rel
+
+    sf = _write_star(tmp_path)
+    real_read = pd.read_parquet
+
+    def _guarded(path, *a, **k):
+        assert "customer" not in str(path) and "supplier" not in str(path), path
+        return real_read(path, *a, **k)
+
+    monkeypatch.setattr(rel.pd, "read_parquet", _guarded)
+    got = (
+        nation_revenue(sf, dim_broadcast_max_rows=0)
+        .to_pandas()
+        .sort_values("n_name")
+    )
     assert got["revenue_e4"].tolist() == [90_000, 150_000]
 
 
@@ -306,13 +335,11 @@ def test_user_retention_cohorts(ray_session, tmp_path):
     assert cells == {(0, 0): 2, (0, 2): 1, (2, 0): 1, (2, 1): 1}
 
 
-def test_promo_revenue_share(ray_session, tmp_path):
-    from doctr_ray.functions.relational import promo_revenue
-
+def _write_promo(tmp_path, promo_type="PROMO"):
     pq.write_table(
         pa.table({
             "p_partkey": pa.array([1, 2], pa.int64()),
-            "p_type": ["PROMO", "STANDARD"],
+            "p_type": [promo_type, "STANDARD"],
         }),
         str(tmp_path / "part.parquet"),
     )
@@ -327,12 +354,40 @@ def test_promo_revenue_share(ray_session, tmp_path):
         }),
         str(tmp_path / "lineitem.parquet"),
     )
-    got = promo_revenue(str(tmp_path)).to_pandas().sort_values("yr")
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize("dim_max", [10**6, 0], ids=["broadcast", "copartition"])
+def test_promo_revenue_share(ray_session, tmp_path, dim_max):
+    from doctr_ray.functions.relational import promo_revenue
+
+    sf = _write_promo(tmp_path)
+    got = (
+        promo_revenue(sf, dim_broadcast_max_rows=dim_max)
+        .to_pandas()
+        .sort_values("yr")
+    )
     # 1995: promo 10.00 of 40.00 -> share 250000; 1996: all promo
     assert got["yr"].tolist() == [1995, 1996]
     assert got["promo_e4"].tolist() == [100_000, 70_000]
     assert got["total_e4"].tolist() == [400_000, 70_000]
     assert got["promo_share_e6"].tolist() == [250_000, 1_000_000]
+
+
+@pytest.mark.parametrize("dim_max", [10**6, 0], ids=["broadcast", "copartition"])
+def test_promo_revenue_no_promo_parts(ray_session, tmp_path, dim_max):
+    # ADVICE round 3: an empty PROMO key set used to IndexError on
+    # keys[pos] of an empty array. Shares must come back 0.
+    from doctr_ray.functions.relational import promo_revenue
+
+    sf = _write_promo(tmp_path, promo_type="DELUXE")
+    got = (
+        promo_revenue(sf, dim_broadcast_max_rows=dim_max)
+        .to_pandas()
+        .sort_values("yr")
+    )
+    assert got["promo_e4"].tolist() == [0, 0]
+    assert got["promo_share_e6"].tolist() == [0, 0]
 
 
 def test_token_cooccurrence_apriori(ray_session, tmp_path):
