@@ -57,6 +57,10 @@ class PredictorConfig:
     # optional recognizer checkpoint path (.npz, see doctr_ray.weights)
     # — loaded once per actor; the torch-weights slot on a real cluster
     weights: str | None = None
+    # a loaded recognition MODEL INSTANCE (e.g. doctr_ray.crnn.CRNN) —
+    # the reference zoos' instance-not-name convention
+    # (recognition/zoo.py:38-52); anything with recognize_batch()
+    reco_instance: object | None = None
 
 
 class OCRPredictor:
@@ -105,6 +109,11 @@ class OCRPredictor:
 
         if self._recognizer is None:
             self._recognizer = GlyphRecognizer()
+        # recognition slot: a loaded model instance (CRNN numpy tower)
+        # replaces the template recognizer for crop->text only; the
+        # geometric helpers (rotation/skew estimation) stay on the
+        # deterministic recognizer
+        reco = self.cfg.reco_instance or self._recognizer
         exports = []
         for image in pages:
             if self.cfg.detect_orientation:
@@ -121,7 +130,7 @@ class OCRPredictor:
             boxes, rel = detect_page(image)
             crops = extract_crops(image, boxes)
             masks = extract_crops(known, boxes) if known is not None else None
-            preds = self._recognizer.recognize_batch(crops, masks=masks)
+            preds = reco.recognize_batch(crops, masks=masks)
             built = build_page(
                 rel[:, :4],
                 [t for t, _ in preds],
@@ -173,6 +182,7 @@ def ocr_predictor(
     its arch name routes the kernel and its checkpoint (weights.npz
     path) rides into the recognizer actors."""
     weights = kwargs.get("weights")
+    reco_instance = None
     if isinstance(det_arch, HubModel):
         if det_arch.task != "detection":
             raise ValueError(f"hub model '{det_arch.name}' is not a detection model")
@@ -182,9 +192,15 @@ def ocr_predictor(
             raise ValueError(f"hub model '{reco_arch.name}' is not a recognition model")
         weights = reco_arch.weights_path or weights
         reco_arch = reco_arch.arch
+    elif not isinstance(reco_arch, str) and hasattr(reco_arch, "recognize_batch"):
+        # instance-not-name (reference recognition/zoo.py:38-52): a
+        # loaded model object (e.g. doctr_ray.crnn.CRNN) occupies the
+        # recognition slot directly
+        reco_instance = reco_arch
+        reco_arch = type(reco_arch).__name__.lower()
     if det_arch not in DET_ARCHS:
         raise ValueError(f"unknown detection architecture '{det_arch}'")
-    if reco_arch not in RECO_ARCHS:
+    if reco_instance is None and reco_arch not in RECO_ARCHS:
         raise ValueError(f"unknown recognition architecture '{reco_arch}'")
     return OCRPredictor(
         PredictorConfig(
@@ -196,6 +212,7 @@ def ocr_predictor(
             detect_language=detect_language,
             keep_reading_order=keep_reading_order,
             weights=weights,
+            reco_instance=reco_instance,
         )
     )
 
