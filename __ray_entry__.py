@@ -85,25 +85,22 @@ def _read(sf_dir: str, table: str, columns=None):
     (measured: top_tokens at sf0.1 5.8 s with 64 blocks, 1.5 s with 8).
     Sizing blocks from the footer row count (~500 rows per block,
     clamped to [8, 64]) keeps small tables coarse while leaving real
-    parallelism for the larger ones; at production scale multi-file
-    inputs get their natural per-file blocks and this clamp is moot.
+    parallelism for the larger ones. Sharded layouts
+    (``{table}/part-*.parquet`` / ``{table}-N.parquet``) resolve through
+    doctr_ray.tableio with at least one block per shard.
     """
-    import math
+    from doctr_ray.tableio import read_table_ds
 
-    import pyarrow.parquet as pq
-    import ray.data as rd
-
-    path = f"{sf_dir}/{table}.parquet"
-    n_rows = pq.ParquetFile(path).metadata.num_rows
-    blocks = min(64, max(8, math.ceil(n_rows / 500)))
-    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+    return read_table_ds(sf_dir, table, columns)
 
 
 def _ann_queries(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from doctr_ray.tableio import resolve_table_paths
+
+    t = pq.read_table(resolve_table_paths(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = {}
     for vid, emb in zip(
         t["vec_id"].to_pylist()[:N_ANN_QUERIES], t["embedding"].to_pylist()[:N_ANN_QUERIES]
@@ -703,7 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from doctr_ray.pipelines.ocr import ocr_extracted_text
 
         t = (
-            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+            pq.read_table(__import__("doctr_ray.tableio", fromlist=["resolve_table_paths"]).resolve_table_paths(sf_dir, "documents"), columns=["doc_id", "text"])
             .sort_by("doc_id")
             .slice(0, 100)
         )
@@ -752,7 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from doctr_ray.sources.pdfimage import make_scanned_pdf
 
         t = (
-            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+            pq.read_table(__import__("doctr_ray.tableio", fromlist=["resolve_table_paths"]).resolve_table_paths(sf_dir, "documents"), columns=["doc_id", "text"])
             .sort_by("doc_id")
             .slice(0, 60)
         )
@@ -1143,7 +1140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from doctr_ray.functions.similarity import ann_topk_filtered
 
-        n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+        from doctr_ray.tableio import table_num_rows
+
+        n_rows = table_num_rows(sf_dir, "embeddings")
         allowed = (
             _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
             .filter(expr="lang == 'en' and n_chars >= 200")
@@ -1186,7 +1185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from doctr_ray.functions.sketch import source_distinct_tokens
 
-        n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        from doctr_ray.tableio import table_num_rows
+
+        n_rows = table_num_rows(sf_dir, "documents")
         return source_distinct_tokens(
             _read(sf_dir, "documents", ["source", "text"]), rows_hint=n_rows
         )
@@ -1208,7 +1209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from doctr_ray.functions.sketch import cms_top_tokens
 
-        n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        from doctr_ray.tableio import table_num_rows
+
+        n_rows = table_num_rows(sf_dir, "documents")
         return cms_top_tokens(
             _read(sf_dir, "documents", ["text"]), k=20, rows_hint=n_rows
         )
@@ -1221,7 +1224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from doctr_ray.functions.sampling import stratified_sample
 
-        n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        from doctr_ray.tableio import table_num_rows
+
+        n_rows = table_num_rows(sf_dir, "documents")
         return stratified_sample(
             _read(sf_dir, "documents", ["doc_id", "source"]),
             n_per_group=5,

@@ -130,10 +130,15 @@ def docs_dataset(
     import ray.data as rd
 
     from .pool import default_pool
+    from .tableio import resolve_table_paths
 
-    blocks = max(48, default_pool() * 4)
+    paths = resolve_table_paths(sf_dir, "documents")
+    # >= one block per shard: at production scale the shard is the
+    # resume/lineage unit; on the single-file bench tables the wave
+    # policy dominates
+    blocks = max(48, default_pool() * 4, len(paths))
     ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
+        paths,
         columns=["doc_id", "text"],
         override_num_blocks=blocks,
     )
@@ -178,10 +183,12 @@ def raw_documents_dataset(sf_dir: str, limit: int | None = None, pool: int | Non
     import ray.data as rd
 
     from .pool import default_pool
+    from .tableio import resolve_table_paths
 
-    blocks = max(48, (pool or default_pool()) * 4)
+    paths = resolve_table_paths(sf_dir, "documents")
+    blocks = max(48, (pool or default_pool()) * 4, len(paths))
     ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
+        paths,
         columns=["doc_id", "text"],
         override_num_blocks=blocks,
         ray_remote_args={"num_cpus": 0},

@@ -16,20 +16,20 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from doctr_ray.tableio import read_dim_pandas
+
 
 def read_table(sf_dir: str, table: str, columns: list[str]):
     """Pruned read with a footer-sized block count (~500 rows/block,
     clamp [8, 64]) — Ray's min-task-count splitting otherwise shreds
     these small single-file tables into 64 near-empty blocks whose
-    scheduling dominates every stage (CLAUDE.md landmine; multi-file
-    production inputs get natural per-file blocks and skip the clamp)."""
-    import pyarrow.parquet as pq
-    import ray.data as rd
+    scheduling dominates every stage (CLAUDE.md landmine). Sharded
+    layouts (``{table}/part-*.parquet`` or ``{table}-N.parquet``)
+    resolve through :mod:`doctr_ray.tableio` with >= one block per
+    shard."""
+    from doctr_ray.tableio import read_table_ds
 
-    path = f"{sf_dir}/{table}.parquet"
-    n_rows = pq.ParquetFile(path).metadata.num_rows
-    blocks = min(64, max(8, math.ceil(n_rows / 500)))
-    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+    return read_table_ds(sf_dir, table, columns)
 
 
 def bucket_mask_for(sf_dir: str, table: str, rows_per_bucket: int = 50_000) -> int:
@@ -43,12 +43,10 @@ def bucket_mask_for(sf_dir: str, table: str, rows_per_bucket: int = 50_000) -> i
     fragments the groupby into near-empty ~1ms Python tasks (CLAUDE.md
     landmine). Power of two so the hot path stays a single
     ``bit_wise_and`` Arrow kernel."""
-    import pyarrow.parquet as pq
-
     from doctr_ray.pool import adaptive_bucket_mask
+    from doctr_ray.tableio import table_num_rows
 
-    n = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
-    return adaptive_bucket_mask(n, rows_per_bucket)
+    return adaptive_bucket_mask(table_num_rows(sf_dir, table), rows_per_bucket)
 
 
 def pricing_summary(sf_dir: str):
@@ -134,9 +132,7 @@ def top_customer_revenue(sf_dir: str, limit: int = 20):
         g["cb"] = (g["o_custkey"].to_numpy(np.int64) & mask).astype(np.int32)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    cust = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
-    )
+    cust = read_dim_pandas(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
     cref = ray.put(cust.set_index("c_custkey"))
 
     def _bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -280,9 +276,7 @@ def supplier_balance_by_nation(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     sup = read_table(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
-    nation = pd.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    )
+    nation = read_dim_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
     nref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
     def add_nation(batch: pa.Table) -> pa.Table:
@@ -695,10 +689,10 @@ DIM_BROADCAST_MAX_ROWS = 1_000_000
 
 
 def table_rows(sf_dir: str, table: str) -> int:
-    """Row count from the parquet footer (free: no data pages read)."""
-    import pyarrow.parquet as pq
+    """Row count from the parquet footer(s) (free: no data pages read)."""
+    from doctr_ray.tableio import table_num_rows
 
-    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+    return table_num_rows(sf_dir, table)
 
 
 def sorted_key_lookup(keys: np.ndarray, q: np.ndarray) -> np.ndarray:
@@ -763,9 +757,7 @@ def shipping_priority(
 
     orders_cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
     if table_rows(sf_dir, "customer") <= dim_broadcast_max_rows:
-        cust = pd.read_parquet(
-            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-        )
+        cust = read_dim_pandas(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
         ckeys = np.sort(
             cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].to_numpy()
         )
@@ -1134,7 +1126,7 @@ def small_quantity_revenue(sf_dir: str, brand: str = "Brand#23"):
 
     mask = bucket_mask_for(sf_dir, "lineitem")
     li = read_table(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
-    pt = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pt = read_dim_pandas(sf_dir, "part", ["p_partkey", "p_brand"])
     pks = np.sort(pt.loc[pt["p_brand"] == brand, "p_partkey"].to_numpy(np.int64))
     pref = ray.put(pks)
 
@@ -1488,8 +1480,8 @@ def nation_revenue(
 
     mask = bucket_mask_for(sf_dir, "lineitem")
 
-    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
-    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    nat = read_dim_pandas(sf_dir, "nation")
+    reg = read_dim_pandas(sf_dir, "region")
     rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
     nat_in = nat[nat["n_regionkey"] == rkey]
     allowed_nk = np.sort(nat_in["n_nationkey"].to_numpy().astype(np.int64))
@@ -1528,9 +1520,7 @@ def nation_revenue(
         )
 
     def _small_dim_ref(table: str, key: str, val: str):
-        d = pd.read_parquet(
-            f"{sf_dir}/{table}.parquet", columns=[key, val]
-        ).sort_values(key)
+        d = read_dim_pandas(sf_dir, table, [key, val]).sort_values(key)
         return ray.put((d[key].to_numpy(np.int64), d[val].to_numpy(np.int64)))
 
     def _copartition_attach(fact_ds, dim_table, dim_key, dim_val, fact_to_rows,
@@ -2035,9 +2025,7 @@ def promo_revenue(
     )
 
     if table_rows(sf_dir, "part") <= dim_broadcast_max_rows:
-        pt = pd.read_parquet(
-            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
-        )
+        pt = read_dim_pandas(sf_dir, "part", ["p_partkey", "p_type"])
         promo = np.sort(
             pt.loc[pt["p_type"] == "PROMO", "p_partkey"].to_numpy(np.int64)
         )

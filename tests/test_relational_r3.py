@@ -192,13 +192,13 @@ def test_nation_revenue_copartition_no_driver_dim_read(
     import doctr_ray.functions.relational as rel
 
     sf = _write_star(tmp_path)
-    real_read = pd.read_parquet
+    real_read = rel.read_dim_pandas
 
-    def _guarded(path, *a, **k):
-        assert "customer" not in str(path) and "supplier" not in str(path), path
-        return real_read(path, *a, **k)
+    def _guarded(sf_dir, table, *a, **k):
+        assert table not in ("customer", "supplier"), table
+        return real_read(sf_dir, table, *a, **k)
 
-    monkeypatch.setattr(rel.pd, "read_parquet", _guarded)
+    monkeypatch.setattr(rel, "read_dim_pandas", _guarded)
     got = (
         nation_revenue(sf, dim_broadcast_max_rows=0)
         .to_pandas()

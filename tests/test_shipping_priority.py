@@ -171,8 +171,8 @@ def test_copartition_path_no_driver_dim_read(ray_session, tmp_path, monkeypatch)
     sf = _write(tmp_path, **SEMANTICS_TABLES)
 
     def _boom(*a, **k):  # pragma: no cover - failure path
-        raise AssertionError("driver-side pd.read_parquet of a fact-sized dim")
+        raise AssertionError("driver-side pandas read of a fact-sized dim")
 
-    monkeypatch.setattr(rel.pd, "read_parquet", _boom)
+    monkeypatch.setattr(rel, "read_dim_pandas", _boom)
     got = shipping_priority(sf, dim_broadcast_max_rows=0).to_pandas()
     assert got["l_orderkey"].tolist() == [10, 40]
