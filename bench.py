@@ -216,6 +216,28 @@ def run_once() -> dict:
         "power_users",
         "source_mad",
         "rolling_active_users",
+        # round-4: the full queries() surface is timed (VERDICT r3 #10)
+        "ann_topk_lsh",
+        "bpe_merges",
+        "dedup_jaccard",
+        "dedup_keep_first",
+        "doc_quality",
+        "doc_repetition",
+        "embedding_clusters",
+        "frame_sample",
+        "kie_predictions",
+        "multimodal_features",
+        "ocr_eval",
+        "ocr_html_media",
+        "ocr_markdown",
+        "ocr_page_hocr",
+        "ocr_rotated",
+        "ocr_scanned_pdf",
+        "ocr_spans",
+        "ocr_spans_staged",
+        "quantile_gated_docs",
+        "recognition_training_set",
+        "supplier_balance",
     ):
         try:
             timings[name] = round(bench_query(q[name], SF_DIR), 3)

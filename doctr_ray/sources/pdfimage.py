@@ -14,14 +14,18 @@ rasterize for real with zero native dependencies:
 - page ORDER from the document catalog: ``/Root -> /Pages -> /Kids``
   walked recursively (the authoritative order), each page's
   ``/Resources /XObject`` image refs resolved in dict order;
-- image XObjects: 8-bit ``/DeviceGray`` and ``/DeviceRGB``, filters
-  ``/DCTDecode`` (JPEG — baseline AND progressive) and
-  ``/FlateDecode`` (optionally with PNG ``/Predictor`` 10-15);
+- image XObjects: ``/DeviceGray`` and ``/DeviceRGB`` at 1/2/4/8/16
+  bits per component (sub-byte gray upscaled by the exact
+  255/(2^b-1) multipliers — 1-bit is THE bilevel archival scan
+  format; 16-bit keeps the high byte) and ``/Indexed`` palettes
+  (hex / literal / stream lookup), filters ``/DCTDecode`` (JPEG —
+  baseline AND progressive) and ``/FlateDecode`` (optionally with PNG
+  ``/Predictor`` 10-15 at the spec's byte stride);
 - fallback when the catalog walk fails: images in object order.
 
 Out of scope (``NotImplementedError`` naming the dependency):
 ``/CCITTFaxDecode`` / ``/JBIG2Decode`` / ``/JPXDecode`` (fax / JPEG
-2000 need native codecs), 1/2/4/16-bit samples, indexed palettes.
+2000 need native codecs).
 
 ``make_scanned_pdf`` writes the same subset (one full-page image per
 page) — the round-trip fixture generator AND a usable archival sink.
@@ -92,9 +96,14 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     return objs
 
 
-def _unpredict_png(raw: bytes, columns: int, colors: int) -> bytes:
-    """Reverse PNG row predictors (/Predictor >= 10) on decoded bytes."""
-    stride = columns * colors
+def _unpredict_png(raw: bytes, stride: int, bpp: int) -> bytes:
+    """Reverse PNG row predictors (/Predictor >= 10) on decoded bytes.
+
+    ``stride`` is the row byte length (``ceil(Columns * Colors *
+    BitsPerComponent / 8)``) and ``bpp`` the per-pixel byte distance
+    (``max(1, Colors * BitsPerComponent // 8)``) — the PNG spec's
+    filter unit, which lets the same code cover sub-byte and 16-bit
+    samples."""
     out = bytearray()
     prev = bytearray(stride)
     pos = 0
@@ -103,20 +112,20 @@ def _unpredict_png(raw: bytes, columns: int, colors: int) -> bytes:
         row = bytearray(raw[pos + 1 : pos + 1 + stride])
         pos += 1 + stride
         if ft == 1:  # Sub
-            for i in range(colors, stride):
-                row[i] = (row[i] + row[i - colors]) & 0xFF
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
         elif ft == 2:  # Up
             for i in range(stride):
                 row[i] = (row[i] + prev[i]) & 0xFF
         elif ft == 3:  # Average
             for i in range(stride):
-                left = row[i - colors] if i >= colors else 0
+                left = row[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
             for i in range(stride):
-                a = row[i - colors] if i >= colors else 0
+                a = row[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - colors] if i >= colors else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -128,8 +137,90 @@ def _unpredict_png(raw: bytes, columns: int, colors: int) -> bytes:
     return bytes(out)
 
 
-def _decode_image_obj(head: bytes, raw: bytes) -> np.ndarray:
-    """One /Subtype /Image stream object -> (H,W) or (H,W,3) uint8."""
+_CS_INDEXED_RE = re.compile(
+    rb"/ColorSpace\s*\[\s*/(?:Indexed|I)\b(.*?)\]", re.S
+)
+
+
+def _parse_palette(head: bytes, objs: dict | None):
+    """``/ColorSpace [/Indexed base hival lookup]`` -> (H*3,) uint8
+    RGB palette or None. Lookup may be a hex string ``<...>``, a
+    simple literal string ``(...)``, or a stream object reference."""
+    m = _CS_INDEXED_RE.search(head)
+    if m is None:
+        return None
+    body = m.group(1)
+    base_rgb = b"/DeviceRGB" in body
+    hm = re.search(rb"\s(\d+)\s*(?=<|\(|\d)", body)
+    hival = int(hm.group(1)) if hm else 255
+    lookup: bytes | None = None
+    xm = re.search(rb"<([0-9A-Fa-f\s]*)>", body)
+    if xm is not None:
+        lookup = bytes.fromhex(xm.group(1).decode().replace("\n", "").replace(" ", ""))
+    else:
+        lm = re.search(rb"\((.*?)\)", body, re.S)
+        if lm is not None:
+            lookup = lm.group(1)
+        else:
+            rm = _REF_RE.search(body)
+            if rm is not None and objs is not None:
+                lhead, lraw = objs.get(int(rm.group(1)), (b"", None))
+                if lraw is not None:
+                    lookup = (
+                        zlib.decompress(lraw) if b"/FlateDecode" in lhead else lraw
+                    )
+    if lookup is None:
+        raise NotImplementedError("unsupported /Indexed palette lookup form")
+    n = 3 if base_rgb else 1
+    pal = np.frombuffer(lookup[: (hival + 1) * n], np.uint8)
+    if pal.size < (hival + 1) * n:  # short lookup: pad with black
+        pal = np.concatenate([pal, np.zeros((hival + 1) * n - pal.size, np.uint8)])
+    if not base_rgb:  # gray base -> expand to RGB for a uniform return
+        pal = np.repeat(pal, 3)
+    return pal.reshape(hival + 1, 3)
+
+
+def _unpack_samples(raw: bytes, h: int, w: int, ncomp: int, bits: int) -> np.ndarray:
+    """Packed big-endian samples -> (h, w*ncomp) uint8 component values
+    (16-bit keeps the high byte; sub-byte rows are byte-aligned per the
+    PDF spec)."""
+    if bits == 8:
+        need = h * w * ncomp
+        arr = np.frombuffer(raw[:need], np.uint8)
+        if arr.size < need:
+            raise ValueError("PDF image stream shorter than Width*Height")
+        return arr.reshape(h, w * ncomp)
+    if bits == 16:
+        need = h * w * ncomp * 2
+        if len(raw) < need:
+            raise ValueError("PDF image stream shorter than Width*Height")
+        return (
+            np.frombuffer(raw[:need], ">u2").reshape(h, w * ncomp) >> 8
+        ).astype(np.uint8)
+    # 1 / 2 / 4 bit: unpack bit-planes row by row (vectorized over rows)
+    stride = (w * ncomp * bits + 7) // 8
+    need = h * stride
+    if len(raw) < need:
+        raise ValueError("PDF image stream shorter than Width*Height")
+    rows = np.frombuffer(raw[:need], np.uint8).reshape(h, stride)
+    bits_arr = np.unpackbits(rows, axis=1)[:, : w * ncomp * bits]
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint8)
+    return bits_arr.reshape(h, w * ncomp, bits).dot(weights).astype(np.uint8)
+
+
+#: exact 8-bit upscale multipliers for 1/2/4-bit gray samples
+#: (255 / (2^bits - 1) is integral for these depths)
+_GRAY_SCALE = {1: 255, 2: 85, 4: 17, 8: 1}
+
+
+def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.ndarray:
+    """One /Subtype /Image stream object -> (H,W) or (H,W,3) uint8.
+
+    Covers 8-bit DeviceGray/DeviceRGB, 16-bit samples (high byte),
+    1/2/4-bit gray (exact 255/(2^b-1) upscale — the bilevel archival
+    scan format), and /Indexed palettes (hex/literal/stream lookup)
+    over any of those depths; filters /DCTDecode and /FlateDecode with
+    PNG predictors at the spec's byte stride."""
     if b"/DCTDecode" in head:
         from .jpegcodec import decode_jpeg
 
@@ -138,24 +229,34 @@ def _decode_image_obj(head: bytes, raw: bytes) -> np.ndarray:
     h = int(_NUM_ENTRY[b"Height"].search(head).group(1))
     bm = _NUM_ENTRY[b"BitsPerComponent"].search(head)
     bits = int(bm.group(1)) if bm else 8
-    if bits != 8:
-        raise NotImplementedError(
-            f"{bits}-bit PDF image samples: needs a full PDF library (pypdfium2)"
-        )
-    ncomp = 3 if b"/DeviceRGB" in head else 1
+    if bits not in (1, 2, 4, 8, 16):
+        raise NotImplementedError(f"{bits}-bit PDF image samples")
+    palette = _parse_palette(head, objs)
+    ncomp = 1 if palette is not None else (3 if b"/DeviceRGB" in head else 1)
     if b"/FlateDecode" in head:
         raw = zlib.decompress(raw)
         pm = _NUM_ENTRY[b"Predictor"].search(head)
         if pm and int(pm.group(1)) >= 10:
-            raw = _unpredict_png(raw, w, ncomp)
+            stride = (w * ncomp * bits + 7) // 8
+            bpp = max(1, ncomp * bits // 8)
+            raw = _unpredict_png(raw, stride, bpp)
     elif b"/Filter" in head:
         raise NotImplementedError(
             "PDF image filter (CCITT/JBIG2/JPX) needs a native codec (pypdfium2)"
         )
-    arr = np.frombuffer(raw[: h * w * ncomp], np.uint8)
-    if arr.size < h * w * ncomp:
-        raise ValueError("PDF image stream shorter than Width*Height")
-    arr = arr.reshape(h, w, ncomp)
+    samples = _unpack_samples(raw, h, w, ncomp, bits)  # (h, w*ncomp) uint8
+    if palette is not None:
+        idx = np.minimum(samples, len(palette) - 1)
+        rgb = palette[idx.reshape(h, w)]
+        # collapse an achromatic palette to gray (matches the writer)
+        if (rgb[:, :, 0] == rgb[:, :, 1]).all() and (
+            rgb[:, :, 1] == rgb[:, :, 2]
+        ).all():
+            return np.ascontiguousarray(rgb[:, :, 0])
+        return rgb
+    if bits in _GRAY_SCALE and bits != 8 and ncomp == 1:
+        samples = samples * np.uint8(_GRAY_SCALE[bits])
+    arr = samples.reshape(h, w, ncomp)
     return arr[:, :, 0] if ncomp == 1 else arr
 
 
@@ -218,16 +319,39 @@ def extract_pdf_page_images(data: bytes) -> list[np.ndarray]:
                 ordered.append(n)
     if not ordered:  # catalog walk found nothing: fall back to object order
         ordered = sorted(image_nums)
-    return [_decode_image_obj(*objs[n]) for n in ordered]
+    return [_decode_image_obj(*objs[n], objs=objs) for n in ordered]
+
+
+def _pack_rows(samples: np.ndarray, bits: int) -> bytes:
+    """(h, w) small-int samples -> byte-aligned big-endian packed rows."""
+    h, w = samples.shape
+    if bits == 8:
+        return samples.astype(np.uint8).tobytes()
+    per_sample = np.unpackbits(
+        samples.astype(np.uint8).reshape(h, w, 1), axis=2
+    )[:, :, 8 - bits :]
+    flat = per_sample.reshape(h, w * bits)
+    pad = (-flat.shape[1]) % 8
+    if pad:
+        flat = np.concatenate([flat, np.zeros((h, pad), np.uint8)], axis=1)
+    return np.packbits(flat, axis=1).tobytes()
 
 
 def make_scanned_pdf(
-    images: list[np.ndarray], image_format: str = "flate", quality: int = 95
+    images: list[np.ndarray],
+    image_format: str = "flate",
+    quality: int = 95,
+    bits: int = 8,
+    palette: np.ndarray | None = None,
 ) -> bytes:
     """One full-page image per page — what a scanner/copier emits.
 
     ``image_format``: 'flate' (lossless deflated samples) or 'jpeg'
-    (DCTDecode via the in-repo encoder). Gray (H,W) or RGB (H,W,3).
+    (DCTDecode via the in-repo encoder). Gray (H,W) or RGB (H,W,3)
+    uint8, or uint16 gray when ``bits=16``. ``bits`` in {1, 2, 4}
+    writes sub-byte gray (values must sit on the 255/(2^b-1) grid —
+    the bilevel/4-gray archival formats); ``palette`` (K, 3) uint8
+    writes /Indexed images whose (H, W) inputs are palette indices.
     """
     objects: list[bytes] = []
 
@@ -237,25 +361,55 @@ def make_scanned_pdf(
 
     img_ids, content_ids, dims = [], [], []
     for img in images:
-        if img.dtype != np.uint8:
-            raise ValueError("make_scanned_pdf expects uint8 images")
         h, w = img.shape[:2]
         gray = img.ndim == 2
-        cs = b"/DeviceGray" if gray else b"/DeviceRGB"
+        if palette is not None:
+            if not gray:
+                raise ValueError("palette images must be (H,W) index arrays")
+            hexpal = palette.astype(np.uint8).tobytes().hex().encode()
+            cs = (
+                b"[/Indexed /DeviceRGB " + str(len(palette) - 1).encode()
+                + b" <" + hexpal + b">]"
+            )
+        else:
+            cs = b"/DeviceGray" if gray else b"/DeviceRGB"
         if image_format == "jpeg":
             from .jpegcodec import encode_jpeg
 
             payload = encode_jpeg(img, quality)
             filt = b"/DCTDecode"
+            sample_bits = 8
+        elif bits == 16:
+            if img.dtype != np.uint16 or not gray:
+                raise ValueError("bits=16 expects uint16 gray images")
+            payload = zlib.compress(img.astype(">u2").tobytes())
+            filt = b"/FlateDecode"
+            sample_bits = 16
+        elif bits in (1, 2, 4):
+            if not gray:
+                raise ValueError(f"bits={bits} expects gray images")
+            scale = _GRAY_SCALE[bits]
+            samples = img if palette is not None else img // scale
+            if palette is None and not (samples * scale == img).all():
+                raise ValueError(
+                    f"bits={bits} gray values must be multiples of {scale}"
+                )
+            payload = zlib.compress(_pack_rows(samples, bits))
+            filt = b"/FlateDecode"
+            sample_bits = bits
         else:
+            if img.dtype != np.uint8:
+                raise ValueError("make_scanned_pdf expects uint8 images")
             payload = zlib.compress(img.tobytes())
             filt = b"/FlateDecode"
+            sample_bits = 8
         img_ids.append(
             add(
                 b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
                 + b" /Height " + str(h).encode()
                 + b" /ColorSpace " + cs
-                + b" /BitsPerComponent 8 /Filter " + filt
+                + b" /BitsPerComponent " + str(sample_bits).encode()
+                + b" /Filter " + filt
                 + b" /Length " + str(len(payload)).encode() + b" >>\nstream\n"
                 + payload + b"\nendstream"
             )

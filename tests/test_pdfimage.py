@@ -106,3 +106,88 @@ def test_text_layer_still_wins_over_raster(tmp_path):
     got, conf = media_to_ocr_span("d", f"file://{p}", 0, GlyphRecognizer())
     assert got == "hello native text layer"
     assert conf == 1.0
+
+
+def test_subbyte_gray_roundtrip_exact():
+    # 1/2/4-bit gray samples on the exact 255/(2^b-1) grid
+    for bits, scale in ((1, 255), (2, 85), (4, 17)):
+        levels = np.arange(2**bits, dtype=np.uint8) * scale
+        img = levels[_rng(bits).integers(0, 2**bits, (13, 21))]
+        out = extract_pdf_page_images(
+            make_scanned_pdf([img], image_format="flate", bits=bits)
+        )
+        assert np.array_equal(out[0], img), bits
+    # off-grid values are rejected, not silently quantized
+    with pytest.raises(ValueError, match="multiples"):
+        make_scanned_pdf([np.full((4, 4), 7, np.uint8)], bits=1)
+
+
+def test_16bit_gray_high_byte():
+    img16 = _rng(9).integers(0, 65536, (9, 14)).astype(np.uint16)
+    out = extract_pdf_page_images(
+        make_scanned_pdf([img16], image_format="flate", bits=16)
+    )
+    assert np.array_equal(out[0], (img16 >> 8).astype(np.uint8))
+
+
+def test_indexed_palette_roundtrip():
+    pal = np.array([[250, 10, 10], [10, 250, 10], [10, 10, 250], [0, 0, 0]],
+                   np.uint8)
+    idx = _rng(11).integers(0, 4, (12, 18)).astype(np.uint8)
+    out = extract_pdf_page_images(
+        make_scanned_pdf([idx], image_format="flate", palette=pal)
+    )
+    assert np.array_equal(out[0], pal[idx])
+    # achromatic palette collapses to gray (what the OCR kernel eats)
+    gpal = np.stack([np.arange(0, 256, 16, dtype=np.uint8)] * 3, axis=1)
+    gidx = _rng(12).integers(0, 16, (8, 8)).astype(np.uint8)
+    gout = extract_pdf_page_images(
+        make_scanned_pdf([gidx], image_format="flate", palette=gpal)
+    )
+    assert gout[0].ndim == 2
+    assert np.array_equal(gout[0], gpal[gidx][:, :, 0])
+
+
+def test_indexed_palette_stream_lookup():
+    # palette delivered as a stream object reference instead of a hex string
+    import zlib as _z
+
+    pal = np.array([[1, 2, 3], [200, 100, 50]], np.uint8)
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    base = make_scanned_pdf([idx], image_format="flate", palette=pal)
+    hexpal = pal.tobytes().hex().encode()
+    palstream = _z.compress(pal.tobytes())
+    # replace the inline hex lookup with "99 0 R" and append object 99
+    swapped = base.replace(b"<" + hexpal + b">", b"99 0 R")
+    insert = (
+        b"99 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(palstream)).encode()
+        + b" >>\nstream\n" + palstream + b"\nendstream\nendobj\n"
+    )
+    data = swapped.replace(b"xref\n", insert + b"xref\n", 1)
+    out = extract_pdf_page_images(data)
+    assert np.array_equal(out[0], pal[idx])
+
+
+def test_bilevel_scanned_pdf_ocr_exact(tmp_path):
+    """A 1-bit (bilevel archival) scan of a rendered page must OCR to
+    the exact ground truth through the real media dispatch."""
+    from doctr_ray.media import (
+        encode_media_ref,
+        rasterize_synth,
+        synth_ground_truth_text,
+    )
+    from doctr_ray.pipelines.ocr import media_to_ocr_span
+    from doctr_ray.recognition import GlyphRecognizer
+
+    ref = encode_media_ref("bilevel archive scan words here")
+    pages = rasterize_synth(ref)
+    # threshold the rendered page to pure black/white (synthetic pages
+    # are already near-bilevel, so thresholding is lossless for OCR)
+    bilevel = [
+        np.where(pg.image > 127, 255, 0).astype(np.uint8) for pg in pages
+    ]
+    p = tmp_path / "bilevel.pdf"
+    p.write_bytes(make_scanned_pdf(bilevel, image_format="flate", bits=1))
+    got, conf = media_to_ocr_span("d", f"file://{p}", 0, GlyphRecognizer())
+    assert got == synth_ground_truth_text(ref)
