@@ -21,12 +21,16 @@ import pyarrow.compute as pc
 # Marker stopword sets per language. Deliberately tiny and deterministic
 # (langdetect is unavailable); the SQL oracle reproduces the same argmax
 # (the CASE chain in __ray_entry__.oracle_sql is GENERATED from this
-# table, so engine and oracle cannot drift). Coverage: the original five
-# plus the reference's full RTL language set (reading_order/base.py:33
-# RTL_LANGUAGES — the set its direction fallback consults), native
-# script marker words each. 'iw' is the legacy ISO code for Hebrew;
-# langdetect emits 'he', so 'iw' shares the markers and the
-# lexicographic tie-break makes 'he' win — documented, intentional.
+# table, so engine and oracle cannot drift). Coverage: langdetect's
+# 55-language surface (reference models/_utils.py:202-218 get_language
+# — zh-cn/zh-tw collapse to 'zh') plus the reference's full RTL
+# language set (reading_order/base.py:33 RTL_LANGUAGES — the set its
+# direction fallback consults). Markers are high-frequency native
+# function words; every language keeps at least one word unique to it
+# so a text of its own markers always argmaxes to itself. 'iw' is the
+# legacy ISO code for Hebrew; langdetect emits 'he', so 'iw' shares
+# the markers and the lexicographic tie-break makes 'he' win —
+# documented, intentional.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "value", "row"),
     "de": ("und", "der", "das", "nicht"),
@@ -50,6 +54,53 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "ug": ("بىلەن", "بولۇپ", "ئۇ", "ھەم"),
     "ur": ("کے", "میں", "نے", "کی"),
     "yi": ("און", "דער", "איז", "פֿון"),
+    # langdetect breadth (round-3 verdict #8): the remaining languages
+    # of the reference's langdetect surface
+    "af": ("die", "van", "het", "nie"),
+    "bg": ("това", "не", "на", "да"),
+    "bn": ("এবং", "আমি", "এই", "না"),
+    "ca": ("amb", "els", "per", "és"),
+    "cs": ("že", "jsem", "ale", "když"),
+    "cy": ("mae", "yn", "gan", "hefyd"),
+    "da": ("ikke", "og", "det", "hvad"),
+    "el": ("και", "δεν", "είναι", "στο"),
+    "et": ("ja", "ei", "on", "see"),
+    "fi": ("ja", "ei", "on", "että"),
+    "gu": ("અને", "છે", "આ", "નથી"),
+    "hi": ("और", "है", "नहीं", "यह"),
+    "hr": ("nije", "ali", "što", "kako"),
+    "hu": ("és", "nem", "hogy", "egy"),
+    "id": ("yang", "dan", "tidak", "ini"),
+    "it": ("che", "non", "però", "anche"),
+    "ja": ("です", "ます", "これ", "した"),
+    "kn": ("ಮತ್ತು", "ಇದು", "ಅಲ್ಲ", "ಇದೆ"),
+    "ko": ("입니다", "있는", "그리고", "하는"),
+    "lt": ("ir", "yra", "kad", "taip"),
+    "lv": ("un", "ir", "kas", "tas"),
+    "mk": ("и", "не", "на", "дека"),
+    "ml": ("എന്ന്", "ഇത്", "അല്ല", "ഉണ്ട്"),
+    "mr": ("आणि", "आहे", "नाही", "हे"),
+    "ne": ("र", "छ", "छैन", "यो"),
+    "nl": ("een", "niet", "dat", "maar"),
+    "no": ("ikke", "og", "det", "hva"),
+    "pa": ("ਅਤੇ", "ਹੈ", "ਨਹੀਂ", "ਇਹ"),
+    "pl": ("się", "jest", "nie", "ale"),
+    "pt": ("não", "uma", "com", "para"),
+    "ro": ("și", "nu", "este", "care"),
+    "ru": ("и", "не", "это", "что"),
+    "sk": ("keď", "som", "ako", "nič"),
+    "sl": ("in", "je", "ne", "kaj"),
+    "so": ("iyo", "waa", "kuma", "waxa"),
+    "sq": ("dhe", "një", "nuk", "për"),
+    "sv": ("och", "det", "inte", "vad"),
+    "sw": ("na", "ni", "kwa", "ya"),
+    "ta": ("மற்றும்", "இது", "இல்லை", "உள்ளது"),
+    "te": ("మరియు", "ఇది", "కాదు", "ఉంది"),
+    "th": ("และ", "ไม่", "ที่", "นี้"),
+    "tl": ("ang", "ng", "hindi", "ito"),
+    "tr": ("ve", "bir", "değil", "için"),
+    "uk": ("і", "не", "це", "що"),
+    "vi": ("và", "không", "của", "này"),
 }
 LANG_ORDER = sorted(LANG_MARKERS)  # deterministic tie-break: lexicographic
 
@@ -129,24 +180,73 @@ def quality_score(batch: pa.Table) -> pa.Table:
     )
 
 
+def _marker_membership():
+    """Cached union-vocabulary index for one-pass language ID:
+    (vocab Arrow array, CSR arrays (vstart, vcount, vlang_ids)) where
+    vocab word i belongs to languages vlang_ids[vstart[i] :
+    vstart[i] + vcount[i]] (a marker word may belong to several
+    languages — e.g. Cyrillic 'не')."""
+    import numpy as np
+
+    global _MARKER_INDEX
+    if _MARKER_INDEX is None:
+        by_word: dict[str, list[int]] = {}
+        for li, lang in enumerate(LANG_ORDER):
+            for w in LANG_MARKERS[lang]:
+                by_word.setdefault(w, []).append(li)
+        words = sorted(by_word)
+        vstart = np.zeros(len(words), np.int64)
+        vcount = np.array([len(by_word[w]) for w in words], np.int64)
+        vstart[1:] = np.cumsum(vcount)[:-1]
+        vlang = np.concatenate([np.array(by_word[w], np.int64) for w in words])
+        _MARKER_INDEX = (pa.array(words, pa.string()), vstart, vcount, vlang)
+    return _MARKER_INDEX
+
+
+_MARKER_INDEX = None
+
+
 def lang_id(batch: pa.Table) -> pa.Table:
     """doc_id, pred_lang — argmax of marker-word counts, lexicographic
     tie-break (LANG_ORDER is sorted and argmax keeps the FIRST max),
-    'und' when no marker hits (get_language analog). Vectorized: one
-    is_in pass per language over the flat token stream."""
+    'und' when no marker hits (get_language analog).
+
+    ONE pass regardless of language count (~63 langs would otherwise
+    mean 63 is_in sweeps of the flat token stream): index_in against
+    the union marker vocabulary, CSR-expand matched tokens to their
+    (row, language) pairs, and one bincount builds the full count
+    matrix — marker hits are rare, so the expansion is tiny next to
+    the token stream."""
     import numpy as np
 
     toks = pc.split_pattern(batch["text"], " ")
     flat = pc.list_flatten(toks)
-    counts = np.stack(
-        [
-            _per_row_token_counts(
-                toks, pc.is_in(flat, value_set=pa.array(LANG_MARKERS[lang]))
-            )
-            for lang in LANG_ORDER
-        ],
-        axis=1,
-    )
+    vocab, vstart, vcount, vlang = _marker_membership()
+    rows = len(batch)
+    L = len(LANG_ORDER)
+    n_all = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    offs = np.zeros(len(n_all) + 1, np.int64)
+    offs[1:] = np.cumsum(n_all)
+    ids = pc.fill_null(pc.index_in(flat, value_set=vocab), len(vocab))
+    idn = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.flatnonzero(idn < len(vocab))
+    counts = np.zeros((rows, L), np.int64)
+    if len(pos):
+        vi = idn[pos]
+        row_idx = np.searchsorted(offs, pos, side="right") - 1
+        cnt = vcount[vi]
+        total = int(cnt.sum())
+        # CSR expansion: each matched token contributes one entry per
+        # language its marker word belongs to
+        base = np.repeat(vstart[vi], cnt)
+        step = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        langs_rep = vlang[base + step]
+        rows_rep = np.repeat(row_idx, cnt)
+        counts = np.bincount(
+            rows_rep * L + langs_rep, minlength=rows * L
+        ).reshape(rows, L)
     best = counts.argmax(axis=1)
     langs = np.array(LANG_ORDER, dtype=object)
     pred = np.where(counts.max(axis=1) > 0, langs[best], "und")

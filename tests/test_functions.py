@@ -431,6 +431,43 @@ def test_lang_id_rtl_breadth_matches_oracle():
     assert odf == got
 
 
+def test_lang_id_full_breadth_self_detection():
+    """langdetect-surface breadth (round-3 verdict #8): >= 55 languages,
+    and for EVERY language a text made of its own markers argmaxes to
+    itself (iw -> he is the documented legacy-code exception); the
+    generated SQL oracle agrees row for row."""
+    import duckdb
+
+    import __ray_entry__ as e
+    from doctr_ray.functions.text import LANG_MARKERS, lang_id
+
+    assert len(LANG_MARKERS) >= 55
+    # the reference's langdetect language surface (models/_utils.py:
+    # 202-218; zh-cn/zh-tw collapse to zh)
+    for lang in ("af bg bn ca cs cy da de el en es et fa fi fr gu he hi hr "
+                 "hu id it ja kn ko lt lv mk ml mr ne nl no pa pl pt ro ru "
+                 "sk sl so sq sv sw ta te th tl tr uk ur vi zh").split():
+        assert lang in LANG_MARKERS, lang
+    rows = [
+        (f"d_{lang}", " ".join(LANG_MARKERS[lang] * 2))
+        for lang in sorted(LANG_MARKERS)
+    ]
+    t = pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+    got = lang_id(t).to_pandas().set_index("doc_id")["pred_lang"].to_dict()
+    for lang in sorted(LANG_MARKERS):
+        want = "he" if lang == "iw" else lang
+        assert got[f"d_{lang}"] == want, (lang, got[f"d_{lang}"])
+    con = duckdb.connect()
+    con.register("documents", t)
+    odf = (
+        con.sql(e.oracle_sql()["doc_lang_id"])
+        .df()
+        .set_index("doc_id")["pred_lang"]
+        .to_dict()
+    )
+    assert odf == got
+
+
 def test_normalize_clean_unicode_and_whitespace():
     import numpy as np
     import pyarrow as pa
