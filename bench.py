@@ -233,6 +233,7 @@ def run_once() -> dict:
         "ocr_page_hocr",
         "ocr_rotated",
         "ocr_scanned_pdf",
+        "ocr_truetype_pdf",
         "ocr_spans",
         "ocr_spans_staged",
         "quantile_gated_docs",

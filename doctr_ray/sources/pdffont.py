@@ -1,0 +1,888 @@
+"""Font-rendered PDF rasterization: TrueType glyphs -> pixel pages.
+
+The reference rasterizes ANY pdf via pdfium (io/pdf.py:16-43). The
+remaining in-container gap after sources/pdftext (native text layers)
+and sources/pdfimage (scanned image-per-page PDFs) was the PDF that
+DRAWS text with embedded fonts — this module closes it with pure
+stdlib + numpy:
+
+- a TrueType parser: sfnt table directory, ``head``/``maxp``/``loca``/
+  ``glyf`` (simple AND composite glyphs, short/long loca),
+  ``cmap`` format 4, ``hhea``/``hmtx`` advances;
+- a glyph rasterizer: quadratic-Bézier outlines (implied on-curve
+  midpoints per the TrueType spec) flattened and filled with the
+  NONZERO WINDING rule sampled at pixel centers — integer-rectangle
+  contours therefore fill pixel-exactly;
+- a content-stream interpreter for the text operators
+  (BT/ET, Tf, Td/TD/TL/T*/Tm, Tj/TJ/'/") over pages discovered with
+  sources/pdfimage's object scanner, glyph codes resolved through the
+  font's own cmap (the honest path for SUBSET fonts whose codes are
+  private — exactly the PDFs whose "text layer" is garbage and which
+  therefore must be OCRed);
+- a TTF WRITER (``build_ttf``) and a font-embedded PDF writer
+  (``make_truetype_pdf``) whose fixture font's glyphs are the engine's
+  own pixel glyphs as rectangle outlines — rendering at the matching
+  size reproduces the procedural font bit-exactly, so the full OCR
+  pipeline round-trips byte-exact ground truth over a REAL
+  embedded-font PDF.
+
+Out of scope (NotImplementedError naming the gap): Type1/CFF font
+programs (PostScript charstrings), Type0/CID two-byte encodings,
+rotated/skewed text matrices.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+
+import numpy as np
+
+from .pdfimage import _page_order, _scan_objects
+from .pdftext import _LENGTH_RE  # noqa: F401  (shared regex family)
+
+# --------------------------------------------------------------- TTF parser
+
+
+class TrueTypeFont:
+    """Minimal TrueType font: glyph outlines + cmap + advances."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        (n_tables,) = struct.unpack(">H", data[4:6])
+        self.tables: dict[bytes, tuple[int, int]] = {}
+        for i in range(n_tables):
+            off = 12 + 16 * i
+            tag = data[off : off + 4]
+            t_off, t_len = struct.unpack(">II", data[off + 8 : off + 16])
+            self.tables[tag] = (t_off, t_len)
+        head = self._table(b"head")
+        self.upem = struct.unpack(">H", head[18:20])[0]
+        self.loca_long = struct.unpack(">h", head[50:52])[0] == 1
+        maxp = self._table(b"maxp")
+        self.num_glyphs = struct.unpack(">H", maxp[4:6])[0]
+        loca = self._table(b"loca")
+        if self.loca_long:
+            self.loca = np.frombuffer(
+                loca[: 4 * (self.num_glyphs + 1)], ">u4"
+            ).astype(np.int64)
+        else:
+            self.loca = (
+                np.frombuffer(loca[: 2 * (self.num_glyphs + 1)], ">u2").astype(
+                    np.int64
+                )
+                * 2
+            )
+        self.glyf = self._table(b"glyf")
+        hhea = self._table(b"hhea")
+        n_hmetrics = struct.unpack(">H", hhea[34:36])[0]
+        hmtx = self._table(b"hmtx")
+        adv = np.frombuffer(hmtx[: 4 * n_hmetrics], ">u2")[::2].astype(np.int64)
+        # trailing glyphs reuse the last advance (spec)
+        if n_hmetrics < self.num_glyphs and len(adv):
+            adv = np.concatenate(
+                [adv, np.full(self.num_glyphs - n_hmetrics, adv[-1], np.int64)]
+            )
+        self.advances = adv
+        self.cmap = self._parse_cmap()
+
+    def _table(self, tag: bytes) -> bytes:
+        off, length = self.tables[tag]
+        return self.data[off : off + length]
+
+    def _parse_cmap(self) -> dict[int, int]:
+        cm = self._table(b"cmap")
+        n = struct.unpack(">H", cm[2:4])[0]
+        sub_off = None
+        for i in range(n):
+            plat, enc, off = struct.unpack(">HHI", cm[4 + 8 * i : 12 + 8 * i])
+            if (plat, enc) in ((3, 1), (0, 3), (3, 0)) or sub_off is None:
+                sub_off = off
+        sub = cm[sub_off:]
+        fmt = struct.unpack(">H", sub[:2])[0]
+        if fmt != 4:
+            raise NotImplementedError(f"cmap format {fmt} (only 4 supported)")
+        seg_x2 = struct.unpack(">H", sub[6:8])[0]
+        segs = seg_x2 // 2
+        end = np.frombuffer(sub[14 : 14 + seg_x2], ">u2")
+        start = np.frombuffer(sub[16 + seg_x2 : 16 + 2 * seg_x2], ">u2")
+        delta = np.frombuffer(sub[16 + 2 * seg_x2 : 16 + 3 * seg_x2], ">i2")
+        rng_off_pos = 16 + 3 * seg_x2
+        rng = np.frombuffer(sub[rng_off_pos : rng_off_pos + seg_x2], ">u2")
+        out: dict[int, int] = {}
+        for s in range(segs):
+            for code in range(int(start[s]), int(end[s]) + 1):
+                if code == 0xFFFF:
+                    continue
+                if rng[s] == 0:
+                    gid = (code + int(delta[s])) & 0xFFFF
+                else:
+                    idx = rng_off_pos + 2 * s + int(rng[s]) + 2 * (
+                        code - int(start[s])
+                    )
+                    gid = struct.unpack(">H", sub[idx : idx + 2])[0]
+                    if gid:
+                        gid = (gid + int(delta[s])) & 0xFFFF
+                if gid:
+                    out[code] = gid
+        return out
+
+    def glyph_contours(self, gid: int) -> list[list[tuple[float, float, bool]]]:
+        """Outline of one glyph as contours of (x, y, on_curve) points
+        in font units — composites resolved recursively."""
+        start, end = int(self.loca[gid]), int(self.loca[gid + 1])
+        if end <= start:
+            return []
+        g = self.glyf[start:end]
+        n_cont = struct.unpack(">h", g[:2])[0]
+        if n_cont >= 0:
+            return self._simple_contours(g, n_cont)
+        # composite glyph
+        contours: list[list[tuple[float, float, bool]]] = []
+        pos = 10
+        while True:
+            flags, comp_gid = struct.unpack(">HH", g[pos : pos + 4])
+            pos += 4
+            if flags & 0x0001:  # ARG_1_AND_2_ARE_WORDS
+                dx, dy = struct.unpack(">hh", g[pos : pos + 4])
+                pos += 4
+            else:
+                dx, dy = struct.unpack(">bb", g[pos : pos + 2])
+                pos += 2
+            if not flags & 0x0002:  # ARGS_ARE_XY_VALUES required here
+                raise NotImplementedError("composite point-matching args")
+            sx = sy = 1.0
+            if flags & 0x0008:  # WE_HAVE_A_SCALE (F2Dot14)
+                sx = sy = struct.unpack(">h", g[pos : pos + 2])[0] / 16384.0
+                pos += 2
+            elif flags & 0x0040:  # X_AND_Y_SCALE
+                sx = struct.unpack(">h", g[pos : pos + 2])[0] / 16384.0
+                sy = struct.unpack(">h", g[pos + 2 : pos + 4])[0] / 16384.0
+                pos += 4
+            elif flags & 0x0080:  # 2x2 transform
+                raise NotImplementedError("composite 2x2 transform")
+            for cont in self.glyph_contours(comp_gid):
+                contours.append(
+                    [(x * sx + dx, y * sy + dy, on) for x, y, on in cont]
+                )
+            if not flags & 0x0020:  # MORE_COMPONENTS
+                break
+        return contours
+
+    @staticmethod
+    def _simple_contours(g: bytes, n_cont: int):
+        end_pts = np.frombuffer(g[10 : 10 + 2 * n_cont], ">u2").astype(int)
+        n_pts = int(end_pts[-1]) + 1 if n_cont else 0
+        pos = 10 + 2 * n_cont
+        (ins_len,) = struct.unpack(">H", g[pos : pos + 2])
+        pos += 2 + ins_len
+        # flags with repeat expansion
+        flags: list[int] = []
+        while len(flags) < n_pts:
+            f = g[pos]
+            pos += 1
+            flags.append(f)
+            if f & 0x08:  # REPEAT
+                rep = g[pos]
+                pos += 1
+                flags.extend([f] * rep)
+        xs: list[int] = []
+        x = 0
+        for f in flags:
+            if f & 0x02:  # x short
+                dx = g[pos]
+                pos += 1
+                x += dx if f & 0x10 else -dx
+            elif not f & 0x10:  # long delta
+                x += struct.unpack(">h", g[pos : pos + 2])[0]
+                pos += 2
+            xs.append(x)
+        ys: list[int] = []
+        y = 0
+        for f in flags:
+            if f & 0x04:  # y short
+                dy = g[pos]
+                pos += 1
+                y += dy if f & 0x20 else -dy
+            elif not f & 0x20:
+                y += struct.unpack(">h", g[pos : pos + 2])[0]
+                pos += 2
+            ys.append(y)
+        contours = []
+        s = 0
+        for e in end_pts:
+            contours.append(
+                [
+                    (float(xs[i]), float(ys[i]), bool(flags[i] & 0x01))
+                    for i in range(s, int(e) + 1)
+                ]
+            )
+            s = int(e) + 1
+        return contours
+
+
+# ------------------------------------------------------------- rasterizer
+
+
+def _contour_segments(
+    contour: list[tuple[float, float, bool]], flatten: int = 8
+) -> np.ndarray:
+    """One TrueType contour -> (S, 4) line segments [x0 y0 x1 y1],
+    quadratic Béziers flattened; consecutive off-curve points get the
+    spec's implied on-curve midpoints."""
+    if not contour:
+        return np.zeros((0, 4))
+    # normalize: expand implied midpoints, start on an on-curve point
+    pts = list(contour)
+    if not any(on for _, _, on in pts):
+        # all-off-curve contour: start from midpoint of last/first
+        x0 = (pts[0][0] + pts[-1][0]) / 2.0
+        y0 = (pts[0][1] + pts[-1][1]) / 2.0
+        pts = [(x0, y0, True)] + pts
+    else:
+        k = next(i for i, p in enumerate(pts) if p[2])
+        pts = pts[k:] + pts[:k]
+    expanded: list[tuple[float, float, bool]] = []
+    for i, p in enumerate(pts):
+        expanded.append(p)
+        q = pts[(i + 1) % len(pts)]
+        if not p[2] and not q[2]:
+            expanded.append(((p[0] + q[0]) / 2.0, (p[1] + q[1]) / 2.0, True))
+    segs: list[tuple[float, float, float, float]] = []
+    i = 0
+    n = len(expanded)
+    ts = np.linspace(0.0, 1.0, flatten + 1)
+    while i < n:
+        p0 = expanded[i]
+        p1 = expanded[(i + 1) % n]
+        if p1[2]:  # straight edge
+            segs.append((p0[0], p0[1], p1[0], p1[1]))
+            i += 1
+        else:  # quadratic: p0 on, p1 off, p2 on
+            p2 = expanded[(i + 2) % n]
+            bx = (
+                (1 - ts) ** 2 * p0[0] + 2 * (1 - ts) * ts * p1[0] + ts**2 * p2[0]
+            )
+            by = (
+                (1 - ts) ** 2 * p0[1] + 2 * (1 - ts) * ts * p1[1] + ts**2 * p2[1]
+            )
+            for k in range(flatten):
+                segs.append((bx[k], by[k], bx[k + 1], by[k + 1]))
+            i += 2
+    return np.asarray(segs, np.float64)
+
+
+def fill_glyph(
+    page: np.ndarray,
+    contours: list[list[tuple[float, float, bool]]],
+    scale: float,
+    pen_x: float,
+    pen_y: float,
+) -> None:
+    """Nonzero-winding fill of one positioned glyph into ``page``
+    ((H, W) uint8, 255 background), sampled at pixel centers. ``pen``
+    is the baseline origin in PDF user space (y up, 1 unit = 1 px)."""
+    if not contours:
+        return
+    H, W = page.shape
+    segs = np.concatenate([_contour_segments(c) for c in contours])
+    # font units -> image pixel coords (y flips)
+    x0 = pen_x + segs[:, 0] * scale
+    y0 = H - (pen_y + segs[:, 1] * scale)
+    x1 = pen_x + segs[:, 2] * scale
+    y1 = H - (pen_y + segs[:, 3] * scale)
+    keep = y0 != y1  # horizontal segments never cross a scanline
+    x0, y0, x1, y1 = x0[keep], y0[keep], x1[keep], y1[keep]
+    if not len(x0):
+        return
+    r_lo = max(0, int(np.floor(min(y0.min(), y1.min()))))
+    r_hi = min(H, int(np.ceil(max(y0.max(), y1.max()))))
+    c_lo = max(0, int(np.floor(min(x0.min(), x1.min()))))
+    c_hi = min(W, int(np.ceil(max(x0.max(), x1.max()))))
+    if r_hi <= r_lo or c_hi <= c_lo:
+        return
+    yc = np.arange(r_lo, r_hi, dtype=np.float64)[:, None] + 0.5  # (R,1)
+    below0 = y0[None, :] <= yc
+    below1 = y1[None, :] <= yc
+    crosses = below0 != below1  # (R,S)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (yc - y0[None, :]) / (y1 - y0)[None, :]
+    xint = x0[None, :] + t * (x1 - x0)[None, :]
+    sign = np.where(y1 > y0, 1, -1)[None, :]  # image-y winding direction
+    xc = np.arange(c_lo, c_hi, dtype=np.float64)[None, None, :] + 0.5
+    contrib = np.where(crosses, sign, 0)[:, :, None] * (
+        xint[:, :, None] > xc
+    )
+    wind = contrib.sum(axis=1)  # (R,C)
+    block = page[r_lo:r_hi, c_lo:c_hi]
+    block[wind != 0] = 0
+
+
+# -------------------------------------------------- PDF text interpreter
+
+_TOKEN_RE = re.compile(
+    rb"/([^\s/<>\[\]()]+)"  # 1 name
+    rb"|(<[0-9A-Fa-f\s]*>)"  # 2 hex string
+    rb"|([-+]?\d*\.?\d+)"  # 3 number
+    rb"|(\[|\])"  # 4 array delims
+    rb"|(BT|ET|Tf|Td|TD|TL|T\*|Tm|TJ|Tj|'|\")"  # 5 operator
+    rb"|(\()"  # 6 literal string opener
+)
+
+
+def _read_literal(data: bytes, start: int) -> tuple[bytes, int]:
+    """Parse a PDF literal string starting at the '(' — returns
+    (decoded bytes, index after closing paren)."""
+    out = bytearray()
+    depth = 1
+    i = start + 1
+    esc = {b"n": 10, b"r": 13, b"t": 9, b"b": 8, b"f": 12}
+    while i < len(data) and depth:
+        c = data[i : i + 1]
+        if c == b"\\":
+            nxt = data[i + 1 : i + 2]
+            if nxt in esc:
+                out.append(esc[nxt])
+                i += 2
+            elif nxt.isdigit():
+                j = i + 1
+                oct_s = b""
+                while j < len(data) and data[j : j + 1].isdigit() and len(oct_s) < 3:
+                    oct_s += data[j : j + 1]
+                    j += 1
+                out.append(int(oct_s, 8) & 0xFF)
+                i = j
+            else:
+                out += nxt
+                i += 2
+        elif c == b"(":
+            depth += 1
+            out += c
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth:
+                out += c
+            i += 1
+        else:
+            out += c
+            i += 1
+    return bytes(out), i
+
+
+def _tokenize(stream: bytes):
+    """Content-stream token iterator: ('name'|'str'|'num'|'arr'|'op', value)."""
+    pos = 0
+    while True:
+        m = _TOKEN_RE.search(stream, pos)
+        if m is None:
+            return
+        if m.group(6):  # literal string
+            s, pos = _read_literal(stream, m.start(6))
+            yield ("str", s)
+            continue
+        pos = m.end()
+        if m.group(1):
+            yield ("name", m.group(1).decode("latin-1"))
+        elif m.group(2):
+            hx = re.sub(rb"\s", b"", m.group(2))[1:-1]
+            if len(hx) % 2:
+                hx += b"0"
+            yield ("str", bytes.fromhex(hx.decode()))
+        elif m.group(3):
+            yield ("num", float(m.group(3)))
+        elif m.group(4):
+            yield ("arr", m.group(4).decode())
+        else:
+            yield ("op", m.group(5).decode())
+
+
+def _page_fonts(objs: dict, page_head: bytes) -> dict[str, "PdfFont"]:
+    """/Resources /Font dict of a page -> name -> PdfFont."""
+    rm = re.search(rb"/Font\s*<<(.*?)>>", page_head, re.S)
+    if rm is None:
+        return {}
+    fonts: dict[str, PdfFont] = {}
+    for fm in re.finditer(rb"/(\w+)\s+(\d+)\s+0\s+R", rm.group(1)):
+        fonts[fm.group(1).decode()] = PdfFont(objs, int(fm.group(2)))
+    return fonts
+
+
+class PdfFont:
+    """One /Font object: embedded TrueType program + /Widths."""
+
+    def __init__(self, objs: dict, num: int):
+        head, _ = objs[num]
+        if b"/Type0" in head:
+            raise NotImplementedError("Type0/CID fonts (two-byte codes)")
+        # descriptor -> /FontFile2 (TrueType program)
+        dm = re.search(rb"/FontDescriptor\s+(\d+)\s+0\s+R", head)
+        if dm is None:
+            raise NotImplementedError(
+                "font without embedded program (base-14 metrics)"
+            )
+        dhead, _ = objs[int(dm.group(1))]
+        fm = re.search(rb"/FontFile2\s+(\d+)\s+0\s+R", dhead)
+        if fm is None:
+            raise NotImplementedError(
+                "non-TrueType embedded font (Type1/CFF FontFile/FontFile3)"
+            )
+        fhead, fraw = objs[int(fm.group(1))]
+        prog = zlib.decompress(fraw) if b"/FlateDecode" in fhead else fraw
+        self.ttf = TrueTypeFont(prog)
+        # /Widths (PDF 1000-unit glyph space), /FirstChar
+        self.first_char = 0
+        self.widths: list[float] | None = None
+        wm = re.search(rb"/FirstChar\s+(\d+)", head)
+        if wm:
+            self.first_char = int(wm.group(1))
+        am = re.search(rb"/Widths\s*\[(.*?)\]", head, re.S)
+        if am:
+            self.widths = [float(x) for x in re.findall(rb"[-\d.]+", am.group(1))]
+
+    def advance_px(self, code: int, size: float) -> float:
+        if self.widths is not None:
+            idx = code - self.first_char
+            if 0 <= idx < len(self.widths):
+                return self.widths[idx] / 1000.0 * size
+        gid = self.ttf.cmap.get(code, 0)
+        if gid < len(self.ttf.advances):
+            return float(self.ttf.advances[gid]) * size / self.ttf.upem
+        return 0.0
+
+
+def rasterize_truetype_pdf(data: bytes) -> list[np.ndarray]:
+    """Font-rendered PDF -> one (H, W) uint8 gray image per page.
+
+    Pages are MediaBox-sized at 1 user unit = 1 px; text painted black
+    on white by filling each referenced glyph's outline from the
+    embedded TrueType program. Raises NotImplementedError for font
+    technologies that genuinely need more (CFF/Type0)."""
+    objs = _scan_objects(data)
+    pages = _page_order(data, objs)
+    out: list[np.ndarray] = []
+    for pnum in pages:
+        head, _ = objs[pnum]
+        mb = re.search(
+            rb"/MediaBox\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)", head
+        )
+        if mb is None:
+            continue
+        W = int(round(float(mb.group(3)) - float(mb.group(1))))
+        H = int(round(float(mb.group(4)) - float(mb.group(2))))
+        cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", head)
+        if cm is None:
+            continue
+        chead, craw = objs[int(cm.group(1))]
+        stream = zlib.decompress(craw) if b"/FlateDecode" in chead else craw
+        fonts = _page_fonts(objs, head)
+        page = np.full((H, W), 255, np.uint8)
+        if _draw_text(page, stream, fonts):
+            out.append(page)
+    return out
+
+
+def _draw_text(page: np.ndarray, stream: bytes, fonts: dict) -> bool:
+    """Interpret the text operators of one content stream. Returns
+    True if any glyph was painted."""
+    font: PdfFont | None = None
+    size = 12.0
+    tx = ty = 0.0  # text-line origin (user space)
+    px = py = 0.0  # pen
+    leading = 0.0
+    stack: list = []
+    in_array: list | None = None
+    painted = False
+
+    def show(s: bytes) -> None:
+        nonlocal px, painted
+        if font is None:
+            return
+        for code in s:
+            gid = font.ttf.cmap.get(code, 0)
+            if gid:
+                fill_glyph(
+                    page,
+                    font.ttf.glyph_contours(gid),
+                    size / font.ttf.upem,
+                    px,
+                    py,
+                )
+                painted = True
+            px += font.advance_px(code, size)
+
+    for kind, val in _tokenize(stream):
+        if kind == "arr":
+            in_array = [] if val == "[" else in_array
+            if val == "]":
+                stack.append(in_array or [])
+                in_array = None
+            continue
+        if kind in ("num", "str", "name"):
+            (in_array if in_array is not None else stack).append((kind, val))
+            continue
+        op = val
+        if op == "BT":
+            tx = ty = px = py = 0.0
+            stack.clear()
+        elif op == "Tf" and len(stack) >= 2:
+            size = float(stack[-1][1])
+            fname = stack[-2][1]
+            font = fonts.get(fname, font)
+            stack.clear()
+        elif op in ("Td", "TD") and len(stack) >= 2:
+            dx, dy = float(stack[-2][1]), float(stack[-1][1])
+            tx, ty = tx + dx, ty + dy
+            px, py = tx, ty
+            if op == "TD":
+                leading = -dy
+            stack.clear()
+        elif op == "TL" and stack:
+            leading = float(stack[-1][1])
+            stack.clear()
+        elif op == "Tm" and len(stack) >= 6:
+            a, b, c, d, e, f = (float(v) for _, v in stack[-6:])
+            if b or c:
+                raise NotImplementedError("rotated/skewed text matrix (Tm)")
+            tx, ty = e, f
+            px, py = tx, ty
+            size = size * d if d not in (0.0, 1.0) else size
+            stack.clear()
+        elif op == "T*":
+            ty -= leading
+            px, py = tx, ty
+            stack.clear()
+        elif op == "Tj" and stack:
+            show(stack[-1][1])
+            stack.clear()
+        elif op in ("'", '"') and stack:
+            ty -= leading
+            px, py = tx, ty
+            show(stack[-1][1])
+            stack.clear()
+        elif op == "TJ" and stack:
+            items = stack[-1]
+            if isinstance(items, list):
+                for k, v in items:
+                    if k == "str":
+                        show(v)
+                    else:  # kerning adjustment, 1000-unit text space
+                        px -= float(v) / 1000.0 * size
+            stack.clear()
+        elif op == "ET":
+            stack.clear()
+    return painted
+
+
+# ----------------------------------------------------------- TTF writer
+
+
+def _fmt4_cmap(mapping: dict[int, int]) -> bytes:
+    """cmap with one format-4 (3,1) subtable; one segment per code."""
+    codes = sorted(mapping)
+    segs = [(c, c, (mapping[c] - c) & 0xFFFF) for c in codes]
+    segs.append((0xFFFF, 0xFFFF, 1))
+    n = len(segs)
+    seg_x2 = 2 * n
+    import math
+
+    search = 2 * (2 ** int(math.floor(math.log2(n))))
+    sub = struct.pack(
+        ">HHHHHHH",
+        4,
+        16 + 8 * n,
+        0,
+        seg_x2,
+        search,
+        int(math.log2(search // 2)),
+        seg_x2 - search,
+    )
+    sub += b"".join(struct.pack(">H", e) for _, e, _ in segs)
+    sub += b"\x00\x00"
+    sub += b"".join(struct.pack(">H", s) for s, _, _ in segs)
+    sub += b"".join(struct.pack(">H", d) for _, _, d in segs)
+    sub += b"\x00\x00" * n  # idRangeOffset all zero
+    return struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + sub
+
+
+def _simple_glyph(contours: list[list[tuple[int, int, bool]]]) -> bytes:
+    """Serialize one simple glyph (no repeat compression, long deltas
+    where needed)."""
+    all_pts = [p for c in contours for p in c]
+    xs = [p[0] for p in all_pts]
+    ys = [p[1] for p in all_pts]
+    hdr = struct.pack(
+        ">hhhhh", len(contours), min(xs), min(ys), max(xs), max(ys)
+    )
+    end_pts = []
+    total = 0
+    for c in contours:
+        total += len(c)
+        end_pts.append(total - 1)
+    body = b"".join(struct.pack(">H", e) for e in end_pts)
+    body += struct.pack(">H", 0)  # no instructions
+    flags = bytearray()
+    xb = bytearray()
+    yb = bytearray()
+    prev_x = prev_y = 0
+    for x, y, on in all_pts:
+        dx, dy = x - prev_x, y - prev_y
+        f = 0x01 if on else 0x00
+        if -255 <= dx <= 255:
+            f |= 0x02
+            if dx >= 0:
+                f |= 0x10
+            xb.append(abs(dx))
+        else:
+            xb += struct.pack(">h", dx)
+        if -255 <= dy <= 255:
+            f |= 0x04
+            if dy >= 0:
+                f |= 0x20
+            yb.append(abs(dy))
+        else:
+            yb += struct.pack(">h", dy)
+        flags.append(f)
+        prev_x, prev_y = x, y
+    return hdr + body + bytes(flags) + bytes(xb) + bytes(yb)
+
+
+def build_ttf(
+    glyphs: list[list[list[tuple[int, int, bool]]]],
+    cmap: dict[int, int],
+    advances: list[int],
+    upem: int,
+) -> bytes:
+    """Minimal valid TrueType binary: glyph 0 must be .notdef (pass an
+    empty contour list); ``glyphs[i]`` is glyph i's contour list."""
+    glyf = b""
+    loca = [0]
+    for contours in glyphs:
+        if contours:
+            g = _simple_glyph(contours)
+            if len(g) % 4:
+                g += b"\x00" * (4 - len(g) % 4)
+            glyf += g
+        loca.append(len(glyf))
+    loca_b = b"".join(struct.pack(">I", o) for o in loca)
+    all_pts = [p for g in glyphs for c in g for p in c] or [(0, 0, True)]
+    xmin = min(p[0] for p in all_pts)
+    ymin = min(p[1] for p in all_pts)
+    xmax = max(p[0] for p in all_pts)
+    ymax = max(p[1] for p in all_pts)
+    head = (
+        struct.pack(">IIII", 0x00010000, 0, 0, 0x5F0F3CF5)
+        + struct.pack(">HH", 0, upem)
+        + b"\x00" * 16  # created/modified
+        + struct.pack(">hhhh", xmin, ymin, xmax, ymax)
+        + struct.pack(">HHhhh", 0, 8, 2, 1, 0)  # macStyle..glyphDataFormat
+    )
+    maxp = struct.pack(">IH", 0x00010000, len(glyphs)) + b"\x00" * 26
+    hhea = (
+        struct.pack(">IhhhH", 0x00010000, ymax, min(0, ymin), 0, max(advances))
+        + struct.pack(">hhh", xmin, 0, xmax)
+        + struct.pack(">hhh", 1, 0, 0)
+        + b"\x00" * 8
+        + struct.pack(">hH", 0, len(advances))
+    )
+    hmtx = b"".join(struct.pack(">Hh", a, 0) for a in advances)
+    cmap_b = _fmt4_cmap(cmap)
+    tables = [
+        (b"cmap", cmap_b),
+        (b"glyf", glyf),
+        (b"head", head),
+        (b"hhea", hhea),
+        (b"hmtx", hmtx),
+        (b"loca", loca_b),
+        (b"maxp", maxp),
+    ]
+    import math
+
+    n = len(tables)
+    search = 16 * (2 ** int(math.floor(math.log2(n))))
+    out = struct.pack(
+        ">IHHHH", 0x00010000, n, search, int(math.log2(search // 16)),
+        16 * n - search,
+    )
+    off = 12 + 16 * n
+    dir_b = b""
+    body = b""
+    for tag, t in tables:
+        pad = (-len(t)) % 4
+        dir_b += tag + struct.pack(">III", 0, off, len(t))
+        body += t + b"\x00" * pad
+        off += len(t) + pad
+    return out + dir_b + body
+
+
+# ------------------------------------------- fixture font + PDF writer
+
+
+def _bitmap_contours(bitmap: np.ndarray) -> list[list[tuple[int, int, bool]]]:
+    """Ink bitmap (rows top-down) -> rectangle contours in y-up font
+    units, one per maximal horizontal run — winding-fills back to the
+    exact pixel set."""
+    h, w = bitmap.shape
+    contours = []
+    for r in range(h):
+        row = bitmap[r]
+        c = 0
+        while c < w:
+            if row[c]:
+                c2 = c
+                while c2 < w and row[c2]:
+                    c2 += 1
+                y_top = h - r
+                y_bot = h - r - 1
+                contours.append(
+                    [  # counter-clockwise in y-up = positive winding
+                        (c, y_bot, True),
+                        (c2, y_bot, True),
+                        (c2, y_top, True),
+                        (c, y_top, True),
+                    ]
+                )
+                c = c2
+            else:
+                c += 1
+    return contours
+
+
+def make_glyph_ttf() -> tuple[bytes, dict[str, int]]:
+    """A real TrueType font whose glyphs are the engine's procedural
+    pixel glyphs (doctr_ray.glyphs.FONT) as rectangle outlines, with a
+    SUBSET-STYLE scrambled encoding: char -> private code, codes give
+    garbage under latin-1 — the text layer is unusable by design, like
+    a real subsetted font without /ToUnicode. Returns (ttf bytes,
+    char -> code map). upem = GLYPH_H so Tf size CHAR_H renders at
+    exactly the recognizer's scale."""
+    import hashlib
+
+    from ..glyphs import FONT, GLYPH_H, GLYPH_W, VOCAB
+
+    order = sorted(
+        VOCAB, key=lambda ch: hashlib.md5(f"sub:{ch}".encode()).hexdigest()
+    )
+    glyphs: list[list] = [[]]  # gid 0 = .notdef (empty)
+    cmap: dict[int, int] = {}
+    char_code: dict[str, int] = {}
+    advances = [GLYPH_W + 1]
+    for i, ch in enumerate(order):
+        gid = i + 1
+        code = 0x21 + i  # printable-range but scrambled meaning
+        glyphs.append(_bitmap_contours(FONT[ch]))
+        cmap[code] = gid
+        char_code[ch] = code
+        advances.append(GLYPH_W + 1)  # fixed pitch: 6 units = CHAR_PITCH px
+    return build_ttf(glyphs, cmap, advances, upem=GLYPH_H), char_code
+
+
+def make_truetype_pdf(pages: list[list[str]]) -> bytes:
+    """Font-embedded PDF: each page a list of text lines drawn with the
+    embedded pixel-glyph TrueType font at the engine's scale — the PDF
+    a subsetting producer emits, whose text layer is garbage and whose
+    pixels OCR byte-exact."""
+    from ..glyphs import CHAR_H, CHAR_PITCH, CHAR_SPACE, GLYPH_H
+    from ..media import MARGIN, WORD_GAP
+
+    ttf, char_code = make_glyph_ttf()
+    comp = zlib.compress(ttf)
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    ff_id = add(
+        b"<< /Filter /FlateDecode /Length " + str(len(comp)).encode()
+        + b" /Length1 " + str(len(ttf)).encode() + b" >>\nstream\n"
+        + comp + b"\nendstream"
+    )
+    fd_id = add(
+        b"<< /Type /FontDescriptor /FontName /AAAAAA+PixelGlyph /Flags 4 "
+        b"/FontBBox [0 0 6 7] /ItalicAngle 0 /Ascent 7 /Descent 0 "
+        b"/CapHeight 7 /StemV 1 /FontFile2 " + str(ff_id).encode() + b" 0 R >>"
+    )
+    font_id = add(
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /AAAAAA+PixelGlyph "
+        b"/FontDescriptor " + str(fd_id).encode() + b" 0 R >>"
+    )
+
+    line_h = CHAR_H + 4 * (CHAR_H // GLYPH_H)  # glyph rows + gap
+    content_ids, dims = [], []
+    for lines in pages:
+        # page sized to content (like make_simple_pdf): fixed width
+        W = max(
+            2 * MARGIN
+            + max(
+                (
+                    sum(len(w) * CHAR_PITCH - CHAR_SPACE + WORD_GAP for w in ln.split())
+                    - WORD_GAP
+                    for ln in lines
+                    if ln.split()
+                ),
+                default=0,
+            ),
+            200,
+        )
+        H = 2 * MARGIN + line_h * max(len(lines), 1)
+        ops = [b"BT /F1 " + str(CHAR_H).encode() + b" Tf"]
+        y = H - MARGIN - CHAR_H
+        for ln in lines:
+            x = MARGIN
+            unk = char_code["?"]
+            for word in ln.split():
+                codes = bytes(char_code.get(ch, unk) for ch in word)
+                ops.append(
+                    b"1 0 0 1 " + str(x).encode() + b" " + str(y).encode()
+                    + b" Tm <" + codes.hex().encode() + b"> Tj"
+                )
+                x += len(word) * CHAR_PITCH - CHAR_SPACE + WORD_GAP
+            y -= line_h
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        content_ids.append(
+            add(
+                b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+                + content + b"\nendstream"
+            )
+        )
+        dims.append((W, H))
+
+    pages_id = len(objects) + len(pages) + 1
+    page_ids = []
+    for (W, H), cid in zip(dims, content_ids):
+        page_ids.append(
+            add(
+                b"<< /Type /Page /Parent " + str(pages_id).encode() + b" 0 R "
+                b"/MediaBox [0 0 " + str(W).encode() + b" " + str(H).encode()
+                + b"] /Contents " + str(cid).encode() + b" 0 R "
+                b"/Resources << /Font << /F1 " + str(font_id).encode()
+                + b" 0 R >> >> >>"
+            )
+        )
+    kids = b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
+    assert add(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(len(page_ids)).encode() + b" >>"
+    ) == pages_id
+    catalog = add(
+        b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>"
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objects) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d}".encode() + b" 00000 n \n"
+    out += (
+        b"trailer\n<< /Size " + str(len(objects) + 1).encode()
+        + b" /Root " + str(catalog).encode() + b" 0 R >>\n"
+        b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)

@@ -114,6 +114,11 @@ def extract_pdf_text(data: bytes) -> list[str]:
 
     Raises ``NotImplementedError`` for encrypted files, object streams,
     and non-Flate stream filters (a full PDF library is needed there).
+    Returns [] for PDFs whose text is drawn with an EMBEDDED font and
+    no /ToUnicode map: a subsetted font's character codes are private
+    glyph indices, so the "text layer" is garbage by construction —
+    the standard extractor heuristic — and such pages must be
+    rasterized (sources/pdffont) and OCRed instead.
     """
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
@@ -121,6 +126,10 @@ def extract_pdf_text(data: bytes) -> list[str]:
         raise NotImplementedError(
             "encrypted PDF: decryption requires a full PDF library (e.g. pypdfium2)"
         )
+    if (
+        b"/FontFile" in data and b"/ToUnicode" not in data
+    ):  # embedded font, private codes: untrustworthy text layer
+        return []
 
     def _resolve_length(head: bytes) -> int | None:
         lm = _LENGTH_RE.search(head)

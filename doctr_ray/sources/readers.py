@@ -145,13 +145,22 @@ def rasterize_media(media_ref: str) -> list[PageGT]:
         # scanned-image PDF: page images embedded as DCTDecode (JPEG) or
         # FlateDecode XObjects decode with the in-repo codecs — the
         # copier-output case rasterizes for real (sources/pdfimage);
-        # PDFs that are neither text-layer nor image-per-page still
-        # need pypdfium2 and say so
+        # font-rendered PDFs rasterize their embedded TrueType glyphs
+        # (sources/pdffont); PDFs needing CFF/Type0/vector content
+        # still need pypdfium2 and say so
         from .pdfimage import extract_pdf_page_images
 
         with open(media_ref[len(FILE_PREFIX) :], "rb") as f:
             data = f.read()
         images = extract_pdf_page_images(data)
+        if images:
+            return [PageGT(image=to_gray(img), words=[]) for img in images]
+        from .pdffont import rasterize_truetype_pdf
+
+        try:
+            images = rasterize_truetype_pdf(data)
+        except NotImplementedError:
+            images = []
         if images:
             return [PageGT(image=to_gray(img), words=[]) for img in images]
         read_pdf(media_ref)

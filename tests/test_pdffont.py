@@ -1,0 +1,148 @@
+"""Font-rendered PDFs: TrueType parse/rasterize round-trips (the
+writer<->parser pair), quadratic-Bézier and composite-glyph coverage,
+the subset-font text-layer guard, and byte-exact OCR through the real
+media dispatch."""
+
+import numpy as np
+import pytest
+
+from doctr_ray.glyphs import CHAR_H, FONT, VOCAB, render_word
+from doctr_ray.media import MARGIN
+from doctr_ray.sources.pdffont import (
+    TrueTypeFont,
+    _bitmap_contours,
+    build_ttf,
+    fill_glyph,
+    make_glyph_ttf,
+    make_truetype_pdf,
+    rasterize_truetype_pdf,
+)
+
+
+def test_ttf_roundtrip_outlines_and_metrics():
+    ttf, char_code = make_glyph_ttf()
+    f = TrueTypeFont(ttf)
+    assert f.upem == 7
+    assert f.num_glyphs == len(VOCAB) + 1
+    # every char maps through the (scrambled) cmap to a glyph whose
+    # rectangle outlines cover exactly its bitmap's ink runs
+    for ch in "a9?.":
+        gid = f.cmap[char_code[ch]]
+        want = sorted(
+            tuple(p[:2] for p in c) for c in _bitmap_contours(FONT[ch])
+        )
+        got = sorted(
+            tuple((int(x), int(y)) for x, y, _ in c)
+            for c in f.glyph_contours(gid)
+        )
+        assert got == want, ch
+    # fixed pitch: 6 units per glyph
+    assert all(int(a) == 6 for a in f.advances[1:])
+
+
+def test_glyph_fill_pixel_exact_at_scale_2():
+    ttf, char_code = make_glyph_ttf()
+    f = TrueTypeFont(ttf)
+    for ch in VOCAB:
+        page = np.full((20, 16), 255, np.uint8)
+        gid = f.cmap[char_code[ch]]
+        fill_glyph(page, f.glyph_contours(gid), 2.0, 2, 3)  # pen (2,3)
+        ink = (page == 0).astype(np.uint8)
+        want = np.zeros_like(ink)
+        # glyph spans rows [20-3-14, 20-3) = [3, 17), cols [2, 12)
+        want[3:17, 2:12] = np.kron(FONT[ch], np.ones((2, 2), np.uint8))
+        assert np.array_equal(ink, want), ch
+
+
+def test_quadratic_bezier_fill():
+    # one closed curve: on(0,0) off(50,100) on(100,0) + baseline — the
+    # filled region is under the parabola y = 2t(1-t)*100
+    contours = [[(0, 0, True), (50, 100, False), (100, 0, True)]]
+    page = np.full((110, 110), 255, np.uint8)
+    fill_glyph(page, contours, 1.0, 0, 5)
+    ink = page == 0
+    # apex: the curve peaks at y=50, x=50 -> pixels just under it filled
+    assert ink[110 - 5 - 48, 50]
+    assert not ink[110 - 5 - 60, 50]  # above the curve: empty
+    # near the base corners the curve is low
+    assert ink[110 - 5 - 2, 50]
+    assert not ink[110 - 5 - 30, 2]  # high above the left foot
+    # symmetry about x=50: pixel center c+0.5 mirrors to column 99-c
+    assert np.array_equal(ink[:, 1:50], ink[:, 98:49:-1])
+
+
+def test_composite_glyph_offsets():
+    # glyph 1 = unit square; glyph 2 = composite: two copies offset in x
+    import struct
+
+    square = [[(0, 0, True), (4, 0, True), (4, 4, True), (0, 4, True)]]
+    comp = (
+        struct.pack(">hhhhh", -1, 0, 0, 12, 4)
+        + struct.pack(">HHhh", 0x0023, 0, 0, 0)   # words+xy+more -> gid 0
+        + struct.pack(">HHhh", 0x0003, 0, 8, 0)   # words+xy, last -> gid 0
+    )
+    ttf = build_ttf([square], {65: 0}, [5], upem=8)
+    f = TrueTypeFont(ttf)
+    assert f.glyph_contours(0)
+    # splice the composite in as glyph 1 (parse path under test)
+    f.glyf = f.glyf + comp
+    f.loca = np.array([0, len(f.glyf) - len(comp), len(f.glyf)], np.int64)
+    cont = f.glyph_contours(1)
+    assert len(cont) == 2
+    xs = sorted(c[0][0] for c in cont)
+    assert xs == [0.0, 8.0]
+
+
+def test_subset_font_text_layer_refused():
+    from doctr_ray.sources.pdftext import extract_pdf_text
+
+    pdf = make_truetype_pdf([["secret words"]])
+    assert extract_pdf_text(pdf) == []  # private codes: no text layer
+
+
+def test_truetype_pdf_pixELS_match_renderer():
+    pdf = make_truetype_pdf([["hello world"]])
+    img = rasterize_truetype_pdf(pdf)[0]
+    ref = render_word("hello")
+    blk = img[MARGIN : MARGIN + CHAR_H, MARGIN : MARGIN + ref.shape[1]]
+    assert np.array_equal((blk == 0).astype(np.uint8), ref)
+
+
+def test_truetype_pdf_ocr_exact_multiline_multipage(tmp_path):
+    from doctr_ray.pipelines.ocr import media_to_ocr_span
+    from doctr_ray.recognition import GlyphRecognizer
+
+    lines = [f"word{i:03d} item{i:03d} thing{i:03d}" for i in range(50)]
+    pages = [lines[:30], lines[30:]]
+    p = tmp_path / "font.pdf"
+    p.write_bytes(make_truetype_pdf(pages))
+    got, conf = media_to_ocr_span("d", f"file://{p}", 0, GlyphRecognizer())
+    assert got == " ".join(lines)
+    assert conf > 0.9
+
+
+def test_truetype_query_oracle_sf(ray_session):
+    """The oracled query at sf0.001: byte-exact reconstruction."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        e.queries()["ocr_truetype_pdf"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.sql(e.oracle_sql()["ocr_truetype_pdf"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["full_text"].tolist() == want["full_text"].tolist()
