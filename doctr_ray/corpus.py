@@ -143,7 +143,12 @@ def docs_dataset(
         override_num_blocks=blocks,
     )
     if limit is not None:
-        ds = ds.limit(limit)
+        # a limit collapses to the first few read blocks, starving the
+        # downstream actor pool (observed: ocr_markdown 18 s for 100
+        # docs — ~3 blocks feeding a 28-actor pool). Re-split AFTER the
+        # limit: this barrier covers <= limit tiny text rows, unlike
+        # the mid-pipeline repartitions CLAUDE.md forbids.
+        ds = ds.limit(limit).repartition(min(limit, max(8, default_pool())))
     return ds.map_batches(
         lambda b: documents_to_docs(b, media_fraction, copies),
         batch_format="pyarrow",
