@@ -57,10 +57,13 @@ class PredictorConfig:
     # optional recognizer checkpoint path (.npz, see doctr_ray.weights)
     # — loaded once per actor; the torch-weights slot on a real cluster
     weights: str | None = None
-    # a loaded recognition MODEL INSTANCE (e.g. doctr_ray.crnn.CRNN) —
-    # the reference zoos' instance-not-name convention
-    # (recognition/zoo.py:38-52); anything with recognize_batch()
+    # loaded MODEL INSTANCES (e.g. doctr_ray.crnn.CRNN /
+    # doctr_ray.dbnet.DBNetNumpy) — the reference zoos'
+    # instance-not-name convention (recognition/zoo.py:38-52,
+    # detection/zoo.py:45-54); anything with recognize_batch() /
+    # detect()
     reco_instance: object | None = None
+    det_instance: object | None = None
 
 
 class OCRPredictor:
@@ -127,7 +130,13 @@ class OCRPredictor:
                 from .skew import recover_skewed_page
 
                 image, known, _ = recover_skewed_page(image, self._recognizer)
-            boxes, rel = detect_page(image)
+            if self.cfg.det_instance is not None:
+                from .geometry import rel_to_abs
+
+                rel = self.cfg.det_instance.detect(image)
+                boxes = rel_to_abs(rel[:, :4], image.shape[:2])
+            else:
+                boxes, rel = detect_page(image)
             crops = extract_crops(image, boxes)
             masks = extract_crops(known, boxes) if known is not None else None
             preds = reco.recognize_batch(crops, masks=masks)
@@ -183,10 +192,15 @@ def ocr_predictor(
     path) rides into the recognizer actors."""
     weights = kwargs.get("weights")
     reco_instance = None
+    det_instance = None
     if isinstance(det_arch, HubModel):
         if det_arch.task != "detection":
             raise ValueError(f"hub model '{det_arch.name}' is not a detection model")
         det_arch = det_arch.arch
+    elif not isinstance(det_arch, str) and hasattr(det_arch, "detect"):
+        # instance-not-name (reference detection/zoo.py:45-54)
+        det_instance = det_arch
+        det_arch = type(det_arch).__name__.lower()
     if isinstance(reco_arch, HubModel):
         if reco_arch.task != "recognition":
             raise ValueError(f"hub model '{reco_arch.name}' is not a recognition model")
@@ -198,7 +212,7 @@ def ocr_predictor(
         # recognition slot directly
         reco_instance = reco_arch
         reco_arch = type(reco_arch).__name__.lower()
-    if det_arch not in DET_ARCHS:
+    if det_instance is None and det_arch not in DET_ARCHS:
         raise ValueError(f"unknown detection architecture '{det_arch}'")
     if reco_instance is None and reco_arch not in RECO_ARCHS:
         raise ValueError(f"unknown recognition architecture '{reco_arch}'")
@@ -213,6 +227,7 @@ def ocr_predictor(
             keep_reading_order=keep_reading_order,
             weights=weights,
             reco_instance=reco_instance,
+            det_instance=det_instance,
         )
     )
 
