@@ -13,12 +13,14 @@ flow through the extraction pipeline in this container:
   format mandates; Up / Average-without-left / None are whole-row ops).
 - **BMP**: uncompressed (BI_RGB) 8-bit palette / 24-bit / 32-bit,
   bottom-up or top-down.
-- **PNM**: P1-P6 (ASCII + binary bitmap/gray/RGB), maxval <= 255.
-- **TIFF**: baseline scanner output — first IFD, strip-organized 1/8-bit
-  gray/RGB, uncompressed / PackBits / Deflate / LZW (TIFF-variant early
-  code-width change, round-trip-tested incl. table reset),
-  horizontal-differencing predictor. JPEG-in-TIFF raises naming the
-  needed library.
+- **PNM**: P1-P6 (ASCII + binary bitmap/gray/RGB), any maxval up to
+  65535 (16-bit samples are big-endian per the spec, scaled to 8-bit).
+- **TIFF**: baseline scanner output — first IFD, strip-organized
+  1/8/16-bit gray/RGB (16-bit folds to the high byte; differencing
+  runs in the 16-bit domain), uncompressed / PackBits / Deflate / LZW
+  (TIFF-variant early code-width change, round-trip-tested incl. table
+  reset), horizontal-differencing predictor, new-style JPEG-in-TIFF
+  (compression 7 with shared /JPEGTables).
 - **JPEG**: baseline JFIF decodes (and encodes) via
   :mod:`doctr_ray.sources.jpegcodec` — Huffman entropy coding with
   restart markers, vectorized IDCT, 4:2:0/4:2:2/4:4:4 chroma;
@@ -318,8 +320,8 @@ def decode_pnm(data: bytes) -> np.ndarray:
     if kind not in (1, 4):
         mv, pos = next(toks)
         maxval = int(mv)
-        if maxval > 255:
-            raise NotImplementedError("16-bit PNM not supported")
+        if maxval > 65535:
+            raise ValueError(f"PNM maxval {maxval} out of spec")
     if kind in (1, 2, 3):  # ASCII
         vals = []
         if kind == 1:
@@ -342,9 +344,13 @@ def decode_pnm(data: bytes) -> np.ndarray:
         )[:, :width]
         return ((1 - bits) * 255).astype(np.uint8)  # 1 = black
     count = width * height * (3 if kind == 6 else 1)
-    arr = np.frombuffer(body, np.uint8, count=count)
-    if maxval != 255:
-        arr = (arr.astype(np.int32) * 255 // maxval).astype(np.uint8)
+    if maxval > 255:  # 16-bit samples: big-endian per the PNM spec
+        wide = np.frombuffer(body, ">u2", count=count).astype(np.int64)
+        arr = (wide * 255 // maxval).astype(np.uint8)
+    else:
+        arr = np.frombuffer(body, np.uint8, count=count)
+        if maxval != 255:
+            arr = (arr.astype(np.int32) * 255 // maxval).astype(np.uint8)
     if kind == 5:
         return arr.reshape(height, width)
     return arr.reshape(height, width, 3)
@@ -442,7 +448,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
     rps = tags.get("rows_per_strip", [height])[0]
     offsets = tags["strip_offsets"]
     counts = tags.get("strip_byte_counts")
-    if bits not in (1, 8):
+    if bits not in (1, 8, 16):
         raise NotImplementedError(f"{bits}-bit TIFF samples not supported")
     if comp == 6:
         raise NotImplementedError(
@@ -504,6 +510,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
         if photometric == 0:  # WhiteIsZero bilevel
             px = 255 - px
         return px
+    if bits == 16:
+        wide = np.frombuffer(
+            bytes(raw), bo + "u2", count=height * width * spp
+        ).reshape(height, width, spp)
+        if predictor == 2:  # differencing runs in the 16-bit domain
+            wide = np.cumsum(wide, axis=1, dtype=np.uint16)
+        px = (wide >> 8).astype(np.uint8)  # high byte (pdfimage convention)
+        if photometric == 0:
+            px = 255 - px
+        return px[:, :, 0].copy() if spp == 1 else px[:, :, :3].copy()
     px = arr[:, : width * spp].reshape(height, width, spp)
     if predictor == 2:  # horizontal differencing: undo with cumsum mod 256
         px = np.cumsum(px, axis=1, dtype=np.uint8)

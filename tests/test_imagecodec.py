@@ -331,7 +331,8 @@ def test_file_bmp_media_decodes(tmp_path):
 # ---------------------------------------------------------------------- TIFF
 
 
-def _make_tiff(img: np.ndarray, compression: int = 1, photometric=None, rows_per_strip=None):
+def _make_tiff(img: np.ndarray, compression: int = 1, photometric=None, rows_per_strip=None,
+               bits: int = 8, predictor: int = 1):
     """Minimal little-endian strip TIFF writer for decoder tests."""
     import struct
     import zlib as _zlib
@@ -341,6 +342,8 @@ def _make_tiff(img: np.ndarray, compression: int = 1, photometric=None, rows_per
     rps = rows_per_strip or h
     photometric = photometric if photometric is not None else (1 if spp == 1 else 2)
     px = img.reshape(h, -1)
+    if bits == 16:
+        px = np.ascontiguousarray(px.astype("<u2")).view(np.uint8)
 
     strips = []
     for y0 in range(0, h, rps):
@@ -395,12 +398,12 @@ def _make_tiff(img: np.ndarray, compression: int = 1, photometric=None, rows_per
     def add(tag, typ, vals):
         pending.append((tag, typ, vals))
 
-    add(256, 4, [w]); add(257, 4, [h]); add(258, 3, [8] * spp)
+    add(256, 4, [w]); add(257, 4, [h]); add(258, 3, [bits] * spp)
     add(259, 3, [compression]); add(262, 3, [photometric])
     add(277, 3, [spp]); add(278, 4, [rps])
     # placeholders for strip offsets (filled after extra is known)
     add(279, 4, strip_sizes)
-    add(317, 3, [1])
+    add(317, 3, [predictor])
 
     # first pass to materialize all value arrays except offsets
     rendered = []
@@ -501,3 +504,42 @@ def test_tiff_lzw_decodes():
 def test_tiff_dispatch():
     img = _rng(44).integers(0, 256, (5, 9), dtype=np.uint8)
     assert np.array_equal(decode_image(_make_tiff(img)), img)
+
+
+def test_tiff_16bit_high_byte():
+    from doctr_ray.sources.imagecodec import decode_tiff
+
+    img16 = np.random.default_rng(5).integers(0, 65536, (9, 13)).astype(np.uint16)
+    data = _make_tiff(img16, compression=8, bits=16)
+    assert np.array_equal(decode_tiff(data), (img16 >> 8).astype(np.uint8))
+    rgb16 = np.random.default_rng(6).integers(0, 65536, (5, 7, 3)).astype(np.uint16)
+    data = _make_tiff(rgb16, compression=1, bits=16)
+    assert np.array_equal(decode_tiff(data), (rgb16 >> 8).astype(np.uint8))
+
+
+def test_tiff_16bit_predictor_differencing():
+    from doctr_ray.sources.imagecodec import decode_tiff
+
+    img16 = np.random.default_rng(7).integers(0, 65536, (4, 6)).astype(np.uint16)
+    diffed = img16.copy()
+    diffed[:, 1:] = (img16[:, 1:].astype(np.int64) - img16[:, :-1]).astype(np.uint16)
+    data = _make_tiff(diffed, compression=8, bits=16, predictor=2)
+    assert np.array_equal(decode_tiff(data), (img16 >> 8).astype(np.uint8))
+
+
+def test_pnm_16bit_samples():
+    from doctr_ray.sources.imagecodec import decode_pnm
+
+    img16 = np.random.default_rng(8).integers(0, 65536, (6, 9)).astype(np.uint16)
+    body = img16.astype(">u2").tobytes()
+    data = b"P5 9 6 65535\n" + body
+    want = (img16.astype(np.int64) * 255 // 65535).astype(np.uint8)
+    assert np.array_equal(decode_pnm(data), want)
+    # P6 RGB 16-bit
+    rgb16 = np.random.default_rng(9).integers(0, 65536, (3, 4, 3)).astype(np.uint16)
+    data = b"P6 4 3 65535\n" + rgb16.astype(">u2").tobytes()
+    want = (rgb16.astype(np.int64) * 255 // 65535).astype(np.uint8)
+    assert np.array_equal(decode_pnm(data), want)
+    # ASCII P2 with a 16-bit maxval
+    data = b"P2 2 1 1000\n1000 500\n"
+    assert decode_pnm(data).tolist() == [[255, 127]]
