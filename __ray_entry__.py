@@ -838,6 +838,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ocr_extracted_text(ray.data.from_arrow(docs))
 
+    def q_dsir_weights(sf_dir: str):
+        """DSIR-style data selection (Xie et al. 2023): hashed
+        unigram+bigram importance weights of every document against the
+        'src0' target corpus, in the integer rational form (no ln — see
+        functions/dsir.py). Two streaming passes; the <= 4096-row score
+        table broadcasts, text never shuffles."""
+        from doctr_ray.functions.dsir import dsir_weights
+
+        return dsir_weights(
+            _read(sf_dir, "documents", ["doc_id", "source", "text"]),
+            target_source="src0",
+        )
+
     def q_top_tokens(sf_dir: str):
         from doctr_ray.functions.text import top_tokens
 
@@ -1569,6 +1582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": q_doc_split,
         "epoch_shuffle": q_epoch_shuffle,
         "dup_ngram_fraction": q_dup_ngrams,
+        "dsir_weights": q_dsir_weights,
         "substring_dup": q_substring_dup,
         "seq_packing": q_seq_packing,
         "source_mix": q_source_mix,
@@ -1899,6 +1913,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_fraction": __import__(
             "doctr_ray.functions.dedup", fromlist=["dup_ngram_sql"]
         ).dup_ngram_sql(),
+        "dsir_weights": __import__(
+            "doctr_ray.functions.dsir", fromlist=["dsir_weights_sql"]
+        ).dsir_weights_sql("src0"),
         "substring_dup": __import__(
             "doctr_ray.functions.dedup", fromlist=["substring_dup_sql"]
         ).substring_dup_sql(),

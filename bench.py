@@ -164,6 +164,7 @@ def run_once() -> dict:
         "doc_commonness",
         "doc_bpe_tokens",
         "dup_ngram_fraction",
+        "dsir_weights",
         "chunk_dedup",
         "bm25_search",
         "seq_packing",
