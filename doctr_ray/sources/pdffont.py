@@ -86,6 +86,7 @@ class TrueTypeFont:
             )
         self.advances = adv
         self.cmap = self._parse_cmap()
+        self._contour_cache: dict[int, list] = {}
 
     def _table(self, tag: bytes) -> bytes:
         off, length = self.tables[tag]
@@ -130,7 +131,16 @@ class TrueTypeFont:
 
     def glyph_contours(self, gid: int) -> list[list[tuple[float, float, bool]]]:
         """Outline of one glyph as contours of (x, y, on_curve) points
-        in font units — composites resolved recursively."""
+        in font units — composites resolved recursively; parsed once
+        per gid (text runs revisit the same glyphs constantly)."""
+        hit = self._contour_cache.get(gid)
+        if hit is not None:
+            return hit
+        out = self._parse_glyph(gid)
+        self._contour_cache[gid] = out
+        return out
+
+    def _parse_glyph(self, gid: int):
         start, end = int(self.loca[gid]), int(self.loca[gid + 1])
         if end <= start:
             return []
@@ -273,35 +283,10 @@ def _contour_segments(
     return np.asarray(segs, np.float64)
 
 
-def fill_glyph(
-    page: np.ndarray,
-    contours: list[list[tuple[float, float, bool]]],
-    scale: float,
-    pen_x: float,
-    pen_y: float,
-) -> None:
-    """Nonzero-winding fill of one positioned glyph into ``page``
-    ((H, W) uint8, 255 background), sampled at pixel centers. ``pen``
-    is the baseline origin in PDF user space (y up, 1 unit = 1 px)."""
-    if not contours:
-        return
-    H, W = page.shape
-    segs = np.concatenate([_contour_segments(c) for c in contours])
-    # font units -> image pixel coords (y flips)
-    x0 = pen_x + segs[:, 0] * scale
-    y0 = H - (pen_y + segs[:, 1] * scale)
-    x1 = pen_x + segs[:, 2] * scale
-    y1 = H - (pen_y + segs[:, 3] * scale)
-    keep = y0 != y1  # horizontal segments never cross a scanline
-    x0, y0, x1, y1 = x0[keep], y0[keep], x1[keep], y1[keep]
-    if not len(x0):
-        return
-    r_lo = max(0, int(np.floor(min(y0.min(), y1.min()))))
-    r_hi = min(H, int(np.ceil(max(y0.max(), y1.max()))))
-    c_lo = max(0, int(np.floor(min(x0.min(), x1.min()))))
-    c_hi = min(W, int(np.ceil(max(x0.max(), x1.max()))))
-    if r_hi <= r_lo or c_hi <= c_lo:
-        return
+def _wind_mask(segs: np.ndarray, r_lo: int, r_hi: int, c_lo: int, c_hi: int):
+    """Nonzero-winding coverage of segments (image pixel coords) over
+    the pixel-center grid rows [r_lo, r_hi) x cols [c_lo, c_hi)."""
+    x0, y0, x1, y1 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
     yc = np.arange(r_lo, r_hi, dtype=np.float64)[:, None] + 0.5  # (R,1)
     below0 = y0[None, :] <= yc
     below1 = y1[None, :] <= yc
@@ -311,12 +296,88 @@ def fill_glyph(
     xint = x0[None, :] + t * (x1 - x0)[None, :]
     sign = np.where(y1 > y0, 1, -1)[None, :]  # image-y winding direction
     xc = np.arange(c_lo, c_hi, dtype=np.float64)[None, None, :] + 0.5
-    contrib = np.where(crosses, sign, 0)[:, :, None] * (
-        xint[:, :, None] > xc
-    )
-    wind = contrib.sum(axis=1)  # (R,C)
+    contrib = np.where(crosses, sign, 0)[:, :, None] * (xint[:, :, None] > xc)
+    return contrib.sum(axis=1) != 0  # (R,C)
+
+
+def _glyph_segments(contours, scale: float) -> np.ndarray | None:
+    """Contours -> flattened segments in a y-DOWN frame scaled to
+    pixels, with the glyph origin at (0, 0): seg y = -unit_y * scale.
+    Horizontal segments dropped (they never cross a scanline)."""
+    if not contours:
+        return None
+    segs = np.concatenate([_contour_segments(c) for c in contours])
+    out = np.empty_like(segs)
+    out[:, 0] = segs[:, 0] * scale
+    out[:, 1] = -segs[:, 1] * scale
+    out[:, 2] = segs[:, 2] * scale
+    out[:, 3] = -segs[:, 3] * scale
+    out = out[out[:, 1] != out[:, 3]]
+    return out if len(out) else None
+
+
+def fill_glyph(
+    page: np.ndarray,
+    contours: list[list[tuple[float, float, bool]]],
+    scale: float,
+    pen_x: float,
+    pen_y: float,
+    _cache: dict | None = None,
+    _key=None,
+) -> None:
+    """Nonzero-winding fill of one positioned glyph into ``page``
+    ((H, W) uint8, 255 background), sampled at pixel centers. ``pen``
+    is the baseline origin in PDF user space (y up, 1 unit = 1 px).
+
+    When ``_cache``/``_key`` are given AND the pen lands on integer
+    pixel coordinates, the glyph's coverage mask is rasterized once per
+    (glyph, scale) and blitted thereafter — identical pixels (the grid
+    offset relative to the outline is the same for every integral pen),
+    ~50x cheaper for text runs where glyphs repeat."""
+    H, W = page.shape
+    ox = pen_x
+    oy = H - pen_y  # glyph origin in image coords (baseline)
+    integral = float(ox).is_integer() and float(oy).is_integer()
+    if _cache is not None and _key is not None and integral:
+        hit = _cache.get(_key)
+        if hit is None:
+            segs = _glyph_segments(contours, scale)
+            if segs is None:
+                _cache[_key] = (None, 0, 0)
+                return
+            r_lo = int(np.floor(segs[:, [1, 3]].min()))
+            r_hi = int(np.ceil(segs[:, [1, 3]].max()))
+            c_lo = int(np.floor(segs[:, [0, 2]].min()))
+            c_hi = int(np.ceil(segs[:, [0, 2]].max()))
+            mask = _wind_mask(segs, r_lo, r_hi, c_lo, c_hi)
+            hit = _cache[_key] = (mask, r_lo, c_lo)
+        mask, mr, mc = hit
+        if mask is None:
+            return
+        r0 = int(oy) + mr
+        c0 = int(ox) + mc
+        mh, mw = mask.shape
+        pr0, pc0 = max(0, r0), max(0, c0)
+        pr1, pc1 = min(H, r0 + mh), min(W, c0 + mw)
+        if pr1 <= pr0 or pc1 <= pc0:
+            return
+        sub = mask[pr0 - r0 : pr1 - r0, pc0 - c0 : pc1 - c0]
+        block = page[pr0:pr1, pc0:pc1]
+        block[sub] = 0
+        return
+    segs = _glyph_segments(contours, scale)
+    if segs is None:
+        return
+    segs = segs + np.array([ox, oy, ox, oy], np.float64)
+    r_lo = max(0, int(np.floor(segs[:, [1, 3]].min())))
+    r_hi = min(H, int(np.ceil(segs[:, [1, 3]].max())))
+    c_lo = max(0, int(np.floor(segs[:, [0, 2]].min())))
+    c_hi = min(W, int(np.ceil(segs[:, [0, 2]].max())))
+    if r_hi <= r_lo or c_hi <= c_lo:
+        return
+    wind = _wind_mask(segs, r_lo, r_hi, c_lo, c_hi)
     block = page[r_lo:r_hi, c_lo:c_hi]
-    block[wind != 0] = 0
+    block[wind] = 0
 
 
 # -------------------------------------------------- PDF text interpreter
@@ -440,6 +501,8 @@ class PdfFont:
         am = re.search(rb"/Widths\s*\[(.*?)\]", head, re.S)
         if am:
             self.widths = [float(x) for x in re.findall(rb"[-\d.]+", am.group(1))]
+        #: (gid, size) -> rasterized coverage mask, shared across pages
+        self.raster_cache: dict = {}
 
     def advance_px(self, code: int, size: float) -> float:
         if self.widths is not None:
@@ -508,6 +571,8 @@ def _draw_text(page: np.ndarray, stream: bytes, fonts: dict) -> bool:
                     size / font.ttf.upem,
                     px,
                     py,
+                    _cache=font.raster_cache,
+                    _key=(gid, size),
                 )
                 painted = True
             px += font.advance_px(code, size)
