@@ -732,8 +732,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_ocr_scanned_pdf(sf_dir: str):
         """Scanned-image PDF route (reference io/pdf.py analog,
         pypdfium2-free): each document's rendered pages embedded as
-        image XObjects — JPEG (/DCTDecode) for even doc_ids, deflated
-        samples (/FlateDecode) for odd — then rasterized back through
+        image XObjects, rotating through the four scanner output
+        formats — JPEG (/DCTDecode), deflated samples (/FlateDecode),
+        and CCITT Group 4 / Group 3 fax (/CCITTFaxDecode, the bilevel
+        archival coding) — then rasterized back through
         sources/pdfimage and OCR'd. Exact oracle: the full pipeline
         must reconstruct every document's text byte-exactly."""
         import hashlib
@@ -755,7 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         outdir = os.path.join(
             "/tmp/doctr_ray_scanpdf",
-            hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+            hashlib.md5((sf_dir + ":v2-ccitt").encode()).hexdigest()[:10],
         )
         os.makedirs(outdir, exist_ok=True)
         ids, spans = [], []
@@ -766,7 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             path = os.path.join(outdir, f"{did}.pdf")
             if not os.path.exists(path):
                 pages = rasterize_synth(encode_media_ref(text or ""))
-                fmt = "jpeg" if i % 2 == 0 else "flate"
+                fmt = ("jpeg", "flate", "ccitt_g4", "ccitt_g3")[i % 4]
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
                     f.write(
@@ -827,6 +829,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
                     f.write(make_truetype_pdf(pages))
+                os.replace(tmp, path)
+            ids.append(did)
+            spans.append(
+                [{"kind": "media", "text": "", "media_ref": f"file://{path}", "offset": 0}]
+            )
+        docs = pa.Table.from_arrays(
+            [pa.array(ids, pa.string()), pa.array(spans, DOCS_SCHEMA.field("spans").type)],
+            schema=DOCS_SCHEMA,
+        )
+        return ocr_extracted_text(ray.data.from_arrow(docs))
+
+    def q_ocr_cff_pdf(sf_dir: str):
+        """Font-rendered PDF route, PostScript flavour: the same
+        subset-font fixture as ocr_truetype_pdf but embedded as bare
+        CFF (/FontFile3 /Subtype /Type1C) — Type 2 charstrings
+        interpreted and rasterized by sources/cfffont. Exact oracle:
+        byte-exact text reconstruction."""
+        import hashlib
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from doctr_ray.corpus import DOCS_SCHEMA
+        from doctr_ray.pipelines.ocr import ocr_extracted_text
+        from doctr_ray.sources.pdffont import make_type1c_pdf
+        from doctr_ray.tableio import resolve_table_paths
+
+        t = (
+            pq.read_table(
+                resolve_table_paths(sf_dir, "documents"), columns=["doc_id", "text"]
+            )
+            .sort_by("doc_id")
+            .slice(0, 30)
+        )
+        outdir = os.path.join(
+            "/tmp/doctr_ray_cffpdf",
+            hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+        )
+        os.makedirs(outdir, exist_ok=True)
+        ids, spans = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            did = str(did)
+            path = os.path.join(outdir, f"{did}.pdf")
+            if not os.path.exists(path):
+                words = (text or "").split()
+                lines = [
+                    " ".join(words[i : i + 10]) for i in range(0, len(words), 10)
+                ]
+                pages = [lines[j : j + 40] for j in range(0, len(lines), 40)] or [[]]
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(make_type1c_pdf(pages))
                 os.replace(tmp, path)
             ids.append(did)
             spans.append(
@@ -1554,6 +1610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_html_media": q_ocr_html_media,
         "ocr_scanned_pdf": q_ocr_scanned_pdf,
         "ocr_truetype_pdf": q_ocr_truetype_pdf,
+        "ocr_cff_pdf": q_ocr_cff_pdf,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "ocr_markdown": q_ocr_markdown,
@@ -1832,6 +1889,10 @@ def oracle_sql() -> dict[str, str]:
         "ocr_truetype_pdf": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text "
             "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 40)"
+        ),
+        "ocr_cff_pdf": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text "
+            "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 30)"
         ),
         "multimodal_features": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes, "

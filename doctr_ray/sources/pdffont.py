@@ -26,8 +26,12 @@ stdlib + numpy:
   pipeline round-trips byte-exact ground truth over a REAL
   embedded-font PDF.
 
-Out of scope (NotImplementedError naming the gap): Type1/CFF font
-programs (PostScript charstrings), Type0/CID two-byte encodings,
+Bare-CFF (``/FontFile3 /Subtype /Type1C``) font programs render
+through the Type 2 charstring interpreter in sources/cfffont, which
+duck-types TrueTypeFont's rendering surface.
+
+Out of scope (NotImplementedError naming the gap): original Type1
+``/FontFile`` (PFB) programs, Type0/CID two-byte encodings,
 rotated/skewed text matrices.
 """
 
@@ -471,27 +475,32 @@ def _page_fonts(objs: dict, page_head: bytes) -> dict[str, "PdfFont"]:
 
 
 class PdfFont:
-    """One /Font object: embedded TrueType program + /Widths."""
+    """One /Font object: embedded TrueType (/FontFile2) or bare-CFF
+    Type1C (/FontFile3) program + /Widths."""
 
     def __init__(self, objs: dict, num: int):
         head, _ = objs[num]
         if b"/Type0" in head:
             raise NotImplementedError("Type0/CID fonts (two-byte codes)")
-        # descriptor -> /FontFile2 (TrueType program)
         dm = re.search(rb"/FontDescriptor\s+(\d+)\s+0\s+R", head)
         if dm is None:
             raise NotImplementedError(
                 "font without embedded program (base-14 metrics)"
             )
         dhead, _ = objs[int(dm.group(1))]
-        fm = re.search(rb"/FontFile2\s+(\d+)\s+0\s+R", dhead)
+        fm = re.search(rb"/FontFile([23])\s+(\d+)\s+0\s+R", dhead)
         if fm is None:
             raise NotImplementedError(
-                "non-TrueType embedded font (Type1/CFF FontFile/FontFile3)"
+                "Type1 /FontFile (PFB charstrings) embedded font"
             )
-        fhead, fraw = objs[int(fm.group(1))]
+        fhead, fraw = objs[int(fm.group(2))]
         prog = zlib.decompress(fraw) if b"/FlateDecode" in fhead else fraw
-        self.ttf = TrueTypeFont(prog)
+        if fm.group(1) == b"2":
+            self.ttf = TrueTypeFont(prog)
+        else:  # /FontFile3: bare CFF (/Subtype /Type1C or CIDFontType0C)
+            from .cfffont import CFFFont
+
+            self.ttf = CFFFont(prog)
         # /Widths (PDF 1000-unit glyph space), /FirstChar
         self.first_char = 0
         self.widths: list[float] | None = None
@@ -510,6 +519,8 @@ class PdfFont:
             if 0 <= idx < len(self.widths):
                 return self.widths[idx] / 1000.0 * size
         gid = self.ttf.cmap.get(code, 0)
+        if hasattr(self.ttf, "glyph_width"):  # CFF: width is per-charstring
+            return float(self.ttf.glyph_width(gid)) * size / self.ttf.upem
         if gid < len(self.ttf.advances):
             return float(self.ttf.advances[gid]) * size / self.ttf.upem
         return 0.0
@@ -848,29 +859,55 @@ def make_truetype_pdf(pages: list[list[str]]) -> bytes:
     embedded pixel-glyph TrueType font at the engine's scale — the PDF
     a subsetting producer emits, whose text layer is garbage and whose
     pixels OCR byte-exact."""
+    ttf, char_code = make_glyph_ttf()
+    return _make_font_pdf(pages, ttf, char_code, "truetype")
+
+
+def make_type1c_pdf(pages: list[list[str]]) -> bytes:
+    """Same fixture as make_truetype_pdf but with the font embedded as
+    bare CFF (/FontFile3 /Subtype /Type1C) — the PostScript-flavoured
+    producer output (sources/cfffont renders it)."""
+    from .cfffont import make_glyph_cff
+
+    cff, char_code = make_glyph_cff()
+    return _make_font_pdf(pages, cff, char_code, "type1c")
+
+
+def _make_font_pdf(
+    pages: list[list[str]],
+    font_prog: bytes,
+    char_code: dict[str, int],
+    tech: str,
+) -> bytes:
     from ..glyphs import CHAR_H, CHAR_PITCH, CHAR_SPACE, GLYPH_H
     from ..media import MARGIN, WORD_GAP
 
-    ttf, char_code = make_glyph_ttf()
-    comp = zlib.compress(ttf)
+    comp = zlib.compress(font_prog)
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
         objects.append(body)
         return len(objects)
 
+    if tech == "truetype":
+        ff_extra = b" /Length1 " + str(len(font_prog)).encode()
+        ff_key, subtype = b"/FontFile2", b"/TrueType"
+    else:
+        ff_extra = b" /Subtype /Type1C"
+        ff_key, subtype = b"/FontFile3", b"/Type1"
     ff_id = add(
         b"<< /Filter /FlateDecode /Length " + str(len(comp)).encode()
-        + b" /Length1 " + str(len(ttf)).encode() + b" >>\nstream\n"
-        + comp + b"\nendstream"
+        + ff_extra + b" >>\nstream\n" + comp + b"\nendstream"
     )
     fd_id = add(
         b"<< /Type /FontDescriptor /FontName /AAAAAA+PixelGlyph /Flags 4 "
         b"/FontBBox [0 0 6 7] /ItalicAngle 0 /Ascent 7 /Descent 0 "
-        b"/CapHeight 7 /StemV 1 /FontFile2 " + str(ff_id).encode() + b" 0 R >>"
+        b"/CapHeight 7 /StemV 1 " + ff_key + b" " + str(ff_id).encode()
+        + b" 0 R >>"
     )
     font_id = add(
-        b"<< /Type /Font /Subtype /TrueType /BaseFont /AAAAAA+PixelGlyph "
+        b"<< /Type /Font /Subtype " + subtype
+        + b" /BaseFont /AAAAAA+PixelGlyph "
         b"/FontDescriptor " + str(fd_id).encode() + b" 0 R >>"
     )
 

@@ -23,9 +23,13 @@ rasterize for real with zero native dependencies:
   ``/Predictor`` 10-15 at the spec's byte stride);
 - fallback when the catalog walk fails: images in object order.
 
+- ``/CCITTFaxDecode`` bilevel fax images (K < 0 Group 4 and K = 0
+  Group 3 1-D, honouring /Columns /Rows /BlackIs1) via the in-repo
+  T.4/T.6 codec (sources/ccittcodec) — the archival scanner format.
+
 Out of scope (``NotImplementedError`` naming the dependency):
-``/CCITTFaxDecode`` / ``/JBIG2Decode`` / ``/JPXDecode`` (fax / JPEG
-2000 need native codecs).
+``/JBIG2Decode`` / ``/JPXDecode`` (JBIG2 / JPEG 2000 need native
+codecs), CCITT K > 0 mixed coding and ``/EncodedByteAlign true``.
 
 ``make_scanned_pdf`` writes the same subset (one full-page image per
 page) — the round-trip fixture generator AND a usable archival sink.
@@ -231,6 +235,25 @@ def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.n
     bits = int(bm.group(1)) if bm else 8
     if bits not in (1, 2, 4, 8, 16):
         raise NotImplementedError(f"{bits}-bit PDF image samples")
+    if b"/CCITTFaxDecode" in head:
+        from .ccittcodec import decode_g3, decode_g4
+
+        km = re.search(rb"/K\s+(-?\d+)", head)
+        k = int(km.group(1)) if km else 0
+        cm = _NUM_ENTRY[b"Columns"].search(head)
+        cols = int(cm.group(1)) if cm else 1728
+        rm = re.search(rb"/Rows\s+(\d+)", head)
+        nrows = int(rm.group(1)) if rm else h
+        if b"/EncodedByteAlign true" in head:
+            raise NotImplementedError("CCITT /EncodedByteAlign true")
+        if k > 0:
+            raise NotImplementedError("CCITT K>0 mixed 2-D coding")
+        black = (decode_g4 if k < 0 else decode_g3)(raw, cols, nrows)
+        # map pixels to 1-bit samples per /BlackIs1 (default false:
+        # black pixels are 0 bits = DeviceGray black)
+        if b"/BlackIs1 true" in head:
+            return np.where(black, np.uint8(255), np.uint8(0))
+        return np.where(black, np.uint8(0), np.uint8(255))
     palette = _parse_palette(head, objs)
     ncomp = 1 if palette is not None else (3 if b"/DeviceRGB" in head else 1)
     if b"/FlateDecode" in head:
@@ -242,7 +265,7 @@ def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.n
             raw = _unpredict_png(raw, stride, bpp)
     elif b"/Filter" in head:
         raise NotImplementedError(
-            "PDF image filter (CCITT/JBIG2/JPX) needs a native codec (pypdfium2)"
+            "PDF image filter (JBIG2/JPX) needs a native codec (pypdfium2)"
         )
     samples = _unpack_samples(raw, h, w, ncomp, bits)  # (h, w*ncomp) uint8
     if palette is not None:
@@ -346,8 +369,10 @@ def make_scanned_pdf(
 ) -> bytes:
     """One full-page image per page — what a scanner/copier emits.
 
-    ``image_format``: 'flate' (lossless deflated samples) or 'jpeg'
-    (DCTDecode via the in-repo encoder). Gray (H,W) or RGB (H,W,3)
+    ``image_format``: 'flate' (lossless deflated samples), 'jpeg'
+    (DCTDecode via the in-repo encoder), or 'ccitt_g4' / 'ccitt_g3'
+    (CCITTFaxDecode — lossless bilevel fax coding of 0/255 gray
+    pages, the archival scanner format). Gray (H,W) or RGB (H,W,3)
     uint8, or uint16 gray when ``bits=16``. ``bits`` in {1, 2, 4}
     writes sub-byte gray (values must sit on the 255/(2^b-1) grid —
     the bilevel/4-gray archival formats); ``palette`` (K, 3) uint8
@@ -373,12 +398,30 @@ def make_scanned_pdf(
             )
         else:
             cs = b"/DeviceGray" if gray else b"/DeviceRGB"
+        extra = b""
         if image_format == "jpeg":
             from .jpegcodec import encode_jpeg
 
             payload = encode_jpeg(img, quality)
             filt = b"/DCTDecode"
             sample_bits = 8
+        elif image_format in ("ccitt_g4", "ccitt_g3"):
+            from .ccittcodec import encode_g3, encode_g4
+
+            if not gray:
+                raise ValueError(f"{image_format} expects gray bilevel images")
+            black = img == 0
+            if not ((img == 0) | (img == 255)).all():
+                raise ValueError(f"{image_format} gray values must be 0 or 255")
+            k = -1 if image_format == "ccitt_g4" else 0
+            payload = (encode_g4 if k < 0 else encode_g3)(black)
+            filt = b"/CCITTFaxDecode"
+            sample_bits = 1
+            extra = (
+                b" /DecodeParms << /K " + str(k).encode()
+                + b" /Columns " + str(w).encode()
+                + b" /Rows " + str(h).encode() + b" >>"
+            )
         elif bits == 16:
             if img.dtype != np.uint16 or not gray:
                 raise ValueError("bits=16 expects uint16 gray images")
@@ -409,7 +452,7 @@ def make_scanned_pdf(
                 + b" /Height " + str(h).encode()
                 + b" /ColorSpace " + cs
                 + b" /BitsPerComponent " + str(sample_bits).encode()
-                + b" /Filter " + filt
+                + b" /Filter " + filt + extra
                 + b" /Length " + str(len(payload)).encode() + b" >>\nstream\n"
                 + payload + b"\nendstream"
             )

@@ -145,9 +145,9 @@ def rasterize_media(media_ref: str) -> list[PageGT]:
         # scanned-image PDF: page images embedded as DCTDecode (JPEG) or
         # FlateDecode XObjects decode with the in-repo codecs — the
         # copier-output case rasterizes for real (sources/pdfimage);
-        # font-rendered PDFs rasterize their embedded TrueType glyphs
-        # (sources/pdffont); PDFs needing CFF/Type0/vector content
-        # still need pypdfium2 and say so
+        # font-rendered PDFs rasterize their embedded TrueType or
+        # bare-CFF/Type1C glyphs (sources/pdffont, sources/cfffont);
+        # PDFs needing Type0/vector content still need pypdfium2
         from .pdfimage import extract_pdf_page_images
 
         with open(media_ref[len(FILE_PREFIX) :], "rb") as f:

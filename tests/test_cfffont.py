@@ -1,0 +1,141 @@
+"""CFF / Type 2 charstring fonts (sources/cfffont) and the /FontFile3
+route through sources/pdffont.
+
+Reference coverage: pdfium's CFF rasterization behind io/pdf.py —
+the PostScript-flavoured half of embedded-font PDFs.
+"""
+
+import numpy as np
+import pytest
+
+from doctr_ray.sources.cfffont import (
+    CFFFont,
+    _cs_num,
+    _dict_real,
+    _make_index,
+    _parse_dict,
+    _read_index,
+    build_cff,
+    make_glyph_cff,
+)
+from doctr_ray.sources.pdffont import (
+    TrueTypeFont,
+    make_glyph_ttf,
+    make_truetype_pdf,
+    make_type1c_pdf,
+    rasterize_truetype_pdf,
+)
+
+
+def test_index_roundtrip():
+    items = [b"", b"a", b"hello", bytes(range(256))]
+    data = _make_index(items)
+    got, end = _read_index(data, 0)
+    assert got == items and end == len(data)
+    assert _read_index(_make_index([]), 0) == ([], 2)
+
+
+def test_dict_real_bcd():
+    for v in ("0.142857142857", "-12.5", "1000"):
+        d = _parse_dict(_dict_real(v) + b"\x00")
+        assert d[0] == [float(v)]
+
+
+def test_cs_num_all_ranges():
+    # every encodable integer range round-trips through the interpreter
+    f = CFFFont(make_glyph_cff()[0])
+    for v in (-32000, -1131, -108, -107, 0, 107, 108, 1131, 5000, 32000):
+        code = _cs_num(v) + _cs_num(0) + b"\x15\x0e"  # v 0 rmoveto endchar
+        contours, _ = f._run_charstring(code)
+        assert contours[0][0][:2] == (float(v), 0.0)
+
+
+def test_glyphs_match_truetype_twin():
+    cff_b, cmap_cff = make_glyph_cff()
+    ttf_b, cmap_ttf = make_glyph_ttf()
+    assert cmap_cff == cmap_ttf
+    f, t = CFFFont(cff_b), TrueTypeFont(ttf_b)
+    assert f.upem == t.upem
+    for code in cmap_cff.values():
+        gc = f.glyph_contours(f.cmap[code])
+        tc = t.glyph_contours(t.cmap[code])
+        assert [[(x, y) for x, y, _ in c] for c in gc] == [
+            [(x, y) for x, y, _ in c] for c in tc
+        ]
+        assert f.glyph_width(f.cmap[code]) == float(t.advances[t.cmap[code]])
+
+
+def test_curve_operators_execute():
+    """Cubic / subr / hint operators produce sane flattened contours."""
+    f = CFFFont(make_glyph_cff()[0])
+    # rrcurveto: one cubic from (0,0) bulging to (30,0)
+    code = (
+        _cs_num(0) + _cs_num(0) + b"\x15"
+        + _cs_num(10) + _cs_num(20) + _cs_num(10) + _cs_num(-20)
+        + _cs_num(10) + _cs_num(0) + b"\x08\x0e"
+    )
+    (cont,), _ = f._run_charstring(code)
+    assert cont[0][:2] == (0.0, 0.0) and cont[-1][:2] == (30.0, 0.0)
+    assert len(cont) == 1 + f.FLATTEN
+    # hstem + hintmask with width operand, then hlineto/vlineto chain
+    code = (
+        _cs_num(99)  # width (odd count before first stem op)
+        + _cs_num(0) + _cs_num(10) + b"\x01"  # hstem
+        + b"\x13\xff"  # hintmask + 1 data byte
+        + _cs_num(2) + _cs_num(3) + b"\x15"  # rmoveto
+        + _cs_num(5) + _cs_num(4) + _cs_num(-5) + b"\x06"  # h,v,h lineto
+        + b"\x0e"
+    )
+    (cont,), width = f._run_charstring(code)
+    assert width == f.nominal_width + 99
+    assert [(x, y) for x, y, _ in cont] == [
+        (2.0, 3.0), (7.0, 3.0), (7.0, 7.0), (2.0, 7.0)
+    ]
+
+
+def test_flex1_endpoint_semantics():
+    f = CFFFont(make_glyph_cff()[0])
+    # |dx| > |dy|: d6 is dx6 and the endpoint returns to the start y
+    args = [3, 1, 2, 2, 2, -1, 2, -2, 2, -1]  # dx=11 dominates dy=-1
+    code = (
+        _cs_num(5) + _cs_num(5) + b"\x15"
+        + b"".join(_cs_num(a) for a in args) + _cs_num(4)
+        + b"\x0c\x25\x0e"
+    )
+    (cont,), _ = f._run_charstring(code)
+    # second-curve c2 x = 5+3+2+2 + 2+2 = 16, +d6(4) = 20; y back to 5
+    assert cont[-1][:2] == (20.0, 5.0)
+
+
+def test_unsupported_forms_raise():
+    f = CFFFont(make_glyph_cff()[0])
+    with pytest.raises(NotImplementedError, match="escape"):
+        f._run_charstring(b"\x0c\x03\x0e")  # 'and' operator unsupported
+    glyphs = [[], [[(0, 0, True), (1, 0, True), (1, 1, True), (0, 1, True)]]]
+    data = build_cff(glyphs, {65: 1}, 6, 7)
+    assert CFFFont(data).cmap == {65: 1}
+    assert CFFFont(data).glyph_width(1) == 6.0
+
+
+def test_type1c_pdf_bit_identical_to_truetype():
+    pages = [["alpha beta gamma", "delta epsilon"], ["zeta eta"]]
+    a = rasterize_truetype_pdf(make_truetype_pdf(pages))
+    b = rasterize_truetype_pdf(make_type1c_pdf(pages))
+    assert len(a) == len(b) == 2
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+
+
+def test_type1c_pdf_ocr_exact(tmp_path):
+    """Type1C-embedded PDF -> real media dispatch -> byte-exact OCR."""
+    from doctr_ray.pipelines.ocr import media_to_ocr_span
+    from doctr_ray.recognition import GlyphRecognizer
+
+    text = "postscript compact font format renders and reads back"
+    words = text.split()
+    lines = [" ".join(words[i : i + 5]) for i in range(0, len(words), 5)]
+    p = tmp_path / "cff.pdf"
+    p.write_bytes(make_type1c_pdf([lines]))
+    got, conf = media_to_ocr_span("d", f"file://{p}", 0, GlyphRecognizer())
+    assert got == text
+    assert conf == 1.0
