@@ -23,9 +23,12 @@ exercise size-bucketed batching and skew handling.
 from __future__ import annotations
 
 import hashlib
+import os
+import tempfile
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from .media import encode_media_ref
 
@@ -142,13 +145,56 @@ def docs_dataset(
         columns=["doc_id", "text"],
         override_num_blocks=blocks,
     )
-    if limit is not None:
+    if limit is not None and limit <= 50_000:
         # a limit collapses to the first few read blocks, starving the
         # downstream actor pool (observed: ocr_markdown 18 s for 100
-        # docs — ~3 blocks feeding a 28-actor pool). Re-split AFTER the
-        # limit: this barrier covers <= limit tiny text rows, unlike
-        # the mid-pipeline repartitions CLAUDE.md forbids.
-        ds = ds.limit(limit).repartition(min(limit, max(8, default_pool())))
+        # docs — ~3 blocks feeding a 28-actor pool). Two tempting fixes
+        # both break the engine at low CPU counts:
+        #  - a post-limit repartition()'s split finalize blocks the
+        #    scheduling loop in ray.get while the already-spawned stage
+        #    pools hold every slot -> whole-pipeline DEADLOCK (observed:
+        #    ocr_spans_staged wedged at 16 cpus);
+        #  - from_arrow_refs blocks keep the downstream actor pool
+        #    ALIVE for as long as the consumed Dataset object is
+        #    referenced (observed: 12 OcrDocWorker actors pinned after
+        #    entry(), starving every later pipeline in the session —
+        #    the driver holds entry()'s result by contract).
+        # Split at the READ instead: a bounded driver-side pruned read
+        # of the first `limit` rows (row-group order == ds.limit
+        # order), rewritten once as a small parquet file with one row
+        # group per target block, re-read pre-split like any other
+        # table — no barrier op, no pinned pool, still streaming.
+        chunks, got = [], 0
+        for path in paths:
+            pf = pq.ParquetFile(path)
+            for g in range(pf.num_row_groups):
+                t = pf.read_row_group(g, columns=["doc_id", "text"])
+                take = min(len(t), limit - got)
+                chunks.append(t.slice(0, take))
+                got += take
+                if got >= limit:
+                    break
+            if got >= limit:
+                break
+        tbl = pa.concat_tables(chunks)
+        k = max(1, min(len(tbl), max(8, default_pool())))
+        key = hashlib.md5(
+            repr((sorted(paths), limit, k, "v1")).encode()
+        ).hexdigest()[:16]
+        tmpdir = os.path.join(tempfile.gettempdir(), "doctr_ray_limit")
+        os.makedirs(tmpdir, exist_ok=True)
+        slice_path = os.path.join(tmpdir, f"{key}.parquet")
+        if not os.path.exists(slice_path):
+            tmp = f"{slice_path}.{os.getpid()}.tmp"
+            pq.write_table(
+                tbl, tmp, row_group_size=(len(tbl) + k - 1) // k
+            )
+            os.replace(tmp, slice_path)
+        ds = rd.read_parquet(
+            slice_path, columns=["doc_id", "text"], override_num_blocks=k
+        )
+    elif limit is not None:
+        ds = ds.limit(limit)  # big limit: keep the streaming read
     return ds.map_batches(
         lambda b: documents_to_docs(b, media_fraction, copies),
         batch_format="pyarrow",

@@ -300,6 +300,24 @@ def test_spans_to_docs_table_roundtrip(ray_session, docs_rows):
         ] == [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in b]
 
 
+def test_limited_docs_read_is_presplit_and_barrier_free(ray_session):
+    """A small limit must pre-split at the READ (from_arrow_refs), not
+    via a post-limit repartition(): the split-repartition finalize
+    blocks the scheduling loop in ray.get, which DEADLOCKS the staged
+    two-pool pipeline once the pools hold every CPU (observed:
+    ocr_spans_staged wedged at 16 cpus). Plan must contain no
+    Repartition/Limit op, and blocks must be many enough to feed a
+    pool."""
+    from doctr_ray.corpus import docs_dataset
+
+    ds = docs_dataset("/root/testdata/sf0.001", limit=64)
+    plan = str(ds._plan.get_plan_as_string(type(ds)))
+    assert "Repartition" not in plan and "limit" not in plan.lower()
+    got = ds.materialize()
+    assert got.count() == 64
+    assert got.num_blocks() >= 8  # enough ready blocks to feed a pool
+
+
 def test_feed_fused_expansion_matches_docs_dataset(ray_session):
     # the bench flagship expands the corpus INSIDE the worker
     # (expand_media_fraction) — output must equal the docs_dataset path
