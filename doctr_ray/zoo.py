@@ -232,6 +232,115 @@ def ocr_predictor(
     )
 
 
+#: reference classification/zoo.py:40 ORIENTATION_ARCHS
+ORIENTATION_ARCHS = {
+    "mobilenet_v3_small_crop_orientation": (256, 256),
+    "mobilenet_v3_small_page_orientation": (512, 512),
+}
+#: reference classification/mobilenet/pytorch.py:58-73 normalization
+_ORIENT_MEAN = np.array([0.694, 0.695, 0.693], np.float32)
+_ORIENT_STD = np.array([0.299, 0.296, 0.301], np.float32)
+
+
+class OrientationPredictor:
+    """Crop/page rotation classifier — the reference
+    ``OrientationPredictor`` (classification/predictor/pytorch.py:
+    17-70) list contract over the numpy MobileNetV3 tower:
+    ``predictor([img, ...]) -> [class_idxs, class_angles, confs]``
+    with classes [0, -90, 180, 90]; a disabled predictor returns
+    all-zero classes with confidence 1.0."""
+
+    def __init__(self, model=None, input_size=(512, 512), batch_size: int = 8):
+        self.model = model  # None = disabled (reference zoo.py:47-48)
+        self.input_size = tuple(input_size)
+        self.batch_size = batch_size
+
+    def _preprocess(self, images: list[np.ndarray]) -> np.ndarray:
+        th, tw = self.input_size
+        out = np.empty((len(images), 3, th, tw), np.float32)
+        for i, img in enumerate(images):
+            h, w = img.shape[:2]
+            scale = min(th / h, tw / w)
+            nh, nw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+            ys = (np.arange(nh) * h / nh).astype(np.int64)
+            xs = (np.arange(nw) * w / nw).astype(np.int64)
+            resized = img[ys][:, xs]
+            top = int(np.ceil((th - nh) / 2))  # symmetric pad
+            left = int(np.ceil((tw - nw) / 2))
+            canvas = np.zeros((th, tw, 3), np.float32)
+            canvas[top : top + nh, left : left + nw] = resized / 255.0
+            out[i] = ((canvas - _ORIENT_MEAN) / _ORIENT_STD).transpose(2, 0, 1)
+        return out
+
+    def __call__(self, inputs: list[np.ndarray]):
+        if len(inputs) == 0:
+            return [[], [], []]
+        if any(i.ndim != 3 for i in inputs):
+            raise ValueError(
+                "incorrect input shape: all inputs are expected to be "
+                "multi-channel 2D images."
+            )
+        n = len(inputs)
+        if self.model is None:
+            return [[0] * n, [0] * n, [1.0] * n]
+        idxs: list[int] = []
+        angles: list[int] = []
+        confs: list[float] = []
+        for s in range(0, n, self.batch_size):
+            batch = self._preprocess(inputs[s : s + self.batch_size])
+            bi, ba, bc = self.model.classify(batch)
+            idxs += [int(v) for v in bi]
+            angles += [int(v) for v in ba]
+            confs += [round(float(v), 2) for v in bc]
+        return [idxs, angles, confs]
+
+
+def _orientation_predictor(arch, model_type: str, disabled: bool, batch_size: int):
+    if disabled:
+        return OrientationPredictor(None)
+    from .mobilenet import MobileNetV3Small, random_mobilenet_weights
+
+    if isinstance(arch, str):
+        if arch not in ORIENTATION_ARCHS:
+            raise ValueError(f"unknown architecture '{arch}'")
+        size = ORIENTATION_ARCHS[arch]
+        # no pretrained checkpoint ships in this container: the named
+        # arch instantiates the real tower with fixed-seed weights (the
+        # reference's pretrained=False behavior); pass a loaded
+        # MobileNetV3Small for real checkpoints
+        model = MobileNetV3Small(random_mobilenet_weights(0))
+    elif isinstance(arch, MobileNetV3Small):
+        model = arch
+        size = (256, 256) if model_type == "crop" else (512, 512)
+    else:
+        raise ValueError(f"unknown architecture: {type(arch)}")
+    return OrientationPredictor(model, input_size=size, batch_size=batch_size)
+
+
+def crop_orientation_predictor(
+    arch="mobilenet_v3_small_crop_orientation",
+    pretrained: bool = False,
+    batch_size: int = 128,
+    disabled: bool = False,
+    **kwargs,
+) -> OrientationPredictor:
+    """Reference ``crop_orientation_predictor`` (classification/zoo.py:
+    75-95): name or loaded MobileNetV3Small instance -> predictor."""
+    return _orientation_predictor(arch, "crop", disabled, batch_size)
+
+
+def page_orientation_predictor(
+    arch="mobilenet_v3_small_page_orientation",
+    pretrained: bool = False,
+    batch_size: int = 4,
+    disabled: bool = False,
+    **kwargs,
+) -> OrientationPredictor:
+    """Reference ``page_orientation_predictor`` (classification/zoo.py:
+    98-119)."""
+    return _orientation_predictor(arch, "page", disabled, batch_size)
+
+
 def kie_predictor(det_arch: str = "fast_base", reco_arch: str = "crnn_vgg16_bn", **kwargs):
     """KIE variant (reference models/zoo.py:250-282): calling it on a
     docs Dataset yields per-class prediction rows."""

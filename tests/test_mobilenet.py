@@ -118,6 +118,46 @@ def test_weights_roundtrip_via_npz(tmp_path):
     )
 
 
+def test_orientation_predictor_list_contract():
+    """Reference OrientationPredictor contract
+    (classification/predictor/pytorch.py:36-70): list-of-images ->
+    [class_idxs, class_angles, confs]; disabled -> zeros with 1.0."""
+    from doctr_ray.zoo import (
+        crop_orientation_predictor,
+        page_orientation_predictor,
+    )
+
+    rng = np.random.RandomState(0)
+    imgs = [rng.randint(0, 255, (40 + i, 60, 3), dtype=np.uint8) for i in range(3)]
+    p = crop_orientation_predictor(batch_size=2)
+    idxs, angles, confs = p(imgs)
+    assert len(idxs) == len(angles) == len(confs) == 3
+    assert all(a in ORIENTATION_CLASSES for a in angles)
+    assert all(0 < c <= 1 and c == round(c, 2) for c in confs)
+    # batch-size independence
+    assert crop_orientation_predictor(batch_size=1)(imgs) == [idxs, angles, confs]
+    d = page_orientation_predictor(disabled=True)
+    assert d(imgs) == [[0, 0, 0], [0, 0, 0], [1.0, 1.0, 1.0]]
+    assert d([]) == [[], [], []]
+    with pytest.raises(ValueError, match="multi-channel"):
+        p([np.zeros((4, 4), np.uint8)])
+
+
+def test_orientation_predictor_instance_slot():
+    """instance-not-name (reference classification/zoo.py:56-62): a
+    loaded MobileNetV3Small occupies the model slot; unknown names and
+    types raise like the reference zoo."""
+    from doctr_ray.zoo import crop_orientation_predictor
+
+    inst = MobileNetV3Small(random_mobilenet_weights(5))
+    p = crop_orientation_predictor(arch=inst)
+    assert p.model is inst and p.input_size == (256, 256)
+    with pytest.raises(ValueError, match="unknown architecture"):
+        crop_orientation_predictor(arch="resnet18_orientation")
+    with pytest.raises(ValueError, match="unknown architecture"):
+        crop_orientation_predictor(arch=123)
+
+
 def test_conf_table_matches_torchvision_small_profile():
     # channel bookkeeping: each row's in_c equals the previous out_c
     prev = 16
