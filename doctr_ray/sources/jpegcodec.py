@@ -11,8 +11,10 @@ decode (and encode) without cv2/PIL:
   YCbCr -> RGB. **Progressive (SOF2) decodes for real** — spectral
   selection + successive approximation per ITU T.81 G.2, with
   libjpeg's jdphuff.c correction-bit protocol for AC refinement
-  (the conformance reference cv2/PIL also follow). Arithmetic coding
-  and 12-bit precision raise ``NotImplementedError`` naming cv2/PIL.
+  (the conformance reference cv2/PIL also follow). 12-bit-precision
+  GRAYSCALE frames decode (16-bit DQT, level shift 2048, high byte
+  kept); arithmetic coding and 12-bit color raise
+  ``NotImplementedError``.
 - **encode**: gray or 4:4:4 color with the Annex-K example tables
   scaled by the libjpeg quality curve — baseline and progressive
   (``encode_jpeg_progressive``: libjpeg-style scan script). Both carry
@@ -214,13 +216,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("12-bit JPEG needs cv2 or PIL")
-                tab = np.frombuffer(seg[p + 1 : p + 65], np.uint8).astype(np.int64)
+                if pq == 0:  # 8-bit quantizer values
+                    tab = np.frombuffer(
+                        seg[p + 1 : p + 65], np.uint8
+                    ).astype(np.int64)
+                    p += 65
+                else:  # pq=1: 16-bit values (12-bit precision frames)
+                    tab = np.frombuffer(
+                        seg[p + 1 : p + 129], ">u2"
+                    ).astype(np.int64)
+                    p += 129
                 q = np.zeros(64, np.int64)
                 q[ZIGZAG] = tab
                 qtabs[tq] = q.reshape(8, 8)
-                p += 65
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -232,13 +240,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
-            if prec != 8:
-                raise NotImplementedError("12-bit JPEG needs cv2 or PIL")
+            if prec not in (8, 12):
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            if prec == 12 and nc != 1:
+                raise NotImplementedError(
+                    "12-bit color JPEG (only grayscale supported)"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = (h, w, comps)
+            frame = (h, w, comps, prec)
             if marker == 0xC2:
                 progressive = True
                 # per-component coefficient accumulators (MCU-padded
@@ -288,7 +300,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 def _decode_scan(data, pos, frame, scomp, qtabs, htabs, restart_interval):
     if frame is None:
         raise ValueError("JPEG scan before frame header")
-    h, w, comps = frame
+    h, w, comps, prec = frame
     by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -379,7 +391,7 @@ def _decode_scan(data, pos, frame, scomp, qtabs, htabs, restart_interval):
         grid = blocks[sc["id"]]
         by_, bx_ = grid.shape[:2]
         coefs = (grid.reshape(-1, 8, 8) * qtabs[c["tq"]]).astype(np.float64)
-        px = _idct_blocks(coefs) + 128.0
+        px = _idct_blocks(coefs) + float(1 << (prec - 1))
         px = px.reshape(by_, bx_, 8, 8).transpose(0, 2, 1, 3).reshape(by_ * 8, bx_ * 8)
         # upsample to full resolution
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -388,7 +400,11 @@ def _decode_scan(data, pos, frame, scomp, qtabs, htabs, restart_interval):
         planes.append(px[:h, :w])
 
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        out = np.clip(np.round(planes[0]), 0, (1 << prec) - 1)
+        if prec == 8:
+            return out.astype(np.uint8)
+        # 12-bit gray: keep the high byte (the 16-bit TIFF/PNM rule)
+        return (out.astype(np.uint16) >> (prec - 8)).astype(np.uint8)
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -440,7 +456,7 @@ def _progressive_scan(
     reference engine reads through via cv2, io/image/base.py:16-54).
     Returns the offset of the marker terminating the scan.
     """
-    h, w, comps = frame
+    h, w, comps, prec = frame
     by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -582,7 +598,7 @@ def _progressive_scan(
 def _assemble_image(frame, coefzz, qtabs) -> np.ndarray:
     """Accumulated zigzag coefficients -> pixels (dequantize, IDCT,
     upsample, color-convert) — shared tail of the progressive path."""
-    h, w, comps = frame
+    h, w, comps, prec = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     planes = []
@@ -592,14 +608,17 @@ def _assemble_image(frame, coefzz, qtabs) -> np.ndarray:
         nat = np.zeros((by_, bx_, 64), np.int64)
         nat[:, :, ZIGZAG] = zz
         coefs = (nat.reshape(-1, 8, 8) * qtabs[c["tq"]]).astype(np.float64)
-        px = _idct_blocks(coefs) + 128.0
+        px = _idct_blocks(coefs) + float(1 << (prec - 1))
         px = px.reshape(by_, bx_, 8, 8).transpose(0, 2, 1, 3).reshape(by_ * 8, bx_ * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             px = np.repeat(np.repeat(px, ry, axis=0), rx, axis=1)
         planes.append(px[:h, :w])
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        out = np.clip(np.round(planes[0]), 0, (1 << prec) - 1)
+        if prec == 8:
+            return out.astype(np.uint8)
+        return (out.astype(np.uint16) >> (prec - 8)).astype(np.uint8)
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -978,5 +997,101 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
                 else enc_ac_refine(comps_i[0], ss, se, al)
             )
         out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ----------------------------------------------------- 12-bit gray encoder
+
+
+def _flat_huff(symbols: list[int], length: int) -> tuple[list[int], list[int]]:
+    """Fixed-length canonical Huffman spec (bits[], values[]) — valid
+    whenever ``len(symbols) < 2**length`` (the all-ones codeword stays
+    unused, as T.81 requires). Suboptimal but spec-correct: the 12-bit
+    archival writer favours simplicity over ratio."""
+    assert len(symbols) < (1 << length)
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    return bits, list(symbols)
+
+
+#: extended tables for 12-bit precision: DC categories reach 15 and AC
+#: magnitudes 14 — beyond the 8-bit Annex-K tables used by encode_jpeg
+_HUFF_DC_12 = _flat_huff(list(range(16)), 5)
+_HUFF_AC_12 = _flat_huff(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)], 9
+)
+
+
+def encode_jpeg12_gray(img: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W) uint16 gray with values <= 4095 -> 12-bit-precision
+    baseline JPEG (SOF0 prec=12, 16-bit DQT, extended Huffman tables).
+
+    The 12-bit fixture/archival writer paired with decode_jpeg's
+    12-bit path (which returns the high byte as uint8)."""
+    if img.dtype != np.uint16 or img.ndim != 2:
+        raise ValueError("encode_jpeg12_gray expects (H, W) uint16")
+    if int(img.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be <= 4095")
+    h, w = img.shape
+    ql = _quality_scale(_QL.reshape(8, 8), quality)
+    plane = img.astype(np.float64) - 2048.0
+    by = (h + 7) // 8
+    bx = (w + 7) // 8
+    padded = np.empty((by * 8, bx * 8))
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    blocksv = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coefs = np.einsum("ik,nkl,jl->nij", _C, blocksv, _C, optimize=True)
+    quant = np.round(coefs / ql).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+
+    dct = _build_codes(*_HUFF_DC_12)
+    act = _build_codes(*_HUFF_AC_12)
+    bw = _BitWriter()
+    pred = 0
+    for bi in range(by * bx):
+        zz = quant[bi]
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        t, code = _mag_bits(diff)
+        c, ln = dct[t]
+        bw.put(c, ln)
+        if t:
+            bw.put(code, t)
+        run = 0
+        last_nz = np.nonzero(zz[1:])[0]
+        last = last_nz[-1] + 1 if len(last_nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = act[0xF0]
+                bw.put(c, ln)
+                run -= 16
+            t, code = _mag_bits(v)
+            c, ln = act[(run << 4) | t]
+            bw.put(c, ln)
+            bw.put(code, t)
+            run = 0
+        if last < 63:
+            c, ln = act[0x00]
+            bw.put(c, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zzq = ql.reshape(-1)[ZIGZAG].astype(">u2")
+    out += seg(0xDB, bytes([0x10]) + zzq.tobytes())  # pq=1: 16-bit values
+    out += seg(0xC0, bytes([12]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_HUFF_DC_12[0]) + bytes(_HUFF_DC_12[1]))
+    out += seg(0xC4, bytes([0x10]) + bytes(_HUFF_AC_12[0]) + bytes(_HUFF_AC_12[1]))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -149,3 +149,46 @@ def test_ocr_survives_jpeg_cycle(tmp_path):
 
     rows = process_media_row("d0", f"file://{p}", 0, GlyphRecognizer())
     assert " ".join(rows["text"]) == synth_ground_truth_text(ref)
+
+
+def test_12bit_gray_roundtrip():
+    """12-bit precision gray: SOF0 prec=12 + 16-bit DQT + extended
+    Huffman tables decode through the same pipeline; output keeps the
+    high byte (the 16-bit TIFF/PNM rule)."""
+    from doctr_ray.sources.jpegcodec import decode_jpeg, encode_jpeg12_gray
+
+    y, x = np.mgrid[0:48, 0:80]
+    smooth = np.clip(y * 30.0 + x * 10.0, 0, 4095).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg12_gray(smooth, quality=95))
+    assert out.dtype == np.uint8 and out.shape == smooth.shape
+    err = np.abs(out.astype(int) - (smooth >> 4).astype(int))
+    assert err.max() <= 2
+    flat = np.full((16, 24), 3000, np.uint16)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg12_gray(flat)), (flat >> 4).astype(np.uint8)
+    )
+
+
+def test_12bit_guards():
+    from doctr_ray.sources.jpegcodec import decode_jpeg, encode_jpeg12_gray
+
+    with pytest.raises(ValueError, match="uint16"):
+        encode_jpeg12_gray(np.zeros((8, 8), np.uint8))
+    with pytest.raises(ValueError, match="4095"):
+        encode_jpeg12_gray(np.full((8, 8), 5000, np.uint16))
+    # 12-bit color frames still raise (only grayscale supported)
+    data = bytearray(encode_jpeg12_gray(np.zeros((8, 8), np.uint16)))
+    i = data.find(b"\xff\xc0")
+    patched = bytes(data[: i + 9]) + bytes([3]) + bytes(data[i + 10 :])
+    with pytest.raises(NotImplementedError, match="color"):
+        decode_jpeg(patched)
+
+
+def test_flat_huff_tables_are_valid_prefix_codes():
+    from doctr_ray.sources.jpegcodec import _HUFF_AC_12, _HUFF_DC_12, _build_codes
+
+    for bits, values in (_HUFF_DC_12, _HUFF_AC_12):
+        codes = _build_codes(bits, values)
+        assert len(codes) == len(values)
+        for v, (c, ln) in codes.items():
+            assert c != (1 << ln) - 1  # T.81: all-ones codeword forbidden
