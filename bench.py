@@ -236,6 +236,7 @@ def run_once() -> dict:
         "ocr_scanned_pdf",
         "ocr_truetype_pdf",
         "ocr_cff_pdf",
+        "ocr_type1_pdf",
         "ocr_spans",
         "ocr_spans_staged",
         "quantile_gated_docs",

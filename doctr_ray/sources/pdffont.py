@@ -27,12 +27,14 @@ stdlib + numpy:
   embedded-font PDF.
 
 Bare-CFF (``/FontFile3 /Subtype /Type1C``) font programs render
-through the Type 2 charstring interpreter in sources/cfffont, which
-duck-types TrueTypeFont's rendering surface.
+through the Type 2 charstring interpreter in sources/cfffont, and
+original eexec-encrypted Type 1 programs (``/FontFile``) through
+sources/type1font — both duck-type TrueTypeFont's rendering surface,
+so every single-byte embedded-font technology a PDF can carry now
+rasterizes in-container.
 
-Out of scope (NotImplementedError naming the gap): original Type1
-``/FontFile`` (PFB) programs, Type0/CID two-byte encodings,
-rotated/skewed text matrices.
+Out of scope (NotImplementedError naming the gap): Type0/CID two-byte
+encodings, rotated/skewed text matrices.
 """
 
 from __future__ import annotations
@@ -488,19 +490,21 @@ class PdfFont:
                 "font without embedded program (base-14 metrics)"
             )
         dhead, _ = objs[int(dm.group(1))]
-        fm = re.search(rb"/FontFile([23])\s+(\d+)\s+0\s+R", dhead)
+        fm = re.search(rb"/FontFile([23]?)\s+(\d+)\s+0\s+R", dhead)
         if fm is None:
-            raise NotImplementedError(
-                "Type1 /FontFile (PFB charstrings) embedded font"
-            )
+            raise NotImplementedError("font descriptor without FontFile")
         fhead, fraw = objs[int(fm.group(2))]
         prog = zlib.decompress(fraw) if b"/FlateDecode" in fhead else fraw
         if fm.group(1) == b"2":
             self.ttf = TrueTypeFont(prog)
-        else:  # /FontFile3: bare CFF (/Subtype /Type1C or CIDFontType0C)
+        elif fm.group(1) == b"3":  # bare CFF (/Type1C or CIDFontType0C)
             from .cfffont import CFFFont
 
             self.ttf = CFFFont(prog)
+        else:  # /FontFile: original eexec-encrypted Type 1 program
+            from .type1font import Type1Font
+
+            self.ttf = Type1Font(prog)
         # /Widths (PDF 1000-unit glyph space), /FirstChar
         self.first_char = 0
         self.widths: list[float] | None = None
@@ -873,11 +877,32 @@ def make_type1c_pdf(pages: list[list[str]]) -> bytes:
     return _make_font_pdf(pages, cff, char_code, "type1c")
 
 
+def make_type1_pdf(pages: list[list[str]]) -> bytes:
+    """Same fixture with an original Type 1 program (/FontFile with
+    Length1/2/3 — the pre-CFF PostScript form; sources/type1font
+    decrypts and renders it)."""
+    from .type1font import _split_pfb, make_glyph_type1
+
+    pfb, char_code = make_glyph_type1()
+    # PDF embeds the bare program (clear + binary + trailer), not the
+    # 0x80-framed PFB; record the segment lengths for Length1/2/3
+    segs = []
+    pos = 0
+    while pos < len(pfb) and pfb[pos] == 0x80 and pfb[pos + 1] != 3:
+        n = int.from_bytes(pfb[pos + 2 : pos + 6], "little")
+        segs.append(pfb[pos + 6 : pos + 6 + n])
+        pos += 6 + n
+    prog = b"".join(segs)
+    lengths = (len(segs[0]), len(segs[1]), len(segs[2]))
+    return _make_font_pdf(pages, prog, char_code, "type1", t1_lengths=lengths)
+
+
 def _make_font_pdf(
     pages: list[list[str]],
     font_prog: bytes,
     char_code: dict[str, int],
     tech: str,
+    t1_lengths: tuple[int, int, int] | None = None,
 ) -> bytes:
     from ..glyphs import CHAR_H, CHAR_PITCH, CHAR_SPACE, GLYPH_H
     from ..media import MARGIN, WORD_GAP
@@ -892,6 +917,14 @@ def _make_font_pdf(
     if tech == "truetype":
         ff_extra = b" /Length1 " + str(len(font_prog)).encode()
         ff_key, subtype = b"/FontFile2", b"/TrueType"
+    elif tech == "type1":
+        l1, l2, l3 = t1_lengths
+        ff_extra = (
+            b" /Length1 " + str(l1).encode()
+            + b" /Length2 " + str(l2).encode()
+            + b" /Length3 " + str(l3).encode()
+        )
+        ff_key, subtype = b"/FontFile", b"/Type1"
     else:
         ff_extra = b" /Subtype /Type1C"
         ff_key, subtype = b"/FontFile3", b"/Type1"
