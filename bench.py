@@ -237,6 +237,7 @@ def run_once() -> dict:
         "ocr_truetype_pdf",
         "ocr_cff_pdf",
         "ocr_type1_pdf",
+        "ocr_cid_pdf",
         "ocr_spans",
         "ocr_spans_staged",
         "quantile_gated_docs",

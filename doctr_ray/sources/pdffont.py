@@ -33,8 +33,15 @@ sources/type1font — both duck-type TrueTypeFont's rendering surface,
 so every single-byte embedded-font technology a PDF can carry now
 rasterizes in-container.
 
-Out of scope (NotImplementedError naming the gap): Type0/CID two-byte
-encodings, rotated/skewed text matrices.
+Composite fonts (``/Type0 /Identity-H`` over a ``CIDFontType2``
+descendant — the dominant modern subset-producer form, whose 2-byte
+codes are glyph ids and whose text layer is therefore garbage by
+construction) render through the same TrueType machinery with the
+CID width model (/DW, /W).
+
+Out of scope (NotImplementedError naming the gap): non-Identity CMap
+encodings, CIDFontType0 (CID-keyed CFF), stream /CIDToGIDMap,
+rotated/skewed text matrices.
 """
 
 from __future__ import annotations
@@ -482,8 +489,33 @@ class PdfFont:
 
     def __init__(self, objs: dict, num: int):
         head, _ = objs[num]
+        self.two_byte = False
+        self.cid_dw = 1000.0
+        self.cid_w: dict[int, float] = {}
         if b"/Type0" in head:
-            raise NotImplementedError("Type0/CID fonts (two-byte codes)")
+            # composite font: 2-byte codes through /Identity-H into a
+            # CIDFontType2 descendant whose CIDs ARE glyph ids
+            if b"/Identity-H" not in head:
+                raise NotImplementedError(
+                    "Type0 font with a non-Identity-H CMap encoding"
+                )
+            dfm = re.search(
+                rb"/DescendantFonts\s*\[?\s*(\d+)\s+0\s+R", head
+            )
+            if dfm is None:
+                raise ValueError("Type0 font without /DescendantFonts")
+            head, _ = objs[int(dfm.group(1))]
+            if b"/CIDFontType2" not in head:
+                raise NotImplementedError("CIDFontType0 (CFF CID-keyed)")
+            if re.search(rb"/CIDToGIDMap\s*/(?!Identity)", head):
+                raise NotImplementedError("stream /CIDToGIDMap")
+            self.two_byte = True
+            dwm = re.search(rb"/DW\s+([\d.]+)", head)
+            if dwm:
+                self.cid_dw = float(dwm.group(1))
+            wm = re.search(rb"/W\s*\[(.*?)\]\s*(?:/|>>)", head, re.S)
+            if wm:
+                self._parse_cid_w(wm.group(1))
         dm = re.search(rb"/FontDescriptor\s+(\d+)\s+0\s+R", head)
         if dm is None:
             raise NotImplementedError(
@@ -517,7 +549,53 @@ class PdfFont:
         #: (gid, size) -> rasterized coverage mask, shared across pages
         self.raster_cache: dict = {}
 
+    def _parse_cid_w(self, body: bytes) -> None:
+        """CIDFontType2 /W array: ``c [w1 w2 ...]`` runs and
+        ``c1 c2 w`` ranges (PDF 9.7.4.3)."""
+        toks = re.findall(rb"\[|\]|[-\d.]+", body)
+        i = 0
+        while i < len(toks):
+            if toks[i] in (b"[", b"]"):
+                i += 1
+                continue
+            c = int(float(toks[i]))
+            if i + 1 < len(toks) and toks[i + 1] == b"[":
+                j = i + 2
+                while j < len(toks) and toks[j] != b"]":
+                    self.cid_w[c] = float(toks[j])
+                    c += 1
+                    j += 1
+                i = j + 1
+            elif i + 2 < len(toks):
+                c2, w = int(float(toks[i + 1])), float(toks[i + 2])
+                for cid in range(c, c2 + 1):
+                    self.cid_w[cid] = w
+                i += 3
+            else:
+                break
+
+    def codes_of(self, s: bytes) -> list[int]:
+        """String bytes -> character codes (2-byte big-endian for
+        composite fonts, single bytes otherwise)."""
+        if self.two_byte:
+            return [
+                (s[i] << 8) | s[i + 1] for i in range(0, len(s) - 1, 2)
+            ]
+        return list(s)
+
+    def code_to_gid(self, code: int) -> int:
+        if self.two_byte:  # Identity-H + Identity CIDToGIDMap: CID = gid
+            return code if code < getattr(self.ttf, "num_glyphs", 1 << 16) else 0
+        return self.ttf.cmap.get(code, 0)
+
     def advance_px(self, code: int, size: float) -> float:
+        if self.two_byte:
+            w = self.cid_w.get(code, self.cid_dw) / 1000.0 * size
+            # CID widths arrive through decimal 1000-unit text space —
+            # snap near-integral pixel advances so integral pen
+            # positions (and the glyph raster cache) survive the float
+            # round trip
+            return round(w) if abs(w - round(w)) < 1e-6 else w
         if self.widths is not None:
             idx = code - self.first_char
             if 0 <= idx < len(self.widths):
@@ -577,8 +655,8 @@ def _draw_text(page: np.ndarray, stream: bytes, fonts: dict) -> bool:
         nonlocal px, painted
         if font is None:
             return
-        for code in s:
-            gid = font.ttf.cmap.get(code, 0)
+        for code in font.codes_of(s):
+            gid = font.code_to_gid(code)
             if gid:
                 fill_glyph(
                     page,
@@ -877,6 +955,15 @@ def make_type1c_pdf(pages: list[list[str]]) -> bytes:
     return _make_font_pdf(pages, cff, char_code, "type1c")
 
 
+def make_cid_pdf(pages: list[list[str]]) -> bytes:
+    """Same fixture as a COMPOSITE font: /Type0 /Identity-H wrapping a
+    CIDFontType2 descendant whose 2-byte codes are glyph ids — the
+    dominant modern subset-producer output (and the classic case of an
+    unusable text layer: the codes are gids, not characters)."""
+    ttf, char_code = make_glyph_ttf()
+    return _make_font_pdf(pages, ttf, char_code, "cid")
+
+
 def make_type1_pdf(pages: list[list[str]]) -> bytes:
     """Same fixture with an original Type 1 program (/FontFile with
     Length1/2/3 — the pre-CFF PostScript form; sources/type1font
@@ -904,7 +991,7 @@ def _make_font_pdf(
     tech: str,
     t1_lengths: tuple[int, int, int] | None = None,
 ) -> bytes:
-    from ..glyphs import CHAR_H, CHAR_PITCH, CHAR_SPACE, GLYPH_H
+    from ..glyphs import CHAR_H, CHAR_PITCH, CHAR_SPACE, GLYPH_H, GLYPH_W
     from ..media import MARGIN, WORD_GAP
 
     comp = zlib.compress(font_prog)
@@ -914,7 +1001,7 @@ def _make_font_pdf(
         objects.append(body)
         return len(objects)
 
-    if tech == "truetype":
+    if tech in ("truetype", "cid"):
         ff_extra = b" /Length1 " + str(len(font_prog)).encode()
         ff_key, subtype = b"/FontFile2", b"/TrueType"
     elif tech == "type1":
@@ -938,11 +1025,31 @@ def _make_font_pdf(
         b"/CapHeight 7 /StemV 1 " + ff_key + b" " + str(ff_id).encode()
         + b" 0 R >>"
     )
-    font_id = add(
-        b"<< /Type /Font /Subtype " + subtype
-        + b" /BaseFont /AAAAAA+PixelGlyph "
-        b"/FontDescriptor " + str(fd_id).encode() + b" 0 R >>"
-    )
+    if tech == "cid":
+        # composite form: Type0 /Identity-H over a CIDFontType2
+        # descendant; CIDs are glyph ids, widths in the /W range form
+        w1000 = repr((GLYPH_W + 1) * 1000.0 / GLYPH_H).encode()
+        desc_id = add(
+            b"<< /Type /Font /Subtype /CIDFontType2 "
+            b"/BaseFont /AAAAAA+PixelGlyph "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> "
+            b"/FontDescriptor " + str(fd_id).encode() + b" 0 R "
+            b"/CIDToGIDMap /Identity /DW " + w1000
+            + b" /W [1 " + str(len(char_code)).encode() + b" " + w1000
+            + b"] >>"
+        )
+        font_id = add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+PixelGlyph "
+            b"/Encoding /Identity-H /DescendantFonts ["
+            + str(desc_id).encode() + b" 0 R] >>"
+        )
+    else:
+        font_id = add(
+            b"<< /Type /Font /Subtype " + subtype
+            + b" /BaseFont /AAAAAA+PixelGlyph "
+            b"/FontDescriptor " + str(fd_id).encode() + b" 0 R >>"
+        )
 
     line_h = CHAR_H + 4 * (CHAR_H // GLYPH_H)  # glyph rows + gap
     content_ids, dims = [], []
@@ -968,7 +1075,15 @@ def _make_font_pdf(
             x = MARGIN
             unk = char_code["?"]
             for word in ln.split():
-                codes = bytes(char_code.get(ch, unk) for ch in word)
+                if tech == "cid":
+                    # Identity-H: 2-byte codes that ARE the glyph ids
+                    # (the fixture font's gid = single-byte code - 0x20)
+                    codes = b"".join(
+                        struct.pack(">H", char_code.get(ch, unk) - 0x20)
+                        for ch in word
+                    )
+                else:
+                    codes = bytes(char_code.get(ch, unk) for ch in word)
                 ops.append(
                     b"1 0 0 1 " + str(x).encode() + b" " + str(y).encode()
                     + b" Tm <" + codes.hex().encode() + b"> Tj"

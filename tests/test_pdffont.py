@@ -146,3 +146,70 @@ def test_truetype_query_oracle_sf(ray_session):
     )
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["full_text"].tolist() == want["full_text"].tolist()
+
+
+def test_cid_identity_h_bit_identical_and_widths():
+    """Composite /Type0 /Identity-H over CIDFontType2: 2-byte gid codes
+    render bit-identical to the simple-font twin; /DW//W widths drive
+    the pen through the CID width model."""
+    import numpy as np
+
+    from doctr_ray.sources.pdffont import (
+        PdfFont,
+        make_cid_pdf,
+        make_truetype_pdf,
+        rasterize_truetype_pdf,
+    )
+    from doctr_ray.sources.pdfimage import _scan_objects
+
+    pages = [["composite identity words", "second line"], ["page two"]]
+    a = rasterize_truetype_pdf(make_truetype_pdf(pages))
+    b = rasterize_truetype_pdf(make_cid_pdf(pages))
+    assert len(a) == len(b) == 2
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+    # the parsed font exposes the composite contract
+    data = make_cid_pdf(pages)
+    objs = _scan_objects(data)
+    fnum = next(
+        n for n, (h, _) in objs.items() if b"/Type0" in h and b"/Font" in h
+    )
+    f = PdfFont(objs, fnum)
+    assert f.two_byte
+    assert f.codes_of(b"\x00\x05\x00\x09") == [5, 9]
+    assert f.code_to_gid(5) == 5
+    # /W range: every mapped gid advances exactly CHAR_PITCH px at CHAR_H
+    from doctr_ray.glyphs import CHAR_H, CHAR_PITCH
+
+    assert f.advance_px(1, CHAR_H) == CHAR_PITCH
+
+
+def test_cid_unsupported_variants_raise():
+    import pytest
+
+    from doctr_ray.sources.pdffont import PdfFont, make_cid_pdf
+    from doctr_ray.sources.pdfimage import _scan_objects
+
+    data = make_cid_pdf([["x"]])
+    for patch, msg in (
+        ((b"/Identity-H", b"/UniJIS-UCS2-H"), "non-Identity"),
+        ((b"/CIDFontType2", b"/CIDFontType0"), "CIDFontType0"),
+        ((b"/CIDToGIDMap /Identity", b"/CIDToGIDMap /Other"), "CIDToGIDMap"),
+    ):
+        objs = _scan_objects(data.replace(*patch))
+        fnum = next(
+            n for n, (h, _) in objs.items() if b"/Type0" in h and b"/Font" in h
+        )
+        with pytest.raises(NotImplementedError, match=msg):
+            PdfFont(objs, fnum)
+
+
+def test_cid_w_array_forms():
+    """Both /W forms parse: c [w...] runs and c1 c2 w ranges."""
+    from doctr_ray.sources.pdffont import PdfFont
+
+    f = PdfFont.__new__(PdfFont)
+    f.cid_w = {}
+    f._parse_cid_w(b"1 [600 700 800] 10 12 500")
+    assert f.cid_w == {1: 600.0, 2: 700.0, 3: 800.0, 10: 500.0,
+                       11: 500.0, 12: 500.0}
