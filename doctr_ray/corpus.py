@@ -195,11 +195,17 @@ def docs_dataset(
         )
     elif limit is not None:
         ds = ds.limit(limit)  # big limit: keep the streaming read
-    return ds.map_batches(
+    out = ds.map_batches(
         lambda b: documents_to_docs(b, media_fraction, copies),
         batch_format="pyarrow",
         batch_size=None,
     )
+    if limit is not None:
+        # size hint for downstream pool sizing: a worker pool larger
+        # than the work only pays actor spin-up (aged-session fresh
+        # worker spawns are eviction-paced — see pipelines/ocr.py)
+        out._doctr_n_docs = limit * copies
+    return out
 
 
 def expected_full_text(text: str) -> str:

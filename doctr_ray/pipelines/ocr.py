@@ -858,8 +858,17 @@ def _assembled(docs_ds, mode, keep_reading_order, emit, **kw):
         # zero-shuffle: whole docs assemble inside the worker task
         # (OcrDocWorker); the only remaining stages are the pre-split
         # read and this map — nothing moves between nodes at any scale
-        concurrency = kw.pop("recognize_concurrency", None) or default_pool()
-        kw.pop("detect_concurrency", None)
+        explicit = kw.pop("recognize_concurrency", None)
+        concurrency = explicit or default_pool()
+        hint = n_docs or getattr(docs_ds, "_doctr_n_docs", None)
+        if explicit is None and hint:
+            # small jobs: cap the pool at ~16 docs/worker — a pool
+            # larger than the work only pays actor spin-up, and in an
+            # AGED session fresh worker spawns are eviction-paced by
+            # the raylet (measured: 28 actors for 100 docs = 22 s of
+            # pending-pool wait after ~12 prior queries vs 1.6 s at 8;
+            # raylet.out shows one evict+spawn cycle per pending actor)
+            concurrency = max(2, min(concurrency, (int(hint) + 15) // 16))
         repartition_blocks = kw.pop("repartition_blocks", None)
         if repartition_blocks:
             docs_ds = docs_ds.repartition(repartition_blocks)
@@ -967,8 +976,14 @@ def ocr_page_exports(docs_ds, fmt: str = "json", concurrency: int | tuple | None
                     )
             return pa.Table.from_pydict(out)
 
+    hint = getattr(docs_ds, "_doctr_n_docs", None)
+    if concurrency is None and hint:
+        # small-job pool cap, same rationale as the fused path (an
+        # aged session evict+spawns one fresh worker per pending actor)
+        concurrency = max(1, min(default_pool() // 2, (int(hint) + 7) // 8))
     work = docs_ds.map_batches(explode_spans, batch_format="pyarrow", batch_size=256)
-    media = work.filter(expr="kind == 'media'").repartition(max(64, default_pool() * 4))
+    blocks = max(64, default_pool() * 4) if not hint else max(8, min(64, int(hint)))
+    media = work.filter(expr="kind == 'media'").repartition(blocks)
     return media.map_batches(
         PageExportWorker,
         batch_format="pyarrow",
