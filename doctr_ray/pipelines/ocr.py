@@ -755,18 +755,24 @@ def ocr_work_rows(
         if repartition_blocks:
             pages = pages.repartition(repartition_blocks)
         pages = pages.map_batches(size_bucket_batch, batch_format="pyarrow", batch_size=32)
+        half = max(1, default_pool() // 2)
+        hint = getattr(docs_ds, "_doctr_n_docs", None)
+        if hint:
+            # small-job pool cap (same aged-session spawn-pacing
+            # rationale as the fused path, halved across two pools)
+            half = max(1, min(half, (int(hint) + 15) // 16))
         det = pages.map_batches(
             DetectStage,
             batch_format="pyarrow",
             batch_size=8,
-            concurrency=detect_concurrency or max(1, default_pool() // 2),
+            concurrency=detect_concurrency or half,
         )
         crops = det.map_batches(crop_batch, batch_format="pyarrow", batch_size=8)
         rec = crops.map_batches(
             RecognizeStage,
             batch_format="pyarrow",
             batch_size=1024,
-            concurrency=recognize_concurrency or max(1, default_pool() // 2),
+            concurrency=recognize_concurrency or half,
         )
         words = rec.map_batches(_recognized_to_work, batch_format="pyarrow")
     else:
