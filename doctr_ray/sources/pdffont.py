@@ -39,9 +39,13 @@ codes are glyph ids and whose text layer is therefore garbage by
 construction) render through the same TrueType machinery with the
 CID width model (/DW, /W).
 
+Rotated text matrices (``Tm`` whose 2x2 is orthogonal with uniform
+scale — the rotated-page producer case) render exactly: a 90-degree
+page is the bit-exact rot90 of its unrotated twin.
+
 Out of scope (NotImplementedError naming the gap): non-Identity CMap
-encodings, CIDFontType0 (CID-keyed CFF), stream /CIDToGIDMap,
-rotated/skewed text matrices.
+encodings, CIDFontType0 (CID-keyed CFF), stream /CIDToGIDMap, sheared
+text matrices.
 """
 
 from __future__ import annotations
@@ -313,18 +317,29 @@ def _wind_mask(segs: np.ndarray, r_lo: int, r_hi: int, c_lo: int, c_hi: int):
     return contrib.sum(axis=1) != 0  # (R,C)
 
 
-def _glyph_segments(contours, scale: float) -> np.ndarray | None:
+def _glyph_segments(contours, scale: float, matrix=None) -> np.ndarray | None:
     """Contours -> flattened segments in a y-DOWN frame scaled to
     pixels, with the glyph origin at (0, 0): seg y = -unit_y * scale.
-    Horizontal segments dropped (they never cross a scanline)."""
+    ``matrix`` (a, b, c, d) applies the PDF text-matrix 2x2 (y-up user
+    space: x' = a x + c y, y' = b x + d y) before the y flip — the
+    rotated-text path. Horizontal segments dropped (they never cross a
+    scanline)."""
     if not contours:
         return None
     segs = np.concatenate([_contour_segments(c) for c in contours])
     out = np.empty_like(segs)
-    out[:, 0] = segs[:, 0] * scale
-    out[:, 1] = -segs[:, 1] * scale
-    out[:, 2] = segs[:, 2] * scale
-    out[:, 3] = -segs[:, 3] * scale
+    if matrix is None:
+        out[:, 0] = segs[:, 0] * scale
+        out[:, 1] = -segs[:, 1] * scale
+        out[:, 2] = segs[:, 2] * scale
+        out[:, 3] = -segs[:, 3] * scale
+    else:
+        a, b, c, d = matrix
+        for src, dx, dy in ((0, 0, 1), (2, 2, 3)):
+            x = segs[:, src] * scale
+            y = segs[:, src + 1] * scale
+            out[:, dx] = a * x + c * y
+            out[:, dy] = -(b * x + d * y)
     out = out[out[:, 1] != out[:, 3]]
     return out if len(out) else None
 
@@ -337,6 +352,7 @@ def fill_glyph(
     pen_y: float,
     _cache: dict | None = None,
     _key=None,
+    matrix=None,
 ) -> None:
     """Nonzero-winding fill of one positioned glyph into ``page``
     ((H, W) uint8, 255 background), sampled at pixel centers. ``pen``
@@ -354,7 +370,7 @@ def fill_glyph(
     if _cache is not None and _key is not None and integral:
         hit = _cache.get(_key)
         if hit is None:
-            segs = _glyph_segments(contours, scale)
+            segs = _glyph_segments(contours, scale, matrix)
             if segs is None:
                 _cache[_key] = (None, 0, 0)
                 return
@@ -378,7 +394,7 @@ def fill_glyph(
         block = page[pr0:pr1, pc0:pc1]
         block[sub] = 0
         return
-    segs = _glyph_segments(contours, scale)
+    segs = _glyph_segments(contours, scale, matrix)
     if segs is None:
         return
     segs = segs + np.array([ox, oy, ox, oy], np.float64)
@@ -641,18 +657,28 @@ def rasterize_truetype_pdf(data: bytes) -> list[np.ndarray]:
 
 def _draw_text(page: np.ndarray, stream: bytes, fonts: dict) -> bool:
     """Interpret the text operators of one content stream. Returns
-    True if any glyph was painted."""
+    True if any glyph was painted. ``Tm`` matrices with rotation are
+    supported when orthogonal with uniform scale (the rotated-page
+    cases a producer emits); shear raises."""
     font: PdfFont | None = None
     size = 12.0
     tx = ty = 0.0  # text-line origin (user space)
     px = py = 0.0  # pen
     leading = 0.0
+    tmat = None  # 2x2 text-matrix (a, b, c, d); None = identity
     stack: list = []
     in_array: list | None = None
     painted = False
 
+    def to_user(dx: float, dy: float) -> tuple[float, float]:
+        """Text-space displacement -> user-space (through tmat)."""
+        if tmat is None:
+            return dx, dy
+        a, b, c, d = tmat
+        return a * dx + c * dy, b * dx + d * dy
+
     def show(s: bytes) -> None:
-        nonlocal px, painted
+        nonlocal px, py, painted
         if font is None:
             return
         for code in font.codes_of(s):
@@ -665,10 +691,13 @@ def _draw_text(page: np.ndarray, stream: bytes, fonts: dict) -> bool:
                     px,
                     py,
                     _cache=font.raster_cache,
-                    _key=(gid, size),
+                    _key=(gid, size, tmat),
+                    matrix=tmat,
                 )
                 painted = True
-            px += font.advance_px(code, size)
+            ax, ay = to_user(font.advance_px(code, size), 0.0)
+            px += ax
+            py += ay
 
     for kind, val in _tokenize(stream):
         if kind == "arr":
@@ -683,6 +712,7 @@ def _draw_text(page: np.ndarray, stream: bytes, fonts: dict) -> bool:
         op = val
         if op == "BT":
             tx = ty = px = py = 0.0
+            tmat = None
             stack.clear()
         elif op == "Tf" and len(stack) >= 2:
             size = float(stack[-1][1])
@@ -690,11 +720,11 @@ def _draw_text(page: np.ndarray, stream: bytes, fonts: dict) -> bool:
             font = fonts.get(fname, font)
             stack.clear()
         elif op in ("Td", "TD") and len(stack) >= 2:
-            dx, dy = float(stack[-2][1]), float(stack[-1][1])
+            dx, dy = to_user(float(stack[-2][1]), float(stack[-1][1]))
             tx, ty = tx + dx, ty + dy
             px, py = tx, ty
             if op == "TD":
-                leading = -dy
+                leading = -float(stack[-1][1])
             stack.clear()
         elif op == "TL" and stack:
             leading = float(stack[-1][1])
@@ -702,20 +732,33 @@ def _draw_text(page: np.ndarray, stream: bytes, fonts: dict) -> bool:
         elif op == "Tm" and len(stack) >= 6:
             a, b, c, d, e, f = (float(v) for _, v in stack[-6:])
             if b or c:
-                raise NotImplementedError("rotated/skewed text matrix (Tm)")
+                # rotation is fine when the 2x2 is orthogonal with
+                # uniform scale (rotated-page producers); shear isn't
+                import math
+
+                s1, s2 = math.hypot(a, b), math.hypot(c, d)
+                if abs(s1 - s2) > 1e-9 * max(s1, s2) or abs(
+                    a * c + b * d
+                ) > 1e-9 * max(s1 * s2, 1.0):
+                    raise NotImplementedError("sheared text matrix (Tm)")
+                tmat = (a, b, c, d)
+            else:
+                tmat = None
+                size = size * d if d not in (0.0, 1.0) else size
             tx, ty = e, f
             px, py = tx, ty
-            size = size * d if d not in (0.0, 1.0) else size
             stack.clear()
         elif op == "T*":
-            ty -= leading
+            dx, dy = to_user(0.0, -leading)
+            tx, ty = tx + dx, ty + dy
             px, py = tx, ty
             stack.clear()
         elif op == "Tj" and stack:
             show(stack[-1][1])
             stack.clear()
         elif op in ("'", '"') and stack:
-            ty -= leading
+            dx, dy = to_user(0.0, -leading)
+            tx, ty = tx + dx, ty + dy
             px, py = tx, ty
             show(stack[-1][1])
             stack.clear()
@@ -726,7 +769,9 @@ def _draw_text(page: np.ndarray, stream: bytes, fonts: dict) -> bool:
                     if k == "str":
                         show(v)
                     else:  # kerning adjustment, 1000-unit text space
-                        px -= float(v) / 1000.0 * size
+                        ax, ay = to_user(-float(v) / 1000.0 * size, 0.0)
+                        px += ax
+                        py += ay
             stack.clear()
         elif op == "ET":
             stack.clear()

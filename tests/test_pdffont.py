@@ -213,3 +213,63 @@ def test_cid_w_array_forms():
     f._parse_cid_w(b"1 [600 700 800] 10 12 500")
     assert f.cid_w == {1: 600.0, 2: 700.0, 3: 800.0, 10: 500.0,
                        11: 500.0, 12: 500.0}
+
+
+def test_rotated_text_matrix_quarter_turn_exact():
+    """Tm with a 90-degree rotation renders the page as the exact
+    rot90 of the unrotated twin; sheared matrices still raise."""
+    import re
+
+    import numpy as np
+    import pytest
+
+    from doctr_ray.sources.pdffont import (
+        make_truetype_pdf,
+        rasterize_truetype_pdf,
+    )
+
+    pages = [["rotated text here", "second line"]]
+    base_pdf = make_truetype_pdf(pages)
+    base = rasterize_truetype_pdf(base_pdf)[0]
+    H, W = base.shape
+    data = base_pdf.replace(
+        b"/MediaBox [0 0 %d %d]" % (W, H), b"/MediaBox [0 0 %d %d]" % (H, W)
+    )
+    data = re.sub(
+        rb"1 0 0 1 (\d+) (\d+) Tm",
+        lambda m: b"0 -1 1 0 %d %d Tm"
+        % (int(m.group(2)), W - int(m.group(1))),
+        data,
+    )
+    # fix the content streams' /Length after the rewrite
+    out, pos = bytearray(), 0
+    for m in re.finditer(rb"<< /Length (\d+) >>\nstream\n", data):
+        start = m.end()
+        end = data.find(b"\nendstream", start)
+        out += data[pos : m.start()]
+        out += b"<< /Length " + str(end - start).encode() + b" >>\nstream\n"
+        out += data[start:end] + b"\nendstream"
+        pos = end + len(b"\nendstream")
+    out += data[pos:]
+    got = rasterize_truetype_pdf(bytes(out))
+    assert len(got) == 1
+    assert np.array_equal(got[0], np.rot90(base, 3))
+    # shear still raises with a named gap
+    sheared = bytes(out).replace(b"0 -1 1 0", b"1 1 0 1", 1)
+    with pytest.raises(NotImplementedError, match="shear"):
+        rasterize_truetype_pdf(_fix_lengths(sheared))
+
+
+def _fix_lengths(data):
+    import re
+
+    out, pos = bytearray(), 0
+    for m in re.finditer(rb"<< /Length (\d+) >>\nstream\n", data):
+        start = m.end()
+        end = data.find(b"\nendstream", start)
+        out += data[pos : m.start()]
+        out += b"<< /Length " + str(end - start).encode() + b" >>\nstream\n"
+        out += data[start:end] + b"\nendstream"
+        pos = end + len(b"\nendstream")
+    out += data[pos:]
+    return bytes(out)
