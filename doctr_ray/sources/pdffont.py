@@ -981,13 +981,14 @@ def make_glyph_ttf() -> tuple[bytes, dict[str, int]]:
     return build_ttf(glyphs, cmap, advances, upem=GLYPH_H), char_code
 
 
-def make_truetype_pdf(pages: list[list[str]]) -> bytes:
+def make_truetype_pdf(pages: list[list[str]], rotate: int = 0) -> bytes:
     """Font-embedded PDF: each page a list of text lines drawn with the
     embedded pixel-glyph TrueType font at the engine's scale — the PDF
     a subsetting producer emits, whose text layer is garbage and whose
-    pixels OCR byte-exact."""
+    pixels OCR byte-exact. ``rotate=90`` draws every page a quarter
+    turn (rotated Tm matrices on a swapped MediaBox)."""
     ttf, char_code = make_glyph_ttf()
-    return _make_font_pdf(pages, ttf, char_code, "truetype")
+    return _make_font_pdf(pages, ttf, char_code, "truetype", rotate=rotate)
 
 
 def make_type1c_pdf(pages: list[list[str]]) -> bytes:
@@ -1035,7 +1036,10 @@ def _make_font_pdf(
     char_code: dict[str, int],
     tech: str,
     t1_lengths: tuple[int, int, int] | None = None,
+    rotate: int = 0,
 ) -> bytes:
+    if rotate not in (0, 90):
+        raise ValueError("rotate must be 0 or 90")
     from ..glyphs import CHAR_H, CHAR_PITCH, CHAR_SPACE, GLYPH_H, GLYPH_W
     from ..media import MARGIN, WORD_GAP
 
@@ -1129,10 +1133,19 @@ def _make_font_pdf(
                     )
                 else:
                     codes = bytes(char_code.get(ch, unk) for ch in word)
-                ops.append(
-                    b"1 0 0 1 " + str(x).encode() + b" " + str(y).encode()
-                    + b" Tm <" + codes.hex().encode() + b"> Tj"
-                )
+                if rotate == 90:
+                    # page content rotated a quarter turn: user space
+                    # (x, y) -> (y, W - x) on a swapped MediaBox
+                    ops.append(
+                        b"0 -1 1 0 " + str(y).encode() + b" "
+                        + str(W - x).encode()
+                        + b" Tm <" + codes.hex().encode() + b"> Tj"
+                    )
+                else:
+                    ops.append(
+                        b"1 0 0 1 " + str(x).encode() + b" " + str(y).encode()
+                        + b" Tm <" + codes.hex().encode() + b"> Tj"
+                    )
                 x += len(word) * CHAR_PITCH - CHAR_SPACE + WORD_GAP
             y -= line_h
         ops.append(b"ET")
@@ -1143,7 +1156,7 @@ def _make_font_pdf(
                 + content + b"\nendstream"
             )
         )
-        dims.append((W, H))
+        dims.append((W, H) if rotate == 0 else (H, W))
 
     pages_id = len(objects) + len(pages) + 1
     page_ids = []

@@ -273,3 +273,31 @@ def _fix_lengths(data):
         pos = end + len(b"\nendstream")
     out += data[pos:]
     return bytes(out)
+
+
+def test_rotate90_writer_and_ocr(tmp_path):
+    """make_truetype_pdf(rotate=90) pages are the exact rot90 of the
+    unrotated twin, and orientation detection recovers exact text."""
+    import numpy as np
+
+    from doctr_ray.pipelines.ocr import media_to_ocr_span
+    from doctr_ray.recognition import GlyphRecognizer
+    from doctr_ray.sources.pdffont import (
+        make_truetype_pdf,
+        rasterize_truetype_pdf,
+    )
+
+    pages = [["quarter turn page", "line two"], ["page two words"]]
+    base = rasterize_truetype_pdf(make_truetype_pdf(pages))
+    rot = rasterize_truetype_pdf(make_truetype_pdf(pages, rotate=90))
+    for b, r in zip(base, rot):
+        assert np.array_equal(r, np.rot90(b, 3))
+    text = "rotated page text reads back exactly after deskew"
+    words = text.split()
+    lines = [" ".join(words[i : i + 5]) for i in range(0, len(words), 5)]
+    p = tmp_path / "rot.pdf"
+    p.write_bytes(make_truetype_pdf([lines], rotate=90))
+    got, _ = media_to_ocr_span(
+        "d", f"file://{p}", 0, GlyphRecognizer(), detect_orientation=True
+    )
+    assert got == text
