@@ -64,6 +64,10 @@ class PredictorConfig:
     # detect()
     reco_instance: object | None = None
     det_instance: object | None = None
+    # loaded OrientationPredictor (zoo factories below) — replaces the
+    # deterministic estimate_page_rotation when set, the reference's
+    # assume_straight_pages=False wiring (models/predictor/base.py)
+    orientation_instance: object | None = None
 
 
 class OCRPredictor:
@@ -122,7 +126,19 @@ class OCRPredictor:
             if self.cfg.detect_orientation:
                 from .orientation import deskew_page, estimate_page_rotation
 
-                rot = estimate_page_rotation(image, self._recognizer)
+                if self.cfg.orientation_instance is not None:
+                    # model slot: the reference's page-orientation
+                    # predictor contract ([idxs, angles, confs]);
+                    # deskew_page undoes the predicted angle
+                    rgb = (
+                        np.repeat(image[:, :, None], 3, axis=2)
+                        if image.ndim == 2
+                        else image
+                    )
+                    _, angles, _ = self.cfg.orientation_instance([rgb])
+                    rot = int(angles[0]) % 360
+                else:
+                    rot = estimate_page_rotation(image, self._recognizer)
                 if rot:
                     image = deskew_page(image, rot)
             known = None
@@ -216,6 +232,7 @@ def ocr_predictor(
         raise ValueError(f"unknown detection architecture '{det_arch}'")
     if reco_instance is None and reco_arch not in RECO_ARCHS:
         raise ValueError(f"unknown recognition architecture '{reco_arch}'")
+    orientation_instance = kwargs.get("orientation_predictor")
     return OCRPredictor(
         PredictorConfig(
             det_arch=det_arch,
@@ -228,6 +245,7 @@ def ocr_predictor(
             weights=weights,
             reco_instance=reco_instance,
             det_instance=det_instance,
+            orientation_instance=orientation_instance,
         )
     )
 

@@ -166,3 +166,35 @@ def test_conf_table_matches_torchvision_small_profile():
         assert k in (3, 5) and stride in (1, 2) and exp_c >= in_c
         prev = out_c
     assert prev == 96
+
+
+def test_orientation_instance_in_predictor_slot():
+    """ocr_predictor(orientation_predictor=...) routes page rotation
+    through the model slot instead of the deterministic estimator —
+    the reference's assume_straight_pages=False wiring."""
+    from doctr_ray.media import encode_media_ref, rasterize_synth
+    from doctr_ray.orientation import rotate_image_90
+    from doctr_ray.zoo import ocr_predictor
+
+    page = rasterize_synth(encode_media_ref("orientation slot words"))[0].image
+    rotated = rotate_image_90(page, 90)
+
+    class Fixed:
+        """OrientationPredictor-contract stub reporting +90."""
+
+        calls = 0
+
+        def __call__(self, imgs):
+            Fixed.calls += len(imgs)
+            return [[1] * len(imgs), [90] * len(imgs), [0.99] * len(imgs)]
+
+    base = ocr_predictor(detect_orientation=True)
+    slot = ocr_predictor(detect_orientation=True, orientation_predictor=Fixed())
+    a = base([rotated])[0]
+    b = slot([rotated])[0]
+    assert Fixed.calls == 1
+    # both routes must deskew the +90 page back to the same layout
+    texts = lambda e: [
+        w["value"] for blk in e["blocks"] for ln in blk["lines"] for w in ln["words"]
+    ]
+    assert texts(a) == texts(b)
