@@ -645,6 +645,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
             TableWorker(), batch_format="pyarrow", batch_size=16
         )
 
+    def q_table_grids_pdf(sf_dir: str):
+        """Bordered-grid tables inside REAL vector-content PDFs: the
+        grid rules are re/f rectangle fills and the cells embedded-font
+        text (sources/pdffont.make_table_pdf) — the producer form of a
+        ruled table. Extraction must recover the exact logical grid
+        from the rasterized pixels. Same oracle shape as table_grids."""
+        import hashlib
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from doctr_ray.pipelines.ocr import default_pool
+        from doctr_ray.recognition import GlyphRecognizer
+        from doctr_ray.sources.pdffont import make_table_pdf
+        from doctr_ray.tables import extract_tables
+        from doctr_ray.tableio import resolve_table_paths
+
+        t = (
+            pq.read_table(
+                resolve_table_paths(sf_dir, "documents"), columns=["doc_id", "text"]
+            )
+            .sort_by("doc_id")
+            .slice(0, 40)
+        )
+        outdir = os.path.join(
+            "/tmp/doctr_ray_tabpdf",
+            hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+        )
+        os.makedirs(outdir, exist_ok=True)
+        ids, refs = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            did_i = int(did)
+            R, C = 2 + did_i % 2, 2 + did_i % 3
+            toks = (text or "").split(" ")[: R * C]
+            path = os.path.join(outdir, f"{did}.pdf")
+            if not os.path.exists(path):
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(make_table_pdf([(toks, R, C)]))
+                os.replace(tmp, path)
+            ids.append(str(did))
+            refs.append(f"file://{path}")
+
+        class PdfTableWorker:
+            def __init__(self) -> None:
+                self.rec = GlyphRecognizer()
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                from doctr_ray.sources.readers import rasterize_media
+
+                out = {"doc_id": [], "row": [], "col": [], "value": []}
+                for did, ref in zip(
+                    batch["doc_id"].to_pylist(), batch["media_ref"].to_pylist()
+                ):
+                    for page in rasterize_media(ref):
+                        tables, _ = extract_tables(page.image, self.rec)
+                        for tb in tables:
+                            for c in tb.cells:
+                                out["doc_id"].append(did)
+                                out["row"].append(c.row)
+                                out["col"].append(c.col)
+                                out["value"].append(c.value)
+                return pa.Table.from_pydict(
+                    {
+                        "doc_id": pa.array(out["doc_id"], pa.string()),
+                        "row": pa.array(out["row"], pa.int32()),
+                        "col": pa.array(out["col"], pa.int32()),
+                        "value": pa.array(out["value"], pa.string()),
+                    }
+                )
+
+        media = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "media_ref": pa.array(refs, pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(media).repartition(max(8, default_pool()))
+        return ds.map_batches(PdfTableWorker(), batch_format="pyarrow", batch_size=4)
+
     def q_kie_word_text(sf_dir: str):
         ds = q_kie(sf_dir)
         return (
@@ -1753,6 +1835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_rotated": q_ocr_rotated,
         "ocr_skewed": q_ocr_skewed,
         "table_grids": q_table_grids,
+        "table_grids_pdf": q_table_grids_pdf,
         "recognition_training_set": q_training_set,
         "ocr_page_hocr": q_page_hocr,
         "page_reconstitution": q_page_reconstitution,
@@ -2132,6 +2215,16 @@ def oracle_sql() -> dict[str, str]:
             "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, "
             "2 + doc_id % 2 AS R, 2 + doc_id % 3 AS C "
             "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 80)) "
+            "SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, "
+            "CAST((s.i - 1) // d.C AS INT) AS row, "
+            "CAST((s.i - 1) % d.C AS INT) AS col, d.toks[s.i] AS value "
+            "FROM d CROSS JOIN generate_series(1, 20) s(i) "
+            "WHERE s.i <= d.R * d.C AND s.i <= len(d.toks)"
+        ),
+        "table_grids_pdf": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+            "2 + doc_id % 2 AS R, 2 + doc_id % 3 AS C "
+            "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 40)) "
             "SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, "
             "CAST((s.i - 1) // d.C AS INT) AS row, "
             "CAST((s.i - 1) % d.C AS INT) AS col, d.toks[s.i] AS value "

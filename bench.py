@@ -239,6 +239,7 @@ def run_once() -> dict:
         "ocr_type1_pdf",
         "ocr_cid_pdf",
         "ocr_rotated_pdf",
+        "table_grids_pdf",
         "ocr_spans",
         "ocr_spans_staged",
         "quantile_gated_docs",

@@ -416,7 +416,8 @@ _TOKEN_RE = re.compile(
     rb"|(<[0-9A-Fa-f\s]*>)"  # 2 hex string
     rb"|([-+]?\d*\.?\d+)"  # 3 number
     rb"|(\[|\])"  # 4 array delims
-    rb"|(BT|ET|Tf|Td|TD|TL|T\*|Tm|TJ|Tj|'|\")"  # 5 operator
+    rb"|(?<![A-Za-z])(BT|ET|Tf|Td|TD|TL|T\*|Tm|TJ|Tj|re|f\*|f|'|\")"
+    rb"(?![A-Za-z*])"  # 5 operator (word-bounded: path ops are short)
     rb"|(\()"  # 6 literal string opener
 )
 
@@ -668,6 +669,7 @@ def _draw_text(page: np.ndarray, stream: bytes, fonts: dict) -> bool:
     tmat = None  # 2x2 text-matrix (a, b, c, d); None = identity
     stack: list = []
     in_array: list | None = None
+    path_rects: list[tuple[float, float, float, float]] = []
     painted = False
 
     def to_user(dx: float, dy: float) -> tuple[float, float]:
@@ -752,6 +754,25 @@ def _draw_text(page: np.ndarray, stream: bytes, fonts: dict) -> bool:
             dx, dy = to_user(0.0, -leading)
             tx, ty = tx + dx, ty + dy
             px, py = tx, ty
+            stack.clear()
+        elif op == "re" and len(stack) >= 4:
+            rx, ry, rw, rh = (float(v) for _, v in stack[-4:])
+            path_rects.append((rx, ry, rw, rh))
+            stack.clear()
+        elif op in ("f", "f*"):
+            # fill the pending rectangle path black (the vector-content
+            # subset a table/rule producer emits); pixel-center
+            # coverage: col/row c painted when its center is inside
+            H_, W_ = page.shape
+            for rx, ry, rw, rh in path_rects:
+                c0 = max(0, int(np.ceil(rx - 0.5)))
+                c1 = min(W_, int(np.ceil(rx + rw - 0.5)))
+                r0 = max(0, int(np.ceil(H_ - ry - rh - 0.5)))
+                r1 = min(H_, int(np.ceil(H_ - ry - 0.5)))
+                if r1 > r0 and c1 > c0:
+                    page[r0:r1, c0:c1] = 0
+                    painted = True
+            path_rects.clear()
             stack.clear()
         elif op == "Tj" and stack:
             show(stack[-1][1])
@@ -989,6 +1010,123 @@ def make_truetype_pdf(pages: list[list[str]], rotate: int = 0) -> bytes:
     turn (rotated Tm matrices on a swapped MediaBox)."""
     ttf, char_code = make_glyph_ttf()
     return _make_font_pdf(pages, ttf, char_code, "truetype", rotate=rotate)
+
+
+def make_table_pdf(docs: list[tuple[list[str], int, int]]) -> bytes:
+    """Vector-content PDF: one page per (cell_words, R, C) doc — an
+    R x C bordered grid drawn with ``re``/``f`` rectangle fills (the
+    rule/table producer form) and cell words drawn with the embedded
+    pixel-glyph font, replicating doctr_ray.media's synthetic table
+    geometry exactly (same MARGIN / LINE_T / CELL_PAD / pitch), so the
+    lattice table extractor recovers the same logical grid from a REAL
+    PDF's pixels."""
+    from ..glyphs import CHAR_H, word_width
+    from ..media import CELL_PAD, LINE_T, MARGIN
+
+    ttf, char_code = make_glyph_ttf()
+    comp = zlib.compress(ttf)
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    ff_id = add(
+        b"<< /Filter /FlateDecode /Length " + str(len(comp)).encode()
+        + b" /Length1 " + str(len(ttf)).encode() + b" >>\nstream\n"
+        + comp + b"\nendstream"
+    )
+    fd_id = add(
+        b"<< /Type /FontDescriptor /FontName /AAAAAA+PixelGlyph /Flags 4 "
+        b"/FontBBox [0 0 6 7] /ItalicAngle 0 /Ascent 7 /Descent 0 "
+        b"/CapHeight 7 /StemV 1 /FontFile2 " + str(ff_id).encode() + b" 0 R >>"
+    )
+    font_id = add(
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /AAAAAA+PixelGlyph "
+        b"/FontDescriptor " + str(fd_id).encode() + b" 0 R >>"
+    )
+
+    content_ids, dims = [], []
+    for cell_words, R, C in docs:
+        cw_inner = max(
+            [word_width(w) for w in cell_words], default=CHAR_H * 4
+        )
+        cell_w = cw_inner + 2 * CELL_PAD
+        cell_h = CHAR_H + 2 * CELL_PAD
+        table_w = C * cell_w + (C + 1) * LINE_T
+        table_h = R * cell_h + (R + 1) * LINE_T
+        W = table_w + 2 * MARGIN
+        H = table_h + 2 * MARGIN
+        ops = []
+        # lattice rules as filled rects (PDF y-up: y = H - img_y - t)
+        for i in range(R + 1):
+            iy = MARGIN + i * (cell_h + LINE_T)
+            ops.append(
+                b"%d %d %d %d re" % (MARGIN, H - iy - LINE_T, table_w, LINE_T)
+            )
+        for j in range(C + 1):
+            ix = MARGIN + j * (cell_w + LINE_T)
+            ops.append(
+                b"%d %d %d %d re" % (ix, H - MARGIN - table_h, LINE_T, table_h)
+            )
+        ops.append(b"f")
+        ops.append(b"BT /F1 " + str(CHAR_H).encode() + b" Tf")
+        unk = char_code["?"]
+        for i, w in enumerate(cell_words[: R * C]):
+            r_, c_ = i // C, i % C
+            wx = MARGIN + LINE_T + c_ * (cell_w + LINE_T) + CELL_PAD
+            wy = MARGIN + LINE_T + r_ * (cell_h + LINE_T) + CELL_PAD
+            codes = bytes(char_code.get(ch, unk) for ch in w)
+            ops.append(
+                b"1 0 0 1 %d %d Tm <%s> Tj"
+                % (wx, H - wy - CHAR_H, codes.hex().encode())
+            )
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        content_ids.append(
+            add(
+                b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+                + content + b"\nendstream"
+            )
+        )
+        dims.append((W, H))
+
+    pages_id = len(objects) + len(docs) + 1
+    page_ids = []
+    for (W, H), cid in zip(dims, content_ids):
+        page_ids.append(
+            add(
+                b"<< /Type /Page /Parent " + str(pages_id).encode() + b" 0 R "
+                b"/MediaBox [0 0 " + str(W).encode() + b" " + str(H).encode()
+                + b"] /Contents " + str(cid).encode() + b" 0 R "
+                b"/Resources << /Font << /F1 " + str(font_id).encode()
+                + b" 0 R >> >> >>"
+            )
+        )
+    kids = b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
+    assert add(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(len(page_ids)).encode() + b" >>"
+    ) == pages_id
+    catalog = add(
+        b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>"
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objects) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d}".encode() + b" 00000 n \n"
+    out += (
+        b"trailer\n<< /Size " + str(len(objects) + 1).encode()
+        + b" /Root " + str(catalog).encode() + b" 0 R >>\n"
+        b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
 
 
 def make_type1c_pdf(pages: list[list[str]]) -> bytes:

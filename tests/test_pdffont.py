@@ -301,3 +301,44 @@ def test_rotate90_writer_and_ocr(tmp_path):
         "d", f"file://{p}", 0, GlyphRecognizer(), detect_orientation=True
     )
     assert got == text
+
+
+def test_rect_fill_operators_pixel_exact():
+    """re/f path operators: filled rects land on the exact pixel set
+    (pixel-center coverage), composing with text in one stream."""
+    import re
+
+    import numpy as np
+
+    from doctr_ray.sources.pdffont import (
+        make_truetype_pdf,
+        rasterize_truetype_pdf,
+    )
+
+    pdf = make_truetype_pdf([["rect and text"]])
+    data = pdf.replace(b"BT /F1", b"10 10 30 5 re f\nBT /F1", 1)
+    page = rasterize_truetype_pdf(_fix_lengths(data))[0]
+    H = page.shape[0]
+    assert (page[H - 15 : H - 10, 10:40] == 0).all()
+    assert (page[H - 16, 10:40] == 255).all()
+    assert (page[H - 9, 10:40] == 255).all()
+    assert (page[H - 15 : H - 10, 9] == 255).all()
+    assert (page[H - 15 : H - 10, 40] == 255).all()
+
+
+def test_table_pdf_exact_grid():
+    """A ruled table drawn with re/f rects + embedded-font cells is
+    recovered as the exact logical grid by the lattice extractor."""
+    from doctr_ray.recognition import GlyphRecognizer
+    from doctr_ray.sources.pdffont import make_table_pdf, rasterize_truetype_pdf
+    from doctr_ray.tables import extract_tables
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    pages = rasterize_truetype_pdf(make_table_pdf([(words, 2, 3)]))
+    assert len(pages) == 1
+    tables, _ = extract_tables(pages[0], GlyphRecognizer())
+    assert len(tables) == 1
+    assert tables[0].to_grid() == [
+        ["alpha", "beta", "gamma"],
+        ["delta", "eps", "zeta"],
+    ]
