@@ -1032,9 +1032,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_ocr_cid_pdf(sf_dir: str):
         """Font-rendered PDF route, composite flavour: /Type0
-        /Identity-H over a CIDFontType2 descendant — 2-byte codes ARE
-        glyph ids (the modern subset form whose text layer is garbage
-        by construction). Exact oracle: byte-exact reconstruction."""
+        /Identity-H alternating between a CIDFontType2 descendant
+        (TrueType, Identity CIDToGIDMap) and a CIDFontType0 descendant
+        (CID-keyed CFF, identity charset) — 2-byte codes ARE glyph ids
+        either way (the modern subset forms whose text layer is
+        garbage by construction). Exact oracle: byte-exact
+        reconstruction."""
         import hashlib
         import os
 
@@ -1044,7 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from doctr_ray.corpus import DOCS_SCHEMA
         from doctr_ray.pipelines.ocr import ocr_extracted_text
-        from doctr_ray.sources.pdffont import make_cid_pdf
+        from doctr_ray.sources.pdffont import make_cid0_pdf, make_cid_pdf
         from doctr_ray.tableio import resolve_table_paths
 
         t = (
@@ -1056,11 +1059,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         outdir = os.path.join(
             "/tmp/doctr_ray_cidpdf",
-            hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+            hashlib.md5((sf_dir + ":v2-cid0").encode()).hexdigest()[:10],
         )
         os.makedirs(outdir, exist_ok=True)
         ids, spans = [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for i, (did, text) in enumerate(
+            zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        ):
             did = str(did)
             path = os.path.join(outdir, f"{did}.pdf")
             if not os.path.exists(path):
@@ -1069,9 +1074,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     " ".join(words[i : i + 10]) for i in range(0, len(words), 10)
                 ]
                 pages = [lines[j : j + 40] for j in range(0, len(lines), 40)] or [[]]
+                make = make_cid_pdf if i % 2 == 0 else make_cid0_pdf
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
-                    f.write(make_cid_pdf(pages))
+                    f.write(make(pages))
                 os.replace(tmp, path)
             ids.append(did)
             spans.append(

@@ -24,8 +24,13 @@ The ``upem`` is derived from the FontMatrix scale (``round(1/m[0])``)
 because 1/7 has no finite decimal BCD form — the integer em square is
 what the renderer uses, keeping rectangle fills pixel-exact.
 
-Out of scope (NotImplementedError naming the gap): CID-keyed CFF
-(FDArray/FDSelect), predefined/format-1 encodings, seac accents.
+CID-keyed CFF (the /CIDFontType0C payload) parses too: ROS detection,
+per-FD Private DICTs routed by FDSelect (formats 0 and 3), charset
+formats 0/1/2 building the CID -> gid map consumed by pdffont's Type0
+branch; ``build_cff_cid`` writes the Adobe-Identity-0 form.
+
+Out of scope (NotImplementedError naming the gap): predefined/format-1
+encodings, seac accents.
 """
 
 from __future__ import annotations
@@ -137,25 +142,115 @@ class CFFFont:
         _strings, pos = _read_index(data, pos)
         self.gsubrs, pos = _read_index(data, pos)
         top = _parse_dict(top_dicts[0])
-        if 0x0C24 in top or 0x0C25 in top:
-            raise NotImplementedError("CID-keyed CFF (FDArray/FDSelect)")
+        self.cid_keyed = 0x0C1E in top  # ROS
         matrix = top.get(0x0C07, [0.001, 0, 0, 0.001, 0, 0])
         self.upem = int(round(1.0 / matrix[0]))
         self.charstrings, _ = _read_index(data, int(top[17][0]))
-        # Private DICT: widths + local subrs
+        self.num_glyphs = len(self.charstrings)
+        # Private DICT(s): widths + local subrs
         self.default_width = 0.0
         self.nominal_width = 0.0
         self.subrs: list[bytes] = []
-        if 18 in top:
-            psize, poff = int(top[18][0]), int(top[18][1])
+        self._fd_priv: list[tuple[float, float, list[bytes]]] | None = None
+        self._fd_of: np.ndarray | None = None
+        self.cid_to_gid: dict[int, int] | None = None
+
+        def read_private(d: dict) -> tuple[float, float, list[bytes]]:
+            if 18 not in d:
+                return 0.0, 0.0, []
+            psize, poff = int(d[18][0]), int(d[18][1])
             priv = _parse_dict(data[poff : poff + psize])
-            self.default_width = float(priv.get(20, [0.0])[0])
-            self.nominal_width = float(priv.get(21, [0.0])[0])
+            subrs: list[bytes] = []
             if 19 in priv:
-                self.subrs, _ = _read_index(data, poff + int(priv[19][0]))
-        self.cmap = self._parse_encoding(int(top.get(16, [0])[0]))
+                subrs, _ = _read_index(data, poff + int(priv[19][0]))
+            return (
+                float(priv.get(20, [0.0])[0]),
+                float(priv.get(21, [0.0])[0]),
+                subrs,
+            )
+
+        if self.cid_keyed:
+            # CID-keyed: per-FD privates, FDSelect routing, charset =
+            # gid -> CID (no encoding; the consumer maps CID -> gid)
+            fd_dicts, _ = _read_index(data, int(top[0x0C24][0]))
+            self._fd_priv = [read_private(_parse_dict(fdd)) for fdd in fd_dicts]
+            self._fd_of = self._parse_fdselect(
+                int(top[0x0C25][0]), self.num_glyphs
+            )
+            self.cid_to_gid = self._parse_charset(
+                int(top.get(15, [0])[0]), self.num_glyphs
+            )
+            self.cmap = {}
+        else:
+            if 0x0C24 in top or 0x0C25 in top:
+                raise ValueError("FDArray/FDSelect without ROS")
+            self.default_width, self.nominal_width, self.subrs = read_private(
+                top
+            )
+            self.cmap = self._parse_encoding(int(top.get(16, [0])[0]))
         self._widths: dict[int, float] = {}
         self._contour_cache: dict[int, list] = {}
+
+    def _parse_fdselect(self, off: int, n: int) -> np.ndarray:
+        fmt = self.data[off]
+        out = np.zeros(n, np.int32)
+        if fmt == 0:
+            out[:] = list(self.data[off + 1 : off + 1 + n])
+        elif fmt == 3:
+            (nr,) = struct.unpack(">H", self.data[off + 1 : off + 3])
+            pos = off + 3
+            ranges = []
+            for _ in range(nr):
+                first, fd = struct.unpack(">HB", self.data[pos : pos + 3])
+                ranges.append((first, fd))
+                pos += 3
+            (sentinel,) = struct.unpack(">H", self.data[pos : pos + 2])
+            for i, (first, fd) in enumerate(ranges):
+                end = ranges[i + 1][0] if i + 1 < len(ranges) else sentinel
+                out[first:end] = fd
+        else:
+            raise NotImplementedError(f"FDSelect format {fmt}")
+        return out
+
+    def _parse_charset(self, off: int, n: int) -> dict[int, int]:
+        """charset -> {CID: gid} (gid 0 is always CID 0 / .notdef)."""
+        if off == 0:
+            # predefined charsets are invalid for CID fonts; treat as
+            # identity (what a malformed-but-common producer means)
+            return {i: i for i in range(n)}
+        fmt = self.data[off]
+        out = {0: 0}
+        gid = 1
+        pos = off + 1
+        if fmt == 0:
+            while gid < n:
+                (sid,) = struct.unpack(">H", self.data[pos : pos + 2])
+                out[sid] = gid
+                gid += 1
+                pos += 2
+        elif fmt in (1, 2):
+            step = 3 if fmt == 1 else 4
+            while gid < n:
+                (first,) = struct.unpack(">H", self.data[pos : pos + 2])
+                n_left = (
+                    self.data[pos + 2]
+                    if fmt == 1
+                    else struct.unpack(">H", self.data[pos + 2 : pos + 4])[0]
+                )
+                for k in range(n_left + 1):
+                    if gid >= n:
+                        break
+                    out[first + k] = gid
+                    gid += 1
+                pos += step
+        else:
+            raise NotImplementedError(f"charset format {fmt}")
+        return out
+
+    def _glyph_env(self, gid: int) -> tuple[float, float, list[bytes]]:
+        if self.cid_keyed:
+            return self._fd_priv[int(self._fd_of[gid])]
+        return self.default_width, self.nominal_width, self.subrs
 
     def _parse_encoding(self, off: int) -> dict[int, int]:
         if off in (0, 1):
@@ -188,19 +283,29 @@ class CFFFont:
         hit = self._contour_cache.get(gid)
         if hit is not None:
             return hit
-        contours, width = self._run_charstring(self.charstrings[gid])
+        contours, width = self._run_charstring(
+            self.charstrings[gid], self._glyph_env(gid)
+        )
         self._widths[gid] = width
         self._contour_cache[gid] = contours
         return contours
 
     # ---------------------------------------- Type 2 interpreter
 
-    def _run_charstring(self, cs: bytes):
+    def _run_charstring(self, cs: bytes, env=None):
         """Execute one Type 2 charstring -> (contours, advance width).
 
-        Contours are flattened polylines: every emitted point is
-        on-curve, so pdffont._contour_segments sees straight edges
-        only (integer rectangles stay pixel-exact)."""
+        ``env`` = (defaultWidthX, nominalWidthX, local subrs) — the
+        glyph's FD private for CID-keyed fonts, the font private
+        otherwise (default when omitted). Contours are flattened
+        polylines: every emitted point is on-curve, so
+        pdffont._contour_segments sees straight edges only (integer
+        rectangles stay pixel-exact)."""
+        env_default, env_nominal, env_subrs = (
+            env
+            if env is not None
+            else (self.default_width, self.nominal_width, self.subrs)
+        )
         contours: list[list[tuple[float, float, bool]]] = []
         cur: list[tuple[float, float, bool]] = []
         x = y = 0.0
@@ -213,9 +318,9 @@ class CFFFont:
             nonlocal width
             if width is None:
                 if len(stack) % 2 == parity:
-                    width = self.nominal_width + stack.pop(0)
+                    width = env_nominal + stack.pop(0)
                 else:
-                    width = self.default_width
+                    width = env_default
 
         def close() -> None:
             nonlocal cur
@@ -394,8 +499,8 @@ class CFFFont:
                         j += 4
                     stack.clear()
                 elif b0 == 10:  # callsubr
-                    idx = int(stack.pop()) + _bias(self.subrs)
-                    if run(self.subrs[idx], depth + 1):
+                    idx = int(stack.pop()) + _bias(env_subrs)
+                    if run(env_subrs[idx], depth + 1):
                         return True
                 elif b0 == 29:  # callgsubr
                     idx = int(stack.pop()) + _bias(self.gsubrs)
@@ -480,7 +585,7 @@ class CFFFont:
         if not done:
             close()
         if width is None:
-            width = self.default_width
+            width = env_default
         return contours, width
 
 
@@ -620,5 +725,106 @@ def make_glyph_cff() -> tuple[bytes, dict[str, int]]:
         char_code[ch] = 0x21 + i
     return (
         build_cff(glyphs, encoding, default_width=GLYPH_W + 1, upem=GLYPH_H),
+        char_code,
+    )
+
+
+def build_cff_cid(
+    glyphs: list[list[list[tuple[int, int, bool]]]],
+    default_width: int,
+    upem: int,
+) -> bytes:
+    """Minimal valid CID-keyed CFF (the /CIDFontType0C payload):
+    ROS Adobe-Identity-0, identity charset (CID i = gid i), one Font
+    DICT holding the shared Private, FDSelect format 3 routing every
+    glyph to it. Mirrors :func:`build_cff` for the composite form."""
+    charstrings = []
+    for contours in glyphs:
+        cs = b""
+        x = y = 0
+        for cont in contours:
+            pts = [(int(px), int(py)) for px, py, _ in cont]
+            cs += _cs_num(pts[0][0] - x) + _cs_num(pts[0][1] - y) + b"\x15"
+            x, y = pts[0]
+            for px, py in pts[1:]:
+                cs += _cs_num(px - x) + _cs_num(py - y) + b"\x05"
+                x, y = px, py
+        charstrings.append(cs + b"\x0e")
+    cs_index = _make_index(charstrings)
+    n = len(charstrings)
+
+    priv = _dict_int(default_width) + b"\x14" + _dict_int(0) + b"\x15"
+    # identity charset, format 2: gids 1..n-1 carry CIDs 1..n-1
+    charset = b"\x02" + struct.pack(">HH", 1, max(0, n - 2))
+    # FDSelect format 3: one range, every glyph -> FD 0
+    fdselect = b"\x03" + struct.pack(">HHB", 1, 0, 0) + struct.pack(">H", n)
+
+    name_index = _make_index([b"PixelGlyphCIDCFF"])
+    # custom strings: SID 391 = "Adobe", 392 = "Identity"
+    string_index = _make_index([b"Adobe", b"Identity"])
+    gsubr_index = _make_index([])
+    scale = repr(1.0 / upem)
+
+    def fd_dict(priv_off: int) -> bytes:
+        return _dict_int(len(priv)) + _dict_int(priv_off) + b"\x12"
+
+    def top_dict(cs_off, charset_off, fdarray_off, fdselect_off) -> bytes:
+        d = (
+            _dict_int(391) + _dict_int(392) + _dict_int(0) + b"\x0c\x1e"  # ROS
+        )
+        d += (
+            _dict_real(scale) + _dict_int(0) + _dict_int(0)
+            + _dict_real(scale) + _dict_int(0) + _dict_int(0)
+            + b"\x0c\x07"  # FontMatrix
+        )
+        d += _dict_int(charset_off) + b"\x0f"  # charset
+        d += _dict_int(cs_off) + b"\x11"  # CharStrings
+        d += _dict_int(fdarray_off) + b"\x0c\x24"  # FDArray
+        d += _dict_int(fdselect_off) + b"\x0c\x25"  # FDSelect
+        return d
+
+    header = bytes([1, 0, 4, 4])
+    probe_fdarray = _make_index([fd_dict(0)])
+    probe = _make_index([top_dict(0, 0, 0, 0)])
+    base = (
+        len(header) + len(name_index) + len(probe) + len(string_index)
+        + len(gsubr_index)
+    )
+    charset_off = base
+    fdselect_off = charset_off + len(charset)
+    cs_off = fdselect_off + len(fdselect)
+    fdarray_off = cs_off + len(cs_index)
+    priv_off = fdarray_off + len(probe_fdarray)
+    fdarray = _make_index([fd_dict(priv_off)])
+    assert len(fdarray) == len(probe_fdarray)
+    top_index = _make_index(
+        [top_dict(cs_off, charset_off, fdarray_off, fdselect_off)]
+    )
+    assert len(top_index) == len(probe)
+    return (
+        header + name_index + top_index + string_index + gsubr_index
+        + charset + fdselect + cs_index + fdarray + priv
+    )
+
+
+def make_glyph_cff_cid() -> tuple[bytes, dict[str, int]]:
+    """The engine's procedural pixel font as a CID-keyed CFF — the
+    /CIDFontType0C twin of make_glyph_cff (identity charset: the
+    composite wrapper's 2-byte CIDs are the gids directly)."""
+    import hashlib
+
+    from ..glyphs import FONT, GLYPH_H, GLYPH_W, VOCAB
+    from .pdffont import _bitmap_contours
+
+    order = sorted(
+        VOCAB, key=lambda ch: hashlib.md5(f"sub:{ch}".encode()).hexdigest()
+    )
+    glyphs: list[list] = [[]]  # gid 0 = .notdef
+    char_code: dict[str, int] = {}
+    for i, ch in enumerate(order):
+        glyphs.append(_bitmap_contours(FONT[ch]))
+        char_code[ch] = 0x21 + i  # same scrambled order as the twins
+    return (
+        build_cff_cid(glyphs, default_width=GLYPH_W + 1, upem=GLYPH_H),
         char_code,
     )

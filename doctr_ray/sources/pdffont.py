@@ -522,10 +522,11 @@ class PdfFont:
             if dfm is None:
                 raise ValueError("Type0 font without /DescendantFonts")
             head, _ = objs[int(dfm.group(1))]
-            if b"/CIDFontType2" not in head:
-                raise NotImplementedError("CIDFontType0 (CFF CID-keyed)")
-            if re.search(rb"/CIDToGIDMap\s*/(?!Identity)", head):
-                raise NotImplementedError("stream /CIDToGIDMap")
+            if b"/CIDFontType2" in head:
+                if re.search(rb"/CIDToGIDMap\s*/(?!Identity)", head):
+                    raise NotImplementedError("stream /CIDToGIDMap")
+            elif b"/CIDFontType0" not in head:
+                raise NotImplementedError("unknown CID descendant font type")
             self.two_byte = True
             dwm = re.search(rb"/DW\s+([\d.]+)", head)
             if dwm:
@@ -601,7 +602,11 @@ class PdfFont:
         return list(s)
 
     def code_to_gid(self, code: int) -> int:
-        if self.two_byte:  # Identity-H + Identity CIDToGIDMap: CID = gid
+        if self.two_byte:  # Identity-H: the 2-byte code IS the CID
+            cid_map = getattr(self.ttf, "cid_to_gid", None)
+            if cid_map is not None:  # CID-keyed CFF: charset routes it
+                return cid_map.get(code, 0)
+            # CIDFontType2 + Identity CIDToGIDMap: CID = gid
             return code if code < getattr(self.ttf, "num_glyphs", 1 << 16) else 0
         return self.ttf.cmap.get(code, 0)
 
@@ -1148,6 +1153,16 @@ def make_cid_pdf(pages: list[list[str]]) -> bytes:
     return _make_font_pdf(pages, ttf, char_code, "cid")
 
 
+def make_cid0_pdf(pages: list[list[str]]) -> bytes:
+    """Composite fixture over a CID-KEYED CFF descendant
+    (/CIDFontType0 + /FontFile3 /CIDFontType0C) — the CJK-producer
+    form; 2-byte CIDs route through the font's identity charset."""
+    from .cfffont import make_glyph_cff_cid
+
+    cff, char_code = make_glyph_cff_cid()
+    return _make_font_pdf(pages, cff, char_code, "cid0")
+
+
 def make_type1_pdf(pages: list[list[str]]) -> bytes:
     """Same fixture with an original Type 1 program (/FontFile with
     Length1/2/3 — the pre-CFF PostScript form; sources/type1font
@@ -1191,6 +1206,9 @@ def _make_font_pdf(
     if tech in ("truetype", "cid"):
         ff_extra = b" /Length1 " + str(len(font_prog)).encode()
         ff_key, subtype = b"/FontFile2", b"/TrueType"
+    elif tech == "cid0":
+        ff_extra = b" /Subtype /CIDFontType0C"
+        ff_key, subtype = b"/FontFile3", b"/Type1"
     elif tech == "type1":
         l1, l2, l3 = t1_lengths
         ff_extra = (
@@ -1212,17 +1230,20 @@ def _make_font_pdf(
         b"/CapHeight 7 /StemV 1 " + ff_key + b" " + str(ff_id).encode()
         + b" 0 R >>"
     )
-    if tech == "cid":
-        # composite form: Type0 /Identity-H over a CIDFontType2
-        # descendant; CIDs are glyph ids, widths in the /W range form
+    if tech in ("cid", "cid0"):
+        # composite form: Type0 /Identity-H over a CIDFontType2 or
+        # CIDFontType0 descendant; CIDs are glyph ids (Identity
+        # CIDToGIDMap / identity charset), widths in the /W range form
         w1000 = repr((GLYPH_W + 1) * 1000.0 / GLYPH_H).encode()
+        desc_sub = b"/CIDFontType2" if tech == "cid" else b"/CIDFontType0"
+        cid2gid = b"/CIDToGIDMap /Identity " if tech == "cid" else b""
         desc_id = add(
-            b"<< /Type /Font /Subtype /CIDFontType2 "
-            b"/BaseFont /AAAAAA+PixelGlyph "
+            b"<< /Type /Font /Subtype " + desc_sub
+            + b" /BaseFont /AAAAAA+PixelGlyph "
             b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
             b"/Supplement 0 >> "
             b"/FontDescriptor " + str(fd_id).encode() + b" 0 R "
-            b"/CIDToGIDMap /Identity /DW " + w1000
+            + cid2gid + b"/DW " + w1000
             + b" /W [1 " + str(len(char_code)).encode() + b" " + w1000
             + b"] >>"
         )
@@ -1262,7 +1283,7 @@ def _make_font_pdf(
             x = MARGIN
             unk = char_code["?"]
             for word in ln.split():
-                if tech == "cid":
+                if tech in ("cid", "cid0"):
                     # Identity-H: 2-byte codes that ARE the glyph ids
                     # (the fixture font's gid = single-byte code - 0x20)
                     codes = b"".join(

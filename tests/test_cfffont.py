@@ -139,3 +139,79 @@ def test_type1c_pdf_ocr_exact(tmp_path):
     got, conf = media_to_ocr_span("d", f"file://{p}", 0, GlyphRecognizer())
     assert got == text
     assert conf == 1.0
+
+
+def test_cid_keyed_cff_roundtrip():
+    """CID-keyed CFF (ROS + FDArray/FDSelect + charset): identity
+    charset maps CIDs to gids; contours and per-FD widths match the
+    plain-CFF twin glyph for glyph."""
+    from doctr_ray.sources.cfffont import make_glyph_cff_cid
+
+    cid_b, cc = make_glyph_cff_cid()
+    f = CFFFont(cid_b)
+    assert f.cid_keyed and f.upem == 7
+    assert f.cid_to_gid == {i: i for i in range(f.num_glyphs)}
+    plain = CFFFont(make_glyph_cff()[0])
+    for code in cc.values():
+        gid = code - 0x20
+        a = f.glyph_contours(gid)
+        b = plain.glyph_contours(plain.cmap[code])
+        assert [[(x, y) for x, y, _ in c] for c in a] == [
+            [(x, y) for x, y, _ in c] for c in b
+        ]
+        assert f.glyph_width(gid) == plain.glyph_width(plain.cmap[code])
+
+
+def test_cid0_pdf_bit_identical_and_ocr(tmp_path):
+    """CIDFontType0C composite PDFs render bit-identical to the
+    TrueType twin and OCR byte-exact through the media dispatch."""
+    import numpy as np
+
+    from doctr_ray.pipelines.ocr import media_to_ocr_span
+    from doctr_ray.recognition import GlyphRecognizer
+    from doctr_ray.sources.pdffont import (
+        make_cid0_pdf,
+        make_truetype_pdf,
+        rasterize_truetype_pdf,
+    )
+
+    pages = [["cid keyed compact form", "line two"]]
+    a = rasterize_truetype_pdf(make_truetype_pdf(pages))
+    b = rasterize_truetype_pdf(make_cid0_pdf(pages))
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+    text = "cid keyed fonts read back exactly"
+    words = text.split()
+    lines = [" ".join(words[i : i + 4]) for i in range(0, len(words), 4)]
+    p = tmp_path / "cid0.pdf"
+    p.write_bytes(make_cid0_pdf([lines]))
+    got, _ = media_to_ocr_span("d", f"file://{p}", 0, GlyphRecognizer())
+    assert got == text
+
+
+def test_fdselect_format0_and_charset_format0():
+    """Alternate FDSelect/charset encodings parse identically."""
+    import struct as _s
+
+    from doctr_ray.sources.cfffont import make_glyph_cff_cid
+
+    cid_b, _ = make_glyph_cff_cid()
+    f = CFFFont(cid_b)
+    n = f.num_glyphs
+    # rewrite FDSelect fmt3 -> fmt0 (same routing: all glyphs -> FD 0)
+    fmt3 = b"\x03" + _s.pack(">HHB", 1, 0, 0) + _s.pack(">H", n)
+    fmt0 = b"\x00" + bytes(n)
+    assert fmt3 in cid_b
+    # fmt0 is longer; parse it standalone through the private helper
+    g = CFFFont(cid_b)
+    import numpy as np
+
+    data = cid_b + fmt0  # append and point the parser at it
+    g.data = data
+    got = g._parse_fdselect(len(cid_b), n)
+    assert np.array_equal(got, np.zeros(n, np.int32))
+    # charset format 0: explicit per-gid sids
+    sids = b"\x00" + b"".join(_s.pack(">H", i) for i in range(1, n))
+    g.data = cid_b + sids
+    cs = g._parse_charset(len(cid_b), n)
+    assert cs == {i: i for i in range(n)}

@@ -193,7 +193,7 @@ def test_cid_unsupported_variants_raise():
     data = make_cid_pdf([["x"]])
     for patch, msg in (
         ((b"/Identity-H", b"/UniJIS-UCS2-H"), "non-Identity"),
-        ((b"/CIDFontType2", b"/CIDFontType0"), "CIDFontType0"),
+        ((b"/CIDFontType2", b"/CIDFontType9"), "unknown CID descendant"),
         ((b"/CIDToGIDMap /Identity", b"/CIDToGIDMap /Other"), "CIDToGIDMap"),
     ):
         objs = _scan_objects(data.replace(*patch))
