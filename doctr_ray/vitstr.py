@@ -83,21 +83,35 @@ def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
     return e / e.sum(axis=axis, keepdims=True)
 
 
-def multi_head_attention(x: np.ndarray, p: dict, prefix: str, num_heads: int):
-    """Self-attention with the reference MultiHeadAttention layout
+def multi_head_attention(
+    x: np.ndarray,
+    p: dict,
+    prefix: str,
+    num_heads: int,
+    kv: np.ndarray | None = None,
+    mask: np.ndarray | None = None,
+):
+    """Attention with the reference MultiHeadAttention layout
     (transformer/pytorch.py:73-101): three (D, D) input projections
     ``linear_layers.{0,1,2}``, scaled dot-product per head, concat,
-    ``output_linear``."""
+    ``output_linear``. ``kv`` (defaults to ``x``) is the key/value
+    source for cross-attention; ``mask`` broadcasts against the
+    (B, h, Tq, Tk) score matrix and zeros are masked to -inf
+    (transformer/pytorch.py:46-56)."""
     B, T, D = x.shape
+    src = x if kv is None else kv
+    S = src.shape[1]
     dk = D // num_heads
     q = linear(x, p[f"{prefix}.linear_layers.0.weight"], p[f"{prefix}.linear_layers.0.bias"])
-    k = linear(x, p[f"{prefix}.linear_layers.1.weight"], p[f"{prefix}.linear_layers.1.bias"])
-    v = linear(x, p[f"{prefix}.linear_layers.2.weight"], p[f"{prefix}.linear_layers.2.bias"])
+    k = linear(src, p[f"{prefix}.linear_layers.1.weight"], p[f"{prefix}.linear_layers.1.bias"])
+    v = linear(src, p[f"{prefix}.linear_layers.2.weight"], p[f"{prefix}.linear_layers.2.bias"])
     # (B, T, D) -> (B, h, T, dk)
     q = q.reshape(B, T, num_heads, dk).transpose(0, 2, 1, 3)
-    k = k.reshape(B, T, num_heads, dk).transpose(0, 2, 1, 3)
-    v = v.reshape(B, T, num_heads, dk).transpose(0, 2, 1, 3)
+    k = k.reshape(B, S, num_heads, dk).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, num_heads, dk).transpose(0, 2, 1, 3)
     scores = q @ k.transpose(0, 1, 3, 2) / np.sqrt(dk).astype(x.dtype)
+    if mask is not None:
+        scores = np.where(mask == 0, np.float32(-np.inf), scores)
     out = softmax(scores, axis=-1) @ v  # (B, h, T, dk)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
     return linear(out, p[f"{prefix}.output_linear.weight"], p[f"{prefix}.output_linear.bias"])
