@@ -268,6 +268,61 @@ class CRNN:
         return f"CRNN(vocab={len(self.vocab)}, rnn_units={self.rnn_units})"
 
 
+class CRNNMobileNet(CRNN):
+    """Numpy ``crnn_mobilenet_v3_small`` / ``crnn_mobilenet_v3_large``
+    inference tower (reference crnn/pytorch.py:289-339: the CRNN head
+    over the ``_r`` rectangular-stride MobileNetV3 backbones,
+    classification/mobilenet/pytorch.py:151-176 / :204-229).
+
+    Checkpoint keys: the torchvision features stack under
+    ``feat_extractor.*`` plus the shared CRNN ``decoder.*`` /
+    ``linear.*`` head. The three stride-2 depthwise convs after the
+    first downsample run (2, 1), so a (3, 32, 128) input leaves the
+    backbone as (B, C_last, 1, 32) — the same 32-step sequence as the
+    VGG tower with C_last = 576 (small) / 960 (large)."""
+
+    def __init__(
+        self,
+        weights,
+        arch: str = "crnn_mobilenet_v3_small",
+        vocab: str | None = None,
+        rnn_units: int = 128,
+    ):
+        from .mobilenet import (
+            LARGE_RECT_STRIDES,
+            SMALL_RECT_STRIDES,
+            MobileNetV3Large,
+            MobileNetV3Small,
+        )
+
+        if arch == "crnn_mobilenet_v3_small":
+            cls, rect = MobileNetV3Small, SMALL_RECT_STRIDES
+        elif arch == "crnn_mobilenet_v3_large":
+            cls, rect = MobileNetV3Large, LARGE_RECT_STRIDES
+        else:
+            raise ValueError(f"unknown crnn-mobilenet arch '{arch}'")
+        self.arch = arch
+        # ONE load: the backbone loads the full blob; the head shares it
+        self.backbone = cls(weights, prefix="feat_extractor", rect_strides=rect)
+        self.params = self.backbone.p
+        self.rnn_units = rnn_units
+        n_classes = self.params["linear.weight"].shape[0]
+        self.vocab = vocab if vocab is not None else VOCABS["french"]
+        if len(self.vocab) + 1 != n_classes:
+            raise ValueError(
+                f"checkpoint has {n_classes} classes but vocab needs "
+                f"{len(self.vocab) + 1} (vocab + CTC blank)"
+            )
+
+    def features(self, x: np.ndarray) -> np.ndarray:
+        """(B, 3, 32, 128) -> (B, C_last, 1, 32) via the rectangular-
+        stride MobileNetV3 stack."""
+        return self.backbone.features(np.ascontiguousarray(x, np.float32))
+
+    def __repr__(self) -> str:
+        return f"CRNNMobileNet(arch={self.arch}, vocab={len(self.vocab)})"
+
+
 # ---------------------------------------------------------------- fixtures
 
 
@@ -320,3 +375,60 @@ def random_crnn_weights(
     ).astype(np.float32)
     p["linear.bias"] = np.zeros(vocab_size + 1, np.float32)
     return p
+
+
+def _crnn_head_weights(rng, p, lstm_in, rnn_units, vocab_size):
+    """Append the shared CRNN BiLSTM + linear head keys to ``p``."""
+    for k in range(2):
+        in_sz = lstm_in if k == 0 else 2 * rnn_units
+        bound = 1.0 / np.sqrt(rnn_units)
+        for suf in ("", "_reverse"):
+            p[f"decoder.weight_ih_l{k}{suf}"] = rng.uniform(
+                -bound, bound, (4 * rnn_units, in_sz)
+            ).astype(np.float32)
+            p[f"decoder.weight_hh_l{k}{suf}"] = rng.uniform(
+                -bound, bound, (4 * rnn_units, rnn_units)
+            ).astype(np.float32)
+            p[f"decoder.bias_ih_l{k}{suf}"] = rng.uniform(
+                -bound, bound, 4 * rnn_units
+            ).astype(np.float32)
+            p[f"decoder.bias_hh_l{k}{suf}"] = rng.uniform(
+                -bound, bound, 4 * rnn_units
+            ).astype(np.float32)
+    p["linear.weight"] = rng.uniform(
+        -0.05, 0.05, (vocab_size + 1, 2 * rnn_units)
+    ).astype(np.float32)
+    p["linear.bias"] = np.zeros(vocab_size + 1, np.float32)
+    return p
+
+
+def random_crnn_mobilenet_weights(
+    arch: str = "crnn_mobilenet_v3_small",
+    vocab_size: int | None = None,
+    rnn_units: int = 128,
+    seed: int = 0,
+) -> dict[str, np.ndarray]:
+    """Full fixed-seed checkpoint for :class:`CRNNMobileNet` — the
+    torch-keyed MobileNetV3 features under ``feat_extractor.*`` plus
+    the CRNN head."""
+    from .mobilenet import (
+        LARGE_CONF,
+        LARGE_LAST_CONV,
+        LAST_CONV,
+        SMALL_CONF,
+        random_mobilenet_weights,
+    )
+
+    if vocab_size is None:
+        vocab_size = len(VOCABS["french"])
+    conf, last = (
+        (SMALL_CONF, LAST_CONV)
+        if arch == "crnn_mobilenet_v3_small"
+        else (LARGE_CONF, LARGE_LAST_CONV)
+    )
+    p = random_mobilenet_weights(
+        seed=seed, conf=conf, last_conv=last,
+        prefix="feat_extractor", include_classifier=False,
+    )
+    rng = np.random.RandomState(seed + 1)
+    return _crnn_head_weights(rng, p, last, rnn_units, vocab_size)

@@ -51,6 +51,32 @@ SMALL_CONF = (
 LAST_CONV = 576  # 6 * 96
 LAST_CHANNEL = 1024
 
+#: torchvision _mobilenet_v3_conf("mobilenet_v3_large") rows
+LARGE_CONF = (
+    (16, 3, 16, 16, False, False, 1),
+    (16, 3, 64, 24, False, False, 2),
+    (24, 3, 72, 24, False, False, 1),
+    (24, 5, 72, 40, True, False, 2),
+    (40, 5, 120, 40, True, False, 1),
+    (40, 5, 120, 40, True, False, 1),
+    (40, 3, 240, 80, False, True, 2),
+    (80, 3, 200, 80, False, True, 1),
+    (80, 3, 184, 80, False, True, 1),
+    (80, 3, 184, 80, False, True, 1),
+    (80, 3, 480, 112, True, True, 1),
+    (112, 3, 672, 112, True, True, 1),
+    (112, 5, 672, 160, True, True, 2),
+    (160, 5, 960, 160, True, True, 1),
+    (160, 5, 960, 160, True, True, 1),
+)
+LARGE_LAST_CONV = 960  # 6 * 160
+
+#: the reference's rectangular-stride block indices for the ``_r``
+#: recognition backbones (mobilenet/pytorch.py:151-176 small_r,
+#: :204-229 large_r): these depthwise convs run stride (2, 1)
+SMALL_RECT_STRIDES = frozenset({2, 4, 9})
+LARGE_RECT_STRIDES = frozenset({4, 7, 13})
+
 #: the reference's orientation classes (mobilenet/pytorch.py:64,72)
 ORIENTATION_CLASSES = (0, -90, 180, 90)
 
@@ -71,15 +97,18 @@ def hardswish(x: np.ndarray) -> np.ndarray:
     return x * hardsigmoid(x)
 
 
-def depthwise_conv2d(x, w, stride: int = 1, pad: int = 0):
+def depthwise_conv2d(x, w, stride=1, pad: int = 0):
     """Depthwise NCHW convolution (groups == channels): ``w`` is
-    (C, 1, k, k), each channel convolved with its own filter."""
+    (C, 1, k, k), each channel convolved with its own filter.
+    ``stride`` may be an int or an (sh, sw) pair (the ``_r``
+    recognition backbones run (2, 1) rectangular strides)."""
     k = w.shape[2]
     if pad:
         x = np.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
     win = np.lib.stride_tricks.sliding_window_view(x, (k, k), axis=(2, 3))
-    if stride > 1:
-        win = win[:, :, ::stride, ::stride]
+    sh, sw = (stride, stride) if isinstance(stride, int) else stride
+    if sh > 1 or sw > 1:
+        win = win[:, :, ::sh, ::sw]
     return np.einsum(
         "bchwij,cij->bchw", win, w[:, 0].astype(x.dtype), optimize=True
     )
@@ -90,11 +119,21 @@ class MobileNetV3Small:
 
     ``src`` is anything :func:`doctr_ray.weights.load_weights`
     accepts (``.npz`` path, object-store ref, or dict). ``classes``
-    defaults to the reference's orientation labels."""
+    defaults to the reference's orientation labels. ``prefix`` names
+    the features stack in the checkpoint (``features`` standalone,
+    ``feat_extractor`` when embedded in a recognition model) and
+    ``rect_strides`` lists block indices whose depthwise conv runs
+    stride (2, 1) — the ``_r`` recognition-backbone variants."""
 
-    def __init__(self, src, classes=ORIENTATION_CLASSES):
+    CONF = SMALL_CONF
+    LAST_C = LAST_CONV
+
+    def __init__(self, src, classes=ORIENTATION_CLASSES, prefix: str = "features",
+                 rect_strides=frozenset()):
         self.p = {k: np.asarray(v) for k, v in load_weights(src).items()}
         self.classes = tuple(classes)
+        self.prefix = prefix
+        self.rect_strides = frozenset(rect_strides)
 
     # ------------------------------------------------------ forward
 
@@ -121,31 +160,40 @@ class MobileNetV3Small:
             return hardswish(x)
         return x  # linear (project layers)
 
-    def forward(self, x: np.ndarray) -> np.ndarray:
-        """(B, 3, H, W) float32 -> (B, n_classes) logits."""
+    def features(self, x: np.ndarray) -> np.ndarray:
+        """(B, 3, H, W) float32 -> the final feature map
+        (B, LAST_C, H', W') — the ``.features`` stack a recognition
+        head consumes."""
+        pre = self.prefix
         x = x.astype(np.float32, copy=False)
-        x = self._cna(x, "features.0", stride=2, act="hs")
+        x = self._cna(x, f"{pre}.0", stride=2, act="hs")
         for i, (in_c, _k, exp_c, out_c, use_se, use_hs, stride) in enumerate(
-            SMALL_CONF, start=1
+            self.CONF, start=1
         ):
+            if i in self.rect_strides:
+                stride = (2, 1)
             act = "hs" if use_hs else "re"
             sub = 0
             res = x
             if exp_c != in_c:
-                x = self._cna(x, f"features.{i}.block.0", act=act)
+                x = self._cna(x, f"{pre}.{i}.block.0", act=act)
                 sub = 1
             x = self._cna(
-                x, f"features.{i}.block.{sub}", stride=stride, act=act,
+                x, f"{pre}.{i}.block.{sub}", stride=stride, act=act,
                 depthwise=True,
             )
             sub += 1
             if use_se:
-                x = self._se(x, f"features.{i}.block.{sub}")
+                x = self._se(x, f"{pre}.{i}.block.{sub}")
                 sub += 1
-            x = self._cna(x, f"features.{i}.block.{sub}", act="none")
+            x = self._cna(x, f"{pre}.{i}.block.{sub}", act="none")
             if stride == 1 and in_c == out_c:
                 x = x + res
-        x = self._cna(x, "features.12", act="hs")
+        return self._cna(x, f"{pre}.{len(self.CONF) + 1}", act="hs")
+
+    def forward(self, x: np.ndarray) -> np.ndarray:
+        """(B, 3, H, W) float32 -> (B, n_classes) logits."""
+        x = self.features(x)
         x = x.mean(axis=(2, 3))  # AdaptiveAvgPool2d(1) + flatten
         x = x @ self.p["classifier.0.weight"].T + self.p["classifier.0.bias"]
         x = hardswish(x)
@@ -165,61 +213,78 @@ class MobileNetV3Small:
         return idx, angles, probs[np.arange(len(idx)), idx]
 
 
-def random_mobilenet_weights(seed: int = 0, num_classes: int = 4) -> dict:
-    """Fixed-seed torch-keyed mobilenet_v3_small checkpoint (inference
-    arrays only) for shape/parity tests and fixtures."""
+class MobileNetV3Large(MobileNetV3Small):
+    """torchvision-keyed MobileNetV3-LARGE profile (same key scheme,
+    15 inverted-residual blocks, final conv 160 -> 960)."""
+
+    CONF = LARGE_CONF
+    LAST_C = LARGE_LAST_CONV
+
+
+def random_mobilenet_weights(
+    seed: int = 0,
+    num_classes: int = 4,
+    conf=SMALL_CONF,
+    last_conv: int = LAST_CONV,
+    prefix: str = "features",
+    include_classifier: bool = True,
+) -> dict:
+    """Fixed-seed torch-keyed MobileNetV3 checkpoint (inference arrays
+    only) for shape/parity tests and fixtures — small profile under
+    ``features.*`` with a classifier head by default; pass
+    ``LARGE_CONF``/``LARGE_LAST_CONV`` and ``prefix='feat_extractor'``
+    with ``include_classifier=False`` for a recognition backbone."""
     rng = np.random.RandomState(seed)
     p: dict[str, np.ndarray] = {}
 
-    def conv(prefix, o, c, k):
-        p[f"{prefix}.weight"] = rng.randn(o, c, k, k).astype(np.float32) * 0.1
+    def conv(name, o, c, k):
+        p[f"{name}.weight"] = rng.randn(o, c, k, k).astype(np.float32) * 0.1
 
-    def bn(prefix, c):
-        p[f"{prefix}.weight"] = 1.0 + rng.randn(c).astype(np.float32) * 0.05
-        p[f"{prefix}.bias"] = rng.randn(c).astype(np.float32) * 0.05
-        p[f"{prefix}.running_mean"] = rng.randn(c).astype(np.float32) * 0.05
-        p[f"{prefix}.running_var"] = 1.0 + rng.rand(c).astype(np.float32) * 0.1
+    def bn(name, c):
+        p[f"{name}.weight"] = 1.0 + rng.randn(c).astype(np.float32) * 0.05
+        p[f"{name}.bias"] = rng.randn(c).astype(np.float32) * 0.05
+        p[f"{name}.running_mean"] = rng.randn(c).astype(np.float32) * 0.05
+        p[f"{name}.running_var"] = 1.0 + rng.rand(c).astype(np.float32) * 0.1
 
-    conv("features.0.0", 16, 3, 3)
-    bn("features.0.1", 16)
-    for i, (in_c, k, exp_c, out_c, use_se, _hs, _s) in enumerate(
-        SMALL_CONF, start=1
-    ):
+    conv(f"{prefix}.0.0", 16, 3, 3)
+    bn(f"{prefix}.0.1", 16)
+    for i, (in_c, k, exp_c, out_c, use_se, _hs, _s) in enumerate(conf, start=1):
         sub = 0
         if exp_c != in_c:
-            conv(f"features.{i}.block.0.0", exp_c, in_c, 1)
-            bn(f"features.{i}.block.0.1", exp_c)
+            conv(f"{prefix}.{i}.block.0.0", exp_c, in_c, 1)
+            bn(f"{prefix}.{i}.block.0.1", exp_c)
             sub = 1
-        p[f"features.{i}.block.{sub}.0.weight"] = (
+        p[f"{prefix}.{i}.block.{sub}.0.weight"] = (
             rng.randn(exp_c, 1, k, k).astype(np.float32) * 0.1
         )
-        bn(f"features.{i}.block.{sub}.1", exp_c)
+        bn(f"{prefix}.{i}.block.{sub}.1", exp_c)
         sub += 1
         if use_se:
             sq = _divisible(exp_c // 4)
-            p[f"features.{i}.block.{sub}.fc1.weight"] = (
+            p[f"{prefix}.{i}.block.{sub}.fc1.weight"] = (
                 rng.randn(sq, exp_c, 1, 1).astype(np.float32) * 0.1
             )
-            p[f"features.{i}.block.{sub}.fc1.bias"] = (
+            p[f"{prefix}.{i}.block.{sub}.fc1.bias"] = (
                 rng.randn(sq).astype(np.float32) * 0.05
             )
-            p[f"features.{i}.block.{sub}.fc2.weight"] = (
+            p[f"{prefix}.{i}.block.{sub}.fc2.weight"] = (
                 rng.randn(exp_c, sq, 1, 1).astype(np.float32) * 0.1
             )
-            p[f"features.{i}.block.{sub}.fc2.bias"] = (
+            p[f"{prefix}.{i}.block.{sub}.fc2.bias"] = (
                 rng.randn(exp_c).astype(np.float32) * 0.05
             )
             sub += 1
-        conv(f"features.{i}.block.{sub}.0", out_c, exp_c, 1)
-        bn(f"features.{i}.block.{sub}.1", out_c)
-    conv("features.12.0", LAST_CONV, 96, 1)
-    bn("features.12.1", LAST_CONV)
-    p["classifier.0.weight"] = (
-        rng.randn(LAST_CHANNEL, LAST_CONV).astype(np.float32) * 0.05
-    )
-    p["classifier.0.bias"] = rng.randn(LAST_CHANNEL).astype(np.float32) * 0.05
-    p["classifier.3.weight"] = (
-        rng.randn(num_classes, LAST_CHANNEL).astype(np.float32) * 0.05
-    )
-    p["classifier.3.bias"] = rng.randn(num_classes).astype(np.float32) * 0.05
+        conv(f"{prefix}.{i}.block.{sub}.0", out_c, exp_c, 1)
+        bn(f"{prefix}.{i}.block.{sub}.1", out_c)
+    conv(f"{prefix}.{len(conf) + 1}.0", last_conv, conf[-1][3], 1)
+    bn(f"{prefix}.{len(conf) + 1}.1", last_conv)
+    if include_classifier:
+        p["classifier.0.weight"] = (
+            rng.randn(LAST_CHANNEL, last_conv).astype(np.float32) * 0.05
+        )
+        p["classifier.0.bias"] = rng.randn(LAST_CHANNEL).astype(np.float32) * 0.05
+        p["classifier.3.weight"] = (
+            rng.randn(num_classes, LAST_CHANNEL).astype(np.float32) * 0.05
+        )
+        p["classifier.3.bias"] = rng.randn(num_classes).astype(np.float32) * 0.05
     return p
