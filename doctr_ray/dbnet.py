@@ -263,6 +263,39 @@ class DBNetNumpy:
         return boxes
 
 
+class DBNetMobileNet(DBNetNumpy):
+    """Numpy ``db_mobilenet_v3_large`` inference tower (reference
+    differentiable_binarization/pytorch.py db_mobilenet_v3_large
+    factory: the DB FPN + prob head over torchvision
+    mobilenet_v3_large features tapped at Sequential indices
+    [3, 6, 12, 16] -> channel pyramid [24, 40, 112, 960] at
+    1/4..1/32). Keys: ``feat_extractor.{0..16}.*`` (the features
+    stack under the IntermediateLayerGetter's preserved child names)
+    plus the shared ``fpn.*`` / ``prob_head.*``."""
+
+    TAPS = (3, 6, 12, 16)
+
+    def __init__(
+        self,
+        weights,
+        bin_thresh: float = 0.3,
+        box_thresh: float = 0.1,
+        input_shape: tuple[int, int] = (1024, 1024),
+    ):
+        from .mobilenet import MobileNetV3Large
+
+        # ONE load: the backbone loads the full blob; FPN/head share it
+        self.backbone = MobileNetV3Large(weights, prefix="feat_extractor")
+        self.p = self.backbone.p
+        self.bin_thresh = bin_thresh
+        self.box_thresh = box_thresh
+        self.input_shape = input_shape
+
+    def features(self, x: np.ndarray) -> list[np.ndarray]:
+        """(B,3,H,W) -> the four tapped maps at 1/4..1/32."""
+        return self.backbone.feature_taps(x, self.TAPS)
+
+
 # ---------------------------------------------------------------- fixtures
 
 
@@ -314,6 +347,47 @@ def random_dbnet_weights(seed: int = 0, num_classes: int = 1) -> dict:
     p["prob_head.3.weight"] = (
         rng.standard_normal((64, 64, 2, 2)) * 0.1
     ).astype(np.float32)
+    bn("prob_head.4", 64)
+    p["prob_head.6.weight"] = (
+        rng.standard_normal((64, num_classes, 2, 2)) * 0.1
+    ).astype(np.float32)
+    p["prob_head.6.bias"] = np.zeros(num_classes, np.float32)
+    return p
+
+
+def random_db_mobilenet_weights(seed: int = 0, num_classes: int = 1) -> dict:
+    """Fixed-seed checkpoint with the exact torch key set of
+    db_mobilenet_v3_large (mobilenet features under
+    ``feat_extractor.*`` + the shared fpn / prob_head)."""
+    from .mobilenet import LARGE_CONF, LARGE_LAST_CONV, random_mobilenet_weights
+
+    p = random_mobilenet_weights(
+        seed=seed, conf=LARGE_CONF, last_conv=LARGE_LAST_CONV,
+        prefix="feat_extractor", include_classifier=False,
+    )
+    rng = np.random.RandomState(seed + 1)
+
+    def conv(name, o, c, k):
+        p[name] = (
+            rng.standard_normal((o, c, k, k)) * np.sqrt(2.0 / (o * k * k))
+        ).astype(np.float32)
+
+    def bn(name, c):
+        p[f"{name}.weight"] = np.ones(c, np.float32)
+        p[f"{name}.bias"] = np.zeros(c, np.float32)
+        p[f"{name}.running_mean"] = (rng.standard_normal(c) * 0.05).astype(np.float32)
+        p[f"{name}.running_var"] = (1.0 + 0.1 * rng.rand(c)).astype(np.float32)
+
+    # the taps' channel pyramid: blocks 3 / 6 / 12 and the final conv
+    fpn_in = [LARGE_CONF[2][3], LARGE_CONF[5][3], LARGE_CONF[11][3], LARGE_LAST_CONV]
+    for i, c in enumerate(fpn_in):
+        conv(f"fpn.in_branches.{i}.0.weight", 256, c, 1)
+        bn(f"fpn.in_branches.{i}.1", 256)
+        conv(f"fpn.out_branches.{i}.0.weight", 64, 256, 3)
+        bn(f"fpn.out_branches.{i}.1", 64)
+    conv("prob_head.0.weight", 64, 256, 3)
+    bn("prob_head.1", 64)
+    p["prob_head.3.weight"] = (rng.standard_normal((64, 64, 2, 2)) * 0.1).astype(np.float32)
     bn("prob_head.4", 64)
     p["prob_head.6.weight"] = (
         rng.standard_normal((64, num_classes, 2, 2)) * 0.1

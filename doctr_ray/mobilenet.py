@@ -160,36 +160,61 @@ class MobileNetV3Small:
             return hardswish(x)
         return x  # linear (project layers)
 
+    def _block(self, x: np.ndarray, i: int, row) -> np.ndarray:
+        """Inverted-residual block ``features.{i}`` (torchvision
+        InvertedResidual): expand / depthwise / SE / project +
+        residual."""
+        pre = self.prefix
+        in_c, _k, exp_c, out_c, use_se, use_hs, stride = row
+        if i in self.rect_strides:
+            stride = (2, 1)
+        act = "hs" if use_hs else "re"
+        sub = 0
+        res = x
+        if exp_c != in_c:
+            x = self._cna(x, f"{pre}.{i}.block.0", act=act)
+            sub = 1
+        x = self._cna(
+            x, f"{pre}.{i}.block.{sub}", stride=stride, act=act, depthwise=True
+        )
+        sub += 1
+        if use_se:
+            x = self._se(x, f"{pre}.{i}.block.{sub}")
+            sub += 1
+        x = self._cna(x, f"{pre}.{i}.block.{sub}", act="none")
+        if stride == 1 and in_c == out_c:
+            x = x + res
+        return x
+
+    def feature_taps(self, x: np.ndarray, taps) -> list[np.ndarray]:
+        """Run the features stack collecting outputs at the given
+        Sequential indices in ascending order — the
+        ``IntermediateLayerGetter`` analog a detection FPN consumes
+        (index 0 = stem, 1..len(CONF) = blocks, len(CONF)+1 = the
+        final 1x1 conv)."""
+        taps = sorted(set(taps))
+        last = len(self.CONF) + 1
+        out: dict[int, np.ndarray] = {}
+        x = x.astype(np.float32, copy=False)
+        x = self._cna(x, f"{self.prefix}.0", stride=2, act="hs")
+        if 0 in taps:
+            out[0] = x
+        for i, row in enumerate(self.CONF, start=1):
+            if i > max(taps):
+                break
+            x = self._block(x, i, row)
+            if i in taps:
+                out[i] = x
+        if last in taps:
+            x = self._cna(x, f"{self.prefix}.{last}", act="hs")
+            out[last] = x
+        return [out[t] for t in taps]
+
     def features(self, x: np.ndarray) -> np.ndarray:
         """(B, 3, H, W) float32 -> the final feature map
         (B, LAST_C, H', W') — the ``.features`` stack a recognition
         head consumes."""
-        pre = self.prefix
-        x = x.astype(np.float32, copy=False)
-        x = self._cna(x, f"{pre}.0", stride=2, act="hs")
-        for i, (in_c, _k, exp_c, out_c, use_se, use_hs, stride) in enumerate(
-            self.CONF, start=1
-        ):
-            if i in self.rect_strides:
-                stride = (2, 1)
-            act = "hs" if use_hs else "re"
-            sub = 0
-            res = x
-            if exp_c != in_c:
-                x = self._cna(x, f"{pre}.{i}.block.0", act=act)
-                sub = 1
-            x = self._cna(
-                x, f"{pre}.{i}.block.{sub}", stride=stride, act=act,
-                depthwise=True,
-            )
-            sub += 1
-            if use_se:
-                x = self._se(x, f"{pre}.{i}.block.{sub}")
-                sub += 1
-            x = self._cna(x, f"{pre}.{i}.block.{sub}", act="none")
-            if stride == 1 and in_c == out_c:
-                x = x + res
-        return self._cna(x, f"{pre}.{len(self.CONF) + 1}", act="hs")
+        return self.feature_taps(x, [len(self.CONF) + 1])[0]
 
     def forward(self, x: np.ndarray) -> np.ndarray:
         """(B, 3, H, W) float32 -> (B, n_classes) logits."""
