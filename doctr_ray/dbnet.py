@@ -148,11 +148,16 @@ def _bottleneck(x, p, prefix: str, stride: int):
     return out
 
 
+#: BasicBlock counts per layer (torchvision resnet34 — db_resnet34)
+RESNET34_LAYERS = [3, 4, 6, 3]
+
+
 class DBNetNumpy:
-    """Numpy ``db_resnet50`` inference tower + straight-pages
-    postprocessing. ``weights``: path / ObjectRef / dict consumed once
-    by :func:`doctr_ray.weights.load_weights`; keys follow the torch
-    state dict (``feat_extractor.*``, ``fpn.*``, ``prob_head.*``)."""
+    """Numpy ``db_resnet50`` / ``db_resnet34`` inference tower +
+    straight-pages postprocessing. ``weights``: path / ObjectRef /
+    dict consumed once by :func:`doctr_ray.weights.load_weights`;
+    keys follow the torch state dict (``feat_extractor.*``,
+    ``fpn.*``, ``prob_head.*``)."""
 
     MEAN = np.array([0.798, 0.785, 0.772], np.float32)
     STD = np.array([0.264, 0.2749, 0.287], np.float32)
@@ -160,12 +165,16 @@ class DBNetNumpy:
     def __init__(
         self,
         weights,
+        arch: str = "db_resnet50",
         bin_thresh: float = 0.3,
         box_thresh: float = 0.1,
         input_shape: tuple[int, int] = (1024, 1024),
     ):
         from .weights import load_weights
 
+        if arch not in ("db_resnet50", "db_resnet34"):
+            raise ValueError(f"unknown dbnet arch '{arch}'")
+        self.arch = arch
         self.p = {k: np.asarray(v) for k, v in load_weights(weights).items()}
         self.bin_thresh = bin_thresh
         self.box_thresh = box_thresh
@@ -173,12 +182,22 @@ class DBNetNumpy:
 
     # -- backbone --------------------------------------------------------
     def features(self, x: np.ndarray) -> list[np.ndarray]:
-        """(B,3,H,W) -> [layer1..layer4] maps at 1/4..1/32."""
+        """(B,3,H,W) -> [layer1..layer4] maps at 1/4..1/32 (bottleneck
+        blocks for resnet50, BasicBlocks for resnet34)."""
         p = self.p
         out = conv2d(x, p["feat_extractor.conv1.weight"], stride=2, pad=3)
         out = bn_relu(out, p, "feat_extractor.bn1")
         out = maxpool2d_s(out, 3, 2, 1)
         feats = []
+        if self.arch == "db_resnet34":
+            from .linknet import basic_block
+
+            for li, n_blocks in enumerate(RESNET34_LAYERS, start=1):
+                for bi in range(n_blocks):
+                    stride = 2 if (bi == 0 and li > 1) else 1
+                    out = basic_block(out, p, f"feat_extractor.layer{li}.{bi}", stride)
+                feats.append(out)
+            return feats
         for li, (n_blocks, _mid) in enumerate(RESNET50_LAYERS, start=1):
             for bi in range(n_blocks):
                 stride = 2 if (bi == 0 and li > 1) else 1
@@ -299,10 +318,13 @@ class DBNetMobileNet(DBNetNumpy):
 # ---------------------------------------------------------------- fixtures
 
 
-def random_dbnet_weights(seed: int = 0, num_classes: int = 1) -> dict:
+def random_dbnet_weights(
+    seed: int = 0, num_classes: int = 1, arch: str = "db_resnet50"
+) -> dict:
     """Fixed-seed checkpoint with the exact torch state-dict key set of
-    db_resnet50 (backbone + fpn + prob_head; the thresh_head is a
-    training-only branch and not required for inference)."""
+    db_resnet50 / db_resnet34 (backbone + fpn + prob_head; the
+    thresh_head is a training-only branch and not required for
+    inference)."""
     rng = np.random.RandomState(seed)
     p: dict[str, np.ndarray] = {}
 
@@ -322,21 +344,36 @@ def random_dbnet_weights(seed: int = 0, num_classes: int = 1) -> dict:
     conv("feat_extractor.conv1.weight", 64, 3, 7)
     bn("feat_extractor.bn1", 64)
     in_ch = 64
-    for li, (n_blocks, mid) in enumerate(RESNET50_LAYERS, start=1):
-        out_ch = mid * 4
-        for bi in range(n_blocks):
-            pre = f"feat_extractor.layer{li}.{bi}"
-            conv(f"{pre}.conv1.weight", mid, in_ch, 1)
-            bn(f"{pre}.bn1", mid)
-            conv(f"{pre}.conv2.weight", mid, mid, 3)
-            bn(f"{pre}.bn2", mid)
-            conv(f"{pre}.conv3.weight", out_ch, mid, 1)
-            bn(f"{pre}.bn3", out_ch)
-            if bi == 0:
-                conv(f"{pre}.downsample.0.weight", out_ch, in_ch, 1)
-                bn(f"{pre}.downsample.1", out_ch)
-            in_ch = out_ch
-    fpn_in = [256, 512, 1024, 2048]
+    if arch == "db_resnet34":
+        for li, n_blocks in enumerate(RESNET34_LAYERS, start=1):
+            out_ch = 64 * 2 ** (li - 1)
+            for bi in range(n_blocks):
+                pre = f"feat_extractor.layer{li}.{bi}"
+                conv(f"{pre}.conv1.weight", out_ch, in_ch, 3)
+                bn(f"{pre}.bn1", out_ch)
+                conv(f"{pre}.conv2.weight", out_ch, out_ch, 3)
+                bn(f"{pre}.bn2", out_ch)
+                if bi == 0 and li > 1:
+                    conv(f"{pre}.downsample.0.weight", out_ch, in_ch, 1)
+                    bn(f"{pre}.downsample.1", out_ch)
+                in_ch = out_ch
+        fpn_in = [64, 128, 256, 512]
+    else:
+        for li, (n_blocks, mid) in enumerate(RESNET50_LAYERS, start=1):
+            out_ch = mid * 4
+            for bi in range(n_blocks):
+                pre = f"feat_extractor.layer{li}.{bi}"
+                conv(f"{pre}.conv1.weight", mid, in_ch, 1)
+                bn(f"{pre}.bn1", mid)
+                conv(f"{pre}.conv2.weight", mid, mid, 3)
+                bn(f"{pre}.bn2", mid)
+                conv(f"{pre}.conv3.weight", out_ch, mid, 1)
+                bn(f"{pre}.bn3", out_ch)
+                if bi == 0:
+                    conv(f"{pre}.downsample.0.weight", out_ch, in_ch, 1)
+                    bn(f"{pre}.downsample.1", out_ch)
+                in_ch = out_ch
+        fpn_in = [256, 512, 1024, 2048]
     for i, c in enumerate(fpn_in):
         conv(f"fpn.in_branches.{i}.0.weight", 256, c, 1)
         bn(f"fpn.in_branches.{i}.1", 256)

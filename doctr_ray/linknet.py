@@ -85,17 +85,26 @@ def basic_block(x: np.ndarray, p: dict, prefix: str, stride: int) -> np.ndarray:
 
 # ------------------------------------------------------------- architecture
 
-#: BasicBlock counts per layer (torchvision resnet18 / resnet34)
-LINKNET_LAYERS = {
-    "linknet_resnet18": [2, 2, 2, 2],
-    "linknet_resnet34": [3, 4, 6, 3],
+#: per arch: (blocks per layer, block kind, channels per layer)
+#: — torchvision resnet18/34 (BasicBlock) and resnet50 (Bottleneck)
+LINKNET_ARCHS = {
+    "linknet_resnet18": ([2, 2, 2, 2], "basic", [64, 128, 256, 512]),
+    "linknet_resnet34": ([3, 4, 6, 3], "basic", [64, 128, 256, 512]),
+    "linknet_resnet50": ([3, 4, 6, 3], "bottleneck", [256, 512, 1024, 2048]),
 }
-#: encoder channels per layer (BasicBlock resnets)
-_CHANS = [64, 128, 256, 512]
-#: FPN decoder (in_chan, out_chan, stride) rows — linknet/pytorch.py:
-#: 46-61 builds decoder_block(ochan, ichan, stride) over consecutive
-#: [stem] + layer channels with stride 2 wherever resolution halves
-_DECODERS = [(64, 64, 1), (128, 64, 2), (256, 128, 2), (512, 256, 2)]
+#: legacy alias (blocks per layer) used by fixtures/tests
+LINKNET_LAYERS = {k: v[0] for k, v in LINKNET_ARCHS.items()}
+
+
+def _decoder_rows(chans: list[int]) -> list[tuple[int, int, int]]:
+    """FPN decoder (in_chan, out_chan, stride) rows — linknet/
+    pytorch.py:46-61 builds decoder_block(ochan, ichan, stride) over
+    the consecutive [stem-resolution] + layer channels with stride 2
+    wherever resolution halves (the first pair shares 1/4 res)."""
+    full = [chans[0]] + chans
+    return [
+        (full[i + 1], full[i], 1 if i == 0 else 2) for i in range(len(chans))
+    ]
 
 
 class LinkNetNumpy:
@@ -119,9 +128,11 @@ class LinkNetNumpy:
     ):
         from .weights import load_weights
 
-        if arch not in LINKNET_LAYERS:
+        if arch not in LINKNET_ARCHS:
             raise ValueError(f"unknown linknet arch '{arch}'")
         self.arch = arch
+        self.blocks, self.kind, self.chans = LINKNET_ARCHS[arch]
+        self.decoders = _decoder_rows(self.chans)
         self.p = {k: np.asarray(v) for k, v in load_weights(weights).items()}
         self.bin_thresh = bin_thresh
         self.box_thresh = box_thresh
@@ -135,10 +146,14 @@ class LinkNetNumpy:
         out = bn_relu(out, p, "feat_extractor.bn1")
         out = maxpool2d_s(out, 3, 2, 1)
         feats = []
-        for li, n_blocks in enumerate(LINKNET_LAYERS[self.arch], start=1):
+        if self.kind == "bottleneck":
+            from .dbnet import _bottleneck as block_fn
+        else:
+            block_fn = basic_block
+        for li, n_blocks in enumerate(self.blocks, start=1):
             for bi in range(n_blocks):
                 stride = 2 if (bi == 0 and li > 1) else 1
-                out = basic_block(out, p, f"feat_extractor.layer{li}.{bi}", stride)
+                out = block_fn(out, p, f"feat_extractor.layer{li}.{bi}", stride)
             feats.append(out)
         return feats
 
@@ -160,9 +175,9 @@ class LinkNetNumpy:
         ``decoders[i](out) + feats[i-1]`` from layer4 to layer1, then
         the stride-1 ``decoders[0]``."""
         out = feats[-1]
-        for i in range(len(_DECODERS) - 1, 0, -1):
-            out = self._decoder(out, i, _DECODERS[i][2]) + feats[i - 1]
-        return self._decoder(out, 0, _DECODERS[0][2])
+        for i in range(len(self.decoders) - 1, 0, -1):
+            out = self._decoder(out, i, self.decoders[i][2]) + feats[i - 1]
+        return self._decoder(out, 0, self.decoders[0][2])
 
     def prob_map(self, x: np.ndarray) -> np.ndarray:
         """(B,3,H,W) float32 -> (B,classes,H,W) probability map
@@ -250,23 +265,33 @@ def random_linknet_weights(
         p[f"{name}.running_mean"] = (rng.standard_normal(c) * 0.1).astype(np.float32)
         p[f"{name}.running_var"] = (1.0 + 0.1 * rng.rand(c)).astype(np.float32)
 
+    blocks, kind, chans = LINKNET_ARCHS[arch]
     conv("feat_extractor.conv1", 64, 3, 7)
     bn("feat_extractor.bn1", 64)
     in_ch = 64
-    for li, n_blocks in enumerate(LINKNET_LAYERS[arch], start=1):
-        out_ch = _CHANS[li - 1]
+    for li, n_blocks in enumerate(blocks, start=1):
+        out_ch = chans[li - 1]
+        mid_ch = out_ch // 4 if kind == "bottleneck" else out_ch
         for bi in range(n_blocks):
             stride = 2 if (bi == 0 and li > 1) else 1
             pre = f"feat_extractor.layer{li}.{bi}"
-            conv(f"{pre}.conv1", out_ch, in_ch, 3)
-            bn(f"{pre}.bn1", out_ch)
-            conv(f"{pre}.conv2", out_ch, out_ch, 3)
-            bn(f"{pre}.bn2", out_ch)
+            if kind == "bottleneck":
+                conv(f"{pre}.conv1", mid_ch, in_ch, 1)
+                bn(f"{pre}.bn1", mid_ch)
+                conv(f"{pre}.conv2", mid_ch, mid_ch, 3)
+                bn(f"{pre}.bn2", mid_ch)
+                conv(f"{pre}.conv3", out_ch, mid_ch, 1)
+                bn(f"{pre}.bn3", out_ch)
+            else:
+                conv(f"{pre}.conv1", out_ch, in_ch, 3)
+                bn(f"{pre}.bn1", out_ch)
+                conv(f"{pre}.conv2", out_ch, out_ch, 3)
+                bn(f"{pre}.bn2", out_ch)
             if stride != 1 or in_ch != out_ch:
                 conv(f"{pre}.downsample.0", out_ch, in_ch, 1)
                 bn(f"{pre}.downsample.1", out_ch)
             in_ch = out_ch
-    for i, (d_in, d_out, stride) in enumerate(_DECODERS):
+    for i, (d_in, d_out, stride) in enumerate(_decoder_rows(chans)):
         mid = d_in // 4
         conv(f"fpn.decoders.{i}.0", mid, d_in, 1)
         bn(f"fpn.decoders.{i}.1", mid)
@@ -274,7 +299,7 @@ def random_linknet_weights(
         bn(f"fpn.decoders.{i}.4", mid)
         conv(f"fpn.decoders.{i}.6", d_out, mid, 1)
         bn(f"fpn.decoders.{i}.7", d_out)
-    convt("classifier.0", 64, 32, 3)
+    convt("classifier.0", chans[0], 32, 3)
     bn("classifier.1", 32)
     conv("classifier.3", 32, 32, 3)
     bn("classifier.4", 32)

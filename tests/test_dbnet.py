@@ -197,3 +197,30 @@ def test_zoo_accepts_dbnet_instance(ray_session):
     exports = pred.forward_pages([page])  # random weights: garbage boxes,
     assert len(exports) == 1              # but the slot contract holds
     assert "blocks" in exports[0]
+
+
+def test_db_resnet34_basicblock_variant():
+    """db_resnet34: BasicBlock encoder (64..512 pyramid) under the same
+    DB FPN/head."""
+    from doctr_ray.dbnet import DBNetNumpy, random_dbnet_weights
+
+    w = random_dbnet_weights(arch="db_resnet34")
+    assert "feat_extractor.layer1.0.conv1.weight" in w
+    assert "feat_extractor.layer1.0.conv3.weight" not in w   # no bottleneck
+    assert "feat_extractor.layer1.0.downsample.0.weight" not in w
+    assert "feat_extractor.layer2.0.downsample.0.weight" in w
+    assert w["fpn.in_branches.3.0.weight"].shape == (256, 512, 1, 1)
+    m = DBNetNumpy(w, arch="db_resnet34", input_shape=(64, 64))
+    x = np.zeros((1, 3, 64, 64), np.float32)
+    feats = m.features(x)
+    assert [f.shape[1] for f in feats] == [64, 128, 256, 512]
+    assert m.prob_map(x).shape == (1, 1, 64, 64)
+
+
+def test_db_unknown_arch_raises():
+    import pytest as _pytest
+
+    from doctr_ray.dbnet import DBNetNumpy
+
+    with _pytest.raises(ValueError, match="unknown dbnet"):
+        DBNetNumpy({}, arch="db_resnet18")

@@ -209,3 +209,19 @@ def test_zoo_accepts_linknet_instance(ray_session):
     det = LinkNetNumpy(random_linknet_weights(), input_shape=(128, 128))
     pred = ocr_predictor(det_arch=det)
     assert pred.cfg.det_instance is det
+
+
+def test_resnet50_bottleneck_variant():
+    """linknet_resnet50: Bottleneck encoder (256..2048 channel pyramid)
+    under the same decoder FPN; the classifier consumes layer1's 256."""
+    w = random_linknet_weights("linknet_resnet50")
+    assert "feat_extractor.layer1.0.conv3.weight" in w       # bottleneck
+    assert "feat_extractor.layer1.0.downsample.0.weight" in w  # 64 -> 256
+    assert w["fpn.decoders.3.0.weight"].shape == (512, 2048, 1, 1)
+    assert w["classifier.0.weight"].shape == (256, 32, 3, 3)
+    m = LinkNetNumpy(w, arch="linknet_resnet50", input_shape=(64, 64))
+    x = np.zeros((1, 3, 64, 64), np.float32)
+    feats = m.features(x)
+    assert [f.shape[1] for f in feats] == [256, 512, 1024, 2048]
+    prob = m.prob_map(x)
+    assert prob.shape == (1, 1, 64, 64)
