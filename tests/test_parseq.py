@@ -1,0 +1,160 @@
+"""PARSeq tower: the position-query decode contract (content vs query
+streams, causal step mask, refine pass), determinism pin, key names,
+load-once, and the zoo slot. The attention/layer-norm/GELU kernels are
+differentially covered in test_vitstr.py — this file tests their
+PARSeq-specific composition."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from doctr_ray.parseq import PARSeqNumpy, decode_parseq, random_parseq_weights
+
+RNG = np.random.RandomState(41)
+
+TINY = dict(vocab_size=10, d_model=48, enc_layers=2, dec_ff_dim=24,
+            max_length=6)
+
+
+@pytest.fixture(scope="module")
+def tiny_parseq():
+    return PARSeqNumpy(
+        random_parseq_weights(seed=3, **TINY), vocab="0123456789",
+        enc_num_heads=4, dec_num_heads=4, max_length=6,
+    )
+
+
+def test_memory_drops_cls_token(tiny_parseq):
+    x = RNG.standard_normal((2, 3, 32, 128)).astype(np.float32)
+    mem = tiny_parseq.memory(x)
+    # 128 patches, cls dropped
+    assert mem.shape == (2, 128, 48)
+    assert np.isfinite(mem).all()
+
+
+def test_forward_shape_and_decode(tiny_parseq):
+    x = RNG.standard_normal((1, 3, 32, 128)).astype(np.float32)
+    logits = tiny_parseq.forward(x)
+    # at most max_length + 1 steps, vocab + 1 classes (EOS only)
+    assert logits.shape[0] == 1 and logits.shape[2] == 11
+    assert 1 <= logits.shape[1] <= 7
+    preds = decode_parseq(logits, tiny_parseq.vocab)
+    text, conf = preds[0]
+    assert isinstance(text, str) and 0.0 <= conf <= 1.0
+    out = tiny_parseq.recognize_batch([(RNG.rand(20, 64) * 255).astype(np.uint8)])
+    assert len(out) == 1
+
+
+def test_step_mask_blocks_future_content():
+    """Step i's decode must not depend on ys positions > i (the causal
+    row mask): mutating a future PAD slot changes nothing."""
+    m = PARSeqNumpy(random_parseq_weights(seed=5, **TINY), vocab="0123456789",
+                    enc_num_heads=4, dec_num_heads=4, max_length=6)
+    mem = RNG.standard_normal((1, 128, 48)).astype(np.float32)
+    ys = np.full((1, 3), m.pad, np.int64)
+    ys[0, 0] = m.sos
+    mask = np.tril(np.ones((3, 3), np.int32))
+    out1 = m.decode(ys, mem, target_mask=mask[1:2, :2]
+                    if False else mask, target_query=None)
+    ys2 = ys.copy()
+    ys2[0, 2] = 4  # mutate a future position
+    # row-0 query with mask row [1, 0, 0] sees only position 0
+    q = np.broadcast_to(m.p["pos_queries"][:, :1].astype(np.float32), (1, 1, 48))
+    o1 = m.decode(ys, mem, target_mask=mask[0:1, :3], target_query=q)
+    o2 = m.decode(ys2, mem, target_mask=mask[0:1, :3], target_query=q)
+    np.testing.assert_allclose(o1, o2, atol=1e-6)
+    assert out1.shape == (1, 3, 48)
+
+
+def test_refine_consumes_first_pass_argmax():
+    """The refine pass conditions on the AR pass's argmax sequence:
+    biasing the head flips the fed-back tokens and changes the
+    (bias-corrected) refined logits."""
+    w = random_parseq_weights(seed=7, **TINY)
+    m1 = PARSeqNumpy(dict(w), vocab="0123456789", enc_num_heads=4,
+                     dec_num_heads=4, max_length=4)
+    w2 = dict(w)
+    b = w2["head.bias"].copy()
+    b[5] += 50.0
+    w2["head.bias"] = b
+    m2 = PARSeqNumpy(w2, vocab="0123456789", enc_num_heads=4,
+                     dec_num_heads=4, max_length=4)
+    x = np.linspace(-1, 1, 3 * 32 * 128, dtype=np.float32).reshape(1, 3, 32, 128)
+    l1, l2 = m1.forward(x), m2.forward(x)
+    L = min(l1.shape[1], l2.shape[1])
+    diff = np.abs(
+        (l2[:, :L] - b[None, None, :]) - (l1[:, :L] - w["head.bias"][None, None, :])
+    )
+    assert diff[:, 1:].max() > 1e-3
+
+
+def test_fixed_seed_argmax_path_pinned(tiny_parseq):
+    x = np.linspace(-1, 1, 3 * 32 * 128, dtype=np.float32).reshape(1, 3, 32, 128)
+    path = tiny_parseq.forward(x).argmax(axis=-1).astype(np.int64)
+    digest = hashlib.sha256(path.tobytes()).hexdigest()[:16]
+    assert digest == PINNED_ARGMAX_DIGEST, f"refined path changed: {digest}"
+
+
+PINNED_ARGMAX_DIGEST = "5e5d45113c783b7d"
+
+
+def test_checkpoint_keys_match_torch_state_dict_names():
+    p = random_parseq_weights(**TINY)
+    for key in (
+        "feat_extractor.0.cls_token",
+        "feat_extractor.1.attention.0.linear_layers.0.weight",
+        "decoder.attention.output_linear.weight",
+        "decoder.cross_attention.linear_layers.2.bias",
+        "decoder.position_feed_forward.0.weight",
+        "decoder.position_feed_forward.3.bias",
+        "decoder.query_norm.weight",
+        "decoder.content_norm.bias",
+        "decoder.feed_forward_norm.weight",
+        "decoder.output_norm.bias",
+        "embed.embedding.weight",
+        "pos_queries",
+        "head.weight",
+        "head.bias",
+    ):
+        assert key in p, key
+    # single decoder layer: no decoder.attention.0.* indexing
+    assert "decoder.attention.0.linear_layers.0.weight" not in p
+    # embed covers vocab + SOS/EOS/PAD, head only vocab + EOS
+    assert p["embed.embedding.weight"].shape == (13, 48)
+    assert p["head.weight"].shape == (11, 48)
+    assert p["pos_queries"].shape == (1, 7, 48)
+
+
+def test_vocab_size_mismatch_raises():
+    with pytest.raises(ValueError, match="classes"):
+        PARSeqNumpy(random_parseq_weights(**TINY), vocab="abc",
+                    enc_num_heads=4, dec_num_heads=4)
+
+
+def test_weights_load_once(tmp_path):
+    import doctr_ray.weights as W
+
+    path = str(tmp_path / "parseq.npz")
+    W.save_weights(path, random_parseq_weights(seed=3, **TINY))
+    before = W.LOAD_COUNT
+    m = PARSeqNumpy(path, vocab="0123456789", enc_num_heads=4,
+                    dec_num_heads=4, max_length=4)
+    assert W.LOAD_COUNT == before + 1
+    m.recognize_batch([(RNG.rand(16, 32) * 255).astype(np.uint8)])
+    assert W.LOAD_COUNT == before + 1
+
+
+def test_zoo_accepts_parseq_instance(tiny_parseq):
+    from doctr_ray.media import encode_media_ref, rasterize_synth
+    from doctr_ray.zoo import ocr_predictor
+
+    pred = ocr_predictor(reco_arch=tiny_parseq)
+    assert pred.cfg.reco_instance is tiny_parseq
+    page = rasterize_synth(encode_media_ref("ok then", 480, 320))[0].image
+    exports = pred.forward_pages([page])
+    words = [w for b in exports[0]["blocks"] for l in b["lines"] for w in l["words"]]
+    assert len(words) >= 1
+    for w in words:
+        assert isinstance(w["value"], str)
+        assert 0.0 <= w["confidence"] <= 1.0
