@@ -55,8 +55,7 @@ def test_step_mask_blocks_future_content():
     ys = np.full((1, 3), m.pad, np.int64)
     ys[0, 0] = m.sos
     mask = np.tril(np.ones((3, 3), np.int32))
-    out1 = m.decode(ys, mem, target_mask=mask[1:2, :2]
-                    if False else mask, target_query=None)
+    out1 = m.decode(ys, mem, target_mask=mask, target_query=None)
     ys2 = ys.copy()
     ys2[0, 2] = 4  # mutate a future position
     # row-0 query with mask row [1, 0, 0] sees only position 0
