@@ -1030,6 +1030,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ocr_extracted_text(ray.data.from_arrow(docs))
 
+    def q_ocr_type3_pdf(sf_dir: str):
+        """Font-rendered PDF route, bitmap-glyph flavour: the same
+        subset-font fixture as a /Type3 font whose glyphs are tiny
+        content streams (d0 metrics + re/f rectangle fills in the
+        /FontMatrix glyph space) with a scrambled /Differences
+        encoding and no /ToUnicode — sources/pdffont executes the
+        CharProcs. Exact oracle: byte-exact text reconstruction."""
+        import hashlib
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from doctr_ray.corpus import DOCS_SCHEMA
+        from doctr_ray.pipelines.ocr import ocr_extracted_text
+        from doctr_ray.sources.pdffont import make_type3_pdf
+        from doctr_ray.tableio import resolve_table_paths
+
+        t = (
+            pq.read_table(
+                resolve_table_paths(sf_dir, "documents"), columns=["doc_id", "text"]
+            )
+            .sort_by("doc_id")
+            .slice(0, 30)
+        )
+        outdir = os.path.join(
+            "/tmp/doctr_ray_t3pdf",
+            hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+        )
+        os.makedirs(outdir, exist_ok=True)
+        ids, spans = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            did = str(did)
+            path = os.path.join(outdir, f"{did}.pdf")
+            if not os.path.exists(path):
+                words = (text or "").split()
+                lines = [
+                    " ".join(words[i : i + 10]) for i in range(0, len(words), 10)
+                ]
+                pages = [lines[j : j + 40] for j in range(0, len(lines), 40)] or [[]]
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(make_type3_pdf(pages))
+                os.replace(tmp, path)
+            ids.append(did)
+            spans.append(
+                [{"kind": "media", "text": "", "media_ref": f"file://{path}", "offset": 0}]
+            )
+        docs = pa.Table.from_arrays(
+            [pa.array(ids, pa.string()), pa.array(spans, DOCS_SCHEMA.field("spans").type)],
+            schema=DOCS_SCHEMA,
+        )
+        return ocr_extracted_text(ray.data.from_arrow(docs))
+
     def q_ocr_cid_pdf(sf_dir: str):
         """Font-rendered PDF route, composite flavour: /Type0
         /Identity-H alternating between a CIDFontType2 descendant
@@ -1862,6 +1917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_truetype_pdf": q_ocr_truetype_pdf,
         "ocr_cff_pdf": q_ocr_cff_pdf,
         "ocr_type1_pdf": q_ocr_type1_pdf,
+        "ocr_type3_pdf": q_ocr_type3_pdf,
         "ocr_cid_pdf": q_ocr_cid_pdf,
         "ocr_rotated_pdf": q_ocr_rotated_pdf,
         "multimodal_features": q_multimodal_features,
@@ -2148,6 +2204,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 30)"
         ),
         "ocr_type1_pdf": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text "
+            "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 30)"
+        ),
+        "ocr_type3_pdf": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text "
             "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 30)"
         ),

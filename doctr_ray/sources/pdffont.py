@@ -416,7 +416,7 @@ _TOKEN_RE = re.compile(
     rb"|(<[0-9A-Fa-f\s]*>)"  # 2 hex string
     rb"|([-+]?\d*\.?\d+)"  # 3 number
     rb"|(\[|\])"  # 4 array delims
-    rb"|(?<![A-Za-z])(BT|ET|Tf|Td|TD|TL|T\*|Tm|TJ|Tj|re|f\*|f|'|\")"
+    rb"|(?<![A-Za-z])(BT|ET|Tf|Td|TD|TL|T\*|Tm|TJ|Tj|re|f\*|f|d0|d1|'|\")"
     rb"(?![A-Za-z*])"  # 5 operator (word-bounded: path ops are short)
     rb"|(\()"  # 6 literal string opener
 )
@@ -509,6 +509,12 @@ class PdfFont:
         self.two_byte = False
         self.cid_dw = 1000.0
         self.cid_w: dict[int, float] = {}
+        self.type3: dict | None = None
+        if b"/Type3" in head and b"/CharProcs" in head:
+            # Type 3 font: glyphs are PDF content streams drawn in the
+            # font's own /FontMatrix glyph space (PDF 9.6.5)
+            self._init_type3(objs, head)
+            return
         if b"/Type0" in head:
             # composite font: 2-byte codes through /Identity-H into a
             # CIDFontType2 descendant whose CIDs ARE glyph ids
@@ -566,6 +572,120 @@ class PdfFont:
             self.widths = [float(x) for x in re.findall(rb"[-\d.]+", am.group(1))]
         #: (gid, size) -> rasterized coverage mask, shared across pages
         self.raster_cache: dict = {}
+
+    def _init_type3(self, objs: dict, head: bytes) -> None:
+        """Parse the Type 3 dictionaries: /FontMatrix, /CharProcs
+        (glyph name -> content-stream object), /Encoding /Differences
+        (code -> glyph name), /Widths (GLYPH-space units)."""
+        self._objs = objs
+        mm = re.search(
+            rb"/FontMatrix\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+"
+            rb"([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)", head
+        )
+        if mm is None:
+            raise ValueError("Type3 font without /FontMatrix")
+        fm = tuple(float(mm.group(i)) for i in range(1, 7))
+        if fm[1] or fm[2]:
+            raise NotImplementedError("Type3 /FontMatrix with shear/rotation")
+        cm = re.search(rb"/CharProcs\s+(\d+)\s+0\s+R", head)
+        if cm is not None:
+            cp_head, _ = objs[int(cm.group(1))]
+        else:
+            cpm = re.search(rb"/CharProcs\s*<<(.*?)>>", head, re.S)
+            if cpm is None:
+                raise ValueError("Type3 font without /CharProcs")
+            cp_head = cpm.group(1)
+        procs = {
+            m.group(1): int(m.group(2))
+            for m in re.finditer(rb"/([\w.]+)\s+(\d+)\s+0\s+R", cp_head)
+        }
+        em = re.search(rb"/Encoding\s+(\d+)\s+0\s+R", head)
+        enc_head = objs[int(em.group(1))][0] if em else head
+        dm = re.search(rb"/Differences\s*\[(.*?)\]", enc_head, re.S)
+        if dm is None:
+            raise NotImplementedError("Type3 font without /Differences encoding")
+        code_name: dict[int, bytes] = {}
+        code = 0
+        for tok in re.findall(rb"/[\w.]+|\d+", dm.group(1)):
+            if tok.startswith(b"/"):
+                code_name[code] = tok[1:]
+                code += 1
+            else:
+                code = int(tok)
+        self.first_char = 0
+        fcm = re.search(rb"/FirstChar\s+(\d+)", head)
+        if fcm:
+            self.first_char = int(fcm.group(1))
+        self.widths = None
+        wm = re.search(rb"/Widths\s*\[(.*?)\]", head, re.S)
+        if wm:
+            self.widths = [float(x) for x in re.findall(rb"[-\d.]+", wm.group(1))]
+        self.type3 = {"fm": fm, "procs": procs, "code_name": code_name}
+        self.raster_cache = {}
+
+    def type3_advance_px(self, code: int, size: float) -> float:
+        """Glyph-space /Widths through the diagonal /FontMatrix."""
+        w = 0.0
+        if self.widths is not None:
+            idx = code - self.first_char
+            if 0 <= idx < len(self.widths):
+                w = self.widths[idx]
+        adv = w * self.type3["fm"][0] * size
+        return round(adv) if abs(adv - round(adv)) < 1e-6 else adv
+
+    def draw_type3(
+        self, page: np.ndarray, code: int, size: float, px: float, py: float
+    ) -> bool:
+        """Execute the glyph's content stream (``d0``/``d1`` metrics +
+        ``re``/``f`` rectangle fills — the bitmap-glyph producer form)
+        into the page at pen (px, py). Returns True if ink landed."""
+        t3 = self.type3
+        name = t3["code_name"].get(code)
+        if name is None or name not in t3["procs"]:
+            return False
+        rects = self.raster_cache.get(("t3", name))
+        if rects is None:
+            head, raw = self._objs[t3["procs"][name]]
+            stream = zlib.decompress(raw) if b"/FlateDecode" in head else raw
+            rects = []
+            stack: list = []
+            for kind, val in _tokenize(stream):
+                if kind == "num":
+                    stack.append(float(val))
+                elif kind == "op":
+                    if val == "re" and len(stack) >= 4:
+                        rects.append(tuple(stack[-4:]))
+                        del stack[-4:]
+                    else:  # d0/d1 metrics, f/f* fills: args consumed
+                        stack.clear()
+                else:
+                    stack.clear()
+            if not rects and re.search(
+                rb"(?<![\w.])(m|l|c|v|y|h|S|s|B|b|Do|BI|sh)(?![\w*])", stream
+            ):
+                # the glyph draws with path/XObject operators this
+                # rectangle-fill interpreter cannot honor — raise
+                # rather than render a silently-blank glyph
+                raise NotImplementedError(
+                    "Type3 charproc with path/XObject operators beyond re/f"
+                )
+            self.raster_cache[("t3", name)] = rects = tuple(rects)
+        fa, _b, _c, fd, fe, ff = t3["fm"]
+        H_, W_ = page.shape
+        painted = False
+        for gx, gy, gw, gh in rects:
+            x0 = px + (fa * gx + fe) * size
+            x1 = px + (fa * (gx + gw) + fe) * size
+            y0 = py + (fd * gy + ff) * size
+            y1 = py + (fd * (gy + gh) + ff) * size
+            c0 = max(0, int(np.ceil(min(x0, x1) - 0.5)))
+            c1 = min(W_, int(np.ceil(max(x0, x1) - 0.5)))
+            r0 = max(0, int(np.ceil(H_ - max(y0, y1) - 0.5)))
+            r1 = min(H_, int(np.ceil(H_ - min(y0, y1) - 0.5)))
+            if r1 > r0 and c1 > c0:
+                page[r0:r1, c0:c1] = 0
+                painted = True
+        return painted
 
     def _parse_cid_w(self, body: bytes) -> None:
         """CIDFontType2 /W array: ``c [w1 w2 ...]`` runs and
@@ -687,6 +807,13 @@ def _draw_text(page: np.ndarray, stream: bytes, fonts: dict) -> bool:
     def show(s: bytes) -> None:
         nonlocal px, py, painted
         if font is None:
+            return
+        if font.type3 is not None:
+            if tmat is not None:
+                raise NotImplementedError("rotated Type3 text (Tm)")
+            for code in font.codes_of(s):
+                painted = font.draw_type3(page, code, size, px, py) or painted
+                px += font.type3_advance_px(code, size)
             return
         for code in font.codes_of(s):
             gid = font.code_to_gid(code)
@@ -1163,6 +1290,23 @@ def make_cid0_pdf(pages: list[list[str]]) -> bytes:
     return _make_font_pdf(pages, cff, char_code, "cid0")
 
 
+def make_type3_pdf(pages: list[list[str]]) -> bytes:
+    """Same fixture as a /Type3 font: every glyph a tiny content
+    stream of ``d0`` metrics + row-run ``re``/``f`` rectangle fills in
+    a 1/GLYPH_H /FontMatrix glyph space — the bitmap-glyph producer
+    form (and, like the other embedded forms, a garbage text layer:
+    the /Differences codes are scrambled and there is no /ToUnicode)."""
+    import hashlib
+
+    from ..glyphs import VOCAB
+
+    order = sorted(
+        VOCAB, key=lambda ch: hashlib.md5(f"sub:{ch}".encode()).hexdigest()
+    )
+    char_code = {ch: 0x21 + i for i, ch in enumerate(order)}
+    return _make_font_pdf(pages, b"", char_code, "type3")
+
+
 def make_type1_pdf(pages: list[list[str]]) -> bytes:
     """Same fixture with an original Type 1 program (/FontFile with
     Length1/2/3 — the pre-CFF PostScript form; sources/type1font
@@ -1203,7 +1347,64 @@ def _make_font_pdf(
         objects.append(body)
         return len(objects)
 
-    if tech in ("truetype", "cid"):
+    if tech == "type3":
+        from ..glyphs import FONT, GLYPH_H, GLYPH_W
+
+        # one content-stream CharProc per glyph: d0 metrics + one
+        # re-rect per maximal horizontal ink run (y-up glyph space)
+        proc_ids: dict[str, int] = {}
+        code_char = {c: ch for ch, c in char_code.items()}
+        for code in sorted(code_char):
+            bitmap = FONT[code_char[code]]
+            ops = [b"%d 0 d0" % (GLYPH_W + 1)]
+            h = bitmap.shape[0]
+            for r in range(h):
+                row = bitmap[r]
+                c = 0
+                while c < len(row):
+                    if row[c]:
+                        c2 = c
+                        while c2 < len(row) and row[c2]:
+                            c2 += 1
+                        ops.append(b"%d %d %d 1 re" % (c, h - r - 1, c2 - c))
+                        c = c2
+                    else:
+                        c += 1
+            ops.append(b"f")
+            body = b"\n".join(ops)
+            proc_ids[f"g{code:02X}"] = add(
+                b"<< /Length " + str(len(body)).encode() + b" >>\nstream\n"
+                + body + b"\nendstream"
+            )
+        cp_body = b" ".join(
+            b"/" + n.encode() + b" " + str(i).encode() + b" 0 R"
+            for n, i in proc_ids.items()
+        )
+        cp_id = add(b"<< " + cp_body + b" >>")
+        first = min(code_char)
+        last = max(code_char)
+        # codes are consecutive from `first`: one base number + names
+        diffs = b" ".join(
+            [str(first).encode()] + [b"/g%02X" % c for c in sorted(code_char)]
+        )
+        enc_id = add(
+            b"<< /Type /Encoding /Differences [" + diffs + b"] >>"
+        )
+        widths = b" ".join(
+            str(GLYPH_W + 1).encode() for _ in range(first, last + 1)
+        )
+        fm = repr(1.0 / GLYPH_H).encode()
+        font_id = add(
+            b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 "
+            + str(GLYPH_W).encode() + b" " + str(GLYPH_H).encode() + b"] "
+            b"/FontMatrix [" + fm + b" 0 0 " + fm + b" 0 0] "
+            b"/CharProcs " + str(cp_id).encode() + b" 0 R "
+            b"/Encoding " + str(enc_id).encode() + b" 0 R "
+            b"/FirstChar " + str(first).encode()
+            + b" /LastChar " + str(last).encode()
+            + b" /Widths [" + widths + b"] >>"
+        )
+    elif tech in ("truetype", "cid"):
         ff_extra = b" /Length1 " + str(len(font_prog)).encode()
         ff_key, subtype = b"/FontFile2", b"/TrueType"
     elif tech == "cid0":
@@ -1220,17 +1421,20 @@ def _make_font_pdf(
     else:
         ff_extra = b" /Subtype /Type1C"
         ff_key, subtype = b"/FontFile3", b"/Type1"
-    ff_id = add(
-        b"<< /Filter /FlateDecode /Length " + str(len(comp)).encode()
-        + ff_extra + b" >>\nstream\n" + comp + b"\nendstream"
-    )
-    fd_id = add(
-        b"<< /Type /FontDescriptor /FontName /AAAAAA+PixelGlyph /Flags 4 "
-        b"/FontBBox [0 0 6 7] /ItalicAngle 0 /Ascent 7 /Descent 0 "
-        b"/CapHeight 7 /StemV 1 " + ff_key + b" " + str(ff_id).encode()
-        + b" 0 R >>"
-    )
-    if tech in ("cid", "cid0"):
+    if tech != "type3":
+        ff_id = add(
+            b"<< /Filter /FlateDecode /Length " + str(len(comp)).encode()
+            + ff_extra + b" >>\nstream\n" + comp + b"\nendstream"
+        )
+        fd_id = add(
+            b"<< /Type /FontDescriptor /FontName /AAAAAA+PixelGlyph /Flags 4 "
+            b"/FontBBox [0 0 6 7] /ItalicAngle 0 /Ascent 7 /Descent 0 "
+            b"/CapHeight 7 /StemV 1 " + ff_key + b" " + str(ff_id).encode()
+            + b" 0 R >>"
+        )
+    if tech == "type3":
+        pass  # font_id already built above from CharProcs
+    elif tech in ("cid", "cid0"):
         # composite form: Type0 /Identity-H over a CIDFontType2 or
         # CIDFontType0 descendant; CIDs are glyph ids (Identity
         # CIDToGIDMap / identity charset), widths in the /W range form

@@ -127,8 +127,10 @@ def extract_pdf_text(data: bytes) -> list[str]:
             "encrypted PDF: decryption requires a full PDF library (e.g. pypdfium2)"
         )
     if (
-        b"/FontFile" in data and b"/ToUnicode" not in data
-    ):  # embedded font, private codes: untrustworthy text layer
+        b"/FontFile" in data or b"/CharProcs" in data
+    ) and b"/ToUnicode" not in data:
+        # embedded (FontFile*) or Type 3 (/CharProcs) font without a
+        # /ToUnicode map: private codes, untrustworthy text layer
         return []
 
     def _resolve_length(head: bytes) -> int | None:

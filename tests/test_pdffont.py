@@ -342,3 +342,66 @@ def test_table_pdf_exact_grid():
         ["alpha", "beta", "gamma"],
         ["delta", "eps", "zeta"],
     ]
+
+
+# ----------------------------------------------------------- Type 3 fonts
+
+
+def test_type3_pages_bit_identical_to_truetype_twin():
+    """The Type 3 CharProcs (d0 + re/f rect runs in the /FontMatrix
+    glyph space) must paint the exact pixels the TrueType outline
+    twin paints."""
+    import numpy as np
+
+    from doctr_ray.sources.pdffont import (
+        make_truetype_pdf,
+        make_type3_pdf,
+        rasterize_truetype_pdf,
+    )
+
+    pages = [["hello world", "type three glyphs"], ["second page"]]
+    got = rasterize_truetype_pdf(make_type3_pdf(pages))
+    want = rasterize_truetype_pdf(make_truetype_pdf(pages))
+    assert len(got) == len(want) == 2
+    for a, b in zip(got, want):
+        assert np.array_equal(a, b)
+
+
+def test_type3_text_layer_refused_without_tounicode():
+    """/CharProcs + scrambled /Differences and no /ToUnicode: the text
+    layer is garbage by construction and must be refused (the standard
+    extractor heuristic) so the media route rasterizes instead."""
+    from doctr_ray.sources.pdffont import make_type3_pdf
+    from doctr_ray.sources.pdftext import extract_pdf_text
+
+    assert extract_pdf_text(make_type3_pdf([["secret words"]])) == []
+
+
+def test_type3_rotated_tm_raises():
+    import re as _re
+
+    import pytest as _pytest
+
+    from doctr_ray.sources.pdffont import make_type3_pdf, rasterize_truetype_pdf
+
+    data = make_type3_pdf([["spin me"]])
+    # splice a rotated Tm in front of the first Tj
+    rot = data.replace(b"1 0 0 1 ", b"0 -1 1 0 ", 1)
+    if rot != data:
+        with _pytest.raises(NotImplementedError, match="Type3"):
+            rasterize_truetype_pdf(rot)
+
+
+def test_type3_path_operator_charproc_raises():
+    """A Type3 glyph drawn with path operators (curves) instead of
+    re/f rect fills must raise rather than render silently blank."""
+    import pytest as _pytest
+
+    from doctr_ray.sources.pdffont import make_type3_pdf, rasterize_truetype_pdf
+
+    data = make_type3_pdf([["x"]])
+    # turn every rect op into a curve op (same byte length: xref holds)
+    bad = data.replace(b" re\n", b" c \n")
+    assert bad != data
+    with _pytest.raises(NotImplementedError, match="charproc"):
+        rasterize_truetype_pdf(bad)
