@@ -839,7 +839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         outdir = os.path.join(
             "/tmp/doctr_ray_scanpdf",
-            hashlib.md5((sf_dir + ":v2-ccitt").encode()).hexdigest()[:10],
+            hashlib.md5((sf_dir + ":v3-inline").encode()).hexdigest()[:10],
         )
         os.makedirs(outdir, exist_ok=True)
         ids, spans = [], []
@@ -850,7 +850,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             path = os.path.join(outdir, f"{did}.pdf")
             if not os.path.exists(path):
                 pages = rasterize_synth(encode_media_ref(text or ""))
-                fmt = ("jpeg", "flate", "ccitt_g4", "ccitt_g3")[i % 4]
+                fmt = (
+                    "jpeg", "flate", "ccitt_g4", "ccitt_g3", "inline_flate",
+                )[i % 5]
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
                     f.write(

@@ -283,6 +283,87 @@ def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.n
     return arr[:, :, 0] if ncomp == 1 else arr
 
 
+#: inline-image abbreviation -> XObject-vocabulary key/value (PDF
+#: 8.9.7 table 93); word-bounded so /Fl is never eaten by /F and full
+#: names pass through unchanged
+_INLINE_ABBREV = [
+    (re.compile(rb"/W(?![A-Za-z])"), b"/Width"),
+    (re.compile(rb"/H(?![A-Za-z])"), b"/Height"),
+    (re.compile(rb"/BPC(?![A-Za-z])"), b"/BitsPerComponent"),
+    (re.compile(rb"/CS(?![A-Za-z])"), b"/ColorSpace"),
+    (re.compile(rb"/Fl(?![A-Za-z])"), b"/FlateDecode"),
+    (re.compile(rb"/DCT(?![A-Za-z])"), b"/DCTDecode"),
+    (re.compile(rb"/CCF(?![A-Za-z])"), b"/CCITTFaxDecode"),
+    (re.compile(rb"/AHx(?![A-Za-z])"), b"/ASCIIHexDecode"),
+    (re.compile(rb"/F(?![A-Za-z])"), b"/Filter"),
+    (re.compile(rb"/G(?![A-Za-z])"), b"/DeviceGray"),
+    (re.compile(rb"/RGB(?![A-Za-z])"), b"/DeviceRGB"),
+    (re.compile(rb"/IM(?![A-Za-z])"), b"/ImageMask"),
+    (re.compile(rb"/DP(?![A-Za-z])"), b"/DecodeParms"),
+    (re.compile(rb"/I(?![A-Za-z])"), b"/Interpolate"),
+]
+_BI_RE = re.compile(rb"(?<![A-Za-z])BI(?![A-Za-z])")
+_ID_RE = re.compile(rb"(?<![A-Za-z])ID")
+
+
+def _inline_images(content: bytes) -> list[np.ndarray]:
+    """All ``BI <dict> ID <data> EI`` inline images of one content
+    stream, in stream order (PDF 8.9.7) — the small-image form some
+    producers emit instead of XObjects. Abbreviated keys/filters are
+    normalized into the XObject vocabulary and decoded by the shared
+    :func:`_decode_image_obj`. The binary segment's end is found
+    per-filter (Flate: decompressobj EOF; DCT: the EOI marker; raw:
+    the computed row-stride length)."""
+    out: list[np.ndarray] = []
+    pos = 0
+    while True:
+        m = _BI_RE.search(content, pos)
+        if m is None:
+            return out
+        idm = _ID_RE.search(content, m.end())
+        if idm is None:
+            return out
+        head = content[m.end() : idm.start()]
+        for pat, full in _INLINE_ABBREV:
+            head = pat.sub(full, head)
+        if b"/Width" not in head or b"/Height" not in head:
+            # not an inline-image dict (a stray "BI" inside text ops)
+            pos = m.end()
+            continue
+        if b"/ImageMask true" in head:
+            raise NotImplementedError("inline /ImageMask stencil")
+        if b"[" in head:
+            # array ColorSpace (inline /Indexed) — /I is ambiguous with
+            # /Interpolate in the abbreviation table; stay honest
+            raise NotImplementedError("inline image array ColorSpace")
+        data_start = idm.end() + 1  # exactly one whitespace after ID
+        if b"/DCTDecode" in head:
+            end = content.find(b"\xff\xd9", data_start)
+            if end < 0:
+                raise ValueError("inline DCT image without EOI marker")
+            raw = content[data_start : end + 2]
+        elif b"/FlateDecode" in head:
+            d = zlib.decompressobj()
+            d.decompress(content[data_start:])
+            if not d.eof:
+                raise ValueError("truncated inline Flate image")
+            raw = content[data_start : len(content) - len(d.unused_data)]
+        elif b"/Filter" in head:
+            raise NotImplementedError(
+                "inline image filter beyond /Fl and /DCT"
+            )
+        else:
+            w = int(_NUM_ENTRY[b"Width"].search(head).group(1))
+            h = int(_NUM_ENTRY[b"Height"].search(head).group(1))
+            bm = _NUM_ENTRY[b"BitsPerComponent"].search(head)
+            bits = int(bm.group(1)) if bm else 8
+            ncomp = 3 if b"/DeviceRGB" in head else 1
+            raw = content[data_start : data_start + ((w * ncomp * bits + 7) // 8) * h]
+        out.append(_decode_image_obj(head, raw))
+        em = re.compile(rb"\s*EI(?![A-Za-z])").match(content, data_start + len(raw))
+        pos = em.end() if em else data_start + len(raw)
+
+
 def _page_order(data: bytes, objs: dict) -> list[int]:
     """Page object numbers in catalog /Kids order (recursive)."""
     root = None
@@ -328,21 +409,32 @@ def extract_pdf_page_images(data: bytes) -> list[np.ndarray]:
         for num, (head, raw) in objs.items()
         if raw is not None and b"/Subtype" in head and b"/Image" in head
     ]
-    if not image_nums:
-        return []
-    ordered: list[int] = []
+    out: list[np.ndarray] = []
+    seen: set[int] = set()
     for pnum in _page_order(data, objs):
         head, _ = objs[pnum]
         xm = re.search(rb"/XObject\s*<<(.*?)>>", head, re.S)
-        if not xm:
-            continue
-        for rm in _REF_RE.finditer(xm.group(1)):
-            n = int(rm.group(1))
-            if n in image_nums and n not in ordered:
-                ordered.append(n)
-    if not ordered:  # catalog walk found nothing: fall back to object order
-        ordered = sorted(image_nums)
-    return [_decode_image_obj(*objs[n], objs=objs) for n in ordered]
+        if xm:
+            for rm in _REF_RE.finditer(xm.group(1)):
+                n = int(rm.group(1))
+                if n in image_nums and n not in seen:
+                    seen.add(n)
+                    out.append(_decode_image_obj(*objs[n], objs=objs))
+        cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", head)
+        if cm and int(cm.group(1)) in objs:
+            chead, craw = objs[int(cm.group(1))]
+            if craw is not None:
+                stream = (
+                    zlib.decompress(craw) if b"/FlateDecode" in chead else craw
+                )
+                if _BI_RE.search(stream):
+                    out.extend(_inline_images(stream))
+    if out:
+        return out
+    if not image_nums:
+        return []
+    # catalog walk found nothing: fall back to object order
+    return [_decode_image_obj(*objs[n], objs=objs) for n in sorted(image_nums)]
 
 
 def _pack_rows(samples: np.ndarray, bits: int) -> bytes:
@@ -388,6 +480,32 @@ def make_scanned_pdf(
     for img in images:
         h, w = img.shape[:2]
         gray = img.ndim == 2
+        if image_format in ("inline_flate", "inline_jpeg"):
+            # BI/ID/EI inline image: the content stream IS the image
+            if image_format == "inline_jpeg":
+                from .jpegcodec import encode_jpeg
+
+                payload, filt = encode_jpeg(img, quality), b"/DCT"
+            else:
+                if img.dtype != np.uint8:
+                    raise ValueError("inline_flate expects uint8 images")
+                payload, filt = zlib.compress(img.tobytes()), b"/Fl"
+            content = (
+                b"q " + str(w).encode() + b" 0 0 " + str(h).encode()
+                + b" 0 0 cm BI /W " + str(w).encode()
+                + b" /H " + str(h).encode()
+                + b" /CS " + (b"/G" if gray else b"/RGB")
+                + b" /BPC 8 /F " + filt + b" ID\n" + payload + b"\nEI Q"
+            )
+            img_ids.append(None)
+            content_ids.append(
+                add(
+                    b"<< /Length " + str(len(content)).encode()
+                    + b" >>\nstream\n" + content + b"\nendstream"
+                )
+            )
+            dims.append((w, h))
+            continue
         if palette is not None:
             if not gray:
                 raise ValueError("palette images must be (H,W) index arrays")
@@ -472,12 +590,16 @@ def make_scanned_pdf(
     pages_id = len(objects) + len(images) + 1
     page_ids = []
     for (w, h), iid, cid in zip(dims, img_ids, content_ids):
+        res = (
+            b"/Resources << >>"
+            if iid is None  # inline image: no XObject resource
+            else b"/Resources << /XObject << /Im0 " + str(iid).encode() + b" 0 R >> >>"
+        )
         page_ids.append(
             add(
                 b"<< /Type /Page /Parent " + str(pages_id).encode() + b" 0 R "
                 b"/MediaBox [0 0 " + str(w).encode() + b" " + str(h).encode() + b"] "
-                b"/Contents " + str(cid).encode() + b" 0 R "
-                b"/Resources << /XObject << /Im0 " + str(iid).encode() + b" 0 R >> >> >>"
+                b"/Contents " + str(cid).encode() + b" 0 R " + res + b" >>"
             )
         )
     kids = b" ".join(str(p).encode() + b" 0 R" for p in page_ids)

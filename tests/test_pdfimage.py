@@ -191,3 +191,61 @@ def test_bilevel_scanned_pdf_ocr_exact(tmp_path):
     p.write_bytes(make_scanned_pdf(bilevel, image_format="flate", bits=1))
     got, conf = media_to_ocr_span("d", f"file://{p}", 0, GlyphRecognizer())
     assert got == synth_ground_truth_text(ref)
+
+
+# ------------------------------------------------------- inline images
+
+
+def test_inline_flate_round_trip_gray_and_rgb():
+    """BI/ID/EI inline images (PDF 8.9.7 abbreviated keys) round-trip
+    bit-exact through the shared decode path."""
+    rng = np.random.RandomState(3)
+    g = (rng.rand(40, 60) * 255).astype(np.uint8)
+    rgb = (rng.rand(30, 50, 3) * 255).astype(np.uint8)
+    data = make_scanned_pdf([g, rgb], image_format="inline_flate")
+    out = extract_pdf_page_images(data)
+    assert len(out) == 2
+    assert np.array_equal(out[0], g)
+    assert np.array_equal(out[1], rgb)
+    # no XObject image objects exist: the content stream IS the image
+    assert b"/XObject" not in data
+
+
+def test_inline_jpeg_decodes():
+    flat = np.full((32, 48), 128, np.uint8)
+    data = make_scanned_pdf([flat], image_format="inline_jpeg")
+    out = extract_pdf_page_images(data)
+    assert out[0].shape == (32, 48)
+    assert abs(out[0].astype(int) - 128).max() <= 3
+
+
+def test_inline_raw_segment_end_detection():
+    """An unfiltered inline image's binary segment is sliced by the
+    computed row stride — bytes after EI must not leak into the image."""
+    from doctr_ray.sources.pdfimage import _inline_images
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    content = (
+        b"q BI /W 4 /H 3 /CS /G /BPC 8 ID\n" + img.tobytes() + b"\nEI Q"
+    )
+    out = _inline_images(content)
+    assert len(out) == 1
+    assert np.array_equal(out[0], img)
+
+
+def test_inline_stray_bi_in_stream_is_skipped():
+    from doctr_ray.sources.pdfimage import _inline_images
+
+    # "BI" without an image dict (e.g. inside other operands) is benign
+    assert _inline_images(b"BT (A BI C) Tj ET ID nothing") == []
+
+
+def test_inline_imagemask_and_array_cs_raise():
+    from doctr_ray.sources.pdfimage import _inline_images
+
+    with pytest.raises(NotImplementedError, match="ImageMask"):
+        _inline_images(b"BI /W 2 /H 2 /IM true /BPC 1 ID\n\x00\xff\nEI")
+    with pytest.raises(NotImplementedError, match="ColorSpace"):
+        _inline_images(
+            b"BI /W 2 /H 2 /CS [/I /G 1 <00ff>] /BPC 8 ID\n\x00\xff\x00\xff\nEI"
+        )
