@@ -254,6 +254,19 @@ def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.n
         if b"/BlackIs1 true" in head:
             return np.where(black, np.uint8(255), np.uint8(0))
         return np.where(black, np.uint8(0), np.uint8(255))
+    if b"/JBIG2Decode" in head:
+        from .jbig2codec import decode_jbig2
+
+        globals_data = b""
+        if objs is not None:
+            gm = re.search(rb"/JBIG2Globals\s+(\d+)\s+\d+\s+R", head)
+            if gm:
+                g = objs.get(int(gm.group(1)))
+                globals_data = (g[1] or b"") if g else b""
+        black = decode_jbig2(raw, globals_data, width=w, height=h)
+        # JBIG2 bit 1 = black pixel -> DeviceGray 0 (same orientation
+        # as CCITT /BlackIs1 false)
+        return np.where(black, np.uint8(0), np.uint8(255))
     palette = _parse_palette(head, objs)
     ncomp = 1 if palette is not None else (3 if b"/DeviceRGB" in head else 1)
     if b"/FlateDecode" in head:
@@ -265,7 +278,7 @@ def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.n
             raw = _unpredict_png(raw, stride, bpp)
     elif b"/Filter" in head:
         raise NotImplementedError(
-            "PDF image filter (JBIG2/JPX) needs a native codec (pypdfium2)"
+            "PDF image filter (JPXDecode) needs a native codec (pypdfium2)"
         )
     samples = _unpack_samples(raw, h, w, ncomp, bits)  # (h, w*ncomp) uint8
     if palette is not None:
@@ -540,6 +553,16 @@ def make_scanned_pdf(
                 + b" /Columns " + str(w).encode()
                 + b" /Rows " + str(h).encode() + b" >>"
             )
+        elif image_format == "jbig2":
+            from .jbig2codec import encode_jbig2
+
+            if not gray:
+                raise ValueError("jbig2 expects gray bilevel images")
+            if not ((img == 0) | (img == 255)).all():
+                raise ValueError("jbig2 gray values must be 0 or 255")
+            payload = encode_jbig2(img == 0)
+            filt = b"/JBIG2Decode"
+            sample_bits = 1
         elif bits == 16:
             if img.dtype != np.uint16 or not gray:
                 raise ValueError("bits=16 expects uint16 gray images")
