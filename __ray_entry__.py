@@ -871,11 +871,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_ocr_jbig2_pdf(sf_dir: str):
         """Scanned-image PDF route, JBIG2 flavour: each document's
-        rendered bilevel pages embedded as /JBIG2Decode image XObjects
-        (MQ-coded generic regions, the high-compression archival
-        coding scanners and Acrobat emit) and rasterized back through
-        sources/jbig2codec. Exact oracle: byte-exact text
-        reconstruction."""
+        rendered bilevel pages embedded as /JBIG2Decode image XObjects,
+        alternating the two coding modes scanners emit — MQ-coded
+        generic regions and symbol-dictionary + text-region coding
+        (connected glyph components deduplicated into a shared
+        dictionary) — and rasterized back through sources/jbig2codec +
+        jbig2symbol. Exact oracle: byte-exact text reconstruction."""
         import hashlib
         import os
 
@@ -898,20 +899,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         outdir = os.path.join(
             "/tmp/doctr_ray_jbig2pdf",
-            hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+            hashlib.md5((sf_dir + ":v2-sym").encode()).hexdigest()[:10],
         )
         os.makedirs(outdir, exist_ok=True)
         ids, spans = [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for i, (did, text) in enumerate(
+            zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        ):
             did = str(did)
             path = os.path.join(outdir, f"{did}.pdf")
             if not os.path.exists(path):
                 pages = rasterize_synth(encode_media_ref(text or ""))
+                fmt = ("jbig2", "jbig2_sym")[i % 2]
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
                     f.write(
                         make_scanned_pdf(
-                            [p.image for p in pages], image_format="jbig2"
+                            [p.image for p in pages], image_format=fmt
                         )
                     )
                 os.replace(tmp, path)

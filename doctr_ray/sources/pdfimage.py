@@ -553,14 +553,16 @@ def make_scanned_pdf(
                 + b" /Columns " + str(w).encode()
                 + b" /Rows " + str(h).encode() + b" >>"
             )
-        elif image_format == "jbig2":
-            from .jbig2codec import encode_jbig2
-
+        elif image_format in ("jbig2", "jbig2_sym"):
             if not gray:
-                raise ValueError("jbig2 expects gray bilevel images")
+                raise ValueError(f"{image_format} expects gray bilevel images")
             if not ((img == 0) | (img == 255)).all():
-                raise ValueError("jbig2 gray values must be 0 or 255")
-            payload = encode_jbig2(img == 0)
+                raise ValueError(f"{image_format} gray values must be 0 or 255")
+            if image_format == "jbig2_sym":
+                from .jbig2symbol import encode_jbig2_symbolic as _enc
+            else:
+                from .jbig2codec import encode_jbig2 as _enc
+            payload = _enc(img == 0)
             filt = b"/JBIG2Decode"
             sample_bits = 1
         elif bits == 16:
