@@ -929,6 +929,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ocr_extracted_text(ray.data.from_arrow(docs))
 
+    def q_ocr_jpx_pdf(sf_dir: str):
+        """Scanned-image PDF route, JPEG 2000 flavour: each document's
+        rendered pages embedded as /JPXDecode JP2 streams (lossless
+        5/3 reversible wavelet + EBCOT, the archival imaging profile)
+        and rasterized back through sources/jpxcodec. Exact oracle:
+        byte-exact text reconstruction."""
+        import hashlib
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+        from doctr_ray.media import encode_media_ref, rasterize_synth
+        from doctr_ray.pipelines.ocr import ocr_extracted_text
+        from doctr_ray.sources.pdfimage import make_scanned_pdf
+        from doctr_ray.tableio import resolve_table_paths
+
+        t = (
+            pq.read_table(
+                resolve_table_paths(sf_dir, "documents"), columns=["doc_id", "text"]
+            )
+            .sort_by("doc_id")
+            .slice(0, 12)
+        )
+        outdir = os.path.join(
+            "/tmp/doctr_ray_jpxpdf",
+            hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+        )
+        os.makedirs(outdir, exist_ok=True)
+
+        @ray.remote(num_cpus=1)
+        def _write_fixture(did: str, text: str, path: str) -> None:
+            pages = rasterize_synth(encode_media_ref(text or ""))
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(
+                    make_scanned_pdf([p.image for p in pages],
+                                     image_format="jpx")
+                )
+            os.replace(tmp, path)
+
+        ids, spans, pend = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            did = str(did)
+            path = os.path.join(outdir, f"{did}.pdf")
+            if not os.path.exists(path):
+                # EBCOT encoding is ~1s/page of pure Python: fan the
+                # one-time fixture build out as Ray tasks
+                pend.append(_write_fixture.remote(did, text or "", path))
+            ids.append(did)
+            spans.append(
+                [{"kind": "media", "text": "", "media_ref": f"file://{path}", "offset": 0}]
+            )
+        if pend:
+            ray.get(pend)
+        docs = pa.Table.from_arrays(
+            [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
+            schema=DOCS_SCHEMA,
+        )
+        return ocr_extracted_text(ray.data.from_arrow(docs))
+
     def q_ocr_truetype_pdf(sf_dir: str):
         """Font-rendered PDF route (reference io/pdf.py analog for the
         SUBSET-FONT case): each document's text drawn with an embedded
@@ -1977,6 +2040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_html_media": q_ocr_html_media,
         "ocr_scanned_pdf": q_ocr_scanned_pdf,
         "ocr_jbig2_pdf": q_ocr_jbig2_pdf,
+        "ocr_jpx_pdf": q_ocr_jpx_pdf,
         "ocr_truetype_pdf": q_ocr_truetype_pdf,
         "ocr_cff_pdf": q_ocr_cff_pdf,
         "ocr_type1_pdf": q_ocr_type1_pdf,
@@ -2261,6 +2325,10 @@ def oracle_sql() -> dict[str, str]:
         "ocr_jbig2_pdf": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text "
             "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 24)"
+        ),
+        "ocr_jpx_pdf": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text "
+            "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 12)"
         ),
         "ocr_truetype_pdf": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text "

@@ -254,6 +254,12 @@ def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.n
         if b"/BlackIs1 true" in head:
             return np.where(black, np.uint8(255), np.uint8(0))
         return np.where(black, np.uint8(0), np.uint8(255))
+    if b"/JPXDecode" in head:
+        from .jpxcodec import decode_jpx
+
+        # the JPEG 2000 stream is self-describing (PDF 32000 7.4.9:
+        # Width/Height/BPC in the dict are advisory for JPX)
+        return decode_jpx(raw)
     if b"/JBIG2Decode" in head:
         from .jbig2codec import decode_jbig2
 
@@ -278,7 +284,8 @@ def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.n
             raw = _unpredict_png(raw, stride, bpp)
     elif b"/Filter" in head:
         raise NotImplementedError(
-            "PDF image filter (JPXDecode) needs a native codec (pypdfium2)"
+            "unsupported PDF image filter (LZW/RunLength/ASCII variants); "
+            "pypdfium2 would be needed for full filter coverage"
         )
     samples = _unpack_samples(raw, h, w, ncomp, bits)  # (h, w*ncomp) uint8
     if palette is not None:
@@ -553,6 +560,12 @@ def make_scanned_pdf(
                 + b" /Columns " + str(w).encode()
                 + b" /Rows " + str(h).encode() + b" >>"
             )
+        elif image_format == "jpx":
+            from .jpxcodec import encode_jp2
+
+            payload = encode_jp2(img)
+            filt = b"/JPXDecode"
+            sample_bits = 8
         elif image_format in ("jbig2", "jbig2_sym"):
             if not gray:
                 raise ValueError(f"{image_format} expects gray bilevel images")

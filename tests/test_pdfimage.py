@@ -67,7 +67,7 @@ def test_png_predictor_streams_decode():
 
 def test_unsupported_filters_name_dependency():
     base = make_scanned_pdf([np.zeros((4, 4), np.uint8)], image_format="flate")
-    data = base.replace(b"/Filter /FlateDecode", b"/Filter /JPXDecode")
+    data = base.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
     with pytest.raises(NotImplementedError, match="pypdfium2"):
         extract_pdf_page_images(data)
     with pytest.raises(ValueError, match="%PDF-"):
