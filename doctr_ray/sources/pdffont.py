@@ -56,6 +56,7 @@ import zlib
 
 import numpy as np
 
+from .pdffilters import decode_stream
 from .pdfimage import _page_order, _scan_objects
 from .pdftext import _LENGTH_RE  # noqa: F401  (shared regex family)
 
@@ -550,7 +551,7 @@ class PdfFont:
         if fm is None:
             raise NotImplementedError("font descriptor without FontFile")
         fhead, fraw = objs[int(fm.group(2))]
-        prog = zlib.decompress(fraw) if b"/FlateDecode" in fhead else fraw
+        prog = decode_stream(fhead, fraw)
         if fm.group(1) == b"2":
             self.ttf = TrueTypeFont(prog)
         elif fm.group(1) == b"3":  # bare CFF (/Type1C or CIDFontType0C)
@@ -646,7 +647,7 @@ class PdfFont:
         rects = self.raster_cache.get(("t3", name))
         if rects is None:
             head, raw = self._objs[t3["procs"][name]]
-            stream = zlib.decompress(raw) if b"/FlateDecode" in head else raw
+            stream = decode_stream(head, raw)
             rects = []
             stack: list = []
             for kind, val in _tokenize(stream):
@@ -773,7 +774,7 @@ def rasterize_truetype_pdf(data: bytes) -> list[np.ndarray]:
         if cm is None:
             continue
         chead, craw = objs[int(cm.group(1))]
-        stream = zlib.decompress(craw) if b"/FlateDecode" in chead else craw
+        stream = decode_stream(chead, craw)
         fonts = _page_fonts(objs, head)
         page = np.full((H, W), 255, np.uint8)
         if _draw_text(page, stream, fonts):

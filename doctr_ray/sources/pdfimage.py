@@ -25,11 +25,16 @@ rasterize for real with zero native dependencies:
 
 - ``/CCITTFaxDecode`` bilevel fax images (K < 0 Group 4 and K = 0
   Group 3 1-D, honouring /Columns /Rows /BlackIs1) via the in-repo
-  T.4/T.6 codec (sources/ccittcodec) — the archival scanner format.
+  T.4/T.6 codec (sources/ccittcodec) — the archival scanner format;
+- ``/JBIG2Decode`` (sources/jbig2codec) and ``/JPXDecode``
+  (sources/jpxcodec) via the in-repo arithmetic/wavelet codecs;
+- the legacy/transport filters ``/LZWDecode``, ``/RunLengthDecode``,
+  ``/ASCIIHexDecode``, ``/ASCII85Decode`` (sources/pdffilters),
+  including array chains ``/Filter [/ASCII85Decode /FlateDecode]`` —
+  every standard stream filter of PDF 32000 §7.4 decodes in-repo.
 
-Out of scope (``NotImplementedError`` naming the dependency):
-``/JBIG2Decode`` / ``/JPXDecode`` (JBIG2 / JPEG 2000 need native
-codecs), CCITT K > 0 mixed coding and ``/EncodedByteAlign true``.
+Out of scope (``NotImplementedError`` naming the gap): CCITT K > 0
+mixed coding and ``/EncodedByteAlign true``.
 
 ``make_scanned_pdf`` writes the same subset (one full-page image per
 page) — the round-trip fixture generator AND a usable archival sink.
@@ -42,6 +47,9 @@ import zlib
 
 import numpy as np
 
+from .pdffilters import decode_stream as _decode_stream
+from .pdffilters import filter_chain as _filter_chain
+from .pdffilters import lzw_early as _lzw_early
 from .pdftext import _LENGTH_RE, _OBJ_HEAD_RE, _STREAM_START_RE
 
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
@@ -170,9 +178,7 @@ def _parse_palette(head: bytes, objs: dict | None):
             if rm is not None and objs is not None:
                 lhead, lraw = objs.get(int(rm.group(1)), (b"", None))
                 if lraw is not None:
-                    lookup = (
-                        zlib.decompress(lraw) if b"/FlateDecode" in lhead else lraw
-                    )
+                    lookup = _decode_stream(lhead, lraw)
     if lookup is None:
         raise NotImplementedError("unsupported /Indexed palette lookup form")
     n = 3 if base_rgb else 1
@@ -223,9 +229,32 @@ def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.n
     Covers 8-bit DeviceGray/DeviceRGB, 16-bit samples (high byte),
     1/2/4-bit gray (exact 255/(2^b-1) upscale — the bilevel archival
     scan format), and /Indexed palettes (hex/literal/stream lookup)
-    over any of those depths; filters /DCTDecode and /FlateDecode with
-    PNG predictors at the spec's byte stride."""
-    if b"/DCTDecode" in head:
+    over any of those depths. The full ``/Filter`` chain is walked in
+    array order: ASCIIHex/ASCII85/RunLength transport wrappers first,
+    then ONE terminal filter — /DCTDecode, /CCITTFaxDecode,
+    /JPXDecode, /JBIG2Decode, /FlateDecode or /LZWDecode (the last two
+    with PNG predictors at the spec's byte stride)."""
+    from .pdffilters import ascii85_decode, ascii_hex_decode, lzw_decode, rle_decode
+
+    chain = _filter_chain(head)
+    transports = {
+        b"ASCIIHexDecode": ascii_hex_decode,
+        b"ASCII85Decode": ascii85_decode,
+        b"RunLengthDecode": rle_decode,
+    }
+    primary = None
+    for i, name in enumerate(chain):
+        if name in transports:
+            raw = transports[name](raw)
+        elif name == b"LZWDecode" and i < len(chain) - 1:
+            raw = lzw_decode(raw, _lzw_early(head))
+        else:
+            if i < len(chain) - 1:
+                raise NotImplementedError(
+                    f"PDF image filter /{name.decode()} wrapping another filter"
+                )
+            primary = name
+    if primary == b"DCTDecode":
         from .jpegcodec import decode_jpeg
 
         return decode_jpeg(raw)
@@ -235,7 +264,7 @@ def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.n
     bits = int(bm.group(1)) if bm else 8
     if bits not in (1, 2, 4, 8, 16):
         raise NotImplementedError(f"{bits}-bit PDF image samples")
-    if b"/CCITTFaxDecode" in head:
+    if primary == b"CCITTFaxDecode":
         from .ccittcodec import decode_g3, decode_g4
 
         km = re.search(rb"/K\s+(-?\d+)", head)
@@ -254,13 +283,13 @@ def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.n
         if b"/BlackIs1 true" in head:
             return np.where(black, np.uint8(255), np.uint8(0))
         return np.where(black, np.uint8(0), np.uint8(255))
-    if b"/JPXDecode" in head:
+    if primary == b"JPXDecode":
         from .jpxcodec import decode_jpx
 
         # the JPEG 2000 stream is self-describing (PDF 32000 7.4.9:
         # Width/Height/BPC in the dict are advisory for JPX)
         return decode_jpx(raw)
-    if b"/JBIG2Decode" in head:
+    if primary == b"JBIG2Decode":
         from .jbig2codec import decode_jbig2
 
         globals_data = b""
@@ -275,17 +304,20 @@ def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.n
         return np.where(black, np.uint8(0), np.uint8(255))
     palette = _parse_palette(head, objs)
     ncomp = 1 if palette is not None else (3 if b"/DeviceRGB" in head else 1)
-    if b"/FlateDecode" in head:
-        raw = zlib.decompress(raw)
+    if primary in (b"FlateDecode", b"LZWDecode"):
+        raw = (
+            zlib.decompress(raw)
+            if primary == b"FlateDecode"
+            else lzw_decode(raw, _lzw_early(head))
+        )
         pm = _NUM_ENTRY[b"Predictor"].search(head)
         if pm and int(pm.group(1)) >= 10:
             stride = (w * ncomp * bits + 7) // 8
             bpp = max(1, ncomp * bits // 8)
             raw = _unpredict_png(raw, stride, bpp)
-    elif b"/Filter" in head:
+    elif primary is not None:
         raise NotImplementedError(
-            "unsupported PDF image filter (LZW/RunLength/ASCII variants); "
-            "pypdfium2 would be needed for full filter coverage"
+            f"unsupported PDF image filter /{primary.decode()}"
         )
     samples = _unpack_samples(raw, h, w, ncomp, bits)  # (h, w*ncomp) uint8
     if palette is not None:
@@ -315,6 +347,9 @@ _INLINE_ABBREV = [
     (re.compile(rb"/DCT(?![A-Za-z])"), b"/DCTDecode"),
     (re.compile(rb"/CCF(?![A-Za-z])"), b"/CCITTFaxDecode"),
     (re.compile(rb"/AHx(?![A-Za-z])"), b"/ASCIIHexDecode"),
+    (re.compile(rb"/A85(?![A-Za-z])"), b"/ASCII85Decode"),
+    (re.compile(rb"/LZW(?![A-Za-z])"), b"/LZWDecode"),
+    (re.compile(rb"/RL(?![A-Za-z])"), b"/RunLengthDecode"),
     (re.compile(rb"/F(?![A-Za-z])"), b"/Filter"),
     (re.compile(rb"/G(?![A-Za-z])"), b"/DeviceGray"),
     (re.compile(rb"/RGB(?![A-Za-z])"), b"/DeviceRGB"),
@@ -357,20 +392,36 @@ def _inline_images(content: bytes) -> list[np.ndarray]:
             # /Interpolate in the abbreviation table; stay honest
             raise NotImplementedError("inline image array ColorSpace")
         data_start = idm.end() + 1  # exactly one whitespace after ID
-        if b"/DCTDecode" in head:
+        chain = _filter_chain(head)
+        first = chain[0] if chain else None
+        # the binary segment's end is found per-FIRST-filter: the
+        # ASCII transports have explicit terminators, DCT its EOI
+        # marker, Flate its deflate EOF
+        if first == b"ASCIIHexDecode":
+            end = content.find(b">", data_start)
+            if end < 0:
+                raise ValueError("inline AHx image without > terminator")
+            raw = content[data_start : end + 1]
+        elif first == b"ASCII85Decode":
+            end = content.find(b"~>", data_start)
+            if end < 0:
+                raise ValueError("inline A85 image without ~> terminator")
+            raw = content[data_start : end + 2]
+        elif first == b"DCTDecode":
             end = content.find(b"\xff\xd9", data_start)
             if end < 0:
                 raise ValueError("inline DCT image without EOI marker")
             raw = content[data_start : end + 2]
-        elif b"/FlateDecode" in head:
+        elif first == b"FlateDecode":
             d = zlib.decompressobj()
             d.decompress(content[data_start:])
             if not d.eof:
                 raise ValueError("truncated inline Flate image")
             raw = content[data_start : len(content) - len(d.unused_data)]
-        elif b"/Filter" in head:
+        elif first is not None:
             raise NotImplementedError(
-                "inline image filter beyond /Fl and /DCT"
+                "inline image whose first filter has no delimiter "
+                f"(/{first.decode()}): end of binary data is ambiguous"
             )
         else:
             w = int(_NUM_ENTRY[b"Width"].search(head).group(1))
@@ -444,9 +495,7 @@ def extract_pdf_page_images(data: bytes) -> list[np.ndarray]:
         if cm and int(cm.group(1)) in objs:
             chead, craw = objs[int(cm.group(1))]
             if craw is not None:
-                stream = (
-                    zlib.decompress(craw) if b"/FlateDecode" in chead else craw
-                )
+                stream = _decode_stream(chead, craw)
                 if _BI_RE.search(stream):
                     out.extend(_inline_images(stream))
     if out:
@@ -478,6 +527,7 @@ def make_scanned_pdf(
     quality: int = 95,
     bits: int = 8,
     palette: np.ndarray | None = None,
+    transport: str | None = None,
 ) -> bytes:
     """One full-page image per page — what a scanner/copier emits.
 
@@ -489,6 +539,11 @@ def make_scanned_pdf(
     writes sub-byte gray (values must sit on the 255/(2^b-1) grid —
     the bilevel/4-gray archival formats); ``palette`` (K, 3) uint8
     writes /Indexed images whose (H, W) inputs are palette indices.
+    Also 'lzw' / 'rle' (LZW- / RunLength-compressed raw samples, the
+    legacy lossless filters) and 'inline_ahx' (BI/ID/EI with
+    hex-armoured samples). ``transport`` ('ahx' or 'a85') wraps the
+    XObject payload in an ASCII transport filter, emitting the array
+    form ``/Filter [/ASCII85Decode /FlateDecode]``.
     """
     objects: list[bytes] = []
 
@@ -500,12 +555,18 @@ def make_scanned_pdf(
     for img in images:
         h, w = img.shape[:2]
         gray = img.ndim == 2
-        if image_format in ("inline_flate", "inline_jpeg"):
+        if image_format in ("inline_flate", "inline_jpeg", "inline_ahx"):
             # BI/ID/EI inline image: the content stream IS the image
             if image_format == "inline_jpeg":
                 from .jpegcodec import encode_jpeg
 
                 payload, filt = encode_jpeg(img, quality), b"/DCT"
+            elif image_format == "inline_ahx":
+                from .pdffilters import ascii_hex_encode
+
+                if img.dtype != np.uint8:
+                    raise ValueError("inline_ahx expects uint8 images")
+                payload, filt = ascii_hex_encode(img.tobytes()), b"/AHx"
             else:
                 if img.dtype != np.uint8:
                     raise ValueError("inline_flate expects uint8 images")
@@ -596,12 +657,33 @@ def make_scanned_pdf(
             payload = zlib.compress(_pack_rows(samples, bits))
             filt = b"/FlateDecode"
             sample_bits = bits
+        elif image_format in ("lzw", "rle"):
+            from .pdffilters import lzw_encode, rle_encode
+
+            if img.dtype != np.uint8:
+                raise ValueError(f"{image_format} expects uint8 images")
+            if image_format == "lzw":
+                payload = lzw_encode(img.tobytes())
+                filt = b"/LZWDecode"
+            else:
+                payload = rle_encode(img.tobytes())
+                filt = b"/RunLengthDecode"
+            sample_bits = 8
         else:
             if img.dtype != np.uint8:
                 raise ValueError("make_scanned_pdf expects uint8 images")
             payload = zlib.compress(img.tobytes())
             filt = b"/FlateDecode"
             sample_bits = 8
+        if transport is not None:
+            from .pdffilters import ascii85_encode, ascii_hex_encode
+
+            tenc, tname = {
+                "ahx": (ascii_hex_encode, b"/ASCIIHexDecode"),
+                "a85": (ascii85_encode, b"/ASCII85Decode"),
+            }[transport]
+            payload = tenc(payload)
+            filt = b"[" + tname + b" " + filt + b"]"
         img_ids.append(
             add(
                 b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()

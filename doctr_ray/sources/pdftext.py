@@ -9,7 +9,9 @@ pull the text layer out of "well-behaved" PDFs:
 
 - classic cross-referenced bodies (the xref table itself is not needed:
   objects are discovered by scanning ``N G obj`` ... ``endobj`` spans);
-- page content streams stored plain or FlateDecode-compressed;
+- page content streams stored plain or compressed with any standard
+  stream filter chain (Flate/LZW/RunLength/ASCIIHex/ASCII85 via
+  sources/pdffilters);
 - text operators ``Tj`` (show string), ``'`` (next-line show), ``TJ``
   (array show with kerning), ``Td/TD/T*`` (line moves) inside BT/ET
   blocks;
@@ -179,16 +181,13 @@ def extract_pdf_text(data: bytes) -> list[str]:
             continue
         if b"/Subtype" in head and b"/Image" in head:
             continue
-        if b"/FlateDecode" in head:
+        if b"/Filter" in head:
+            from .pdffilters import decode_stream
+
             try:
-                raw = zlib.decompress(raw)
-            except zlib.error:
+                raw = decode_stream(head, raw)
+            except (zlib.error, ValueError):
                 continue
-        elif b"/Filter" in head:
-            raise NotImplementedError(
-                "PDF stream filter other than FlateDecode: needs a full PDF "
-                "library (pypdfium2)"
-            )
         if b"BT" not in raw:
             continue
         lines.extend(_content_text(raw))

@@ -67,11 +67,52 @@ def test_png_predictor_streams_decode():
 
 def test_unsupported_filters_name_dependency():
     base = make_scanned_pdf([np.zeros((4, 4), np.uint8)], image_format="flate")
-    data = base.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
-    with pytest.raises(NotImplementedError, match="pypdfium2"):
+    data = base.replace(b"/Filter /FlateDecode", b"/Filter /Crypt")
+    with pytest.raises(NotImplementedError, match="/Crypt"):
         extract_pdf_page_images(data)
     with pytest.raises(ValueError, match="%PDF-"):
         extract_pdf_page_images(b"not a pdf")
+
+
+def test_lzw_and_rle_image_roundtrip_exact():
+    imgs = [
+        _rng(11).integers(0, 256, (24, 36), np.uint8),
+        _rng(12).integers(0, 4, (20, 30), np.uint8) * 80,  # runs for RLE
+    ]
+    for fmt in ("lzw", "rle"):
+        out = extract_pdf_page_images(make_scanned_pdf(imgs, image_format=fmt))
+        assert len(out) == 2
+        for a, b in zip(imgs, out):
+            assert np.array_equal(a, b)
+
+
+def test_ascii_transport_wrapped_images_roundtrip():
+    img = _rng(13).integers(0, 256, (16, 22), np.uint8)
+    rgb = _rng(14).integers(0, 256, (12, 18, 3), np.uint8)
+    for transport in ("ahx", "a85"):
+        for fmt in ("flate", "lzw"):
+            pdf = make_scanned_pdf(
+                [img, rgb], image_format=fmt, transport=transport
+            )
+            out = extract_pdf_page_images(pdf)
+            assert np.array_equal(out[0], img)
+            assert np.array_equal(out[1], rgb)
+
+
+def test_a85_wrapped_jpeg_decodes():
+    img = _rng(15).integers(0, 256, (24, 40), np.uint8)
+    pdf = make_scanned_pdf([img], image_format="jpeg", transport="a85")
+    out = extract_pdf_page_images(pdf)
+    assert out[0].shape == img.shape
+    assert np.abs(out[0].astype(int) - img.astype(int)).mean() < 3
+
+
+def test_inline_ahx_round_trip():
+    img = _rng(16).integers(0, 256, (10, 14), np.uint8)
+    out = extract_pdf_page_images(
+        make_scanned_pdf([img], image_format="inline_ahx")
+    )
+    assert np.array_equal(out[0], img)
 
 
 def test_scanned_pdf_ocr_exact_multipage(tmp_path):

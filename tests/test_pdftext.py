@@ -64,12 +64,40 @@ def test_rejects_non_pdf_and_names_deps():
     enc = b"%PDF-1.4\n1 0 obj\n<< /Encrypt 2 0 R >>\nendobj\n%%EOF"
     with pytest.raises(NotImplementedError, match="pypdfium2"):
         extract_pdf_text(enc)
-    lzw = (
-        b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /LZWDecode >>\n"
+    crypt = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /Crypt >>\n"
         b"stream\nABCD\nendstream\nendobj\n%%EOF"
     )
-    with pytest.raises(NotImplementedError, match="pypdfium2"):
-        extract_pdf_text(lzw)
+    with pytest.raises(NotImplementedError, match="/Crypt"):
+        extract_pdf_text(crypt)
+
+
+def test_lzw_content_stream_decodes():
+    from doctr_ray.sources.pdffilters import lzw_encode
+
+    content = b"BT (lzw text) Tj ET"
+    z = lzw_encode(content)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(z)).encode()
+        + b" /Filter /LZWDecode >>\nstream\n" + z
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["lzw text"]
+
+
+def test_ascii85_flate_chain_content_stream():
+    import zlib
+
+    from doctr_ray.sources.pdffilters import ascii85_encode
+
+    content = b"BT (chained) Tj ET"
+    payload = ascii85_encode(zlib.compress(content))
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(payload)).encode()
+        + b" /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n" + payload
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["chained"]
 
 
 def test_image_streams_skipped():
