@@ -1531,20 +1531,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """PDF native-text path: every document is written as a real
         (Flate-compressed, multi-page) PDF and read back through the
         pure-stdlib text-layer extractor INSIDE the map task — bytes
-        never touch the driver. The oracle is identity on the source
-        text: the whole encode -> deflate -> parse -> decode chain must
-        be lossless."""
+        never touch the driver. Every third document is additionally
+        repacked into the PDF 1.5 compressed form (/ObjStm + /XRef
+        stream — the modern-producer layout). The oracle is identity
+        on the source text: the whole encode -> deflate -> (objstm)
+        -> parse -> decode chain must be lossless."""
         import pyarrow as pa
 
+        from doctr_ray.sources.pdfimage import repack_with_objstm
         from doctr_ray.sources.pdftext import extract_pdf_text, make_simple_pdf
 
         def roundtrip(batch: pa.Table) -> pa.Table:
             out = []
-            for t in batch["text"].to_pylist():
+            for k, t in enumerate(batch["text"].to_pylist()):
                 toks = (t or "").split(" ")
                 lines = [" ".join(toks[i : i + 12]) for i in range(0, len(toks), 12)]
                 pages = [lines[: len(lines) // 2 + 1], lines[len(lines) // 2 + 1 :]]
                 pdf = make_simple_pdf([p for p in pages if p])
+                if k % 3 == 0:
+                    pdf = repack_with_objstm(pdf)
                 out.append(" ".join(extract_pdf_text(pdf)))
             return pa.Table.from_arrays(
                 [pa.compute.cast(batch["doc_id"], pa.string()), pa.array(out, pa.string())],

@@ -105,7 +105,35 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
         objs[num] = (head, raw)
         nxt = data.find(b"endobj", endpos)
         pos = nxt + 6 if nxt != -1 else endpos
+    _expand_objstm(objs)
     return objs
+
+
+def _expand_objstm(objs: dict[int, tuple[bytes, bytes | None]]) -> None:
+    """Expand PDF 1.5 compressed object streams (``/Type /ObjStm``,
+    PDF 32000 7.5.7) in place: the stream body holds ``/N`` non-stream
+    objects at byte offsets listed in its header, ``/First`` bytes in.
+    Embedded objects (page dicts, font dicts, catalogs...) join the
+    object map so the catalog walk and resource resolution see them;
+    top-level definitions win on number collision (an updated object
+    supersedes its compressed copy)."""
+    for head, raw in [v for v in objs.values()]:
+        if raw is None or b"/ObjStm" not in head:
+            continue
+        nm = re.search(rb"/N\s+(\d+)", head)
+        fm = re.search(rb"/First\s+(\d+)", head)
+        if nm is None or fm is None:
+            continue
+        try:
+            body = _decode_stream(head, raw)
+        except Exception:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        nums = [int(x) for x in re.findall(rb"\d+", body[:first])]
+        pairs = list(zip(nums[0::2], nums[1::2]))[:n]
+        for i, (onum, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(body)
+            objs.setdefault(onum, (body[first + off : end], None))
 
 
 def _unpredict_png(raw: bytes, stride: int, bpp: int) -> bytes:
@@ -744,4 +772,101 @@ def make_scanned_pdf(
         + b" /Root " + str(catalog).encode() + b" 0 R >>\n"
         b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
     )
+    return bytes(out)
+
+
+def repack_with_objstm(pdf: bytes) -> bytes:
+    """Rewrite a classic PDF into the PDF 1.5 compressed form: every
+    NON-stream object (page dicts, font dicts, the catalog...) moves
+    into one Flate-compressed ``/ObjStm``; stream objects stay
+    top-level (the spec forbids streams inside object streams); the
+    cross-reference table becomes an ``/XRef`` STREAM with ``/W [1 4
+    2]`` entries (type 2 rows pointing into the object stream). This
+    is the layout every modern producer emits — the round-trip fixture
+    for :func:`_expand_objstm`."""
+    objs = {}
+    pos = 0
+    while True:  # re-scan WITHOUT ObjStm expansion: raw object spans
+        om = _OBJ_HEAD_RE.search(pdf, pos)
+        if om is None:
+            break
+        num = int(om.group(1))
+        em = pdf.find(b"endobj", om.end())
+        sm = _STREAM_START_RE.search(pdf, om.end())
+        if sm is None or (em != -1 and em < sm.start()):
+            objs[num] = (pdf[om.end() : em].strip(), None)
+            pos = em + 6 if em != -1 else len(pdf)
+            continue
+        head = pdf[om.end() : sm.start()]
+        lm = _LENGTH_RE.search(head)
+        length = int(lm.group(1)) if lm and lm.group(2) is None else None
+        if length is None:
+            t = pdf.find(b"endstream", sm.end())
+            raw = pdf[sm.end() : t].rstrip(b"\r\n")
+            endpos = t
+        else:
+            raw = pdf[sm.end() : sm.end() + length]
+            endpos = sm.end() + length
+        objs[num] = (head.strip(), raw)
+        pos = pdf.find(b"endobj", endpos)
+        pos = pos + 6 if pos != -1 else endpos
+    rm = re.search(rb"/Root\s+(\d+)\s+0\s+R", pdf)
+    if rm is None:
+        raise ValueError("PDF without /Root in trailer")
+    root = int(rm.group(1))
+
+    packed = sorted(n for n, (h, r) in objs.items() if r is None)
+    kept = sorted(n for n, (h, r) in objs.items() if r is not None)
+    stm_num = max(objs) + 1
+    xref_num = stm_num + 1
+
+    bodies = [objs[n][0] for n in packed]
+    joined = b" ".join(bodies) + b"\n"
+    offs, at = [], 0
+    for b in bodies:
+        offs.append(at)
+        at += len(b) + 1
+    header = b" ".join(
+        str(n).encode() + b" " + str(o).encode() for n, o in zip(packed, offs)
+    ) + b" "
+    payload = zlib.compress(header + joined)
+    first = len(header)
+
+    out = bytearray(b"%PDF-1.5\n")
+    positions: dict[int, int] = {}
+    for n in kept:
+        head, raw = objs[n]
+        positions[n] = len(out)
+        out += (
+            str(n).encode() + b" 0 obj\n" + head + b"\nstream\n"
+            + raw + b"\nendstream\nendobj\n"
+        )
+    positions[stm_num] = len(out)
+    out += (
+        str(stm_num).encode() + b" 0 obj\n<< /Type /ObjStm /N "
+        + str(len(packed)).encode() + b" /First " + str(first).encode()
+        + b" /Filter /FlateDecode /Length " + str(len(payload)).encode()
+        + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n"
+    )
+    # /XRef stream: W [1 4 2]; one row per object 0..xref_num
+    size = xref_num + 1
+    rows = bytearray()
+    inside = {n: i for i, n in enumerate(packed)}
+    xref_at = len(out)
+    positions[xref_num] = xref_at
+    for n in range(size):
+        if n in positions:
+            rows += b"\x01" + positions[n].to_bytes(4, "big") + b"\x00\x00"
+        elif n in inside:
+            rows += b"\x02" + stm_num.to_bytes(4, "big") + inside[n].to_bytes(2, "big")
+        else:
+            rows += b"\x00" + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")
+    xpayload = zlib.compress(bytes(rows))
+    out += (
+        str(xref_num).encode() + b" 0 obj\n<< /Type /XRef /Size "
+        + str(size).encode() + b" /W [1 4 2] /Root " + str(root).encode()
+        + b" 0 R /Filter /FlateDecode /Length " + str(len(xpayload)).encode()
+        + b" >>\nstream\n" + xpayload + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
     return bytes(out)

@@ -18,11 +18,14 @@ pull the text layer out of "well-behaved" PDFs:
 - literal ``(...)`` strings with escape sequences and hex ``<...>``
   strings (Latin-1 / PDFDocEncoding approximation).
 
+- PDF 1.5 compressed object streams (``/ObjStm``): content streams
+  stay top-level by spec, and packed dict objects are expanded for
+  the embedded-font trust heuristic.
+
 Out of scope (raise ``NotImplementedError`` naming the dependency):
-encrypted files, object streams (/ObjStm), CID/Type0 composite fonts
-needing ToUnicode CMaps, LZW/DCT-compressed streams. Those genuinely
-need a full PDF library; the point here is that the COMMON digital-PDF
-case works for real with zero native dependencies.
+encrypted files, CID/Type0 composite fonts needing ToUnicode CMaps.
+Those genuinely need a full PDF library; the point here is that the
+COMMON digital-PDF case works for real with zero native dependencies.
 
 Scale shape: one ``map_batches`` task per document row (bytes in,
 span rows out) — embarrassingly parallel, nothing touches the driver.
@@ -114,8 +117,8 @@ def _content_text(stream: bytes) -> list[str]:
 def extract_pdf_text(data: bytes) -> list[str]:
     """All text lines of a PDF's native text layer, in stream order.
 
-    Raises ``NotImplementedError`` for encrypted files, object streams,
-    and non-Flate stream filters (a full PDF library is needed there).
+    Raises ``NotImplementedError`` for encrypted files and non-standard
+    stream filters (a full PDF library is needed there).
     Returns [] for PDFs whose text is drawn with an EMBEDDED font and
     no /ToUnicode map: a subsetted font's character codes are private
     glyph indices, so the "text layer" is garbage by construction —
@@ -129,10 +132,14 @@ def extract_pdf_text(data: bytes) -> list[str]:
             "encrypted PDF: decryption requires a full PDF library (e.g. pypdfium2)"
         )
     if (
-        b"/FontFile" in data or b"/CharProcs" in data
-    ) and b"/ToUnicode" not in data:
+        b"/ObjStm" not in data
+        and (b"/FontFile" in data or b"/CharProcs" in data)
+        and b"/ToUnicode" not in data
+    ):
         # embedded (FontFile*) or Type 3 (/CharProcs) font without a
         # /ToUnicode map: private codes, untrustworthy text layer
+        # (with /ObjStm present the font dicts may be compressed —
+        # the same check re-runs over the expanded bodies below)
         return []
 
     def _resolve_length(head: bytes) -> int | None:
@@ -148,7 +155,7 @@ def extract_pdf_text(data: bytes) -> list[str]:
         return int(ref.group(1)) if ref else None
 
     lines: list[str] = []
-    saw_objstm = False
+    aux = b""  # decoded /ObjStm bodies (compressed dict objects)
     pos = 0
     while True:
         om = _OBJ_HEAD_RE.search(data, pos)
@@ -177,7 +184,16 @@ def extract_pdf_text(data: bytes) -> list[str]:
         pos = nxt + 6 if nxt != -1 else endpos
 
         if b"/ObjStm" in head:
-            saw_objstm = True
+            # PDF 1.5 compressed object stream: only DICT objects live
+            # inside (streams are forbidden there), so content streams
+            # are still found by this scan — but the expanded bodies
+            # must join the font-trust heuristic below
+            from .pdffilters import decode_stream
+
+            try:
+                aux += decode_stream(head, raw)
+            except (zlib.error, ValueError):
+                pass
             continue
         if b"/Subtype" in head and b"/Image" in head:
             continue
@@ -191,11 +207,12 @@ def extract_pdf_text(data: bytes) -> list[str]:
         if b"BT" not in raw:
             continue
         lines.extend(_content_text(raw))
-    if not lines and saw_objstm:
-        raise NotImplementedError(
-            "PDF stores objects in compressed object streams (/ObjStm): "
-            "needs a full PDF library (pypdfium2)"
-        )
+    if b"/ObjStm" in data:
+        blob = data + aux
+        if (
+            b"/FontFile" in blob or b"/CharProcs" in blob
+        ) and b"/ToUnicode" not in blob:
+            return []  # same embedded-font trust rule, ObjStm-packed dicts
     return lines
 
 

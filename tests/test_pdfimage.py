@@ -290,3 +290,31 @@ def test_inline_imagemask_and_array_cs_raise():
         _inline_images(
             b"BI /W 2 /H 2 /CS [/I /G 1 <00ff>] /BPC 8 ID\n\x00\xff\x00\xff\nEI"
         )
+
+
+def test_objstm_repack_scanned_pdf_roundtrip():
+    """PDF 1.5 compressed form: dict objects (pages, catalog) move
+    into an /ObjStm + /XRef stream; the catalog walk must still find
+    page order and images."""
+    from doctr_ray.sources.pdfimage import repack_with_objstm
+
+    imgs = [np.full((8, 8), v, np.uint8) for v in (10, 20, 30)]
+    classic = make_scanned_pdf(imgs, image_format="flate")
+    packed = repack_with_objstm(classic)
+    assert b"/ObjStm" in packed and b"/Type /XRef" in packed
+    # page dicts are no longer top-level text
+    assert b"/Type /Page /Parent" not in packed
+    out = extract_pdf_page_images(packed)
+    assert [int(o[0, 0]) for o in out] == [10, 20, 30]
+
+
+def test_objstm_repack_font_pdf_rasterizes():
+    from doctr_ray.sources.pdffont import make_truetype_pdf, rasterize_truetype_pdf
+    from doctr_ray.sources.pdfimage import repack_with_objstm
+
+    classic = make_truetype_pdf([["HELLO OBJSTM"]])
+    packed = repack_with_objstm(classic)
+    a = rasterize_truetype_pdf(classic)
+    b = rasterize_truetype_pdf(packed)
+    assert len(a) == len(b) == 1
+    assert np.array_equal(a[0], b[0])

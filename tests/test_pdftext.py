@@ -143,3 +143,26 @@ def test_scanned_pdf_still_raises_for_rasterizer(tmp_path):
     p.write_bytes(b"%PDF-1.4\n1 0 obj\n<< >>\nendobj\n%%EOF\n")
     with pytest.raises(NotImplementedError, match="pypdfium2"):
         media_to_ocr_span("d0", f"file://{p}", 0, GlyphRecognizer())
+
+
+def test_objstm_repack_text_roundtrip():
+    from doctr_ray.sources.pdfimage import repack_with_objstm
+    from doctr_ray.sources.pdftext import make_simple_pdf
+
+    pages = [["first line", "second line"], ["third line"]]
+    classic = make_simple_pdf(pages)
+    packed = repack_with_objstm(classic)
+    assert b"/ObjStm" in packed
+    assert extract_pdf_text(packed) == extract_pdf_text(classic)
+
+
+def test_objstm_hides_untrusted_embedded_font():
+    """A font-embedded PDF packed into /ObjStm must STILL be treated
+    as untrustworthy text (the FontFile dict is compressed, but the
+    expanded bodies join the heuristic)."""
+    from doctr_ray.sources.pdffont import make_truetype_pdf
+    from doctr_ray.sources.pdfimage import repack_with_objstm
+
+    packed = repack_with_objstm(make_truetype_pdf([["SECRET"]]))
+    assert b"/FontFile" not in packed  # compressed away
+    assert extract_pdf_text(packed) == []
