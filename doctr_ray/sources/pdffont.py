@@ -758,6 +758,10 @@ def rasterize_truetype_pdf(data: bytes) -> list[np.ndarray]:
     on white by filling each referenced glyph's outline from the
     embedded TrueType program. Raises NotImplementedError for font
     technologies that genuinely need more (CFF/Type0)."""
+    if b"/Encrypt" in data:
+        from .pdfcrypt import decrypt_pdf
+
+        data = decrypt_pdf(data)
     objs = _scan_objects(data)
     pages = _page_order(data, objs)
     out: list[np.ndarray] = []

@@ -499,9 +499,9 @@ def extract_pdf_page_images(data: bytes) -> list[np.ndarray]:
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
     if b"/Encrypt" in data:
-        raise NotImplementedError(
-            "encrypted PDF: decryption requires a full PDF library (e.g. pypdfium2)"
-        )
+        from .pdfcrypt import decrypt_pdf
+
+        data = decrypt_pdf(data)
     objs = _scan_objects(data)
     image_nums = [
         num

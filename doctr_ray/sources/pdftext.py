@@ -128,9 +128,12 @@ def extract_pdf_text(data: bytes) -> list[str]:
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
     if b"/Encrypt" in data:
-        raise NotImplementedError(
-            "encrypted PDF: decryption requires a full PDF library (e.g. pypdfium2)"
-        )
+        # standard security handler, empty user password (the
+        # silent-open case) — raises ValueError('password required')
+        # otherwise
+        from .pdfcrypt import decrypt_pdf
+
+        data = decrypt_pdf(data)
     if (
         b"/ObjStm" not in data
         and (b"/FontFile" in data or b"/CharProcs" in data)
