@@ -14,15 +14,16 @@ Python + numpy:
   alternating white/black modified-Huffman run lengths (with or
   without EOLs; the PDF default ``EndOfLine false`` writes none).
 
-Both directions are provided: ``decode_g4`` / ``decode_g3`` for
-reading scanner output, ``encode_g4`` / ``encode_g3`` so
-``make_scanned_pdf`` can produce real archival fixtures. Pixels are
-booleans with **True = black** (the caller maps to sample bits per
-``/BlackIs1``).
+Both directions are provided: ``decode_g4`` / ``decode_g3`` /
+``decode_g3_2d`` (K > 0 mixed coding: EOL + tag bit per row, T.4
+§4.2.1) for reading scanner output, ``encode_g4`` / ``encode_g3`` /
+``encode_g3_2d`` so ``make_scanned_pdf`` can produce real archival
+fixtures; all honour ``/EncodedByteAlign`` (row starts padded to byte
+boundaries). Pixels are booleans with **True = black** (the caller
+maps to sample bits per ``/BlackIs1``).
 
 Out of scope (``NotImplementedError`` raised by the pdfimage caller):
-K > 0 mixed 2-D coding, ``/EncodedByteAlign true``, and
-uncompressed-mode extensions — all rare in PDF practice.
+uncompressed-mode extensions — vanishingly rare in PDF practice.
 
 Code tables are the published ITU-T T.4 §2.3.1 tables; tests assert
 prefix-freeness, the codeword-length envelope, and round-trips.
@@ -183,10 +184,71 @@ def _b1_index(ref: list[int], a0: int, color: int) -> int:
     return i
 
 
-def decode_g4(data: bytes, columns: int, rows: int | None = None) -> np.ndarray:
+def _decode_2d_row(
+    s: str, pos: int, ref: list[int], columns: int
+) -> tuple[list[int], int, bool]:
+    """One 2-D coded row (T.6 / T.4 2-D — same mode codes) against the
+    reference row's changing elements; returns (transitions, new_pos,
+    hit_eol)."""
+    a0, color = -1, 0
+    cur: list[int] = []
+    hit_eol = False
+    guard = 0
+    while a0 < columns:
+        guard += 1
+        if guard > 4 * columns + 8:
+            raise ValueError("CCITT 2-D row failed to terminate")
+        w = s[pos : pos + 7]
+        if w.startswith("1"):
+            d, pos = 0, pos + 1
+        elif w.startswith("011"):
+            d, pos = 1, pos + 3
+        elif w.startswith("010"):
+            d, pos = -1, pos + 3
+        elif w.startswith("001"):  # horizontal
+            pos += 3
+            start = max(a0, 0)
+            r1, pos = _read_run(s, pos, _BLACK_DEC if color else _WHITE_DEC)
+            r2, pos = _read_run(s, pos, _WHITE_DEC if color else _BLACK_DEC)
+            cur.append(start + r1)
+            cur.append(start + r1 + r2)
+            a0 = start + r1 + r2
+            continue
+        elif w.startswith("0001"):  # pass
+            pos += 4
+            i1 = _b1_index(ref, a0, color)
+            a0 = ref[i1 + 1] if i1 + 1 < len(ref) else columns
+            continue
+        elif w.startswith("000011"):
+            d, pos = 2, pos + 6
+        elif w.startswith("000010"):
+            d, pos = -2, pos + 6
+        elif w == "0000011":
+            d, pos = 3, pos + 7
+        elif w == "0000010":
+            d, pos = -3, pos + 7
+        elif not w.strip("0"):
+            hit_eol = True  # EOL / EOFB / padding reached mid-scan
+            break
+        else:
+            raise ValueError(f"invalid CCITT 2-D mode code at bit {pos}")
+        i1 = _b1_index(ref, a0, color)  # vertical mode
+        b1 = ref[i1] if i1 < len(ref) else columns
+        a1 = b1 + d
+        cur.append(a1)
+        a0 = a1
+        color ^= 1
+    return cur, pos, hit_eol
+
+
+def decode_g4(
+    data: bytes, columns: int, rows: int | None = None, byte_align: bool = False
+) -> np.ndarray:
     """Group 4 (T.6 MMR) stream -> (rows, columns) bool, True = black.
 
-    Decodes until EOFB, end of data, or ``rows`` rows when given."""
+    Decodes until EOFB, end of data, or ``rows`` rows when given.
+    ``byte_align`` = PDF ``/EncodedByteAlign true``: each coded row
+    starts on a byte boundary."""
     s = _bitstring(data)
     pos = 0
     ref: list[int] = []  # imaginary all-white row above the first
@@ -194,69 +256,69 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None) -> np.ndarray:
     while rows is None or len(out) < rows:
         if len(s) - pos < 4 or s[pos : pos + 24] == _EOL + _EOL:
             break
-        a0, color = -1, 0
-        cur: list[int] = []
-        hit_eol = False
-        guard = 0
-        while a0 < columns:
-            guard += 1
-            if guard > 4 * columns + 8:
-                raise ValueError("CCITT G4 row failed to terminate")
-            w = s[pos : pos + 7]
-            if w.startswith("1"):
-                d, pos = 0, pos + 1
-            elif w.startswith("011"):
-                d, pos = 1, pos + 3
-            elif w.startswith("010"):
-                d, pos = -1, pos + 3
-            elif w.startswith("001"):  # horizontal
-                pos += 3
-                i1 = _b1_index(ref, a0, color)
-                start = max(a0, 0)
-                r1, pos = _read_run(s, pos, _BLACK_DEC if color else _WHITE_DEC)
-                r2, pos = _read_run(s, pos, _WHITE_DEC if color else _BLACK_DEC)
-                cur.append(start + r1)
-                cur.append(start + r1 + r2)
-                a0 = start + r1 + r2
-                continue
-            elif w.startswith("0001"):  # pass
-                pos += 4
-                i1 = _b1_index(ref, a0, color)
-                a0 = ref[i1 + 1] if i1 + 1 < len(ref) else columns
-                continue
-            elif w.startswith("000011"):
-                d, pos = 2, pos + 6
-            elif w.startswith("000010"):
-                d, pos = -2, pos + 6
-            elif w == "0000011":
-                d, pos = 3, pos + 7
-            elif w == "0000010":
-                d, pos = -3, pos + 7
-            elif not w.strip("0"):
-                hit_eol = True  # EOFB / padding reached mid-scan
-                break
-            else:
-                raise ValueError(f"invalid CCITT G4 mode code at bit {pos}")
-            i1 = _b1_index(ref, a0, color)  # vertical mode
-            b1 = ref[i1] if i1 < len(ref) else columns
-            a1 = b1 + d
-            cur.append(a1)
-            a0 = a1
-            color ^= 1
+        cur, pos, hit_eol = _decode_2d_row(s, pos, ref, columns)
         if hit_eol and not cur:
             break
         out.append(_row_from_transitions(cur, columns))
         ref = _transitions_of(out[-1])
+        if byte_align:
+            pos = (pos + 7) // 8 * 8
     if rows is not None and len(out) < rows:
         raise ValueError(f"CCITT G4 stream ended at row {len(out)} of {rows}")
     return np.stack(out) if out else np.zeros((0, columns), bool)
 
 
-def decode_g3(data: bytes, columns: int, rows: int | None = None) -> np.ndarray:
+def decode_g3_2d(
+    data: bytes, columns: int, rows: int | None = None, byte_align: bool = False
+) -> np.ndarray:
+    """Group 3 2-D mixed coding (T.4 §4.2, PDF ``/K > 0``): every row
+    is preceded by an EOL whose trailing TAG bit says whether the next
+    row is 1-D (MH) or 2-D coded against the row above."""
+    s = _bitstring(data)
+    pos = 0
+    ref: list[int] = []
+    out: list[np.ndarray] = []
+    while rows is None or len(out) < rows:
+        # find the next EOL (11+ zeros then a 1); K>0 rows REQUIRE it
+        nz = s.find("1", pos)
+        if nz == -1 or nz + 1 >= len(s):
+            break
+        if nz - pos < 11:
+            if pos == 0:
+                raise ValueError("CCITT K>0 stream must start with EOL")
+            break  # fill/padding exhausted: end of data
+        pos = nz + 1
+        tag, pos = s[pos], pos + 1
+        if tag == "1":  # 1-D MH row
+            p, color = 0, 0
+            trans: list[int] = []
+            while p < columns:
+                run, pos = _read_run(s, pos, _BLACK_DEC if color else _WHITE_DEC)
+                p += run
+                trans.append(p)
+                color ^= 1
+            cur = trans
+        else:  # 2-D row against the previous one
+            cur, pos, hit = _decode_2d_row(s, pos, ref, columns)
+            if hit and not cur:
+                break
+        out.append(_row_from_transitions(cur, columns))
+        ref = _transitions_of(out[-1])
+        if byte_align:
+            pos = (pos + 7) // 8 * 8
+    if rows is not None and len(out) < rows:
+        raise ValueError(f"CCITT K>0 stream ended at row {len(out)} of {rows}")
+    return np.stack(out) if out else np.zeros((0, columns), bool)
+
+
+def decode_g3(
+    data: bytes, columns: int, rows: int | None = None, byte_align: bool = False
+) -> np.ndarray:
     """Group 3 1-D (T.4 MH) stream -> (rows, columns) bool, True=black.
 
     Accepts streams with or without per-row EOL codes (PDF default is
-    ``EndOfLine false``: none)."""
+    ``EndOfLine false``: none). ``byte_align`` = ``/EncodedByteAlign
+    true``: each coded row starts on a byte boundary."""
     s = _bitstring(data)
     pos = 0
     out: list[np.ndarray] = []
@@ -280,6 +342,8 @@ def decode_g3(data: bytes, columns: int, rows: int | None = None) -> np.ndarray:
             trans.append(p)
             color ^= 1
         out.append(_row_from_transitions(trans, columns))
+        if byte_align:
+            pos = (pos + 7) // 8 * 8
     if rows is not None and len(out) < rows:
         raise ValueError(f"CCITT G3 stream ended at row {len(out)} of {rows}")
     return np.stack(out) if out else np.zeros((0, columns), bool)
@@ -288,9 +352,16 @@ def decode_g3(data: bytes, columns: int, rows: int | None = None) -> np.ndarray:
 class _BitWriter:
     def __init__(self):
         self.parts: list[str] = []
+        self.nbits = 0
 
     def put(self, bits: str) -> None:
         self.parts.append(bits)
+        self.nbits += len(bits)
+
+    def align(self) -> None:
+        pad = -self.nbits % 8
+        if pad:
+            self.put("0" * pad)
 
     def tobytes(self) -> bytes:
         s = "".join(self.parts)
@@ -309,7 +380,40 @@ def _put_run(bw: _BitWriter, run: int, codes: dict[int, str]) -> None:
     bw.put(codes[run])
 
 
-def encode_g4(image: np.ndarray) -> bytes:
+def _encode_2d_row(bw: _BitWriter, cur: list[int], ref: list[int], w: int) -> None:
+    a0, color, ci = -1, 0, 0
+    while a0 < w:
+        a1 = cur[ci] if ci < len(cur) else w
+        i1 = _b1_index(ref, a0, color)
+        b1 = ref[i1] if i1 < len(ref) else w
+        b2 = ref[i1 + 1] if i1 + 1 < len(ref) else w
+        if b2 < a1:
+            bw.put(_MODE_PASS)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            bw.put(_MODE_V[a1 - b1])
+            a0 = a1
+            color ^= 1
+            ci += 1
+        else:
+            a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+            start = max(a0, 0)
+            bw.put(_MODE_HORIZ)
+            _put_run(bw, a1 - start, BLACK_CODES if color else WHITE_CODES)
+            _put_run(bw, a2 - a1, WHITE_CODES if color else BLACK_CODES)
+            a0 = a2
+            ci += 2
+
+
+def _encode_1d_row(bw: _BitWriter, row: np.ndarray, w: int) -> None:
+    pos, color = 0, 0
+    for t in _transitions_of(row) + [w]:
+        _put_run(bw, t - pos, BLACK_CODES if color else WHITE_CODES)
+        pos = t
+        color ^= 1
+
+
+def encode_g4(image: np.ndarray, byte_align: bool = False) -> bytes:
     """(H, W) bool/0-1 array (True = black) -> Group 4 stream + EOFB."""
     img = np.ascontiguousarray(image).astype(bool)
     h, w = img.shape
@@ -317,43 +421,45 @@ def encode_g4(image: np.ndarray) -> bytes:
     ref: list[int] = []
     for y in range(h):
         cur = _transitions_of(img[y])
-        a0, color, ci = -1, 0, 0
-        while a0 < w:
-            a1 = cur[ci] if ci < len(cur) else w
-            i1 = _b1_index(ref, a0, color)
-            b1 = ref[i1] if i1 < len(ref) else w
-            b2 = ref[i1 + 1] if i1 + 1 < len(ref) else w
-            if b2 < a1:
-                bw.put(_MODE_PASS)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                bw.put(_MODE_V[a1 - b1])
-                a0 = a1
-                color ^= 1
-                ci += 1
-            else:
-                a2 = cur[ci + 1] if ci + 1 < len(cur) else w
-                start = max(a0, 0)
-                bw.put(_MODE_HORIZ)
-                _put_run(bw, a1 - start, BLACK_CODES if color else WHITE_CODES)
-                _put_run(bw, a2 - a1, WHITE_CODES if color else BLACK_CODES)
-                a0 = a2
-                ci += 2
+        _encode_2d_row(bw, cur, ref, w)
+        if byte_align:
+            bw.align()
         ref = cur
     bw.put(_EOL + _EOL)  # EOFB
     return bw.tobytes()
 
 
-def encode_g3(image: np.ndarray) -> bytes:
+def encode_g3(image: np.ndarray, byte_align: bool = False) -> bytes:
     """(H, W) bool/0-1 array (True = black) -> Group 3 1-D stream
     (no EOLs — the PDF ``EndOfLine false`` default)."""
     img = np.ascontiguousarray(image).astype(bool)
     h, w = img.shape
     bw = _BitWriter()
     for y in range(h):
-        pos, color = 0, 0
-        for t in _transitions_of(img[y]) + [w]:
-            _put_run(bw, t - pos, BLACK_CODES if color else WHITE_CODES)
-            pos = t
-            color ^= 1
+        _encode_1d_row(bw, img[y], w)
+        if byte_align:
+            bw.align()
+    return bw.tobytes()
+
+
+def encode_g3_2d(image: np.ndarray, k: int = 4, byte_align: bool = False) -> bytes:
+    """(H, W) bool/0-1 (True = black) -> Group 3 2-D mixed stream
+    (PDF ``/K > 0``): every row EOL-prefixed with a tag bit; each
+    k-th row is 1-D coded, the rows between are 2-D coded against
+    the row above (T.4 §4.2.1)."""
+    img = np.ascontiguousarray(image).astype(bool)
+    h, w = img.shape
+    bw = _BitWriter()
+    ref: list[int] = []
+    for y in range(h):
+        one_d = y % max(k, 1) == 0
+        bw.put(_EOL + ("1" if one_d else "0"))
+        cur = _transitions_of(img[y])
+        if one_d:
+            _encode_1d_row(bw, img[y], w)
+        else:
+            _encode_2d_row(bw, cur, ref, w)
+        if byte_align:
+            bw.align()
+        ref = cur
     return bw.tobytes()

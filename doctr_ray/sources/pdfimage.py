@@ -23,9 +23,10 @@ rasterize for real with zero native dependencies:
   ``/Predictor`` 10-15 at the spec's byte stride);
 - fallback when the catalog walk fails: images in object order.
 
-- ``/CCITTFaxDecode`` bilevel fax images (K < 0 Group 4 and K = 0
-  Group 3 1-D, honouring /Columns /Rows /BlackIs1) via the in-repo
-  T.4/T.6 codec (sources/ccittcodec) — the archival scanner format;
+- ``/CCITTFaxDecode`` bilevel fax images (K < 0 Group 4, K = 0
+  Group 3 1-D, K > 0 Group 3 2-D mixed, with ``/EncodedByteAlign``,
+  honouring /Columns /Rows /BlackIs1) via the in-repo T.4/T.6 codec
+  (sources/ccittcodec) — the archival scanner format;
 - ``/JBIG2Decode`` (sources/jbig2codec) and ``/JPXDecode``
   (sources/jpxcodec) via the in-repo arithmetic/wavelet codecs;
 - the legacy/transport filters ``/LZWDecode``, ``/RunLengthDecode``,
@@ -33,8 +34,9 @@ rasterize for real with zero native dependencies:
   including array chains ``/Filter [/ASCII85Decode /FlateDecode]`` —
   every standard stream filter of PDF 32000 §7.4 decodes in-repo.
 
-Out of scope (``NotImplementedError`` naming the gap): CCITT K > 0
-mixed coding and ``/EncodedByteAlign true``.
+Encrypted files decrypt through sources/pdfcrypt (standard security
+handler, empty user password); PDF 1.5 compressed object streams
+expand through ``_expand_objstm``.
 
 ``make_scanned_pdf`` writes the same subset (one full-page image per
 page) — the round-trip fixture generator AND a usable archival sink.
@@ -293,7 +295,7 @@ def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.n
     if bits not in (1, 2, 4, 8, 16):
         raise NotImplementedError(f"{bits}-bit PDF image samples")
     if primary == b"CCITTFaxDecode":
-        from .ccittcodec import decode_g3, decode_g4
+        from .ccittcodec import decode_g3, decode_g3_2d, decode_g4
 
         km = re.search(rb"/K\s+(-?\d+)", head)
         k = int(km.group(1)) if km else 0
@@ -301,11 +303,9 @@ def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.n
         cols = int(cm.group(1)) if cm else 1728
         rm = re.search(rb"/Rows\s+(\d+)", head)
         nrows = int(rm.group(1)) if rm else h
-        if b"/EncodedByteAlign true" in head:
-            raise NotImplementedError("CCITT /EncodedByteAlign true")
-        if k > 0:
-            raise NotImplementedError("CCITT K>0 mixed 2-D coding")
-        black = (decode_g4 if k < 0 else decode_g3)(raw, cols, nrows)
+        align = b"/EncodedByteAlign true" in head
+        codec = decode_g4 if k < 0 else (decode_g3_2d if k > 0 else decode_g3)
+        black = codec(raw, cols, nrows, byte_align=align)
         # map pixels to 1-bit samples per /BlackIs1 (default false:
         # black pixels are 0 bits = DeviceGray black)
         if b"/BlackIs1 true" in head:
@@ -556,6 +556,7 @@ def make_scanned_pdf(
     bits: int = 8,
     palette: np.ndarray | None = None,
     transport: str | None = None,
+    ccitt_byte_align: bool = False,
 ) -> bytes:
     """One full-page image per page — what a scanner/copier emits.
 
@@ -632,22 +633,31 @@ def make_scanned_pdf(
             payload = encode_jpeg(img, quality)
             filt = b"/DCTDecode"
             sample_bits = 8
-        elif image_format in ("ccitt_g4", "ccitt_g3"):
-            from .ccittcodec import encode_g3, encode_g4
+        elif image_format in ("ccitt_g4", "ccitt_g3", "ccitt_g3_2d"):
+            from .ccittcodec import encode_g3, encode_g3_2d, encode_g4
 
             if not gray:
                 raise ValueError(f"{image_format} expects gray bilevel images")
             black = img == 0
             if not ((img == 0) | (img == 255)).all():
                 raise ValueError(f"{image_format} gray values must be 0 or 255")
-            k = -1 if image_format == "ccitt_g4" else 0
-            payload = (encode_g4 if k < 0 else encode_g3)(black)
+            if image_format == "ccitt_g4":
+                k = -1
+                payload = encode_g4(black, byte_align=ccitt_byte_align)
+            elif image_format == "ccitt_g3_2d":
+                k = 4
+                payload = encode_g3_2d(black, k=4, byte_align=ccitt_byte_align)
+            else:
+                k = 0
+                payload = encode_g3(black, byte_align=ccitt_byte_align)
             filt = b"/CCITTFaxDecode"
             sample_bits = 1
             extra = (
                 b" /DecodeParms << /K " + str(k).encode()
                 + b" /Columns " + str(w).encode()
-                + b" /Rows " + str(h).encode() + b" >>"
+                + b" /Rows " + str(h).encode()
+                + (b" /EncodedByteAlign true" if ccitt_byte_align else b"")
+                + b" >>"
             )
         elif image_format == "jpx":
             from .jpxcodec import encode_jp2

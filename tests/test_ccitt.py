@@ -113,16 +113,14 @@ def test_pdf_rejects_non_bilevel():
         )
 
 
-def test_pdf_unsupported_ccitt_variants_raise():
+def test_mislabeled_k_parameter_fails_loudly():
+    # a G4 stream labeled /K 4 is NOT silently misdecoded: K>0 data
+    # must start with an EOL, which MMR row coding never emits
     base = make_scanned_pdf(
-        [np.full((4, 4), 255, np.uint8)], image_format="ccitt_g4"
+        [np.full((4, 4), 0, np.uint8)], image_format="ccitt_g4"
     )
-    with pytest.raises(NotImplementedError, match="K>0"):
+    with pytest.raises(ValueError, match="EOL"):
         extract_pdf_page_images(base.replace(b"/K -1", b"/K 4"))
-    with pytest.raises(NotImplementedError, match="EncodedByteAlign"):
-        extract_pdf_page_images(
-            base.replace(b"/K -1", b"/K -1 /EncodedByteAlign true")
-        )
 
 
 def test_blackis1_flips_samples():
@@ -154,3 +152,46 @@ def test_ccitt_scanned_pdf_ocr_exact(tmp_path):
     )
     got, conf = media_to_ocr_span("d", f"file://{p}", 0, GlyphRecognizer())
     assert got == synth_ground_truth_text(ref)
+
+
+def test_g3_2d_mixed_roundtrip():
+    """K>0: EOL+tag rows, every 4th row 1-D, rest 2-D coded."""
+    from doctr_ray.sources.ccittcodec import decode_g3_2d, encode_g3_2d
+
+    rng = np.random.default_rng(21)
+    img = rng.random((23, 71)) < 0.3
+    # correlated rows (the case 2-D coding exists for)
+    img[5:12] = img[5]
+    for k in (1, 2, 4, 8):
+        enc = encode_g3_2d(img, k=k)
+        out = decode_g3_2d(enc, img.shape[1], img.shape[0])
+        assert np.array_equal(out, img), k
+
+
+def test_byte_align_all_codecs():
+    from doctr_ray.sources.ccittcodec import (
+        decode_g3,
+        decode_g3_2d,
+        decode_g4,
+        encode_g3,
+        encode_g3_2d,
+        encode_g4,
+    )
+
+    rng = np.random.default_rng(22)
+    img = rng.random((9, 37)) < 0.4
+    for enc, dec in (
+        (encode_g3, decode_g3),
+        (encode_g4, decode_g4),
+        (encode_g3_2d, decode_g3_2d),
+    ):
+        data = enc(img, byte_align=True)
+        out = dec(data, img.shape[1], img.shape[0], byte_align=True)
+        assert np.array_equal(out, img), enc.__name__
+
+
+def test_g3_2d_requires_leading_eol():
+    from doctr_ray.sources.ccittcodec import decode_g3_2d
+
+    with pytest.raises(ValueError, match="EOL"):
+        decode_g3_2d(b"\xff\xff\xff", 16, 1)

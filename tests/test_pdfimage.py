@@ -318,3 +318,21 @@ def test_objstm_repack_font_pdf_rasterizes():
     b = rasterize_truetype_pdf(packed)
     assert len(a) == len(b) == 1
     assert np.array_equal(a[0], b[0])
+
+
+def test_ccitt_k_positive_and_byte_align_pdf_roundtrip():
+    """/K 4 mixed coding and /EncodedByteAlign true decode through the
+    full PDF path."""
+    rng = np.random.default_rng(31)
+    img = np.where(rng.random((20, 64)) < 0.35, 0, 255).astype(np.uint8)
+    img[8:14] = img[8]  # correlated rows
+    for align in (False, True):
+        pdf = make_scanned_pdf(
+            [img], image_format="ccitt_g3_2d", ccitt_byte_align=align
+        )
+        assert b"/K 4" in pdf
+        out = extract_pdf_page_images(pdf)
+        assert np.array_equal(out[0], img), align
+    pdf = make_scanned_pdf([img], image_format="ccitt_g4", ccitt_byte_align=True)
+    assert b"/EncodedByteAlign true" in pdf
+    assert np.array_equal(extract_pdf_page_images(pdf)[0], img)
