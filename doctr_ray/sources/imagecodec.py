@@ -395,8 +395,8 @@ def to_gray(arr: np.ndarray) -> np.ndarray:
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits_per_sample", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "samples_per_pixel",
-    278: "rows_per_strip", 279: "strip_byte_counts", 317: "predictor",
-    347: "jpeg_tables",
+    278: "rows_per_strip", 279: "strip_byte_counts", 292: "t4_options",
+    293: "t6_options", 317: "predictor", 347: "jpeg_tables",
 }
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
@@ -405,9 +405,12 @@ def decode_tiff(data: bytes) -> np.ndarray:
     """Baseline TIFF (the common scanner output): first IFD, gray or
     RGB, 1/8-bit samples, strip-organized, uncompressed / PackBits /
     Deflate(AdobeDeflate) / LZW / new-style JPEG (compression 7, per-
-    strip JFIF streams with optional shared /JPEGTables spliced in);
-    horizontal-differencing predictor. Old-style JPEG (compression 6)
-    and tiled files raise naming the needed library."""
+    strip JFIF streams with optional shared /JPEGTables spliced in) /
+    CCITT fax (compressions 2 = MH byte-aligned, 3 = T.4 G3 with
+    T4Options 1-D/2-D + fill bits, 4 = T.6 G4 — the "TIFF G4"
+    archival scan, via sources/ccittcodec); horizontal-differencing
+    predictor. Old-style JPEG (compression 6) and tiled files raise
+    naming the needed library."""
     if data[:4] == b"II*\x00":
         bo = "<"
     elif data[:4] == b"MM\x00*":
@@ -454,8 +457,35 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             "old-style JPEG-in-TIFF (compression 6) requires cv2 or PIL"
         )
-    if comp not in (1, 5, 7, 8, 32946, 32773):
+    if comp not in (1, 2, 3, 4, 5, 7, 8, 32946, 32773):
         raise NotImplementedError(f"TIFF compression {comp} not supported")
+
+    if comp in (2, 3, 4):  # CCITT fax — the "TIFF G4/G3" archival scan
+        from .ccittcodec import decode_g3, decode_g3_2d, decode_g4
+
+        t4 = tags.get("t4_options", [0])[0]
+        strips_black = []
+        remaining = height
+        for si, off in enumerate(offsets):
+            n = counts[si] if counts else len(data) - off
+            nrows = min(rps, remaining)
+            remaining -= nrows
+            chunk = data[off : off + n]
+            if comp == 4:
+                strips_black.append(decode_g4(chunk, width, nrows))
+            elif comp == 3 and (t4 & 1):  # T4Options bit 0: 2-D coding
+                strips_black.append(
+                    decode_g3_2d(chunk, width, nrows, byte_align=bool(t4 & 4))
+                )
+            else:  # compression 2 (MH, byte-aligned rows) or 3 1-D
+                strips_black.append(
+                    decode_g3(chunk, width, nrows, byte_align=comp == 2)
+                )
+        black = np.vstack(strips_black)
+        px = np.where(black, np.uint8(0), np.uint8(255))
+        if photometric == 1:  # BlackIsZero (rare for fax): invert
+            px = 255 - px
+        return px
 
     if comp == 7:  # new-style JPEG: one JFIF stream per strip
         from .jpegcodec import decode_jpeg

@@ -332,7 +332,7 @@ def test_file_bmp_media_decodes(tmp_path):
 
 
 def _make_tiff(img: np.ndarray, compression: int = 1, photometric=None, rows_per_strip=None,
-               bits: int = 8, predictor: int = 1):
+               bits: int = 8, predictor: int = 1, t4_options=None):
     """Minimal little-endian strip TIFF writer for decoder tests."""
     import struct
     import zlib as _zlib
@@ -359,6 +359,22 @@ def _make_tiff(img: np.ndarray, compression: int = 1, photometric=None, rows_per
             from doctr_ray.sources.imagecodec import _tiff_lzw_encode
 
             chunk = _tiff_lzw_encode(chunk)
+        elif compression in (2, 3, 4):  # CCITT fax strips
+            from doctr_ray.sources.ccittcodec import (
+                encode_g3,
+                encode_g3_2d,
+                encode_g4,
+            )
+
+            black = img[y0 : y0 + rps] == 0
+            if compression == 4:
+                chunk = encode_g4(black)
+            elif compression == 3 and t4_options and (t4_options & 1):
+                chunk = encode_g3_2d(
+                    black, k=2, byte_align=bool(t4_options & 4)
+                )
+            else:
+                chunk = encode_g3(black, byte_align=compression == 2)
         elif compression == 32773:  # PackBits: literal runs only (valid)
             out = bytearray()
             i = 0
@@ -374,7 +390,7 @@ def _make_tiff(img: np.ndarray, compression: int = 1, photometric=None, rows_per
     entries = []  # (tag, type, count, value_or_offset_resolver)
     extra = bytearray()
     header_size = 8
-    ifd_count = 10
+    ifd_count = 10 + (1 if t4_options is not None else 0)
     ifd_size = 2 + 12 * ifd_count + 4
     data_start = header_size + ifd_size
 
@@ -404,6 +420,8 @@ def _make_tiff(img: np.ndarray, compression: int = 1, photometric=None, rows_per
     # placeholders for strip offsets (filled after extra is known)
     add(279, 4, strip_sizes)
     add(317, 3, [predictor])
+    if t4_options is not None:
+        add(292, 4, [t4_options])
 
     # first pass to materialize all value arrays except offsets
     rendered = []
@@ -543,3 +561,23 @@ def test_pnm_16bit_samples():
     # ASCII P2 with a 16-bit maxval
     data = b"P2 2 1 1000\n1000 500\n"
     assert decode_pnm(data).tolist() == [[255, 127]]
+
+
+def test_tiff_ccitt_g4_g3_roundtrip():
+    """TIFF compressions 2/3/4 — the 'TIFF G4' archival scan — decode
+    bit-exact, including multi-strip files and 2-D T4Options."""
+    from doctr_ray.sources.imagecodec import decode_tiff
+
+    rng = np.random.default_rng(41)
+    img = np.where(rng.random((22, 63)) < 0.3, 0, 255).astype(np.uint8)
+    img[6:12] = img[6]  # correlated rows
+    for comp, t4 in ((4, None), (2, None), (3, 0), (3, 1), (3, 5)):
+        data = _make_tiff(
+            img, compression=comp, photometric=0, bits=1, t4_options=t4
+        )
+        assert np.array_equal(decode_tiff(data), img), (comp, t4)
+    # multi-strip G4
+    data = _make_tiff(
+        img, compression=4, photometric=0, bits=1, rows_per_strip=8
+    )
+    assert np.array_equal(decode_tiff(data), img)
