@@ -814,12 +814,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_ocr_scanned_pdf(sf_dir: str):
         """Scanned-image PDF route (reference io/pdf.py analog,
         pypdfium2-free): each document's rendered pages embedded as
-        image XObjects, rotating through the four scanner output
-        formats — JPEG (/DCTDecode), deflated samples (/FlateDecode),
-        and CCITT Group 4 / Group 3 fax (/CCITTFaxDecode, the bilevel
-        archival coding) — then rasterized back through
-        sources/pdfimage and OCR'd. Exact oracle: the full pipeline
-        must reconstruct every document's text byte-exactly."""
+        image XObjects, rotating through TEN real scanner/producer
+        layouts — JPEG (/DCTDecode), deflated samples (/FlateDecode),
+        CCITT Group 4 / Group 3 1-D / Group 3 2-D byte-aligned fax
+        (/CCITTFaxDecode), BI/ID/EI inline images, LZW samples,
+        ASCII85-wrapped RunLength chains, an /ObjStm-repacked file and
+        an AES-128-ENCRYPTED file (standard handler, empty user
+        password) — then rasterized back through sources/pdfimage and
+        OCR'd. Exact oracle: the full pipeline must reconstruct every
+        document's text byte-exactly."""
         import hashlib
         import os
 
@@ -831,38 +834,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from doctr_ray.media import encode_media_ref, rasterize_synth
         from doctr_ray.pipelines.ocr import ocr_extracted_text
         from doctr_ray.sources.pdfimage import make_scanned_pdf
+        from doctr_ray.tableio import resolve_table_paths
 
         t = (
-            pq.read_table(__import__("doctr_ray.tableio", fromlist=["resolve_table_paths"]).resolve_table_paths(sf_dir, "documents"), columns=["doc_id", "text"])
+            pq.read_table(
+                resolve_table_paths(sf_dir, "documents"), columns=["doc_id", "text"]
+            )
             .sort_by("doc_id")
             .slice(0, 60)
         )
         outdir = os.path.join(
             "/tmp/doctr_ray_scanpdf",
-            hashlib.md5((sf_dir + ":v3-inline").encode()).hexdigest()[:10],
+            hashlib.md5((sf_dir + ":v4-filters").encode()).hexdigest()[:10],
         )
         os.makedirs(outdir, exist_ok=True)
-        ids, spans = [], []
+        #: (image_format, make_scanned_pdf kwargs, post-transform)
+        variants = [
+            ("jpeg", {}, None),
+            ("flate", {}, None),
+            ("ccitt_g4", {}, None),
+            ("ccitt_g3", {}, None),
+            ("inline_flate", {}, None),
+            ("lzw", {}, None),
+            ("rle", {"transport": "a85"}, None),
+            ("ccitt_g3_2d", {"ccitt_byte_align": True}, None),
+            ("flate", {}, "objstm"),
+            ("flate", {}, "encrypt"),
+        ]
+
+        @ray.remote(num_cpus=1)
+        def _write_fixture(text: str, path: str, vi: int) -> None:
+            from doctr_ray.sources.pdfcrypt import encrypt_pdf
+            from doctr_ray.sources.pdfimage import repack_with_objstm
+
+            fmt, kwargs, post = variants[vi]
+            pages = rasterize_synth(encode_media_ref(text or ""))
+            pdf = make_scanned_pdf(
+                [p.image for p in pages], image_format=fmt, **kwargs
+            )
+            if post == "objstm":
+                pdf = repack_with_objstm(pdf)
+            elif post == "encrypt":
+                pdf = encrypt_pdf(pdf, revision=4)
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(pdf)
+            os.replace(tmp, path)
+
+        ids, spans, pend = [], [], []
         for i, (did, text) in enumerate(
             zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
         ):
             did = str(did)
             path = os.path.join(outdir, f"{did}.pdf")
             if not os.path.exists(path):
-                pages = rasterize_synth(encode_media_ref(text or ""))
-                fmt = (
-                    "jpeg", "flate", "ccitt_g4", "ccitt_g3", "inline_flate",
-                )[i % 5]
-                tmp = path + ".tmp"
-                with open(tmp, "wb") as f:
-                    f.write(
-                        make_scanned_pdf([p.image for p in pages], image_format=fmt)
-                    )
-                os.replace(tmp, path)
+                pend.append(_write_fixture.remote(text or "", path, i % len(variants)))
             ids.append(did)
             spans.append(
                 [{"kind": "media", "text": "", "media_ref": f"file://{path}", "offset": 0}]
             )
+        if pend:
+            ray.get(pend)
         docs = pa.Table.from_arrays(
             [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
             schema=DOCS_SCHEMA,

@@ -347,7 +347,28 @@ def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.n
         raise NotImplementedError(
             f"unsupported PDF image filter /{primary.decode()}"
         )
+    # /Decode [1 0]: inverted component range — the stencil-mask
+    # default flip and the fax-without-BlackIs1 convention. (Word-
+    # bounded so /DecodeParms never matches.)
+    inverted = (
+        re.search(rb"/Decode\s*\[\s*1(?:\.0*)?\s+0(?:\.0*)?\s*\]", head)
+        is not None
+    )
+    if b"/ImageMask true" in head:
+        # stencil mask: 1-bit, no ColorSpace; sample 0 = paint (black
+        # on the page), 1 = leave white — /Decode [1 0] flips
+        bits = 1
+        samples = _unpack_samples(raw, h, w, 1, 1)
+        if inverted:
+            samples = samples ^ 1
+        return (samples.reshape(h, w) * np.uint8(255)).astype(np.uint8)
     samples = _unpack_samples(raw, h, w, ncomp, bits)  # (h, w*ncomp) uint8
+    if inverted and ncomp == 1:
+        samples = (
+            (2 ** min(bits, 8) - 1) - samples
+            if bits != 16
+            else 255 - samples  # 16-bit already collapsed to high byte
+        ).astype(np.uint8)
     if palette is not None:
         idx = np.minimum(samples, len(palette) - 1)
         rgb = palette[idx.reshape(h, w)]
@@ -383,6 +404,7 @@ _INLINE_ABBREV = [
     (re.compile(rb"/RGB(?![A-Za-z])"), b"/DeviceRGB"),
     (re.compile(rb"/IM(?![A-Za-z])"), b"/ImageMask"),
     (re.compile(rb"/DP(?![A-Za-z])"), b"/DecodeParms"),
+    (re.compile(rb"/D(?![A-Za-z])"), b"/Decode"),
     (re.compile(rb"/I(?![A-Za-z])"), b"/Interpolate"),
 ]
 _BI_RE = re.compile(rb"(?<![A-Za-z])BI(?![A-Za-z])")
@@ -413,8 +435,6 @@ def _inline_images(content: bytes) -> list[np.ndarray]:
             # not an inline-image dict (a stray "BI" inside text ops)
             pos = m.end()
             continue
-        if b"/ImageMask true" in head:
-            raise NotImplementedError("inline /ImageMask stencil")
         if b"[" in head:
             # array ColorSpace (inline /Indexed) — /I is ambiguous with
             # /Interpolate in the abbreviation table; stay honest
@@ -695,6 +715,15 @@ def make_scanned_pdf(
             payload = zlib.compress(_pack_rows(samples, bits))
             filt = b"/FlateDecode"
             sample_bits = bits
+        elif image_format == "mask":
+            # /ImageMask true stencil: bit 0 = paint black
+            if not gray or not ((img == 0) | (img == 255)).all():
+                raise ValueError("mask expects gray bilevel 0/255 images")
+            payload = zlib.compress(_pack_rows((img == 255).astype(np.uint8), 1))
+            filt = b"/FlateDecode"
+            sample_bits = 1
+            extra = b" /ImageMask true"
+            cs = None
         elif image_format in ("lzw", "rle"):
             from .pdffilters import lzw_encode, rle_encode
 
@@ -726,7 +755,7 @@ def make_scanned_pdf(
             add(
                 b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
                 + b" /Height " + str(h).encode()
-                + b" /ColorSpace " + cs
+                + (b" /ColorSpace " + cs if cs is not None else b"")
                 + b" /BitsPerComponent " + str(sample_bits).encode()
                 + b" /Filter " + filt + extra
                 + b" /Length " + str(len(payload)).encode() + b" >>\nstream\n"

@@ -281,11 +281,9 @@ def test_inline_stray_bi_in_stream_is_skipped():
     assert _inline_images(b"BT (A BI C) Tj ET ID nothing") == []
 
 
-def test_inline_imagemask_and_array_cs_raise():
+def test_inline_array_cs_raises():
     from doctr_ray.sources.pdfimage import _inline_images
 
-    with pytest.raises(NotImplementedError, match="ImageMask"):
-        _inline_images(b"BI /W 2 /H 2 /IM true /BPC 1 ID\n\x00\xff\nEI")
     with pytest.raises(NotImplementedError, match="ColorSpace"):
         _inline_images(
             b"BI /W 2 /H 2 /CS [/I /G 1 <00ff>] /BPC 8 ID\n\x00\xff\x00\xff\nEI"
@@ -336,3 +334,41 @@ def test_ccitt_k_positive_and_byte_align_pdf_roundtrip():
     pdf = make_scanned_pdf([img], image_format="ccitt_g4", ccitt_byte_align=True)
     assert b"/EncodedByteAlign true" in pdf
     assert np.array_equal(extract_pdf_page_images(pdf)[0], img)
+
+
+def test_imagemask_stencil_and_decode_inversion():
+    """/ImageMask true stencils (bit 0 = paint black) and /Decode
+    [1 0] inversion on both masks and gray images."""
+    img = np.where(_rng(51).random((14, 33)) < 0.4, 0, 255).astype(np.uint8)
+    pdf = make_scanned_pdf([img], image_format="mask")
+    assert b"/ImageMask true" in pdf and b"/ColorSpace" not in pdf
+    assert np.array_equal(extract_pdf_page_images(pdf)[0], img)
+    # /Decode [1 0] flips the stencil
+    flipped = pdf.replace(b"/ImageMask true", b"/ImageMask true /Decode [1 0]")
+    assert np.array_equal(extract_pdf_page_images(flipped)[0], 255 - img)
+    # /Decode [1 0] on plain 8-bit gray inverts samples
+    g = _rng(52).integers(0, 256, (9, 12), np.uint8)
+    base = make_scanned_pdf([g], image_format="flate")
+    inv = base.replace(b"/BitsPerComponent 8", b"/BitsPerComponent 8 /Decode [1 0]")
+    assert np.array_equal(extract_pdf_page_images(inv)[0], 255 - g)
+
+
+def test_inline_imagemask_decodes():
+    img = np.where(_rng(53).random((6, 20)) < 0.5, 0, 255).astype(np.uint8)
+    bits = np.packbits((img == 255).astype(np.uint8), axis=1).tobytes()
+    content = (
+        b"q 20 0 0 6 0 0 cm BI /W 20 /H 6 /BPC 1 /IM true ID\n"
+        + bits + b"\nEI Q"
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Type /Page /Parent 3 0 R /MediaBox [0 0 20 6] "
+        b"/Contents 1 0 R /Resources << >> >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj\n"
+        b"trailer\n<< /Root 4 0 R >>\n%%EOF\n"
+    )
+    out = extract_pdf_page_images(pdf)
+    assert np.array_equal(out[0], img)
