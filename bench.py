@@ -234,6 +234,9 @@ def run_once() -> dict:
         "ocr_page_hocr",
         "ocr_rotated",
         "ocr_scanned_pdf",
+        "ocr_jbig2_pdf",
+        "ocr_jpx_pdf",
+        "ocr_type3_pdf",
         "ocr_truetype_pdf",
         "ocr_cff_pdf",
         "ocr_type1_pdf",

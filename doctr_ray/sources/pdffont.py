@@ -120,8 +120,26 @@ class TrueTypeFont:
                 sub_off = off
         sub = cm[sub_off:]
         fmt = struct.unpack(">H", sub[:2])[0]
+        if fmt == 0:  # byte encoding table
+            return {c: sub[6 + c] for c in range(256) if sub[6 + c]}
+        if fmt == 6:  # trimmed table
+            first, cnt = struct.unpack(">HH", sub[6:10])
+            gids = np.frombuffer(sub[10 : 10 + 2 * cnt], ">u2")
+            return {first + i: int(g) for i, g in enumerate(gids) if g}
+        if fmt == 12:  # segmented coverage (32-bit — the modern form)
+            ngroups = struct.unpack(">I", sub[12:16])[0]
+            groups = np.frombuffer(sub[16 : 16 + 12 * ngroups], ">u4").reshape(
+                -1, 3
+            )
+            out12: dict[int, int] = {}
+            for s0, e0, g0 in groups.tolist():
+                for code in range(s0, e0 + 1):
+                    out12[code] = g0 + (code - s0)
+            return out12
         if fmt != 4:
-            raise NotImplementedError(f"cmap format {fmt} (only 4 supported)")
+            raise NotImplementedError(
+                f"cmap format {fmt} (formats 0/4/6/12 supported)"
+            )
         seg_x2 = struct.unpack(">H", sub[6:8])[0]
         segs = seg_x2 // 2
         end = np.frombuffer(sub[14 : 14 + seg_x2], ">u2")
@@ -508,6 +526,7 @@ class PdfFont:
     def __init__(self, objs: dict, num: int):
         head, _ = objs[num]
         self.two_byte = False
+        self.cid2gid: np.ndarray | None = None
         self.cid_dw = 1000.0
         self.cid_w: dict[int, float] = {}
         self.type3: dict | None = None
@@ -531,7 +550,14 @@ class PdfFont:
             head, _ = objs[int(dfm.group(1))]
             if b"/CIDFontType2" in head:
                 if re.search(rb"/CIDToGIDMap\s*/(?!Identity)", head):
-                    raise NotImplementedError("stream /CIDToGIDMap")
+                    raise NotImplementedError("named non-Identity /CIDToGIDMap")
+                sm = re.search(rb"/CIDToGIDMap\s+(\d+)\s+0\s+R", head)
+                if sm is not None:
+                    # stream map: 2 bytes big-endian GID per CID
+                    ghead, graw = objs[int(sm.group(1))]
+                    self.cid2gid = np.frombuffer(
+                        decode_stream(ghead, graw), ">u2"
+                    )
             elif b"/CIDFontType0" not in head:
                 raise NotImplementedError("unknown CID descendant font type")
             self.two_byte = True
@@ -724,6 +750,10 @@ class PdfFont:
 
     def code_to_gid(self, code: int) -> int:
         if self.two_byte:  # Identity-H: the 2-byte code IS the CID
+            if self.cid2gid is not None:  # stream /CIDToGIDMap
+                return (
+                    int(self.cid2gid[code]) if code < len(self.cid2gid) else 0
+                )
             cid_map = getattr(self.ttf, "cid_to_gid", None)
             if cid_map is not None:  # CID-keyed CFF: charset routes it
                 return cid_map.get(code, 0)
@@ -967,6 +997,43 @@ def _fmt4_cmap(mapping: dict[int, int]) -> bytes:
     return struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + sub
 
 
+def _fmt0_cmap(mapping: dict[int, int]) -> bytes:
+    """cmap with one format-0 byte-table subtable (codes < 256)."""
+    tbl = bytearray(256)
+    for c, g in mapping.items():
+        if not (0 <= c < 256 and g < 256):
+            raise ValueError("format 0 cmap needs byte codes and gids")
+        tbl[c] = g
+    sub = struct.pack(">HHH", 0, 262, 0) + bytes(tbl)
+    return struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 0, 12) + sub
+
+
+def _fmt6_cmap(mapping: dict[int, int]) -> bytes:
+    """cmap with one format-6 trimmed-table subtable."""
+    first, last = min(mapping), max(mapping)
+    gids = [mapping.get(c, 0) for c in range(first, last + 1)]
+    sub = struct.pack(">HHHHH", 6, 10 + 2 * len(gids), 0, first, len(gids))
+    sub += b"".join(struct.pack(">H", g) for g in gids)
+    return struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + sub
+
+
+def _fmt12_cmap(mapping: dict[int, int]) -> bytes:
+    """cmap with one format-12 segmented-coverage subtable (one group
+    per maximal run of consecutive code->gid mappings)."""
+    groups = []
+    for c in sorted(mapping):
+        g = mapping[c]
+        if groups and c == groups[-1][1] + 1 and g == groups[-1][2] + (
+            c - groups[-1][0]
+        ):
+            groups[-1] = (groups[-1][0], c, groups[-1][2])
+        else:
+            groups.append((c, c, g))
+    sub = struct.pack(">HHIII", 12, 0, 16 + 12 * len(groups), 0, len(groups))
+    sub += b"".join(struct.pack(">III", s, e, g) for s, e, g in groups)
+    return struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 10, 12) + sub
+
+
 def _simple_glyph(contours: list[list[tuple[int, int, bool]]]) -> bytes:
     """Serialize one simple glyph (no repeat compression, long deltas
     where needed)."""
@@ -1014,6 +1081,7 @@ def build_ttf(
     cmap: dict[int, int],
     advances: list[int],
     upem: int,
+    cmap_format: int = 4,
 ) -> bytes:
     """Minimal valid TrueType binary: glyph 0 must be .notdef (pass an
     empty contour list); ``glyphs[i]`` is glyph i's contour list."""
@@ -1048,7 +1116,9 @@ def build_ttf(
         + struct.pack(">hH", 0, len(advances))
     )
     hmtx = b"".join(struct.pack(">Hh", a, 0) for a in advances)
-    cmap_b = _fmt4_cmap(cmap)
+    cmap_b = {0: _fmt0_cmap, 4: _fmt4_cmap, 6: _fmt6_cmap, 12: _fmt12_cmap}[
+        cmap_format
+    ](cmap)
     tables = [
         (b"cmap", cmap_b),
         (b"glyf", glyf),

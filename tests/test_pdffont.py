@@ -405,3 +405,45 @@ def test_type3_path_operator_charproc_raises():
     assert bad != data
     with _pytest.raises(NotImplementedError, match="charproc"):
         rasterize_truetype_pdf(bad)
+
+
+def test_cmap_formats_0_6_12_parse_identically():
+    """The same glyph mapping through cmap formats 0/6/12 must parse
+    to the same code->gid table as format 4."""
+    import numpy as np
+
+    from doctr_ray.sources.pdffont import TrueTypeFont, build_ttf
+
+    sq = [[(0, 0, True), (60, 0, True), (60, 60, True), (0, 60, True)]]
+    tri = [[(0, 0, True), (60, 0, True), (30, 60, True)]]
+    glyphs = [[], sq, tri]
+    cmap = {65: 1, 66: 2, 67: 1, 100: 2}
+    ref = TrueTypeFont(build_ttf(glyphs, cmap, [60, 60, 60], 64)).cmap
+    assert ref == cmap
+    for fmt in (0, 6, 12):
+        got = TrueTypeFont(
+            build_ttf(glyphs, cmap, [60, 60, 60], 64, cmap_format=fmt)
+        ).cmap
+        assert got == cmap, fmt
+
+
+def test_stream_cid_to_gid_map():
+    """A stream /CIDToGIDMap (identity written out as 2-byte GIDs)
+    must rasterize identically to /CIDToGIDMap /Identity."""
+    import numpy as np
+
+    from doctr_ray.sources.pdffont import make_cid_pdf, rasterize_truetype_pdf
+
+    base = make_cid_pdf([["STREAM MAP"]])
+    ngids = 4096
+    table = b"".join(g.to_bytes(2, "big") for g in range(ngids))
+    obj = (
+        b"9 0 obj\n<< /Length " + str(len(table)).encode()
+        + b" >>\nstream\n" + table + b"\nendstream\nendobj\n"
+    )
+    patched = base.replace(b"/CIDToGIDMap /Identity", b"/CIDToGIDMap 9 0 R")
+    patched = patched.replace(b"trailer", obj + b"trailer", 1)
+    a = rasterize_truetype_pdf(base)
+    b = rasterize_truetype_pdf(patched)
+    assert len(a) == len(b) == 1
+    assert np.array_equal(a[0], b[0])
