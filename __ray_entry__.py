@@ -989,29 +989,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         outdir = os.path.join(
             "/tmp/doctr_ray_jpxpdf",
-            hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+            hashlib.md5((sf_dir + ":v2-lossy").encode()).hexdigest()[:10],
         )
         os.makedirs(outdir, exist_ok=True)
 
         @ray.remote(num_cpus=1)
-        def _write_fixture(did: str, text: str, path: str) -> None:
+        def _write_fixture(did: str, text: str, path: str, lossy: bool) -> None:
             pages = rasterize_synth(encode_media_ref(text or ""))
             tmp = path + f".tmp{os.getpid()}"
             with open(tmp, "wb") as f:
                 f.write(
                     make_scanned_pdf([p.image for p in pages],
-                                     image_format="jpx")
+                                     image_format="jpx_lossy" if lossy else "jpx")
                 )
             os.replace(tmp, path)
 
         ids, spans, pend = [], [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for i, (did, text) in enumerate(
+            zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        ):
             did = str(did)
             path = os.path.join(outdir, f"{did}.pdf")
             if not os.path.exists(path):
                 # EBCOT encoding is ~1s/page of pure Python: fan the
-                # one-time fixture build out as Ray tasks
-                pend.append(_write_fixture.remote(did, text or "", path))
+                # one-time fixture build out as Ray tasks; every other
+                # doc uses the LOSSY delivery profile (9/7 + ICT +
+                # scalar quantization) — text still round-trips exactly
+                pend.append(
+                    _write_fixture.remote(did, text or "", path, i % 2 == 1)
+                )
             ids.append(did)
             spans.append(
                 [{"kind": "media", "text": "", "media_ref": f"file://{path}", "offset": 0}]

@@ -679,10 +679,10 @@ def make_scanned_pdf(
                 + (b" /EncodedByteAlign true" if ccitt_byte_align else b"")
                 + b" >>"
             )
-        elif image_format == "jpx":
+        elif image_format in ("jpx", "jpx_lossy"):
             from .jpxcodec import encode_jp2
 
-            payload = encode_jp2(img)
+            payload = encode_jp2(img, lossy=image_format == "jpx_lossy")
             filt = b"/JPXDecode"
             sample_bits = 8
         elif image_format in ("jbig2", "jbig2_sym"):

@@ -153,10 +153,11 @@ def test_jpx_structured_page_compresses():
     assert len(data) < img.size // 8  # structured content compresses
 
 
-def test_jpx_rejects_lossy_profile():
+def test_jpx_rejects_inconsistent_97_without_quantization():
+    # a 9/7 transform byte on a stream whose QCD says "no
+    # quantization" (reversible) is malformed — refuse, don't garble
     img = np.zeros((8, 8), np.uint8)
     data = bytearray(jpx.encode_jpx(img))
-    # flip the COD transform byte from 5/3 (1) to 9/7 (0)
     cod_at = data.find(b"\xff\x52")
     data[cod_at + 13] = 0
     with pytest.raises(NotImplementedError, match="9/7"):
@@ -173,3 +174,68 @@ def test_pdf_jpx_image_roundtrip():
     assert len(pages) == 2
     assert np.array_equal(pages[0], gray)
     assert np.array_equal(pages[1], rgb)
+
+
+def test_97_dwt_roundtrip_float_exact():
+    from doctr_ray.sources.jpxcodec import dwt97_forward, dwt97_inverse
+
+    rng = np.random.default_rng(61)
+    for shape in ((1, 1), (2, 3), (17, 9), (64, 64), (33, 47)):
+        img = rng.random(shape) * 255
+        for levels in (0, 1, 3):
+            bands = dwt97_forward(img, levels)
+            out = dwt97_inverse(bands, shape)
+            assert np.allclose(out, img, atol=1e-8), (shape, levels)
+
+
+def test_lossy_roundtrip_bounded_and_monotonic():
+    from doctr_ray.sources.jpxcodec import decode_jpx, encode_jpx
+
+    rng = np.random.default_rng(62)
+    noise = rng.integers(0, 256, (37, 51), np.uint8)
+    errs = []
+    for p in (-2, 0, 2):
+        out = decode_jpx(encode_jpx(noise, lossy=True, precision=p))
+        assert out.shape == noise.shape and out.dtype == np.uint8
+        errs.append(np.abs(out.astype(int) - noise.astype(int)).mean())
+    assert errs[0] > errs[1] > errs[2]  # finer steps -> smaller error
+    assert errs[2] < 0.05  # delta=0.25 reconstructs within rounding
+
+
+def test_lossy_rgb_ict_and_16bit():
+    from doctr_ray.sources.jpxcodec import decode_jpx, encode_jp2, encode_jpx
+
+    rng = np.random.default_rng(63)
+    rgb = rng.integers(0, 256, (24, 31, 3), np.uint8)
+    out = decode_jpx(encode_jpx(rgb, lossy=True, precision=4))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 1
+    g16 = rng.integers(0, 65536, (20, 22)).astype(np.uint16)
+    out16 = decode_jpx(encode_jpx(g16, lossy=True, precision=2))
+    assert out16.dtype == np.uint16
+    assert np.abs(out16.astype(int) - g16.astype(int)).max() <= 1
+    # lossy through the JP2 container too
+    out2 = decode_jpx(encode_jp2(rgb, lossy=True, precision=4))
+    assert np.abs(out2.astype(int) - rgb.astype(int)).max() <= 1
+
+
+def test_lossy_pdf_page_ocr_exact(tmp_path):
+    """A lossy-JPX scanned PDF still OCRs byte-exactly: the fine-step
+    quantization error (<1 gray level) is far inside the binarization
+    margin of the 0/255 glyph pages."""
+    from doctr_ray.media import (
+        encode_media_ref,
+        rasterize_synth,
+        synth_ground_truth_text,
+    )
+    from doctr_ray.pipelines.ocr import media_to_ocr_span
+    from doctr_ray.recognition import GlyphRecognizer
+    from doctr_ray.sources.pdfimage import make_scanned_pdf
+
+    ref = encode_media_ref("lossy jpx page words " * 4)
+    pages = rasterize_synth(ref)
+    p = tmp_path / "lossy.pdf"
+    p.write_bytes(
+        make_scanned_pdf([pg.image for pg in pages], image_format="jpx_lossy")
+    )
+    got, conf = media_to_ocr_span("d", f"file://{p}", 0, GlyphRecognizer())
+    assert got == synth_ground_truth_text(ref)
