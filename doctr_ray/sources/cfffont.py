@@ -29,8 +29,11 @@ per-FD Private DICTs routed by FDSelect (formats 0 and 3), charset
 formats 0/1/2 building the CID -> gid map consumed by pdffont's Type0
 branch; ``build_cff_cid`` writes the Adobe-Identity-0 form.
 
-Out of scope (NotImplementedError naming the gap): predefined/format-1
-encodings, seac accents.
+Predefined STANDARD encoding (the spec default when the Encoding op
+is absent) resolves through the charset (SID c-31 for printable
+ASCII); ``build_cff(standard_encoding=True)`` writes that form. Out
+of scope (NotImplementedError naming the gap): the Expert predefined
+encoding, format-1 encodings, seac accents.
 """
 
 from __future__ import annotations
@@ -187,7 +190,25 @@ class CFFFont:
             self.default_width, self.nominal_width, self.subrs = read_private(
                 top
             )
-            self.cmap = self._parse_encoding(int(top.get(16, [0])[0]))
+            enc_off = int(top.get(16, [0])[0])
+            if enc_off == 0:
+                # predefined STANDARD encoding (the spec default when
+                # the Encoding op is absent): printable ASCII codes
+                # 32..126 carry SIDs 1..95 in order; SID -> gid comes
+                # from the charset (offset 0 = ISOAdobe: SID i = gid i)
+                charset_off = int(top.get(15, [0])[0])
+                sid_to_gid = (
+                    {i: i for i in range(self.num_glyphs)}
+                    if charset_off == 0
+                    else self._parse_charset(charset_off, self.num_glyphs)
+                )
+                self.cmap = {
+                    c: sid_to_gid[c - 31]
+                    for c in range(32, 127)
+                    if (c - 31) in sid_to_gid
+                }
+            else:
+                self.cmap = self._parse_encoding(enc_off)
         self._widths: dict[int, float] = {}
         self._contour_cache: dict[int, list] = {}
 
@@ -253,10 +274,8 @@ class CFFFont:
         return self.default_width, self.nominal_width, self.subrs
 
     def _parse_encoding(self, off: int) -> dict[int, int]:
-        if off in (0, 1):
-            raise NotImplementedError(
-                "predefined CFF encodings (standard/expert)"
-            )
+        if off in (0, 1):  # handled by the predefined branch upstream
+            raise NotImplementedError("predefined CFF Expert encoding")
         fmt = self.data[off] & 0x7F
         if fmt != 0:
             raise NotImplementedError(f"CFF encoding format {fmt}")
@@ -644,11 +663,16 @@ def build_cff(
     encoding: dict[int, int],
     default_width: int,
     upem: int,
+    standard_encoding: bool = False,
 ) -> bytes:
     """Minimal valid bare-CFF binary (the /Type1C payload). Mirrors
     pdffont.build_ttf: ``glyphs[i]`` is glyph i's rectangle-contour
     list (glyph 0 = .notdef, empty); ``encoding`` maps byte code ->
-    gid (gids must be 1..N in order, the format-0 layout)."""
+    gid (gids must be 1..N in order, the format-0 layout).
+    ``standard_encoding=True`` OMITS the Encoding op (the spec default
+    = Standard encoding) and instead writes a format-0 charset whose
+    SIDs realize the same code->gid mapping — codes must then be
+    printable ASCII 32..126."""
     charstrings = []
     for contours in glyphs:
         cs = b""
@@ -666,7 +690,16 @@ def build_cff(
     # format-0 encoding: code[i] is glyph i+1's code
     by_gid = sorted(encoding.items(), key=lambda kv: kv[1])
     assert [g for _, g in by_gid] == list(range(1, len(by_gid) + 1))
-    enc = bytes([0, len(by_gid)]) + bytes(code for code, _ in by_gid)
+    if standard_encoding:
+        if not all(32 <= code <= 126 for code, _ in by_gid):
+            raise ValueError("standard_encoding needs codes in 32..126")
+        # format-0 charset: glyph i+1 carries SID code_i - 31, so the
+        # Standard encoding (code -> SID c-31) lands on the same gid
+        enc = b"\x00" + b"".join(
+            struct.pack(">H", code - 31) for code, _ in by_gid
+        )
+    else:
+        enc = bytes([0, len(by_gid)]) + bytes(code for code, _ in by_gid)
 
     priv = _dict_int(default_width) + b"\x14"  # defaultWidthX
     priv += _dict_int(0) + b"\x15"  # nominalWidthX
@@ -682,7 +715,10 @@ def build_cff(
             + _dict_real(scale) + _dict_int(0) + _dict_int(0)
             + b"\x0c\x07"  # FontMatrix
         )
-        d += _dict_int(enc_off) + b"\x10"  # Encoding
+        if standard_encoding:
+            d += _dict_int(enc_off) + b"\x0f"  # charset (Encoding absent)
+        else:
+            d += _dict_int(enc_off) + b"\x10"  # Encoding
         d += _dict_int(cs_off) + b"\x11"  # CharStrings
         d += _dict_int(len(priv)) + _dict_int(priv_off) + b"\x12"  # Private
         return d

@@ -199,6 +199,7 @@ class TrueTypeFont:
             if not flags & 0x0002:  # ARGS_ARE_XY_VALUES required here
                 raise NotImplementedError("composite point-matching args")
             sx = sy = 1.0
+            b01 = c10 = 0.0  # off-diagonal terms (2x2 transforms)
             if flags & 0x0008:  # WE_HAVE_A_SCALE (F2Dot14)
                 sx = sy = struct.unpack(">h", g[pos : pos + 2])[0] / 16384.0
                 pos += 2
@@ -206,11 +207,17 @@ class TrueTypeFont:
                 sx = struct.unpack(">h", g[pos : pos + 2])[0] / 16384.0
                 sy = struct.unpack(">h", g[pos + 2 : pos + 4])[0] / 16384.0
                 pos += 4
-            elif flags & 0x0080:  # 2x2 transform
-                raise NotImplementedError("composite 2x2 transform")
+            elif flags & 0x0080:  # WE_HAVE_A_TWO_BY_TWO (a b c d F2Dot14)
+                a2, b2, c2, d2 = struct.unpack(">hhhh", g[pos : pos + 8])
+                pos += 8
+                sx, b01 = a2 / 16384.0, b2 / 16384.0
+                c10, sy = c2 / 16384.0, d2 / 16384.0
             for cont in self.glyph_contours(comp_gid):
                 contours.append(
-                    [(x * sx + dx, y * sy + dy, on) for x, y, on in cont]
+                    [
+                        (x * sx + y * c10 + dx, x * b01 + y * sy + dy, on)
+                        for x, y, on in cont
+                    ]
                 )
             if not flags & 0x0020:  # MORE_COMPONENTS
                 break

@@ -215,3 +215,26 @@ def test_fdselect_format0_and_charset_format0():
     g.data = cid_b + sids
     cs = g._parse_charset(len(cid_b), n)
     assert cs == {i: i for i in range(n)}
+
+
+def test_standard_encoding_default():
+    """A CFF WITHOUT an Encoding op uses the predefined Standard
+    encoding (spec default): codes 32..126 -> SIDs 1..95 -> charset
+    gid. Same glyphs must resolve as the explicit format-0 twin."""
+    from doctr_ray.sources.cfffont import CFFFont, build_cff
+
+    sq = [[(0, 0, True), (40, 0, True), (40, 40, True), (0, 40, True)]]
+    tri = [[(0, 0, True), (40, 0, True), (20, 40, True)]]
+    glyphs = [[], sq, tri]
+    enc = {65: 1, 90: 2}  # 'A' -> square, 'Z' -> triangle
+    explicit = CFFFont(build_cff(glyphs, enc, 41, 48))
+    standard = CFFFont(build_cff(glyphs, enc, 41, 48, standard_encoding=True))
+    assert standard.cmap[65] == explicit.cmap[65] == 1
+    assert standard.cmap[90] == explicit.cmap[90] == 2
+    for gid in (1, 2):
+        assert standard.glyph_contours(gid) == explicit.glyph_contours(gid)
+    # codes outside 32..126 are rejected by the builder
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="32..126"):
+        build_cff(glyphs, {20: 1, 90: 2}, 41, 48, standard_encoding=True)

@@ -447,3 +447,51 @@ def test_stream_cid_to_gid_map():
     b = rasterize_truetype_pdf(patched)
     assert len(a) == len(b) == 1
     assert np.array_equal(a[0], b[0])
+
+
+def test_composite_glyph_2x2_transform():
+    """A composite glyph with WE_HAVE_A_TWO_BY_TWO (90-degree rotation
+    written as F2Dot14) resolves to the rotated child contours."""
+    import struct
+
+    import numpy as np
+
+    from doctr_ray.sources.pdffont import TrueTypeFont
+
+    def f2(v):  # float -> F2Dot14
+        return struct.pack(">h", int(round(v * 16384)))
+
+    # simple child glyph: right triangle (0,0) (100,0) (0,50)
+    tri = [(0, 0), (100, 0), (0, 50)]
+    child = struct.pack(">hhhhh", 1, 0, 0, 100, 50)
+    child += struct.pack(">H", 2)  # end pt of contour 0
+    child += struct.pack(">H", 0)  # no instructions
+    child += bytes([0x01, 0x01, 0x01])  # flags: on-curve, int16 coords
+    prevx = 0
+    xs = b"".join(struct.pack(">h", x - px) for (x, _), (px, _) in
+                  zip(tri, [(0, 0)] + tri[:-1]))
+    ys = b"".join(struct.pack(">h", y - py) for (_, y), (_, py) in
+                  zip(tri, [(0, 0)] + tri[:-1]))
+    # flags say words: bit0 on-curve only; x/y are int16 when NOT
+    # short: repeat flag bytes without short bits -> full words
+    child = struct.pack(">hhhhh", 1, 0, 0, 100, 50)
+    child += struct.pack(">H", 2) + struct.pack(">H", 0)
+    child += bytes([0x01] * 3) + xs + ys
+    if len(child) % 4:
+        child += b"\x00" * (4 - len(child) % 4)
+    # composite: rotate 90deg CCW: (x,y) -> (-y, x); a=0 b=1 c=-1 d=0
+    comp = struct.pack(">hhhhh", -1, -50, 0, 0, 100)
+    comp += struct.pack(">HH", 0x0001 | 0x0002 | 0x0080, 1)  # words+xy+2x2
+    comp += struct.pack(">hh", 0, 0)  # dx dy
+    comp += f2(0) + f2(1) + f2(-1) + f2(0)
+    if len(comp) % 4:
+        comp += b"\x00" * (4 - len(comp) % 4)
+
+    f = TrueTypeFont.__new__(TrueTypeFont)
+    f.glyf = b"\x00" * 0 + child + comp
+    f.loca = np.array([0, 0, len(child), len(child) + len(comp)])
+    f._contour_cache = {}
+    got = f.glyph_contours(2)
+    assert len(got) == 1
+    pts = [(round(x), round(y)) for x, y, _ in got[0]]
+    assert pts == [(0, 0), (0, 100), (-50, 0)]
