@@ -33,7 +33,8 @@ Predefined STANDARD encoding (the spec default when the Encoding op
 is absent) resolves through the charset (SID c-31 for printable
 ASCII); ``build_cff(standard_encoding=True)`` writes that form. Out
 of scope (NotImplementedError naming the gap): the Expert predefined
-encoding, format-1 encodings, seac accents.
+encoding, format-1 encodings. seac accent composition (Type 2
+Appendix C endchar form) resolves through Standard codes + charset.
 """
 
 from __future__ import annotations
@@ -190,22 +191,24 @@ class CFFFont:
             self.default_width, self.nominal_width, self.subrs = read_private(
                 top
             )
+            # SID -> gid from the charset (offset 0 = ISOAdobe:
+            # SID i = gid i) — used by the predefined Standard
+            # encoding AND by seac accent composition
+            charset_off = int(top.get(15, [0])[0])
+            self._sid_to_gid = (
+                {i: i for i in range(self.num_glyphs)}
+                if charset_off == 0
+                else self._parse_charset(charset_off, self.num_glyphs)
+            )
             enc_off = int(top.get(16, [0])[0])
             if enc_off == 0:
                 # predefined STANDARD encoding (the spec default when
                 # the Encoding op is absent): printable ASCII codes
-                # 32..126 carry SIDs 1..95 in order; SID -> gid comes
-                # from the charset (offset 0 = ISOAdobe: SID i = gid i)
-                charset_off = int(top.get(15, [0])[0])
-                sid_to_gid = (
-                    {i: i for i in range(self.num_glyphs)}
-                    if charset_off == 0
-                    else self._parse_charset(charset_off, self.num_glyphs)
-                )
+                # 32..126 carry SIDs 1..95 in order
                 self.cmap = {
-                    c: sid_to_gid[c - 31]
+                    c: self._sid_to_gid[c - 31]
                     for c in range(32, 127)
-                    if (c - 31) in sid_to_gid
+                    if (c - 31) in self._sid_to_gid
                 }
             else:
                 self.cmap = self._parse_encoding(enc_off)
@@ -529,8 +532,39 @@ class CFFFont:
                     return False
                 elif b0 == 14:  # endchar
                     take_width(1)
+                    if len(stack) >= 4:
+                        # seac accent composition (Type 2 Appendix C):
+                        # adx ady bchar achar — bchar/achar are
+                        # STANDARD encoding codes regardless of the
+                        # font's own encoding
+                        achar = int(stack.pop())
+                        bchar = int(stack.pop())
+                        ady = stack.pop()
+                        adx = stack.pop()
+                        close()
+
+                        def _std_gid(code: int) -> int:
+                            if not 32 <= code <= 126:
+                                raise NotImplementedError(
+                                    "seac with a non-ASCII Standard code"
+                                )
+                            sid = code - 31
+                            m = getattr(self, "_sid_to_gid", None) or {}
+                            if sid not in m:
+                                raise ValueError(
+                                    f"seac: SID {sid} not in charset"
+                                )
+                            return m[sid]
+
+                        for c in self.glyph_contours(_std_gid(bchar)):
+                            contours.append(list(c))
+                        for c in self.glyph_contours(_std_gid(achar)):
+                            contours.append(
+                                [(px + adx, py + ady, on) for px, py, on in c]
+                            )
+                        return True
                     if stack:
-                        raise NotImplementedError("seac accent composition")
+                        raise ValueError("endchar with stray operands")
                     close()
                     return True
                 elif b0 == 12:  # escapes: the four flex variants

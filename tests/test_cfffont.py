@@ -238,3 +238,27 @@ def test_standard_encoding_default():
 
     with _pytest.raises(ValueError, match="32..126"):
         build_cff(glyphs, {20: 1, 90: 2}, 41, 48, standard_encoding=True)
+
+
+def test_seac_accent_composition():
+    """endchar with 4 args (adx ady bchar achar) composes base +
+    shifted accent through Standard-encoding codes and the charset."""
+    from doctr_ray.sources.cfffont import CFFFont, _cs_num, build_cff
+
+    sq = [[(0, 0, True), (40, 0, True), (40, 40, True), (0, 40, True)]]
+    dot = [[(0, 60, True), (10, 60, True), (10, 70, True), (0, 70, True)]]
+    glyphs = [[], sq, dot, sq]  # gid3 gets replaced by a seac charstring
+    f = CFFFont(
+        build_cff(glyphs, {65: 1, 90: 2, 97: 3}, 41, 96,
+                  standard_encoding=True)
+    )
+    # gid 3 := seac(adx=15, ady=5, bchar='A', achar='Z')
+    f.charstrings[3] = (
+        _cs_num(15) + _cs_num(5) + _cs_num(65) + _cs_num(90) + b"\x0e"
+    )
+    got = f.glyph_contours(3)
+    base = f.glyph_contours(1)
+    acc = f.glyph_contours(2)
+    assert got[: len(base)] == base
+    shifted = [[(x + 15, y + 5, on) for x, y, on in c] for c in acc]
+    assert got[len(base):] == shifted
