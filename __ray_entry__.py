@@ -810,6 +810,111 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ocr_extracted_text(ray.data.from_arrow(docs))
 
+    def q_ocr_image_media(sf_dir: str):
+        """file://*.{png,jpg,gif,bmp,pnm,tif} media route (reference
+        io/image/base.py read_img_as_numpy + io/reader.py DocumentFile
+        analog): each document's rendered pages are written as REAL
+        encoded image files — one file per page, format rotating
+        through every writer the codec matrix has (PNG, JPEG q95, GIF,
+        BMP, PNM, TIFF g4/lzw/deflate/packbits) — and read back as
+        per-page media spans by the fused OCR worker. Exact oracle:
+        byte-exact text reconstruction across the page joins."""
+        import hashlib
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+        from doctr_ray.media import encode_media_ref, rasterize_synth
+        from doctr_ray.pipelines.ocr import ocr_extracted_text
+        from doctr_ray.tableio import resolve_table_paths
+
+        t = (
+            pq.read_table(
+                resolve_table_paths(sf_dir, "documents"), columns=["doc_id", "text"]
+            )
+            .sort_by("doc_id")
+            .slice(0, 60)
+        )
+        outdir = os.path.join(
+            "/tmp/doctr_ray_imgmedia",
+            hashlib.md5((sf_dir + ":v1").encode()).hexdigest()[:10],
+        )
+        os.makedirs(outdir, exist_ok=True)
+        variants = (
+            "png", "jpeg", "gif", "bmp", "pnm",
+            "tiff_g4", "tiff_lzw", "tiff_deflate", "tiff_packbits",
+        )
+        ext = {
+            "png": "png", "jpeg": "jpg", "gif": "gif", "bmp": "bmp",
+            "pnm": "pgm", "tiff_g4": "tif", "tiff_lzw": "tif",
+            "tiff_deflate": "tif", "tiff_packbits": "tif",
+        }
+
+        @ray.remote(num_cpus=1)
+        def _write_pages(text: str, base: str, start_variant: int) -> None:
+            from doctr_ray.sources.gifcodec import encode_gif
+            from doctr_ray.sources.imagecodec import (
+                encode_bmp,
+                encode_png,
+                encode_pnm,
+                encode_tiff,
+            )
+            from doctr_ray.sources.jpegcodec import encode_jpeg
+
+            for i, pg in enumerate(rasterize_synth(encode_media_ref(text))):
+                fmt = variants[(start_variant + i) % len(variants)]
+                path = f"{base}.p{i}.{ext[fmt]}"
+                if os.path.exists(path):
+                    continue
+                img = pg.image
+                if fmt == "png":
+                    blob = encode_png(img)
+                elif fmt == "jpeg":
+                    blob = encode_jpeg(img, 95)
+                elif fmt == "gif":
+                    blob = encode_gif(img)
+                elif fmt == "bmp":
+                    blob = encode_bmp(img)
+                elif fmt == "pnm":
+                    blob = encode_pnm(img)
+                else:
+                    blob = encode_tiff(img, fmt.split("_", 1)[1])
+                tmp = path + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                os.replace(tmp, path)
+
+        ids, spans, pend = [], [], []
+        for k, (did, text) in enumerate(
+            zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        ):
+            did = str(did)
+            base = os.path.join(outdir, did)
+            n_pages = len(rasterize_synth(encode_media_ref(text or "")))
+            paths = [
+                f"{base}.p{i}.{ext[variants[(k + i) % len(variants)]]}"
+                for i in range(n_pages)
+            ]
+            if not all(os.path.exists(p) for p in paths):
+                pend.append(_write_pages.remote(text or "", base, k))
+            ids.append(did)
+            spans.append(
+                [
+                    {"kind": "media", "text": "", "media_ref": f"file://{p}",
+                     "offset": i}
+                    for i, p in enumerate(paths)
+                ]
+            )
+        if pend:
+            ray.get(pend)
+        docs = pa.Table.from_arrays(
+            [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
+            schema=DOCS_SCHEMA,
+        )
+        return ocr_extracted_text(ray.data.from_arrow(docs))
 
     def q_ocr_scanned_pdf(sf_dir: str):
         """Scanned-image PDF route (reference io/pdf.py analog,
@@ -2086,6 +2191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "html_main_content": q_html_main_content,
         "ocr_html_media": q_ocr_html_media,
+        "ocr_image_media": q_ocr_image_media,
         "ocr_scanned_pdf": q_ocr_scanned_pdf,
         "ocr_jbig2_pdf": q_ocr_jbig2_pdf,
         "ocr_jpx_pdf": q_ocr_jpx_pdf,
@@ -2367,6 +2473,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 100)"
         ),
         "ocr_scanned_pdf": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text "
+            "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 60)"
+        ),
+        "ocr_image_media": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text "
             "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 60)"
         ),

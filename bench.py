@@ -230,6 +230,7 @@ def run_once() -> dict:
         "multimodal_features",
         "ocr_eval",
         "ocr_html_media",
+        "ocr_image_media",
         "ocr_markdown",
         "ocr_page_hocr",
         "ocr_rotated",

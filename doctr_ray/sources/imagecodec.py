@@ -29,6 +29,10 @@ flow through the extraction pipeline in this container:
 ``encode_png`` writes non-interlaced 8-bit gray/RGB PNGs (filter 0),
 giving the engine a dependency-free lossless interchange format for
 crops / page dumps beside the PGM path in visualization.py.
+``encode_bmp`` / ``encode_pnm`` / ``encode_tiff`` complete the writer
+matrix — encode_tiff covers none/PackBits/LZW/Deflate strips AND the
+bilevel fax codings g4/g3 (the "TIFF G4" archival sink via
+sources/ccittcodec).
 
 Scale note: decoding runs inside ``map_batches`` tasks — one page per
 row, bytes in / array out — so the cost is embarrassingly parallel and
@@ -660,4 +664,111 @@ def _tiff_lzw_encode(src: bytes) -> bytes:
     emit(EOI, width)
     if accbits:
         out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+# ------------------------------------------------- BMP / PNM / TIFF encode
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 -> 24-bit bottom-up BMP."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = img[::-1, :, ::-1]  # bottom-up, RGB -> BGR
+    body = bytearray()
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h):
+        body += rows[y].tobytes() + pad
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    off = 14 + 40
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + info + bytes(body)
+    )
+
+
+def encode_pnm(img: np.ndarray) -> bytes:
+    """(H, W) gray -> binary P5, (H, W, 3) RGB -> binary P6."""
+    h, w = img.shape[:2]
+    magic = b"P5" if img.ndim == 2 else b"P6"
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def encode_tiff(img: np.ndarray, compression: str = "none") -> bytes:
+    """(H, W) gray / (H, W, 3) RGB uint8 -> single-strip little-endian
+    TIFF. ``compression``: 'none', 'packbits', 'lzw', 'deflate', or
+    the bilevel fax codings 'g4' / 'g3' (0/255 gray input — the "TIFF
+    G4" archival sink; written with /T4Options-free G4/G3 defaults and
+    PhotometricInterpretation WhiteIsZero)."""
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    fax = compression in ("g4", "g3")
+    if fax:
+        if spp != 1 or not ((img == 0) | (img == 255)).all():
+            raise ValueError(f"{compression} expects gray bilevel 0/255")
+        from .ccittcodec import encode_g3, encode_g4
+
+        black = img == 0
+        strip = (encode_g4 if compression == "g4" else encode_g3)(black)
+        comp_tag, bits, photometric = (4 if compression == "g4" else 3), 1, 0
+    else:
+        raw = img.reshape(h, -1).tobytes()
+        if compression == "none":
+            strip = raw
+        elif compression == "deflate":
+            strip = zlib.compress(raw)
+        elif compression == "lzw":
+            strip = _tiff_lzw_encode(raw)
+        elif compression == "packbits":
+            out = bytearray()
+            i = 0
+            while i < len(raw):
+                n = min(128, len(raw) - i)
+                out.append(n - 1)
+                out += raw[i : i + n]
+                i += n
+            strip = bytes(out)
+        else:
+            raise ValueError(f"unknown TIFF compression {compression!r}")
+        comp_tag = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773}[
+            compression
+        ]
+        bits, photometric = 8, (1 if spp == 1 else 2)
+
+    entries = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [bits] * spp),
+        (259, 3, [comp_tag]), (262, 3, [photometric]),
+        (277, 3, [spp]), (278, 4, [h]), (279, 4, [len(strip)]),
+    ]
+    n = len(entries) + 1  # + strip offsets
+    ifd_size = 2 + 12 * (n) + 4
+    data_start = 8 + ifd_size
+    extra = bytearray()
+
+    def val(vals, typ):
+        size = {3: 2, 4: 4}[typ] * len(vals)
+        packed = b"".join(
+            struct.pack("<H" if typ == 3 else "<I", v) for v in vals
+        )
+        if size <= 4:
+            return packed.ljust(4, b"\x00")
+        off = data_start + len(extra)
+        extra.extend(packed)
+        return struct.pack("<I", off)
+
+    rendered = [(t, typ, len(v), val(v, typ)) for t, typ, v in entries]
+    strip_off = data_start + len(extra)
+    rendered.append((273, 4, 1, struct.pack("<I", strip_off)))
+    rendered.sort(key=lambda e: e[0])
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", n)
+    for tag, typ, count, v in rendered:
+        out += struct.pack("<HHI", tag, typ, count) + v
+    out += struct.pack("<I", 0)
+    assert len(out) == data_start
+    out += extra + strip
     return bytes(out)
