@@ -581,3 +581,29 @@ def test_tiff_ccitt_g4_g3_roundtrip():
         img, compression=4, photometric=0, bits=1, rows_per_strip=8
     )
     assert np.array_equal(decode_tiff(data), img)
+
+
+def test_bmp_pnm_tiff_writers_roundtrip():
+    from doctr_ray.sources.imagecodec import (
+        decode_image,
+        encode_bmp,
+        encode_pnm,
+        encode_tiff,
+    )
+
+    rng = _rng(71)
+    g = rng.integers(0, 256, (19, 27), np.uint8)
+    rgb = rng.integers(0, 256, (14, 21, 3), np.uint8)
+    bi = np.where(rng.random((23, 41)) < 0.4, 0, 255).astype(np.uint8)
+    assert np.array_equal(decode_image(encode_bmp(rgb)), rgb)
+    assert np.array_equal(decode_image(encode_bmp(g)),
+                          np.stack([g] * 3, axis=-1))
+    assert np.array_equal(decode_image(encode_pnm(g)), g)
+    assert np.array_equal(decode_image(encode_pnm(rgb)), rgb)
+    for c in ("none", "packbits", "lzw", "deflate"):
+        assert np.array_equal(decode_image(encode_tiff(g, c)), g), c
+        assert np.array_equal(decode_image(encode_tiff(rgb, c)), rgb), c
+    for c in ("g4", "g3"):
+        assert np.array_equal(decode_image(encode_tiff(bi, c)), bi), c
+    with pytest.raises(ValueError, match="bilevel"):
+        encode_tiff(g, "g4")
