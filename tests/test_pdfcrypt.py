@@ -113,3 +113,25 @@ def test_non_standard_handler_raises():
     bad = enc.replace(b"/Filter /Standard", b"/Filter /MyCrypt")
     with pytest.raises(NotImplementedError, match="non-Standard"):
         decrypt_pdf(bad)
+
+
+def test_encrypted_objstm_combo():
+    """The realistic modern encrypted file: /ObjStm-packed AND
+    encrypted — decrypt first, then expand the object streams."""
+    from doctr_ray.sources.pdfimage import (
+        extract_pdf_page_images,
+        make_scanned_pdf,
+        repack_with_objstm,
+    )
+    from doctr_ray.sources.pdftext import extract_pdf_text, make_simple_pdf
+
+    clean = make_simple_pdf([["alpha beta", "gamma"], ["delta"]])
+    combo = encrypt_pdf(repack_with_objstm(clean), revision=4)
+    assert extract_pdf_text(combo) == ["alpha beta", "gamma", "delta"]
+
+    imgs = [np.full((8, 8), v, np.uint8) for v in (10, 20)]
+    combo2 = encrypt_pdf(
+        repack_with_objstm(make_scanned_pdf(imgs, image_format="flate")),
+        revision=3,
+    )
+    assert [int(o[0, 0]) for o in extract_pdf_page_images(combo2)] == [10, 20]
