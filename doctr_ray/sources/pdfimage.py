@@ -182,6 +182,39 @@ def _unpredict_png(raw: bytes, stride: int, bpp: int) -> bytes:
 _CS_INDEXED_RE = re.compile(
     rb"/ColorSpace\s*\[\s*/(?:Indexed|I)\b(.*?)\]", re.S
 )
+_CS_REF_RE = re.compile(rb"/ColorSpace\s+(\d+)\s+0\s+R")
+_CS_ICC_RE = re.compile(rb"/ColorSpace\s*\[\s*/ICCBased\s+(\d+)\s+0\s+R")
+
+
+def _ncomp_of(head: bytes, objs: dict | None) -> int:
+    """Component count of a non-indexed image ColorSpace: direct
+    /DeviceGray//DeviceRGB names, ``[/ICCBased N 0 R]`` arrays (the
+    stream's ``/N``), and indirect ColorSpace object refs — real
+    producers overwhelmingly use ICCBased, which without resolution
+    would be misread as 1-component gray."""
+    if b"/DeviceRGB" in head:
+        return 3
+    if b"/DeviceGray" in head or b"/CalGray" in head:
+        return 1
+    m = _CS_ICC_RE.search(head)
+    if m is None and objs is not None:
+        rm = _CS_REF_RE.search(head)
+        if rm is not None:
+            target = objs.get(int(rm.group(1)))
+            if target is not None:
+                ihead = target[0]
+                if b"/DeviceRGB" in ihead or b"/CalRGB" in ihead:
+                    return 3
+                m = re.search(rb"/ICCBased\s+(\d+)\s+0\s+R", ihead)
+    if m is not None and objs is not None:
+        icc = objs.get(int(m.group(1)))
+        if icc is not None:
+            nm = re.search(rb"/N\s+(\d+)", icc[0])
+            if nm is not None:
+                return 3 if int(nm.group(1)) == 3 else 1
+    if b"/CalRGB" in head:
+        return 3
+    return 1
 
 
 def _parse_palette(head: bytes, objs: dict | None):
@@ -331,7 +364,7 @@ def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.n
         # as CCITT /BlackIs1 false)
         return np.where(black, np.uint8(0), np.uint8(255))
     palette = _parse_palette(head, objs)
-    ncomp = 1 if palette is not None else (3 if b"/DeviceRGB" in head else 1)
+    ncomp = 1 if palette is not None else _ncomp_of(head, objs)
     if primary in (b"FlateDecode", b"LZWDecode"):
         raw = (
             zlib.decompress(raw)
@@ -382,6 +415,32 @@ def _decode_image_obj(head: bytes, raw: bytes, objs: dict | None = None) -> np.n
         samples = samples * np.uint8(_GRAY_SCALE[bits])
     arr = samples.reshape(h, w, ncomp)
     return arr[:, :, 0] if ncomp == 1 else arr
+
+
+def _decode_with_smask(head: bytes, raw: bytes, objs: dict | None) -> np.ndarray:
+    """Decode one image XObject and composite its ``/SMask`` soft mask
+    (a gray alpha image) over the white page background — what a
+    rasterizer shows for transparent images: out = img*a + 255*(1-a),
+    integer-rounded."""
+    img = _decode_image_obj(head, raw, objs)
+    sm = re.search(rb"/SMask\s+(\d+)\s+0\s+R", head)
+    if sm is None or objs is None:
+        return img
+    tgt = objs.get(int(sm.group(1)))
+    if tgt is None or tgt[1] is None:
+        return img
+    alpha = _decode_image_obj(tgt[0], tgt[1], objs)
+    if alpha.ndim == 3:
+        alpha = alpha[:, :, 0]
+    if alpha.shape != img.shape[:2]:
+        return img  # mismatched mask geometry: show the image plain
+    a = alpha.astype(np.uint16)
+    if img.ndim == 2:
+        comp = (img.astype(np.uint16) * a + 255 * (255 - a) + 127) // 255
+        return comp.astype(np.uint8)
+    a3 = a[..., None]
+    comp = (img.astype(np.uint16) * a3 + 255 * (255 - a3) + 127) // 255
+    return comp.astype(np.uint8)
 
 
 #: inline-image abbreviation -> XObject-vocabulary key/value (PDF
@@ -523,10 +582,20 @@ def extract_pdf_page_images(data: bytes) -> list[np.ndarray]:
 
         data = decrypt_pdf(data)
     objs = _scan_objects(data)
+    smask_nums = {
+        int(m.group(1))
+        for head, raw in objs.values()
+        if raw is not None
+        for m in [re.search(rb"/SMask\s+(\d+)\s+0\s+R", head)]
+        if m is not None
+    }
     image_nums = [
         num
         for num, (head, raw) in objs.items()
-        if raw is not None and b"/Subtype" in head and b"/Image" in head
+        if raw is not None
+        and b"/Subtype" in head
+        and b"/Image" in head
+        and num not in smask_nums  # alpha masks are not page images
     ]
     out: list[np.ndarray] = []
     seen: set[int] = set()
@@ -538,7 +607,7 @@ def extract_pdf_page_images(data: bytes) -> list[np.ndarray]:
                 n = int(rm.group(1))
                 if n in image_nums and n not in seen:
                     seen.add(n)
-                    out.append(_decode_image_obj(*objs[n], objs=objs))
+                    out.append(_decode_with_smask(*objs[n], objs=objs))
         cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", head)
         if cm and int(cm.group(1)) in objs:
             chead, craw = objs[int(cm.group(1))]
@@ -551,7 +620,7 @@ def extract_pdf_page_images(data: bytes) -> list[np.ndarray]:
     if not image_nums:
         return []
     # catalog walk found nothing: fall back to object order
-    return [_decode_image_obj(*objs[n], objs=objs) for n in sorted(image_nums)]
+    return [_decode_with_smask(*objs[n], objs=objs) for n in sorted(image_nums)]
 
 
 def _pack_rows(samples: np.ndarray, bits: int) -> bytes:

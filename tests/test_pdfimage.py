@@ -372,3 +372,45 @@ def test_inline_imagemask_decodes():
     )
     out = extract_pdf_page_images(pdf)
     assert np.array_equal(out[0], img)
+
+
+def test_smask_composites_over_white():
+    """/SMask soft masks composite the image over the white page:
+    alpha 255 shows the pixel, alpha 0 shows white."""
+    import zlib as _z
+
+    img = np.full((6, 8), 40, np.uint8)
+    base = make_scanned_pdf([img], image_format="flate")
+    alpha = np.zeros((6, 8), np.uint8)
+    alpha[:, :4] = 255  # left half opaque, right half transparent
+    az = _z.compress(alpha.tobytes())
+    smask_obj = (
+        b"9 0 obj\n<< /Type /XObject /Subtype /Image /Width 8 /Height 6 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/Length " + str(len(az)).encode() + b" >>\nstream\n" + az
+        + b"\nendstream\nendobj\n"
+    )
+    data = base.replace(
+        b"/Type /XObject /Subtype /Image",
+        b"/Type /XObject /Subtype /Image /SMask 9 0 R", 1,
+    ).replace(b"trailer", smask_obj + b"trailer", 1)
+    out = extract_pdf_page_images(data)
+    assert len(out) == 1  # the mask itself is NOT a page image
+    assert (out[0][:, :4] == 40).all()
+    assert (out[0][:, 4:] == 255).all()
+
+
+def test_iccbased_colorspace_resolves_rgb():
+    """[/ICCBased N 0 R] with /N 3 must decode as RGB, not gray."""
+    import zlib as _z
+
+    rgb = _rng(81).integers(0, 256, (5, 7, 3), np.uint8)
+    base = make_scanned_pdf([rgb], image_format="flate")
+    icc_obj = (
+        b"9 0 obj\n<< /N 3 /Length 4 >>\nstream\nfake\nendstream\nendobj\n"
+    )
+    data = base.replace(
+        b"/ColorSpace /DeviceRGB", b"/ColorSpace [/ICCBased 9 0 R]", 1
+    ).replace(b"trailer", icc_obj + b"trailer", 1)
+    out = extract_pdf_page_images(data)
+    assert np.array_equal(out[0], rgb)
