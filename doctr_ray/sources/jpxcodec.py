@@ -988,13 +988,16 @@ def encode_jpx(
     levels: int | None = None,
     lossy: bool = False,
     precision: int = 2,
+    qcd_style: str = "expounded",
 ) -> bytes:
     """(H, W) gray or (H, W, 3) RGB uint8/uint16 -> raw JPEG 2000
     codestream (single tile + layer). Default is the lossless profile
     (5/3 reversible DWT, RCT for RGB); ``lossy=True`` emits the lossy
-    delivery profile — 9/7 irreversible DWT, ICT, scalar-expounded
-    quantization with step 2^-precision (bigger ``precision`` = finer
-    steps = closer round-trip)."""
+    delivery profile — 9/7 irreversible DWT, ICT, scalar quantization
+    with LL step 2^-precision (bigger ``precision`` = finer steps =
+    closer round-trip). ``qcd_style``: 'expounded' (per-band pairs,
+    every band at step 2^-precision) or 'derived' (one base pair,
+    steps doubling per finer decomposition level per E.5)."""
     if img.ndim == 2:
         comps = 1
     elif img.ndim == 3 and img.shape[2] == 3:
@@ -1012,22 +1015,36 @@ def encode_jpx(
             planes = [img.astype(np.float64) - shift]
         else:
             planes = list(_ict_forward(img.astype(np.float64) - shift))
-        # scalar expounded: eps_b = R_b + precision, mu = 0 ->
-        # delta_b = 2^-precision for every band
-        def eps_of(r, bname):
-            return depth + mct + _BAND_GAIN[bname] + precision
+        if qcd_style == "expounded":
+            # eps_b = R_b + precision, mu = 0 -> delta_b =
+            # 2^-precision for every band
+            def eps_of(r, bname):
+                return depth + mct + _BAND_GAIN[bname] + precision
+        elif qcd_style == "derived":
+            # E.5: eps_b = eps_0 - NL + n_b (steps double per finer
+            # decomposition level); eps_0 puts the LL at 2^-precision
+            def eps_of(r, bname):
+                base = depth + mct + precision
+                return base if r == 0 else base - r + 1
+        else:
+            raise ValueError("qcd_style must be 'expounded' or 'derived'")
 
         def mb_of(r, bname):
             return eps_of(r, bname) + _GUARD - 1
 
+        def step_of(r, bname):
+            rb = depth + mct + _BAND_GAIN[bname]
+            return _delta_of(eps_of(r, bname), 0, rb)
+
         body = bytearray()
         for plane in planes:
             fb = dwt97_forward(plane, levels)
-            qb = [_quantize_band(fb[0], 2.0 ** -precision)]
+            qb = [_quantize_band(fb[0], step_of(0, "LL"))]
             for r in range(1, len(fb)):
                 qb.append(
                     tuple(
-                        _quantize_band(b, 2.0 ** -precision) for b in fb[r]
+                        _quantize_band(b, step_of(r, n))
+                        for b, n in zip(fb[r], ("HL", "LH", "HH"))
                     )
                 )
             body += _encode_component(qb, h, w, levels, mb_of)
@@ -1058,7 +1075,10 @@ def encode_jpx(
     cod = struct.pack(">BBHB", 0, _PROG_CPRL, 1, mct) + spcod
     out += struct.pack(">HH", _COD, len(cod) + 2) + cod
     nsub = 3 * levels + 1
-    if lossy:
+    if lossy and qcd_style == "derived":
+        qcd = struct.pack(">B", (_GUARD << 5) | 1)  # scalar derived
+        qcd += struct.pack(">H", ((depth + mct + precision) << 11) | 0)
+    elif lossy:
         qcd = struct.pack(">B", (_GUARD << 5) | 2)  # scalar expounded
         for i in range(nsub):
             bname = "LL" if i == 0 else ("HL", "LH", "HH")[(i - 1) % 3]
@@ -1137,6 +1157,22 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     return mbv
 
                 deltas = None
+            elif qstyle == 1:  # scalar derived (lossy, one base pair)
+                v0 = struct.unpack_from(">H", qcd_payload, 1)[0]
+                eps0, mu0 = v0 >> 11, v0 & 0x7FF
+
+                def _eps_derived(r):
+                    # E.5: eps_b = eps_0 - NL + n_b; n_b = NL for the
+                    # LL band, NL - r + 1 for resolution r >= 1
+                    return eps0 if r == 0 else eps0 - r + 1
+
+                def mb_of(r, bname):
+                    return _eps_derived(r) + guard - 1
+
+                def deltas(r, bname):
+                    rb = depth + mct + _BAND_GAIN[bname]
+                    return _delta_of(_eps_derived(r), mu0, rb)
+
             elif qstyle == 2:  # scalar expounded (lossy)
                 vals = [
                     struct.unpack_from(">H", qcd_payload, 1 + 2 * i)[0]
@@ -1157,9 +1193,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     return _delta_of(v >> 11, v & 0x7FF, rb)
 
             else:
-                raise NotImplementedError(
-                    "JPX scalar-derived quantization (Sqcd style 1)"
-                )
+                raise NotImplementedError(f"JPX quantization style {qstyle}")
             sod_at = pos + 12
             if struct.unpack_from(">H", data, sod_at)[0] != _SOD:
                 raise ValueError("JPX: SOD not found after SOT")

@@ -239,3 +239,28 @@ def test_lossy_pdf_page_ocr_exact(tmp_path):
     )
     got, conf = media_to_ocr_span("d", f"file://{p}", 0, GlyphRecognizer())
     assert got == synth_ground_truth_text(ref)
+
+
+def test_scalar_derived_quantization():
+    """Sqcd style 1 (one base pair; steps double per finer level):
+    round-trips with the E.5 derived exponents, error bounded and
+    shrinking with precision."""
+    from doctr_ray.sources.jpxcodec import decode_jpx, encode_jpx
+
+    rng = np.random.default_rng(64)
+    img = rng.integers(0, 256, (37, 51), np.uint8)
+    prev = None
+    for p in (1, 3, 5):
+        out = decode_jpx(
+            encode_jpx(img, lossy=True, precision=p, qcd_style="derived")
+        )
+        err = np.abs(out.astype(int) - img.astype(int)).mean()
+        if prev is not None:
+            assert err < prev
+        prev = err
+    assert prev < 0.2
+    rgb = rng.integers(0, 256, (24, 31, 3), np.uint8)
+    out = decode_jpx(
+        encode_jpx(rgb, lossy=True, precision=5, qcd_style="derived")
+    )
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 1
