@@ -599,15 +599,35 @@ def extract_pdf_page_images(data: bytes) -> list[np.ndarray]:
     ]
     out: list[np.ndarray] = []
     seen: set[int] = set()
+
+    def _walk_xobjects(head: bytes, depth: int = 0) -> None:
+        """Collect images from a /Resources /XObject dict, recursing
+        into /Form XObjects (whose own resources carry the images real
+        producers nest one level down)."""
+        if depth > 8:
+            return
+        xm = re.search(rb"/XObject\s*<<(.*?)>>", head, re.S)
+        if xm is None:
+            return
+        for rm in _REF_RE.finditer(xm.group(1)):
+            n = int(rm.group(1))
+            if n in seen or n not in objs:
+                continue
+            xhead, xraw = objs[n]
+            if n in image_nums:
+                seen.add(n)
+                out.append(_decode_with_smask(xhead, xraw, objs=objs))
+            elif b"/Form" in xhead and b"/Subtype" in xhead:
+                seen.add(n)
+                _walk_xobjects(xhead, depth + 1)
+                if xraw is not None:
+                    fstream = _decode_stream(xhead, xraw)
+                    if _BI_RE.search(fstream):
+                        out.extend(_inline_images(fstream))
+
     for pnum in _page_order(data, objs):
         head, _ = objs[pnum]
-        xm = re.search(rb"/XObject\s*<<(.*?)>>", head, re.S)
-        if xm:
-            for rm in _REF_RE.finditer(xm.group(1)):
-                n = int(rm.group(1))
-                if n in image_nums and n not in seen:
-                    seen.add(n)
-                    out.append(_decode_with_smask(*objs[n], objs=objs))
+        _walk_xobjects(head)
         cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", head)
         if cm and int(cm.group(1)) in objs:
             chead, craw = objs[int(cm.group(1))]

@@ -414,3 +414,35 @@ def test_iccbased_colorspace_resolves_rgb():
     ).replace(b"trailer", icc_obj + b"trailer", 1)
     out = extract_pdf_page_images(data)
     assert np.array_equal(out[0], rgb)
+
+
+def test_form_xobject_nested_images():
+    """Images referenced from a /Form XObject's OWN /Resources (the
+    one-level nesting real producers emit) are found by the walk even
+    when the page also has a direct image."""
+    import zlib as _z
+
+    direct = np.full((4, 4), 30, np.uint8)
+    nested = np.full((4, 4), 90, np.uint8)
+    base = make_scanned_pdf([direct], image_format="flate")
+    nz = _z.compress(nested.tobytes())
+    img_obj = (
+        b"9 0 obj\n<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/Length " + str(len(nz)).encode() + b" >>\nstream\n" + nz
+        + b"\nendstream\nendobj\n"
+    )
+    form_body = b"q 4 0 0 4 0 0 cm /ImN Do Q"
+    form_obj = (
+        b"10 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 4 4] "
+        b"/Resources << /XObject << /ImN 9 0 R >> >> /Length "
+        + str(len(form_body)).encode() + b" >>\nstream\n" + form_body
+        + b"\nendstream\nendobj\n"
+    )
+    data = base.replace(
+        b"/XObject << /Im0 1 0 R >>",
+        b"/XObject << /Im0 1 0 R /Fo 10 0 R >>", 1,
+    ).replace(b"trailer", img_obj + form_obj + b"trailer", 1)
+    out = extract_pdf_page_images(data)
+    vals = sorted(int(o[0, 0]) for o in out)
+    assert vals == [30, 90]
