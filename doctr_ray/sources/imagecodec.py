@@ -400,7 +400,9 @@ _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits_per_sample", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "samples_per_pixel",
     278: "rows_per_strip", 279: "strip_byte_counts", 292: "t4_options",
-    293: "t6_options", 317: "predictor", 347: "jpeg_tables",
+    293: "t6_options", 317: "predictor", 322: "tile_width",
+    323: "tile_length", 324: "tile_offsets", 325: "tile_byte_counts",
+    347: "jpeg_tables",
 }
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
@@ -453,8 +455,6 @@ def decode_tiff(data: bytes) -> np.ndarray:
     photometric = tags.get("photometric", [1])[0]
     predictor = tags.get("predictor", [1])[0]
     rps = tags.get("rows_per_strip", [height])[0]
-    offsets = tags["strip_offsets"]
-    counts = tags.get("strip_byte_counts")
     if bits not in (1, 8, 16):
         raise NotImplementedError(f"{bits}-bit TIFF samples not supported")
     if comp == 6:
@@ -463,6 +463,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
         )
     if comp not in (1, 2, 3, 4, 5, 7, 8, 32946, 32773):
         raise NotImplementedError(f"TIFF compression {comp} not supported")
+
+    if "tile_offsets" in tags:  # tiled layout (large scans)
+        return _decode_tiff_tiles(
+            data, tags, width, height, spp, bits, comp, photometric, predictor
+        )
+    offsets = tags["strip_offsets"]
+    counts = tags.get("strip_byte_counts")
 
     if comp in (2, 3, 4):  # CCITT fax — the "TIFF G4/G3" archival scan
         from .ccittcodec import decode_g3, decode_g3_2d, decode_g4
@@ -562,6 +569,82 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if spp == 1:
         return px[:, :, 0].copy()
     return px[:, :, :3].copy()
+
+
+def _decode_tiff_tiles(
+    data: bytes, tags: dict, width: int, height: int, spp: int, bits: int,
+    comp: int, photometric: int, predictor: int,
+) -> np.ndarray:
+    """Tiled TIFF (tags 322-325): decode the full tile grid — every
+    tile is coded at the full TileWidth x TileLength with edge padding
+    per the spec — then crop to (height, width). Supports the same
+    compressions as the strip path except JPEG tiles."""
+    tw, tl = tags["tile_width"][0], tags["tile_length"][0]
+    offsets = tags["tile_offsets"]
+    counts = tags.get("tile_byte_counts")
+    ntx = (width + tw - 1) // tw
+    nty = (height + tl - 1) // tl
+    if len(offsets) < ntx * nty:
+        raise ValueError("TIFF tile count mismatch")
+    if comp == 7:
+        raise NotImplementedError("JPEG-compressed TIFF tiles")
+    if comp in (2, 3, 4):  # fax tiles
+        from .ccittcodec import decode_g3, decode_g3_2d, decode_g4
+
+        t4 = tags.get("t4_options", [0])[0]
+        canvas = np.zeros((nty * tl, ntx * tw), bool)
+        for ti in range(ntx * nty):
+            off = offsets[ti]
+            nbytes = counts[ti] if counts else len(data) - off
+            chunk = data[off : off + nbytes]
+            if comp == 4:
+                blk = decode_g4(chunk, tw, tl)
+            elif comp == 3 and (t4 & 1):
+                blk = decode_g3_2d(chunk, tw, tl, byte_align=bool(t4 & 4))
+            else:
+                blk = decode_g3(chunk, tw, tl, byte_align=comp == 2)
+            ty, tx = divmod(ti, ntx)
+            canvas[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = blk
+        px = np.where(canvas[:height, :width], np.uint8(0), np.uint8(255))
+        if photometric == 1:
+            px = 255 - px
+        return px
+    if bits != 8:
+        raise NotImplementedError(f"{bits}-bit tiled TIFF samples")
+    canvas = np.zeros((nty * tl, ntx * tw, spp), np.uint8)
+    for ti in range(ntx * nty):
+        off = offsets[ti]
+        nbytes = counts[ti] if counts else len(data) - off
+        chunk = data[off : off + nbytes]
+        if comp in (8, 32946):
+            chunk = zlib.decompress(chunk)
+        elif comp == 5:
+            chunk = _tiff_lzw_decode(chunk)
+        elif comp == 32773:
+            out = bytearray()
+            i = 0
+            while i < len(chunk):
+                c0 = chunk[i]
+                if c0 < 128:
+                    out += chunk[i + 1 : i + 2 + c0]
+                    i += 2 + c0
+                elif c0 > 128:
+                    out += chunk[i + 1 : i + 2] * (257 - c0)
+                    i += 2
+                else:
+                    i += 1
+            chunk = bytes(out)
+        arr = np.frombuffer(chunk, np.uint8, count=tl * tw * spp).reshape(
+            tl, tw, spp
+        )
+        if predictor == 2:
+            arr = np.cumsum(arr, axis=1, dtype=np.uint8)
+        ty, tx = divmod(ti, ntx)
+        canvas[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = arr
+    px = canvas[:height, :width]
+    if photometric == 0:
+        px = 255 - px
+    return px[:, :, 0].copy() if spp == 1 else px[:, :, :3].copy()
 
 
 # ------------------------------------------------------------------ TIFF LZW
@@ -698,32 +781,38 @@ def encode_pnm(img: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
 
 
-def encode_tiff(img: np.ndarray, compression: str = "none") -> bytes:
-    """(H, W) gray / (H, W, 3) RGB uint8 -> single-strip little-endian
-    TIFF. ``compression``: 'none', 'packbits', 'lzw', 'deflate', or
-    the bilevel fax codings 'g4' / 'g3' (0/255 gray input — the "TIFF
-    G4" archival sink; written with /T4Options-free G4/G3 defaults and
-    PhotometricInterpretation WhiteIsZero)."""
+def encode_tiff(
+    img: np.ndarray,
+    compression: str = "none",
+    tile: tuple[int, int] | None = None,
+) -> bytes:
+    """(H, W) gray / (H, W, 3) RGB uint8 -> little-endian TIFF —
+    single-strip, or TILED when ``tile=(tw, tl)`` is given (tags
+    322-325; edge tiles padded to full size per the spec).
+    ``compression``: 'none', 'packbits', 'lzw', 'deflate', or the
+    bilevel fax codings 'g4' / 'g3' (0/255 gray input — the "TIFF G4"
+    archival sink, PhotometricInterpretation WhiteIsZero)."""
     h, w = img.shape[:2]
     spp = 1 if img.ndim == 2 else img.shape[2]
     fax = compression in ("g4", "g3")
-    if fax:
-        if spp != 1 or not ((img == 0) | (img == 255)).all():
-            raise ValueError(f"{compression} expects gray bilevel 0/255")
-        from .ccittcodec import encode_g3, encode_g4
+    if fax and (spp != 1 or not ((img == 0) | (img == 255)).all()):
+        raise ValueError(f"{compression} expects gray bilevel 0/255")
 
-        black = img == 0
-        strip = (encode_g4 if compression == "g4" else encode_g3)(black)
-        comp_tag, bits, photometric = (4 if compression == "g4" else 3), 1, 0
-    else:
-        raw = img.reshape(h, -1).tobytes()
+    def code_block(block: np.ndarray) -> bytes:
+        if fax:
+            from .ccittcodec import encode_g3, encode_g4
+
+            return (encode_g4 if compression == "g4" else encode_g3)(
+                block == 0
+            )
+        raw = block.reshape(block.shape[0], -1).tobytes()
         if compression == "none":
-            strip = raw
-        elif compression == "deflate":
-            strip = zlib.compress(raw)
-        elif compression == "lzw":
-            strip = _tiff_lzw_encode(raw)
-        elif compression == "packbits":
+            return raw
+        if compression == "deflate":
+            return zlib.compress(raw)
+        if compression == "lzw":
+            return _tiff_lzw_encode(raw)
+        if compression == "packbits":
             out = bytearray()
             i = 0
             while i < len(raw):
@@ -731,9 +820,12 @@ def encode_tiff(img: np.ndarray, compression: str = "none") -> bytes:
                 out.append(n - 1)
                 out += raw[i : i + n]
                 i += n
-            strip = bytes(out)
-        else:
-            raise ValueError(f"unknown TIFF compression {compression!r}")
+            return bytes(out)
+        raise ValueError(f"unknown TIFF compression {compression!r}")
+
+    if fax:
+        comp_tag, bits, photometric = (4 if compression == "g4" else 3), 1, 0
+    else:
         comp_tag = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773}[
             compression
         ]
@@ -742,9 +834,35 @@ def encode_tiff(img: np.ndarray, compression: str = "none") -> bytes:
     entries = [
         (256, 4, [w]), (257, 4, [h]), (258, 3, [bits] * spp),
         (259, 3, [comp_tag]), (262, 3, [photometric]),
-        (277, 3, [spp]), (278, 4, [h]), (279, 4, [len(strip)]),
+        (277, 3, [spp]),
     ]
-    n = len(entries) + 1  # + strip offsets
+    if tile is None:
+        chunks = [code_block(img)]
+        entries.append((278, 4, [h]))
+        entries.append((279, 4, [len(chunks[0])]))
+        offsets_tag = 273
+    else:
+        tw, tl = tile
+        if tw % 16 or tl % 16:
+            raise ValueError("TIFF tile dims must be multiples of 16")
+        pad_val = 255 if fax else 0
+        padded = np.full(
+            ((h + tl - 1) // tl * tl, (w + tw - 1) // tw * tw)
+            + (() if img.ndim == 2 else (spp,)),
+            pad_val,
+            np.uint8,
+        )
+        padded[:h, :w] = img
+        chunks = [
+            code_block(padded[ty : ty + tl, tx : tx + tw])
+            for ty in range(0, padded.shape[0], tl)
+            for tx in range(0, padded.shape[1], tw)
+        ]
+        entries.append((322, 4, [tw]))
+        entries.append((323, 4, [tl]))
+        entries.append((325, 4, [len(c) for c in chunks]))
+        offsets_tag = 324
+    n = len(entries) + 1  # + the offsets array
     ifd_size = 2 + 12 * (n) + 4
     data_start = 8 + ifd_size
     extra = bytearray()
@@ -761,8 +879,14 @@ def encode_tiff(img: np.ndarray, compression: str = "none") -> bytes:
         return struct.pack("<I", off)
 
     rendered = [(t, typ, len(v), val(v, typ)) for t, typ, v in entries]
-    strip_off = data_start + len(extra)
-    rendered.append((273, 4, 1, struct.pack("<I", strip_off)))
+    # the offsets array itself may land in `extra` (>1 chunk), so
+    # reserve its bytes BEFORE computing chunk positions
+    base_after = data_start + len(extra) + (4 * len(chunks) if len(chunks) > 1 else 0)
+    offs, at = [], base_after
+    for c in chunks:
+        offs.append(at)
+        at += len(c)
+    rendered.append((offsets_tag, 4, len(chunks), val(offs, 4)))
     rendered.sort(key=lambda e: e[0])
     out = bytearray(b"II*\x00" + struct.pack("<I", 8))
     out += struct.pack("<H", n)
@@ -770,5 +894,7 @@ def encode_tiff(img: np.ndarray, compression: str = "none") -> bytes:
         out += struct.pack("<HHI", tag, typ, count) + v
     out += struct.pack("<I", 0)
     assert len(out) == data_start
-    out += extra + strip
+    out += extra
+    for c in chunks:
+        out += c
     return bytes(out)

@@ -607,3 +607,27 @@ def test_bmp_pnm_tiff_writers_roundtrip():
         assert np.array_equal(decode_image(encode_tiff(bi, c)), bi), c
     with pytest.raises(ValueError, match="bilevel"):
         encode_tiff(g, "g4")
+
+
+def test_tiled_tiff_roundtrip_all_compressions():
+    """Tiled TIFFs (tags 322-325, padded edge tiles) round-trip for
+    every compression incl. the fax codings."""
+    from doctr_ray.sources.imagecodec import decode_image, encode_tiff
+
+    rng = _rng(91)
+    g = rng.integers(0, 256, (50, 70), np.uint8)
+    rgb = rng.integers(0, 256, (40, 55, 3), np.uint8)
+    bi = np.where(rng.random((45, 66)) < 0.4, 0, 255).astype(np.uint8)
+    for c in ("none", "packbits", "lzw", "deflate"):
+        assert np.array_equal(
+            decode_image(encode_tiff(g, c, tile=(32, 16))), g
+        ), c
+        assert np.array_equal(
+            decode_image(encode_tiff(rgb, c, tile=(16, 32))), rgb
+        ), c
+    for c in ("g4", "g3"):
+        assert np.array_equal(
+            decode_image(encode_tiff(bi, c, tile=(32, 32))), bi
+        ), c
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(g, "none", tile=(20, 16))
