@@ -1567,6 +1567,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["doc_id", "size_bytes", "sha256", "magic"])
         )
 
+    def q_image_decode(sf_dir: str):
+        """REAL multimodal image decode: every document gets a
+        deterministic checkerboard image (two doc-derived gray values,
+        doc-derived dims), ENCODED into a rotating real format (PNG /
+        BMP / PNM / GIF / TIFF-deflate), carried as an Arrow binary
+        column, and DECODED back inside the map stage by the in-repo
+        codec matrix. The oracle recomputes height/width and the exact
+        integer pixel sum from the same integer rule — the whole
+        encode -> binary column -> decode -> feature chain must be
+        lossless."""
+        import numpy as np
+        import pyarrow as pa
+
+        from doctr_ray.functions.multimodal import image_decode_features
+
+        def build(batch: pa.Table) -> pa.Table:
+            from doctr_ray.sources.gifcodec import encode_gif
+            from doctr_ray.sources.imagecodec import (
+                encode_bmp,
+                encode_png,
+                encode_pnm,
+                encode_tiff,
+            )
+
+            enc = {
+                "png": encode_png,
+                "bmp": encode_bmp,
+                "pnm": encode_pnm,
+                "gif": encode_gif,
+                "tiff": lambda im: encode_tiff(im, "deflate"),
+            }
+            ids = batch["doc_id"].to_pylist()
+            texts = batch["text"].to_pylist()
+            payloads, fmts = [], []
+            for did, t in zip(ids, texts):
+                d, L = int(did), len(t or "")
+                v1 = (d * 37 + L) % 256
+                v2 = (v1 + 91) % 256
+                h = 16 + d % 17
+                w = 16 + (d * 7) % 23
+                idx = (np.add.outer(np.arange(h), np.arange(w)) % 2).astype(
+                    np.uint8
+                )
+                img = np.where(idx == 0, np.uint8(v1), np.uint8(v2))
+                fmt = ("png", "bmp", "pnm", "gif", "tiff")[d % 5]
+                payloads.append(enc[fmt](img))
+                fmts.append(fmt)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": [str(i) for i in ids],
+                    "fmt": fmts,
+                    "payload": pa.array(payloads, pa.binary()),
+                }
+            )
+
+        return (
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(build, batch_format="pyarrow")
+            .map_batches(image_decode_features, batch_format="pyarrow")
+        )
+
     def q_frame_sample(sf_dir: str):
         """Video frame-sampling fan-out (stubbed decoder, deterministic
         fake): the structural contract — one payload row -> stride-
@@ -2202,6 +2263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_cid_pdf": q_ocr_cid_pdf,
         "ocr_rotated_pdf": q_ocr_rotated_pdf,
         "multimodal_features": q_multimodal_features,
+        "image_decode": q_image_decode,
         "frame_sample": q_frame_sample,
         "ocr_markdown": q_ocr_markdown,
         "bm25_search": q_bm25_search,
@@ -2516,6 +2578,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes, "
             "sha256(text) AS sha256, lower(hex(substr(text, 1, 4))) AS magic "
             "FROM documents"
+        ),
+        "image_decode": (
+            # the same integer image-generation rule recomputed in SQL:
+            # checkerboard of v1/v2 with n1 = ceil(h/2)*ceil(w/2) +
+            # floor(h/2)*floor(w/2) even-parity cells
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' "
+            "WHEN 2 THEN 'pnm' WHEN 3 THEN 'gif' ELSE 'tiff' END AS fmt, "
+            "h AS height, w AS width, "
+            "CAST(v1 * n1 + v2 * (h * w - n1) AS BIGINT) AS px_sum FROM ("
+            "SELECT doc_id, v1, (v1 + 91) % 256 AS v2, h, w, "
+            "((h + 1) // 2) * ((w + 1) // 2) + (h // 2) * (w // 2) AS n1 "
+            "FROM (SELECT doc_id, "
+            "(doc_id * 37 + length(coalesce(text, ''))) % 256 AS v1, "
+            "16 + doc_id % 17 AS h, 16 + (doc_id * 7) % 23 AS w "
+            "FROM documents))"
         ),
         "frame_sample": (
             # fan-out contract: 50 source frames, stride 10 -> frame_idx

@@ -228,6 +228,7 @@ def run_once() -> dict:
         "frame_sample",
         "kie_predictions",
         "multimodal_features",
+        "image_decode",
         "ocr_eval",
         "ocr_html_media",
         "ocr_image_media",

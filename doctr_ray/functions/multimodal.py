@@ -3,13 +3,15 @@
 The large-scale training-data pattern from the north brief: image/
 audio/video payloads travel as Arrow ``binary`` columns with typed
 metadata columns; decode / feature-extract / resize / frame-sample run
-as actor-pool ``map_batches`` stages. The real decoders (PIL/cv2 for
-images, ffmpeg/torchaudio for audio/video) are absent from this
-container, so decode is STUBBED exactly as the brief prescribes: a
-clearly-marked ``NotImplementedError`` on the real branch and a
-deterministic fake (seeded by the payload's own hash) that keeps every
-piece of Ray-side plumbing — schemas, batch sizes, actor signature,
-output layout — real and tested.
+as actor-pool ``map_batches`` stages. IMAGE decode is REAL — the
+in-repo codec matrix (PNG/JPEG/GIF/BMP/PNM/TIFF, sources/imagecodec)
+decodes payloads inside the stage, oracled end-to-end by the
+``image_decode`` query. Audio/video decoders (ffmpeg/torchaudio) are
+absent from this container, so THOSE stay stubbed exactly as the
+brief prescribes: a clearly-marked ``NotImplementedError`` on the
+real branch and a deterministic fake (seeded by the payload's own
+hash) that keeps every piece of Ray-side plumbing — schemas, batch
+sizes, actor signature, output layout — real and tested.
 """
 
 from __future__ import annotations
@@ -35,9 +37,34 @@ def binary_features(batch: pa.Table, col: str = "payload") -> pa.Table:
 
 
 def decode_image_real(payload: bytes) -> np.ndarray:
-    """Decode an encoded (PNG/JPEG) image. STUB — needs PIL or cv2."""
-    raise NotImplementedError(
-        "real image decoding requires PIL or cv2 (not in this container)"
+    """Decode an encoded image payload — REAL, via the in-repo codec
+    matrix (PNG/JPEG/GIF/BMP/PNM/TIFF, sources/imagecodec dispatch by
+    magic bytes). The brief's 'stub the decode step' caveat no longer
+    applies to images; audio/video below remain honestly stubbed."""
+    from ..sources.imagecodec import decode_image
+
+    return decode_image(payload)
+
+
+def image_decode_features(batch: pa.Table, col: str = "payload") -> pa.Table:
+    """Actor/task map_batches stage: encoded image payloads -> REAL
+    decoded features (height, width, exact integer pixel sum of the
+    gray plane). Runs the full decode per row — the canonical
+    multimodal decode stage, one page per row, driver never sees
+    pixels."""
+    from ..sources.imagecodec import to_gray
+
+    heights, widths, sums = [], [], []
+    for p in batch[col].to_pylist():
+        gray = to_gray(decode_image_real(p))
+        heights.append(gray.shape[0])
+        widths.append(gray.shape[1])
+        sums.append(int(gray.astype(np.int64).sum()))
+    return (
+        batch.drop_columns([col])
+        .append_column("height", pa.array(heights, pa.int64()))
+        .append_column("width", pa.array(widths, pa.int64()))
+        .append_column("px_sum", pa.array(sums, pa.int64()))
     )
 
 

@@ -75,3 +75,38 @@ def test_resize_frames():
     assert resized["height"].to_pylist() == [8] * resized.num_rows
     f = np.frombuffer(resized["frame"][0].as_py(), dtype=np.uint8)
     assert f.size == 8 * 16
+
+
+def test_image_decode_features_real():
+    """decode_image_real is REAL now: encoded payloads of every codec
+    decode to exact (height, width, px_sum) features."""
+    import numpy as np
+    import pyarrow as pa
+
+    from doctr_ray.functions.multimodal import image_decode_features
+    from doctr_ray.sources.gifcodec import encode_gif
+    from doctr_ray.sources.imagecodec import (
+        encode_bmp,
+        encode_png,
+        encode_pnm,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (11, 13), np.uint8)
+    encoders = [
+        encode_png, encode_bmp, encode_pnm, encode_gif,
+        lambda im: encode_tiff(im, "deflate"),
+    ]
+    batch = pa.table(
+        {
+            "doc_id": [str(i) for i in range(len(encoders))],
+            "payload": pa.array([e(img) for e in encoders], pa.binary()),
+        }
+    )
+    out = image_decode_features(batch)
+    assert out["height"].to_pylist() == [11] * len(encoders)
+    assert out["width"].to_pylist() == [13] * len(encoders)
+    assert out["px_sum"].to_pylist() == [int(img.astype(np.int64).sum())] * len(
+        encoders
+    )
