@@ -31,10 +31,13 @@ def test_binary_features():
     assert out["magic"][0].as_py() == "00000000"
 
 
-def test_real_decoders_are_clear_stubs():
-    with pytest.raises(NotImplementedError):
-        decode_image_real(b"\x89PNG")
-    with pytest.raises(NotImplementedError):
+def test_image_decode_real_and_audio_still_stubbed():
+    # image decode is REAL now (in-repo codec matrix); a truncated
+    # payload errors from the codec, not from a stub marker
+    with pytest.raises(ValueError):
+        decode_image_real(b"\x89PNG")  # signature only, no chunks
+    # audio remains an honest stub naming the missing dependency
+    with pytest.raises(NotImplementedError, match="torchaudio"):
         decode_audio_real(b"RIFF")
 
 
