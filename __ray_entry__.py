@@ -1628,6 +1628,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(image_decode_features, batch_format="pyarrow")
         )
 
+    def q_audio_decode(sf_dir: str):
+        """REAL multimodal audio decode: every document gets a
+        deterministic int16 sawtooth waveform (coefficients and length
+        doc-derived), ENCODED as a real RIFF/WAVE PCM file into an
+        Arrow binary column and DECODED back by the in-repo WAV codec
+        inside the map stage. The oracle recomputes frame count, rate
+        and the exact integer sum of absolute samples with a LATERAL
+        generate_series — the encode -> binary -> decode chain must be
+        sample-exact."""
+        import numpy as np
+        import pyarrow as pa
+
+        from doctr_ray.functions.multimodal import audio_decode_features
+
+        def build(batch: pa.Table) -> pa.Table:
+            from doctr_ray.sources.audiocodec import encode_wav
+
+            ids = batch["doc_id"].to_pylist()
+            texts = batch["text"].to_pylist()
+            payloads = []
+            for did, t in zip(ids, texts):
+                d, L = int(did), len(t or "")
+                n = 400 + d % 200
+                a, b = d * 13 + 7, d * 31 + L
+                tt = np.arange(n, dtype=np.int64)
+                v = ((a * tt + b) % 65536 - 32768).astype(np.int16)
+                payloads.append(encode_wav(v, 8000 + (d % 5) * 1000))
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": [str(i) for i in ids],
+                    "payload": pa.array(payloads, pa.binary()),
+                }
+            )
+
+        return (
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(build, batch_format="pyarrow")
+            .map_batches(audio_decode_features, batch_format="pyarrow")
+        )
+
     def q_frame_sample(sf_dir: str):
         """Video frame-sampling fan-out (stubbed decoder, deterministic
         fake): the structural contract — one payload row -> stride-
@@ -2264,6 +2304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_rotated_pdf": q_ocr_rotated_pdf,
         "multimodal_features": q_multimodal_features,
         "image_decode": q_image_decode,
+        "audio_decode": q_audio_decode,
         "frame_sample": q_frame_sample,
         "ocr_markdown": q_ocr_markdown,
         "bm25_search": q_bm25_search,
@@ -2594,6 +2635,23 @@ def oracle_sql() -> dict[str, str]:
             "(doc_id * 37 + length(coalesce(text, ''))) % 256 AS v1, "
             "16 + doc_id % 17 AS h, 16 + (doc_id * 7) % 23 AS w "
             "FROM documents))"
+        ),
+        "audio_decode": (
+            # the same integer sawtooth recomputed sample-by-sample:
+            # v(t) = (a*t + b) % 65536 - 32768 over a fixed series
+            # 0..598 (max n-1), filtered to each doc's length
+            "SELECT CAST(p.doc_id AS VARCHAR) AS doc_id, "
+            "p.n AS n_frames, p.rate AS sample_rate, "
+            "CAST(1 AS BIGINT) AS channels, "
+            "CAST(SUM(ABS((p.a * g.t + p.b) % 65536 - 32768)) AS BIGINT) "
+            "AS abs_sum FROM "
+            "(SELECT doc_id, 400 + doc_id % 200 AS n, "
+            "8000 + (doc_id % 5) * 1000 AS rate, "
+            "doc_id * 13 + 7 AS a, "
+            "doc_id * 31 + length(coalesce(text, '')) AS b "
+            "FROM documents) p "
+            "JOIN generate_series(0, 598) AS g(t) ON g.t < p.n "
+            "GROUP BY p.doc_id, p.n, p.rate"
         ),
         "frame_sample": (
             # fan-out contract: 50 source frames, stride 10 -> frame_idx

@@ -229,6 +229,7 @@ def run_once() -> dict:
         "kie_predictions",
         "multimodal_features",
         "image_decode",
+        "audio_decode",
         "ocr_eval",
         "ocr_html_media",
         "ocr_image_media",

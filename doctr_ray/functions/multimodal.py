@@ -68,10 +68,38 @@ def image_decode_features(batch: pa.Table, col: str = "payload") -> pa.Table:
     )
 
 
-def decode_audio_real(payload: bytes) -> np.ndarray:
-    """Decode an audio payload to PCM. STUB — needs soundfile/torchaudio."""
+def decode_audio_real(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an audio payload to PCM. REAL for RIFF/WAVE integer and
+    float PCM (sources/audiocodec — the raw interchange format needs
+    no native library); compressed codecs (mp3/aac/opus and non-PCM
+    WAV tags) still raise naming ffmpeg/torchaudio."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from ..sources.audiocodec import decode_wav
+
+        return decode_wav(payload)
     raise NotImplementedError(
-        "real audio decoding requires soundfile/torchaudio (not in this container)"
+        "compressed audio decoding requires ffmpeg/torchaudio "
+        "(not in this container); RIFF/WAVE PCM decodes for real"
+    )
+
+
+def audio_decode_features(batch: pa.Table, col: str = "payload") -> pa.Table:
+    """map_batches stage: WAV payloads -> REAL decoded features
+    (frame count, sample rate, channels, exact integer sum of
+    absolute sample values)."""
+    frames, rates, chans, sums = [], [], [], []
+    for p in batch[col].to_pylist():
+        samples, rate = decode_audio_real(p)
+        frames.append(samples.shape[0])
+        rates.append(rate)
+        chans.append(samples.shape[1])
+        sums.append(int(np.abs(samples.astype(np.int64)).sum()))
+    return (
+        batch.drop_columns([col])
+        .append_column("n_frames", pa.array(frames, pa.int64()))
+        .append_column("sample_rate", pa.array(rates, pa.int64()))
+        .append_column("channels", pa.array(chans, pa.int64()))
+        .append_column("abs_sum", pa.array(sums, pa.int64()))
     )
 
 
