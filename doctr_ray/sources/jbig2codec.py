@@ -46,17 +46,135 @@ from .mqcoder import NLPS, NMPS, QE, SWITCH
 #: SLTP (typical prediction) context for GB template 0 (T.88 6.2.5.7)
 _SLTP_CX0 = 0x9B25
 
+#: generic-region template geometry (nominal AT pixels folded in):
+#: (row y-2 span or None, row y-1 span, current-row lowest offset,
+#:  SLTP context) — spans are inclusive (lo, hi) pixel offsets
+_GB_TEMPLATES = {
+    0: ((-2, 2), (-3, 3), -4, _SLTP_CX0),
+    1: ((-1, 2), (-2, 3), -3, 0x0795),
+    2: ((-1, 1), (-2, 2), -2, 0x00E5),
+    3: (None, (-3, 2), -4, 0x0195),
+}
+
+
+def _tmpl_geometry(template: int):
+    span2, span1, lo0, sltp = _GB_TEMPLATES[template]
+    n2 = 0 if span2 is None else span2[1] - span2[0] + 1
+    n1 = span1[1] - span1[0] + 1
+    n0 = -lo0
+    return span2, span1, n2, n1, n0, sltp
+
+
+def _decode_generic_tmpl(data: bytes, width: int, height: int,
+                         tpgdon: bool, template: int) -> np.ndarray:
+    """Generic-region decode for GB templates 1-3 (T.88 6.2.5.3,
+    nominal AT pixels). Cold path — real streams overwhelmingly use
+    template 0, which keeps its inlined loop below."""
+    from .mqcoder import MQDecoder
+
+    span2, span1, n2, n1, n0, sltp_cx = _tmpl_geometry(template)
+    w, h = int(width), int(height)
+    dec = MQDecoder(data)
+    icx = bytearray(1 << 16)
+    mps = bytearray(1 << 16)
+    mask2, mask1, mask0 = (1 << n2) - 1, (1 << n1) - 1, (1 << n0) - 1
+    zeros = [0] * (w + 8)
+    rows: list[list[int]] = []
+    ltp = 0
+    out = np.zeros((h, w), dtype=bool)
+    for y in range(h):
+        r1 = rows[y - 1] if y >= 1 else zeros
+        r2 = rows[y - 2] if y >= 2 else zeros
+        if tpgdon:
+            ltp ^= dec.decode(icx, mps, sltp_cx)
+            if ltp:
+                rows.append(r1[:] if y >= 1 else zeros[:])
+                if y >= 1:
+                    out[y] = out[y - 1]
+                continue
+        row = zeros[:]
+        w2 = 0
+        if span2 is not None:
+            for off in range(span2[0], span2[1] + 1):
+                w2 = (w2 << 1) | r2[4 + off]
+        w1 = 0
+        for off in range(span1[0], span1[1] + 1):
+            w1 = (w1 << 1) | r1[4 + off]
+        w0 = 0
+        for x in range(w):
+            cx = (w2 << (n1 + n0)) | (w1 << n0) | w0
+            d = dec.decode(icx, mps, cx)
+            row[x + 4] = d
+            if span2 is not None:
+                w2 = ((w2 << 1) | r2[x + 5 + span2[1]]) & mask2
+            w1 = ((w1 << 1) | r1[x + 5 + span1[1]]) & mask1
+            w0 = ((w0 << 1) | d) & mask0
+        rows.append(row)
+        if any(row):
+            out[y] = np.array(row[4:w + 4], dtype=bool)
+    return out
+
+
+def _encode_generic_tmpl(black: np.ndarray, tpgdon: bool,
+                         template: int) -> bytes:
+    """Mirror of _decode_generic_tmpl (fixture writer for GB 1-3)."""
+    from .mqcoder import MQEncoder
+
+    span2, span1, n2, n1, n0, sltp_cx = _tmpl_geometry(template)
+    h, w = black.shape
+    enc = MQEncoder()
+    icx = bytearray(1 << 16)
+    mps = bytearray(1 << 16)
+    mask2, mask1, mask0 = (1 << n2) - 1, (1 << n1) - 1, (1 << n0) - 1
+    zeros = [0] * (w + 8)
+    pad = np.zeros((h, w + 8), dtype=np.uint8)
+    pad[:, 4:w + 4] = black
+    padded = pad.tolist()
+    prev_eq = np.zeros(h, dtype=bool)
+    if h > 1:
+        prev_eq[1:] = (black[1:] == black[:-1]).all(axis=1)
+    prev_eq[0] = not black[0].any()
+    ltp = 0
+    for y in range(h):
+        r1 = padded[y - 1] if y >= 1 else zeros
+        r2 = padded[y - 2] if y >= 2 else zeros
+        row = padded[y]
+        if tpgdon:
+            sltp = int(prev_eq[y]) ^ ltp
+            ltp ^= sltp
+            enc.encode(icx, mps, sltp_cx, sltp)
+            if ltp:
+                continue
+        w2 = 0
+        if span2 is not None:
+            for off in range(span2[0], span2[1] + 1):
+                w2 = (w2 << 1) | r2[4 + off]
+        w1 = 0
+        for off in range(span1[0], span1[1] + 1):
+            w1 = (w1 << 1) | r1[4 + off]
+        w0 = 0
+        for x in range(w):
+            d = row[x + 4]
+            enc.encode(icx, mps, (w2 << (n1 + n0)) | (w1 << n0) | w0, d)
+            if span2 is not None:
+                w2 = ((w2 << 1) | r2[x + 5 + span2[1]]) & mask2
+            w1 = ((w1 << 1) | r1[x + 5 + span1[1]]) & mask1
+            w0 = ((w0 << 1) | d) & mask0
+    return enc.flush()
+
 
 # --- generic region: MQ-coded bitmap <-> decisions --------------------
 
 def decode_generic(data: bytes, width: int, height: int,
-                   tpgdon: bool = True) -> np.ndarray:
-    """MQ-decode one generic region (template 0, nominal AT pixels).
+                   tpgdon: bool = True, template: int = 0) -> np.ndarray:
+    """MQ-decode one generic region (nominal AT pixels).
 
-    Returns (height, width) bool, True = black. The MQ decoder state
-    machine is inlined (locals only) — this is the per-pixel hot loop
-    that runs inside OCR actors, one page per task.
+    Returns (height, width) bool, True = black. Template 0 — what
+    real streams use — runs the inlined per-pixel hot loop below;
+    templates 1-3 route through the parameterized cold path.
     """
+    if template:
+        return _decode_generic_tmpl(data, width, height, tpgdon, template)
     w, h = int(width), int(height)
     icx = bytearray(1 << 16)
     mps = bytearray(1 << 16)
@@ -224,10 +342,13 @@ def decode_generic(data: bytes, width: int, height: int,
     return out
 
 
-def encode_generic(black: np.ndarray, tpgdon: bool = True) -> bytes:
-    """MQ-encode one (H, W) bool bitmap (template 0, nominal AT)."""
+def encode_generic(black: np.ndarray, tpgdon: bool = True,
+                   template: int = 0) -> bytes:
+    """MQ-encode one (H, W) bool bitmap (nominal AT pixels)."""
     if black.ndim != 2:
         raise ValueError("encode_generic expects a 2-D bool bitmap")
+    if template:
+        return _encode_generic_tmpl(black.astype(bool), tpgdon, template)
     h, w = black.shape
     icx = bytearray(1 << 16)
     mps = bytearray(1 << 16)
@@ -372,7 +493,17 @@ def _region_info(w: int, h: int, x: int = 0, y: int = 0,
 _NOMINAL_AT0 = bytes([3, 0xFF, 0xFD, 0xFF, 2, 0xFE, 0xFE, 0xFE])
 
 
-def encode_jbig2(black: np.ndarray, tpgdon: bool = True) -> bytes:
+def _nominal_at(template: int) -> bytes:
+    """Nominal AT pixel bytes per GB template (T.88 6.2.5.3)."""
+    if template == 0:
+        return _NOMINAL_AT0
+    if template == 1:
+        return bytes([3, 0xFF])  # A1 = (3, -1)
+    return bytes([2, 0xFF])  # templates 2 and 3: A1 = (2, -1)
+
+
+def encode_jbig2(black: np.ndarray, tpgdon: bool = True,
+                 template: int = 0) -> bytes:
     """(H, W) bool bitmap -> embedded JBIG2 stream (PDF profile).
 
     Page info + one immediate lossless generic region + end-of-page,
@@ -380,12 +511,13 @@ def encode_jbig2(black: np.ndarray, tpgdon: bool = True) -> bytes:
     """
     h, w = black.shape
     page = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
-    flags = (0 << 0) | (0 << 1) | (int(bool(tpgdon)) << 3)  # MMR=0, GB0
+    flags = (0 << 0) | (template << 1) | (int(bool(tpgdon)) << 3)  # MMR=0
     region = (
         _region_info(w, h)
         + struct.pack(">B", flags)
-        + _NOMINAL_AT0
-        + encode_generic(black.astype(bool), tpgdon=tpgdon)
+        + _nominal_at(template)
+        + encode_generic(black.astype(bool), tpgdon=tpgdon,
+                         template=template)
     )
     return (
         _segment(0, SEG_PAGE_INFO, 1, page)
@@ -433,14 +565,14 @@ def _decode_region_payload(payload: bytes, page: np.ndarray) -> None:
         region = decode_g4(payload[pos:], w, h)
     else:
         template = (flags >> 1) & 0x03
-        if template != 0:
-            raise NotImplementedError(f"JBIG2 generic template {template}")
-        at = payload[pos:pos + 8]
-        pos += 8
-        if at != _NOMINAL_AT0:
+        n_at = 8 if template == 0 else 2
+        at = payload[pos:pos + n_at]
+        pos += n_at
+        if at != _nominal_at(template):
             raise NotImplementedError("JBIG2 non-nominal AT pixels")
         region = decode_generic(payload[pos:], w, h,
-                                tpgdon=bool(flags & 0x08))
+                                tpgdon=bool(flags & 0x08),
+                                template=template)
     ph, pw = page.shape
     y1, x1 = min(y + h, ph), min(x + w, pw)
     view = region[: y1 - y, : x1 - x]

@@ -211,3 +211,29 @@ def test_decode_rejects_halftone():
     stream += _segment(1, 22, 1, b"\x00" * 20)
     with pytest.raises(NotImplementedError):
         decode_jbig2(stream)
+
+
+def test_generic_templates_1_2_3_roundtrip():
+    """GB templates 1-3 (T.88 6.2.5.3 nominal ATs) round-trip through
+    the parameterized cold path, with and without TPGDON, and through
+    the full embedded-segment stream."""
+    from doctr_ray.sources.jbig2codec import (
+        decode_generic,
+        decode_jbig2,
+        encode_generic,
+        encode_jbig2,
+    )
+
+    rng = np.random.default_rng(12)
+    img = rng.random((40, 90)) < 0.3
+    img[10:20] = img[10]
+    for tmpl in (1, 2, 3):
+        for tp in (True, False):
+            enc = encode_generic(img, tpgdon=tp, template=tmpl)
+            assert np.array_equal(
+                decode_generic(enc, 90, 40, tpgdon=tp, template=tmpl), img
+            ), (tmpl, tp)
+        stream = encode_jbig2(img, template=tmpl)
+        assert np.array_equal(
+            decode_jbig2(stream, width=90, height=40), img
+        ), tmpl
