@@ -13,7 +13,8 @@ stdlib + numpy:
   /CharStrings extraction (``/name len RD <bin> ND``);
 - a Type 1 charstring interpreter: hsbw side-bearing/width, the
   moveto/lineto/curveto families, closepath, callsubr/return, div,
-  seac left out (NotImplementedError), and the standard OtherSubrs
+  seac accent composition (Standard-code glyph lookup +
+  sidebearing-relative placement), and the standard OtherSubrs
   0/1/2 flex protocol (flex points collected from the seven rmovetos
   and emitted as two cubics) plus OtherSubr 3 hint replacement;
 - a WRITER (``build_type1``/``make_glyph_type1``) mirroring
@@ -77,6 +78,26 @@ def _split_pfb(data: bytes) -> bytes:
 _ENC_RE = re.compile(rb"dup\s+(\d+)\s*/([^\s/]+)\s+put")
 _CS_RE = re.compile(rb"/([^\s/{}()]+)\s+(\d+)\s+(?:RD|-\|)[ ]")
 _SUBR_RE = re.compile(rb"dup\s+(\d+)\s+(\d+)\s+(?:RD|-\|)[ ]")
+
+
+#: Adobe StandardEncoding code -> glyph name (the subset seac uses:
+#: letters, digits, and the accent block at 0301-0313 octal)
+_STD_ENC_NAMES: dict[int, bytes] = {}
+for _i in range(26):
+    _STD_ENC_NAMES[65 + _i] = bytes([65 + _i])
+    _STD_ENC_NAMES[97 + _i] = bytes([97 + _i])
+for _c, _nm in zip(
+    range(48, 58),
+    (b"zero", b"one", b"two", b"three", b"four", b"five", b"six",
+     b"seven", b"eight", b"nine"),
+):
+    _STD_ENC_NAMES[_c] = _nm
+_STD_ENC_NAMES.update({
+    193: b"grave", 194: b"acute", 195: b"circumflex", 196: b"tilde",
+    197: b"macron", 198: b"breve", 199: b"dotaccent", 200: b"dieresis",
+    202: b"ring", 203: b"cedilla", 205: b"hungarumlaut", 206: b"ogonek",
+    207: b"caron",
+})
 
 
 class Type1Font:
@@ -167,11 +188,26 @@ class Type1Font:
 
     # ------------------------------------------- charstring interpreter
 
+    def _std_gid(self, code: int) -> int:
+        """StandardEncoding code -> gid (seac's bchar/achar operands
+        name glyphs through Adobe's STANDARD encoding regardless of
+        the font's own /Encoding)."""
+        name = _STD_ENC_NAMES.get(code)
+        if name is None:
+            raise NotImplementedError(
+                f"seac with unmapped Standard code {code}"
+            )
+        try:
+            return self._gid_name.index(name)
+        except ValueError:
+            raise ValueError(f"seac: glyph /{name.decode()} not in font")
+
     def _run(self, cs: bytes):
         contours: list[list[tuple[float, float, bool]]] = []
         cur: list[tuple[float, float, bool]] = []
         x = y = 0.0
         width = 0.0
+        sbx0 = 0.0
         stack: list[float] = []
         ps_stack: list[float] = []  # OtherSubrs interface
         flex_pts: list[tuple[float, float]] = []
@@ -194,7 +230,7 @@ class Type1Font:
             x, y = x3, y3
 
         def run(code: bytes, depth: int) -> bool:
-            nonlocal x, y, width, in_flex
+            nonlocal x, y, width, in_flex, sbx0
             if depth > 10:
                 raise ValueError("Type1 subr recursion too deep")
             i = 0
@@ -220,6 +256,7 @@ class Type1Font:
                 if b0 == 13:  # hsbw: sbx wx
                     sbx, width = stack[0], stack[1]
                     x, y = sbx, 0.0
+                    sbx0 = sbx  # kept for seac's accent placement
                     stack.clear()
                 elif b0 == 21:  # rmoveto
                     if in_flex:
@@ -335,8 +372,26 @@ class Type1Font:
                         stack.clear()
                     elif b1 in (0, 1, 2):  # dotsection / vstem3 / hstem3
                         stack.clear()
-                    elif b1 == 6:
-                        raise NotImplementedError("Type1 seac accent composition")
+                    elif b1 == 6:  # seac: asb adx ady bchar achar
+                        asb, adx, ady = stack[0], stack[1], stack[2]
+                        bchar, achar = int(stack[3]), int(stack[4])
+                        stack.clear()
+                        close()
+                        for cnt in self.glyph_contours(
+                            self._std_gid(bchar)
+                        ):
+                            contours.append(list(cnt))
+                        # Type 1 spec: the accent's sidebearing point
+                        # lands at sbx - asb + adx of the composite
+                        dx = sbx0 - asb + adx
+                        for cnt in self.glyph_contours(
+                            self._std_gid(achar)
+                        ):
+                            contours.append(
+                                [(px + dx, py + ady, on)
+                                 for px, py, on in cnt]
+                            )
+                        return True
                     else:
                         raise NotImplementedError(f"Type1 escape op 12 {b1}")
                 else:

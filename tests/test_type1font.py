@@ -117,3 +117,45 @@ def test_type1_pdf_ocr_exact(tmp_path):
     got, conf = media_to_ocr_span("d", f"file://{p}", 0, GlyphRecognizer())
     assert got == text
     assert conf == 1.0
+
+
+def test_seac_accent_composition():
+    """seac (escape 6): base + accent composed through Standard codes,
+    accent shifted by sbx - asb + adx / ady."""
+    import numpy as np
+
+    from doctr_ray.sources.type1font import Type1Font, build_type1
+
+    sq = [[(0, 0, True), (40, 0, True), (40, 40, True), (0, 40, True)]]
+    dot = [[(10, 50, True), (20, 50, True), (20, 60, True), (10, 60, True)]]
+    pfb = build_type1(
+        {b".notdef": [], b"A": sq, b"acute": dot, b"comp": sq},
+        {65: b"A", 194: b"acute", 99: b"comp"},
+        {b"A": 41, b"acute": 41, b"comp": 41},
+        upem=64,
+    )
+    f = Type1Font(pfb)
+
+    def cs_num(v):
+        v = int(v)
+        if -107 <= v <= 107:
+            return bytes([v + 139])
+        if 108 <= v <= 1131:
+            v -= 108
+            return bytes([(v >> 8) + 247, v & 0xFF])
+        raise ValueError
+
+    # comp := hsbw 0 41; seac asb=0 adx=15 ady=5 bchar='A' achar=194
+    seac_cs = (
+        cs_num(0) + cs_num(41) + b"\x0d"
+        + cs_num(0) + cs_num(15) + cs_num(5) + cs_num(65) + cs_num(194)
+        + b"\x0c\x06"
+    )
+    f.charstrings[b"comp"] = seac_cs
+    gid = f._gid_name.index(b"comp")
+    got = f.glyph_contours(gid)
+    base = f.glyph_contours(f._gid_name.index(b"A"))
+    acc = f.glyph_contours(f._gid_name.index(b"acute"))
+    assert got[: len(base)] == base
+    shifted = [[(x + 15, y + 5, on) for x, y, on in c] for c in acc]
+    assert got[len(base):] == shifted
