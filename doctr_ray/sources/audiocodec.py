@@ -15,8 +15,10 @@ in Arrow binary columns can be processed for real inside
   8-bit is centered and scaled up, 24/32-bit and float take the top
   16 bits (the lossless direction round-trips 16-bit exactly).
 
-Compressed codecs raise ``NotImplementedError`` naming the format
-tag and the library a real deployment would use.
+``WAVE_FORMAT_EXTENSIBLE`` (tag 0xFFFE — how 24-bit files usually
+ship) resolves the real format from the SubFormat GUID. Compressed
+codecs raise ``NotImplementedError`` naming the format tag and the
+library a real deployment would use.
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = None
     raw = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -39,14 +42,19 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt or data chunk")
     tag, channels, rate, _byte_rate, _align, bits = fmt
-    if tag == 0xFFFE and len(raw) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        raise NotImplementedError("WAVE_FORMAT_EXTENSIBLE payloads")
+    if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag in SubFormat
+        # fmt chunk: 16 base bytes + cbSize(2) + validBits(2) +
+        # channelMask(4) + SubFormat GUID (first 2 bytes = tag)
+        if fmt_body is None or len(fmt_body) < 26:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        (tag,) = struct.unpack_from("<H", fmt_body, 24)
     if tag not in (1, 3):
         raise NotImplementedError(
             f"compressed WAV format tag {tag}: needs ffmpeg/torchaudio"

@@ -12,7 +12,8 @@ flow through the extraction pipeline in this container:
   numpy-vectorized per row (Sub/Paeth need the sequential pass the
   format mandates; Up / Average-without-left / None are whole-row ops).
 - **BMP**: uncompressed (BI_RGB) 8-bit palette / 24-bit / 32-bit,
-  bottom-up or top-down.
+  bottom-up or top-down, plus BI_RLE8 (runs, absolute mode, EOL/EOB
+  and delta markers).
 - **PNM**: P1-P6 (ASCII + binary bitmap/gray/RGB), any maxval up to
   65535 (16-bit samples are big-endian per the spec, scaled to 8-bit).
 - **TIFF**: baseline scanner output — first IFD, strip-organized
@@ -262,13 +263,40 @@ def decode_bmp(data: bytes) -> np.ndarray:
     width, height = struct.unpack("<ii", data[18:26])
     planes, bpp = struct.unpack("<HH", data[26:30])
     (compression,) = struct.unpack("<I", data[30:34])
-    if compression != 0:
+    if compression not in (0, 1):
         raise NotImplementedError(f"compressed BMP (method {compression}) not supported")
     top_down = height < 0
     height = abs(height)
     stride = (width * bpp // 8 + 3) & ~3
-    px = np.frombuffer(data, np.uint8, count=height * stride, offset=data_off)
-    px = px.reshape(height, stride)
+    if compression == 1:  # BI_RLE8 (8-bit palette rows)
+        if bpp != 8:
+            raise ValueError("BI_RLE8 requires 8 bits per pixel")
+        rows = np.zeros((height, stride), np.uint8)
+        i, x, yrow = data_off, 0, 0
+        while i + 1 < len(data) and yrow < height:
+            cnt, val = data[i], data[i + 1]
+            i += 2
+            if cnt:  # encoded run
+                rows[yrow, x : x + cnt] = val
+                x += cnt
+            elif val == 0:  # end of line
+                x, yrow = 0, yrow + 1
+            elif val == 1:  # end of bitmap
+                break
+            elif val == 2:  # delta
+                x += data[i]
+                yrow += data[i + 1]
+                i += 2
+            else:  # absolute mode: val literal bytes, word-aligned
+                rows[yrow, x : x + val] = np.frombuffer(
+                    data, np.uint8, count=val, offset=i
+                )
+                x += val
+                i += val + (val & 1)
+        px = rows
+    else:
+        px = np.frombuffer(data, np.uint8, count=height * stride, offset=data_off)
+        px = px.reshape(height, stride)
     if not top_down:
         px = px[::-1]
     if bpp == 24 or bpp == 32:

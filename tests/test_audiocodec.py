@@ -72,3 +72,23 @@ def test_decode_audio_real_dispatch():
     assert rate == 12000 and samples.shape == (10, 1)
     with pytest.raises(NotImplementedError, match="torchaudio"):
         decode_audio_real(b"\xff\xfb\x90\x00mp3 frames")
+
+
+def test_wave_format_extensible():
+    """Tag 0xFFFE resolves the real format from the SubFormat GUID."""
+    rng = np.random.default_rng(9)
+    samples = rng.integers(-32768, 32768, 64).astype(np.int16)
+    base = encode_wav(samples, 22050)
+    # rebuild the fmt chunk as EXTENSIBLE wrapping PCM
+    fmt_ext = struct.pack(
+        "<HHIIHHHHI", 0xFFFE, 1, 22050, 22050 * 2, 2, 16, 22, 16, 0
+    ) + struct.pack("<H", 1) + b"\x00" * 14  # SubFormat GUID: PCM
+    at = base.find(b"fmt ")
+    end = at + 8 + struct.unpack_from("<I", base, at + 4)[0]
+    patched = (
+        base[:at] + b"fmt " + struct.pack("<I", len(fmt_ext)) + fmt_ext
+        + base[end:]
+    )
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    s, rate = decode_wav(patched)
+    assert rate == 22050 and np.array_equal(s[:, 0], samples)

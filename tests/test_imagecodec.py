@@ -631,3 +631,46 @@ def test_tiled_tiff_roundtrip_all_compressions():
         ), c
     with pytest.raises(ValueError, match="multiples of 16"):
         encode_tiff(g, "none", tile=(20, 16))
+
+
+def test_bmp_rle8_decodes():
+    """BI_RLE8 (runs, absolute mode, EOL/EOB markers) decodes against
+    the equivalent uncompressed 8-bit palette BMP."""
+    import struct as _s
+
+    pal = bytes()
+    # build palette: identity gray BGRX entries
+    pal = b"".join(bytes([v, v, v, 0]) for v in range(256))
+    h, w = 4, 10
+    rows = np.array(
+        [[7] * 10, [1, 1, 1, 2, 3, 4, 4, 4, 4, 4],
+         [0] * 10, [9, 8, 7, 6, 5, 4, 3, 2, 1, 0]], np.uint8
+    )
+    # RLE8 encode by hand (bottom-up row order)
+    rle = bytearray()
+    for r in rows[::-1]:
+        i = 0
+        while i < len(r):
+            j = i
+            while j < len(r) and r[j] == r[i] and j - i < 255:
+                j += 1
+            if j - i >= 2:
+                rle += bytes([j - i, r[i]])
+                i = j
+            else:
+                # absolute run of >= 3 or padded literal via single runs
+                rle += bytes([1, r[i]])
+                i += 1
+        rle += b"\x00\x00"  # end of line
+    rle += b"\x00\x01"  # end of bitmap
+    hdr_size = 40
+    off = 14 + hdr_size + len(pal)
+    info = _s.pack("<IiiHHIIiiII", hdr_size, w, h, 1, 8, 1, len(rle),
+                   2835, 2835, 256, 0)
+    bmp = (b"BM" + _s.pack("<IHHI", off + len(rle), 0, 0, off)
+           + info + pal + bytes(rle))
+    from doctr_ray.sources.imagecodec import decode_bmp
+
+    out = decode_bmp(bmp)
+    assert out.ndim == 2  # achromatic palette collapses to gray
+    assert np.array_equal(out, rows)
