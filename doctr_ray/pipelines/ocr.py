@@ -325,7 +325,15 @@ class OcrDocWorker:
         expand_media_fraction: float | None = None,
         expand_copies: int = 1,
         weights=None,
+        on_media_error: str = "raise",
     ) -> None:
+        if on_media_error not in ("raise", "quarantine"):
+            raise ValueError("on_media_error must be 'raise' or 'quarantine'")
+        # 100-TB corpora GUARANTEE corrupt media: 'quarantine' keeps
+        # the job alive — the failed span contributes empty text and
+        # the doc row carries a media_errors count (never a silent
+        # skip); 'raise' (default) keeps oracle runs exact-or-fail
+        self.on_media_error = on_media_error
         self.recognizer = GlyphRecognizer(weights=weights)
         self.emit = emit
         self.keep_reading_order = keep_reading_order
@@ -343,11 +351,19 @@ class OcrDocWorker:
         parts: list[tuple[str, str, str, int]] = []
         for s in sorted(spans or [], key=lambda s: s["offset"]):
             if s["kind"] == "media":
-                text, _conf = media_to_ocr_span(
-                    did, s["media_ref"], s["offset"], self.recognizer,
-                    self.keep_reading_order, self.detect_orientation,
-                    self.straighten_pages,
-                )
+                try:
+                    text, _conf = media_to_ocr_span(
+                        did, s["media_ref"], s["offset"], self.recognizer,
+                        self.keep_reading_order, self.detect_orientation,
+                        self.straighten_pages,
+                    )
+                except Exception:
+                    if self.on_media_error != "quarantine":
+                        raise
+                    parts.append(
+                        ("media_error", "", s["media_ref"], int(s["offset"]))
+                    )
+                    continue
                 parts.append(("ocr_text", text, s["media_ref"], int(s["offset"])))
             else:
                 parts.append(("text", s["text"] or "", "", int(s["offset"])))
@@ -379,11 +395,16 @@ class OcrDocWorker:
                 [pa.array(cols[f.name], f.type) for f in SPANS_OUT_SCHEMA],
                 schema=SPANS_OUT_SCHEMA,
             )
-        texts = [
-            " ".join(t for _, t, _, _ in self._doc_parts(did, spans) if t)
-            for did, spans in zip(ids, spans_col)
-        ]
-        return pa.Table.from_pydict({"doc_id": ids, "full_text": texts})
+        texts, errs = [], []
+        for did, spans in zip(ids, spans_col):
+            parts = self._doc_parts(did, spans)
+            texts.append(" ".join(t for _, t, _, _ in parts if t))
+            errs.append(sum(1 for k, _, _, _ in parts if k == "media_error"))
+        out = {"doc_id": ids, "full_text": texts}
+        if self.on_media_error == "quarantine":
+            # surfaced, never silent: the count rides on every doc row
+            out["media_errors"] = errs
+        return pa.Table.from_pydict(out)
 
 
 # ------------------------------------------------------------- staged mode

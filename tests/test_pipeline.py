@@ -408,3 +408,57 @@ def test_giant_doc_fused_equals_staged(ray_session):
     assert fused.loc[0, "full_text"] == staged.loc[0, "full_text"]
     assert "chunk0 holds words w0a w0b" in fused.loc[0, "full_text"]
     assert "chunk119 holds words w119a w119b" in fused.loc[0, "full_text"]
+
+
+def test_corrupt_media_quarantine(ray_session, tmp_path):
+    """A corrupt media file must not kill a 100-TB job: quarantine
+    mode keeps the doc (empty span text) and SURFACES a media_errors
+    count on the row; the default still raises (oracle exactness)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+    from doctr_ray.media import encode_media_ref
+    from doctr_ray.pipelines.ocr import ocr_extracted_text
+
+    bad = tmp_path / "corrupt.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\ntruncated")
+    docs = pa.Table.from_arrays(
+        [
+            pa.array(["d0", "d1"], pa.string()),
+            pa.array(
+                [
+                    [
+                        {"kind": "text", "text": "before", "media_ref": "",
+                         "offset": 0},
+                        {"kind": "media", "text": "",
+                         "media_ref": f"file://{bad}", "offset": 1},
+                        {"kind": "text", "text": "after", "media_ref": "",
+                         "offset": 2},
+                    ],
+                    [
+                        {"kind": "media", "text": "",
+                         "media_ref": encode_media_ref("clean words"),
+                         "offset": 0},
+                    ],
+                ],
+                SPANS_TYPE,
+            ),
+        ],
+        schema=DOCS_SCHEMA,
+    )
+    out = (
+        ocr_extracted_text(
+            _ray.data.from_arrow(docs), on_media_error="quarantine"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["media_errors"]) == [1, 0]
+    assert out.iloc[0]["full_text"] == "before after"
+    assert out.iloc[1]["full_text"] == "clean words"
+    # default mode keeps failing loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        ocr_extracted_text(_ray.data.from_arrow(docs)).to_pandas()
