@@ -914,6 +914,11 @@ def _assembled(docs_ds, mode, keep_reading_order, emit, **kw):
             max_restarts=3,
             max_task_retries=3,
         )
+    if kw.pop("on_media_error", "raise") != "raise":
+        raise NotImplementedError(
+            "on_media_error='quarantine' is a fused-mode feature "
+            "(staged mode's rasterize stage fails per task)"
+        )
     if n_docs is None:
         # fallback only — forks the doc feed for a metadata-ish count;
         # hot paths pass the n_docs hint (known at read time)
