@@ -43,6 +43,14 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="ignore existing partition manifests (default: resume)",
     )
+    ap.add_argument(
+        "--on-media-error",
+        choices=("raise", "quarantine"),
+        default="raise",
+        help="quarantine keeps the job alive on corrupt media (fused "
+        "mode): failed spans emit empty text with kind=media_error — "
+        "surfaced in the output, never silently skipped",
+    )
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument(
         "--query",
@@ -93,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
             keep_reading_order=args.keep_reading_order,
             detect_orientation=args.detect_orientation,
             straighten_pages=args.straighten_pages,
+            on_media_error=args.on_media_error,
         )
 
     pipeline.__name__ = f"ocr_spans[{mode}]"
