@@ -21,7 +21,9 @@ flow through the extraction pipeline in this container:
   runs in the 16-bit domain), uncompressed / PackBits / Deflate / LZW
   (TIFF-variant early code-width change, round-trip-tested incl. table
   reset), horizontal-differencing predictor, new-style JPEG-in-TIFF
-  (compression 7 with shared /JPEGTables).
+  (compression 7 with shared /JPEGTables) and old-style compression 6
+  when it carries a complete JFIF blob at JPEGInterchangeFormat (tag
+  513 — the common form); CCITT fax strips/tiles, tiled layouts.
 - **JPEG**: baseline JFIF decodes (and encodes) via
   :mod:`doctr_ray.sources.jpegcodec` — Huffman entropy coding with
   restart markers, vectorized IDCT, 4:2:0/4:2:2/4:4:4 chroma;
@@ -430,7 +432,7 @@ _TIFF_TAGS = {
     278: "rows_per_strip", 279: "strip_byte_counts", 292: "t4_options",
     293: "t6_options", 317: "predictor", 322: "tile_width",
     323: "tile_length", 324: "tile_offsets", 325: "tile_byte_counts",
-    347: "jpeg_tables",
+    347: "jpeg_tables", 513: "jpeg_if", 514: "jpeg_if_length",
 }
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
@@ -486,8 +488,21 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if bits not in (1, 8, 16):
         raise NotImplementedError(f"{bits}-bit TIFF samples not supported")
     if comp == 6:
+        # old-style JPEG: the common form stores one complete JFIF
+        # stream at JPEGInterchangeFormat (tag 513); the table-per-tag
+        # reconstruction variants genuinely need a legacy library
+        if "jpeg_if" in tags:
+            from .jpegcodec import decode_jpeg
+
+            off = tags["jpeg_if"][0]
+            ln = tags.get("jpeg_if_length", [len(data) - off])[0]
+            px = decode_jpeg(data[off : off + ln])
+            if photometric == 0:
+                px = 255 - px
+            return px
         raise NotImplementedError(
-            "old-style JPEG-in-TIFF (compression 6) requires cv2 or PIL"
+            "old-style JPEG-in-TIFF without JPEGInterchangeFormat "
+            "(per-tag table reconstruction) requires cv2 or PIL"
         )
     if comp not in (1, 2, 3, 4, 5, 7, 8, 32946, 32773):
         raise NotImplementedError(f"TIFF compression {comp} not supported")

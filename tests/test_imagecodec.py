@@ -674,3 +674,34 @@ def test_bmp_rle8_decodes():
     out = decode_bmp(bmp)
     assert out.ndim == 2  # achromatic palette collapses to gray
     assert np.array_equal(out, rows)
+
+
+def test_tiff_oldstyle_jpeg_interchange_format_decodes():
+    """Compression 6 with JPEGInterchangeFormat (tag 513): the JFIF
+    blob decodes through the in-repo JPEG codec."""
+    import struct as _s
+
+    from doctr_ray.sources.imagecodec import decode_tiff
+    from doctr_ray.sources.jpegcodec import encode_jpeg
+
+    img = _rng(97).integers(0, 256, (24, 40), np.uint8)
+    jfif = encode_jpeg(img, 95)
+    # minimal IFD: dims, compression 6, photometric, tags 513/514
+    entries = [
+        (256, 4, 40), (257, 4, 24), (258, 3, 8), (259, 3, 6),
+        (262, 3, 1), (277, 3, 1),
+    ]
+    n = len(entries) + 2
+    data_start = 8 + 2 + 12 * n + 4
+    out = bytearray(b"II*\x00" + _s.pack("<I", 8) + _s.pack("<H", n))
+    for tag, typ, v in entries:
+        out += _s.pack("<HHI", tag, typ, 1)
+        out += _s.pack("<H", v).ljust(4, b"\x00") if typ == 3 else _s.pack("<I", v)
+    out += _s.pack("<HHII", 513, 4, 1, data_start)
+    out += _s.pack("<HHII", 514, 4, 1, len(jfif))
+    out += _s.pack("<I", 0)
+    assert len(out) == data_start
+    out += jfif
+    got = decode_tiff(bytes(out))
+    assert got.shape == img.shape
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 3
