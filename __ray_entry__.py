@@ -1775,16 +1775,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """PDF native-text path: every document is written as a real
         (Flate-compressed, multi-page) PDF and read back through the
         pure-stdlib text-layer extractor INSIDE the map task — bytes
-        never touch the driver. The layout rotates per row: every
-        third document is repacked into the PDF 1.5 compressed form
-        (/ObjStm + /XRef stream — the modern-producer layout) and the
-        next third is AES-128 ENCRYPTED (standard security handler,
-        empty user password — the silent-open case). The oracle is
-        identity on the source text: the whole encode -> deflate ->
-        (objstm/encrypt) -> parse -> decode chain must be lossless."""
+        never touch the driver. The layout rotates per row through
+        FOUR producer forms: PDF 1.5 /ObjStm + /XRef stream,
+        AES-128 ENCRYPTED (standard handler, empty user password),
+        a TAGGED SUBSET FONT with a /ToUnicode CMap (private glyph
+        codes mapped back to text — no rasterization), and the plain
+        classic body. The oracle is identity on the source text: the
+        whole encode -> (objstm/encrypt/subset-font) -> parse ->
+        decode chain must be lossless."""
         import pyarrow as pa
 
         from doctr_ray.sources.pdfcrypt import encrypt_pdf
+        from doctr_ray.sources.pdffont import make_truetype_pdf
         from doctr_ray.sources.pdfimage import repack_with_objstm
         from doctr_ray.sources.pdftext import extract_pdf_text, make_simple_pdf
 
@@ -1794,11 +1796,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 toks = (t or "").split(" ")
                 lines = [" ".join(toks[i : i + 12]) for i in range(0, len(toks), 12)]
                 pages = [lines[: len(lines) // 2 + 1], lines[len(lines) // 2 + 1 :]]
-                pdf = make_simple_pdf([p for p in pages if p])
-                if k % 3 == 0:
-                    pdf = repack_with_objstm(pdf)
-                elif k % 3 == 1:
-                    pdf = encrypt_pdf(pdf, revision=4)
+                pages = [p for p in pages if p]
+                if k % 4 == 2:
+                    pdf = make_truetype_pdf(pages, to_unicode=True)
+                else:
+                    pdf = make_simple_pdf(pages)
+                    if k % 4 == 0:
+                        pdf = repack_with_objstm(pdf)
+                    elif k % 4 == 1:
+                        pdf = encrypt_pdf(pdf, revision=4)
                 out.append(" ".join(extract_pdf_text(pdf)))
             return pa.Table.from_arrays(
                 [pa.compute.cast(batch["doc_id"], pa.string()), pa.array(out, pa.string())],

@@ -1216,14 +1216,19 @@ def make_glyph_ttf() -> tuple[bytes, dict[str, int]]:
     return build_ttf(glyphs, cmap, advances, upem=GLYPH_H), char_code
 
 
-def make_truetype_pdf(pages: list[list[str]], rotate: int = 0) -> bytes:
+def make_truetype_pdf(
+    pages: list[list[str]], rotate: int = 0, to_unicode: bool = False
+) -> bytes:
     """Font-embedded PDF: each page a list of text lines drawn with the
     embedded pixel-glyph TrueType font at the engine's scale — the PDF
     a subsetting producer emits, whose text layer is garbage and whose
     pixels OCR byte-exact. ``rotate=90`` draws every page a quarter
     turn (rotated Tm matrices on a swapped MediaBox)."""
     ttf, char_code = make_glyph_ttf()
-    return _make_font_pdf(pages, ttf, char_code, "truetype", rotate=rotate)
+    return _make_font_pdf(
+        pages, ttf, char_code, "truetype", rotate=rotate,
+        to_unicode=to_unicode,
+    )
 
 
 def make_table_pdf(docs: list[tuple[list[str], int, int]]) -> bytes:
@@ -1353,13 +1358,13 @@ def make_type1c_pdf(pages: list[list[str]]) -> bytes:
     return _make_font_pdf(pages, cff, char_code, "type1c")
 
 
-def make_cid_pdf(pages: list[list[str]]) -> bytes:
+def make_cid_pdf(pages: list[list[str]], to_unicode: bool = False) -> bytes:
     """Same fixture as a COMPOSITE font: /Type0 /Identity-H wrapping a
     CIDFontType2 descendant whose 2-byte codes are glyph ids — the
     dominant modern subset-producer output (and the classic case of an
     unusable text layer: the codes are gids, not characters)."""
     ttf, char_code = make_glyph_ttf()
-    return _make_font_pdf(pages, ttf, char_code, "cid")
+    return _make_font_pdf(pages, ttf, char_code, "cid", to_unicode=to_unicode)
 
 
 def make_cid0_pdf(pages: list[list[str]]) -> bytes:
@@ -1416,6 +1421,7 @@ def _make_font_pdf(
     tech: str,
     t1_lengths: tuple[int, int, int] | None = None,
     rotate: int = 0,
+    to_unicode: bool = False,
 ) -> bytes:
     if rotate not in (0, 90):
         raise ValueError("rotate must be 0 or 90")
@@ -1428,6 +1434,35 @@ def _make_font_pdf(
     def add(body: bytes) -> int:
         objects.append(body)
         return len(objects)
+
+    tu_ref = b""
+    if to_unicode:
+        # /ToUnicode CMap: subset code -> UTF-16BE, the tagged-PDF form
+        # that makes a private-encoding text layer trustworthy again
+        two = tech in ("cid", "cid0")
+        width = 4 if two else 2
+        pairs = b"\n".join(
+            b"<%0*X> <%s>" % (
+                width,
+                # composite pages code the CID (= subset code - 0x20)
+                code - 0x20 if two else code,
+                ch.encode("utf-16-be").hex().upper().encode(),
+            )
+            for ch, code in sorted(char_code.items(), key=lambda kv: kv[1])
+        )
+        space = b"<0000> <FFFF>" if two else b"<00> <FF>"
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+            b"begincmap\n1 begincodespacerange\n" + space
+            + b"\nendcodespacerange\n"
+            + str(len(char_code)).encode() + b" beginbfchar\n" + pairs
+            + b"\nendbfchar\nendcmap\nend end"
+        )
+        tu_id = add(
+            b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+            + cmap + b"\nendstream"
+        )
+        tu_ref = b"/ToUnicode " + str(tu_id).encode() + b" 0 R "
 
     if tech == "type3":
         from ..glyphs import FONT, GLYPH_H, GLYPH_W
@@ -1481,6 +1516,7 @@ def _make_font_pdf(
             + str(GLYPH_W).encode() + b" " + str(GLYPH_H).encode() + b"] "
             b"/FontMatrix [" + fm + b" 0 0 " + fm + b" 0 0] "
             b"/CharProcs " + str(cp_id).encode() + b" 0 R "
+            + tu_ref +
             b"/Encoding " + str(enc_id).encode() + b" 0 R "
             b"/FirstChar " + str(first).encode()
             + b" /LastChar " + str(last).encode()
@@ -1535,14 +1571,15 @@ def _make_font_pdf(
         )
         font_id = add(
             b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+PixelGlyph "
-            b"/Encoding /Identity-H /DescendantFonts ["
+            + tu_ref
+            + b"/Encoding /Identity-H /DescendantFonts ["
             + str(desc_id).encode() + b" 0 R] >>"
         )
     else:
         font_id = add(
             b"<< /Type /Font /Subtype " + subtype
-            + b" /BaseFont /AAAAAA+PixelGlyph "
-            b"/FontDescriptor " + str(fd_id).encode() + b" 0 R >>"
+            + b" /BaseFont /AAAAAA+PixelGlyph " + tu_ref
+            + b"/FontDescriptor " + str(fd_id).encode() + b" 0 R >>"
         )
 
     line_h = CHAR_H + 4 * (CHAR_H // GLYPH_H)  # glyph rows + gap

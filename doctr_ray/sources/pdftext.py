@@ -20,12 +20,14 @@ pull the text layer out of "well-behaved" PDFs:
 
 - PDF 1.5 compressed object streams (``/ObjStm``): content streams
   stay top-level by spec, and packed dict objects are expanded for
-  the embedded-font trust heuristic.
-
-Out of scope (raise ``NotImplementedError`` naming the dependency):
-encrypted files, CID/Type0 composite fonts needing ToUnicode CMaps.
-Those genuinely need a full PDF library; the point here is that the
-COMMON digital-PDF case works for real with zero native dependencies.
+  the embedded-font trust heuristic;
+- tagged SUBSET fonts through ``/ToUnicode`` CMaps (bfchar + both
+  bfrange forms): the private glyph codes of simple AND composite
+  Identity-H fonts map back to text, with Tm-based word/line
+  segmentation — the modern producer's text layer reads for real;
+  fonts without the map stay refused (rasterize + OCR instead);
+- encrypted files through sources/pdfcrypt (standard handler, empty
+  user password).
 
 Scale shape: one ``map_batches`` task per document row (bytes in,
 span rows out) — embarrassingly parallel, nothing touches the driver.
@@ -114,6 +116,189 @@ def _content_text(stream: bytes) -> list[str]:
     return [ln for ln in lines if ln.strip()]
 
 
+_BF_CHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BF_RANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_TOK_RE = re.compile(rb"<([0-9A-Fa-f\s]+)>")
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S
+)
+
+
+def parse_tounicode(cmap: bytes) -> tuple[int, dict[int, str]]:
+    """/ToUnicode CMap stream -> (code byte width, {code: text}).
+
+    Covers ``bfchar`` pairs and ``bfrange`` in both the incrementing
+    <lo> <hi> <dst> form and the explicit array form (PDF 32000
+    9.10.3 / Adobe CMap spec)."""
+    def _clean(hx: bytes) -> bytes:
+        return re.sub(rb"\s", b"", hx)
+
+    m = _CODESPACE_RE.search(cmap)
+    nbytes = (len(_clean(m.group(1))) + 1) // 2 if m else 2
+    out: dict[int, str] = {}
+
+    def dst_text(hx: bytes) -> str:
+        hx = re.sub(rb"\s", b"", hx)
+        return bytes.fromhex(hx.decode()).decode("utf-16-be", "replace")
+
+    for blk in _BF_CHAR_RE.finditer(cmap):
+        toks = _HEX_TOK_RE.findall(blk.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            out[int(_clean(src), 16)] = dst_text(dst)
+    for blk in _BF_RANGE_RE.finditer(cmap):
+        body = blk.group(1)
+        pos = 0
+        while True:
+            mm = _HEX_TOK_RE.search(body, pos)
+            if mm is None:
+                break
+            m2 = _HEX_TOK_RE.search(body, mm.end())
+            if m2 is None:
+                break
+            lo = int(_clean(mm.group(1)), 16)
+            hi = int(_clean(m2.group(1)), 16)
+            nxt = body[m2.end():].lstrip()
+            if nxt.startswith(b"["):
+                end = body.find(b"]", m2.end())
+                dsts = _HEX_TOK_RE.findall(body[m2.end() : end])
+                for i, d in enumerate(dsts):
+                    out[lo + i] = dst_text(d)
+                pos = end + 1
+            else:
+                m3 = _HEX_TOK_RE.search(body, m2.end())
+                if m3 is None:
+                    break
+                base = bytes.fromhex(_clean(m3.group(1)).decode())
+                for i in range(hi - lo + 1):
+                    b2 = base[:-2] + (
+                        int.from_bytes(base[-2:], "big") + i
+                    ).to_bytes(2, "big") if len(base) >= 2 else base
+                    out[lo + i] = b2.decode("utf-16-be", "replace")
+                pos = m3.end()
+    return nbytes, out
+
+
+_TF_OR_TEXT_RE = re.compile(
+    rb"/(\w+)\s+[\d.]+\s+Tf"                                 # font select
+    rb"|(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)\s*(Tj|')"    # string show
+    rb"|\[((?:[^\[\]\\]|\\.)*)\]\s*TJ"                       # array show
+    rb"|([\d.-]+(?:\s+[\d.-]+){5})\s+Tm"                     # text matrix
+    rb"|(T\*|TD|Td|ET|BT)",                                   # line ops
+    re.S,
+)
+
+
+def _string_bytes(tok: bytes) -> bytes:
+    """Raw BYTES of a ( ) literal or < > hex string token."""
+    if tok.startswith(b"<"):
+        hx = re.sub(rb"\s", b"", tok[1:-1])
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+    return _decode_pdf_string(tok).encode("latin-1", "replace")
+
+
+def _content_text_mapped(stream: bytes, res_fonts: dict[bytes, int],
+                         fonts: dict[int, tuple[int, dict]]) -> list[str]:
+    """Text lines of one content stream with per-font /ToUnicode
+    mapping: Tf switches the active map; strings under a mapped font
+    decode code-by-code, others fall back to Latin-1."""
+    lines: list[str] = []
+    cur: list[str] = []
+    active: tuple[int, dict] | None = None
+
+    def newline() -> None:
+        if cur:
+            lines.append("".join(cur))
+            cur.clear()
+
+    def show(tok: bytes) -> None:
+        if active is None:
+            cur.append(_decode_pdf_string(tok))
+            return
+        nbytes, cmap = active
+        raw = _string_bytes(tok)
+        for i in range(0, len(raw) - nbytes + 1, nbytes):
+            code = int.from_bytes(raw[i : i + nbytes], "big")
+            cur.append(cmap.get(code, ""))
+
+    last_ty: float | None = None
+    for m in _TF_OR_TEXT_RE.finditer(stream):
+        if m.group(1):  # Tf
+            num = res_fonts.get(m.group(1))
+            active = fonts.get(num) if num is not None else None
+        elif m.group(3):  # Tj or '
+            if m.group(3) == b"'":
+                newline()
+            show(m.group(2))
+        elif m.group(4) is not None:  # TJ array
+            for s in _STR_RE.finditer(m.group(4)):
+                show(s.group(0))
+        elif m.group(5) is not None:  # Tm: positional segmentation —
+            # a vertical move starts a new line, a horizontal jump on
+            # the same baseline is a word gap (extractor heuristic)
+            ops = m.group(5).split()
+            ty = float(ops[5])
+            if last_ty is not None and ty != last_ty:
+                newline()
+            elif last_ty is not None and cur:
+                cur.append(" ")
+            last_ty = ty
+        else:
+            op = m.group(6)
+            if op in (b"Td", b"TD", b"T*", b"ET"):
+                newline()
+                last_ty = None
+    newline()
+    return [ln for ln in lines if ln.strip()]
+
+
+def _extract_with_tounicode(data: bytes) -> list[str]:
+    """Page-walking extraction for PDFs whose fonts carry /ToUnicode
+    CMaps — the tagged-subset-font case where the raw string bytes are
+    private glyph codes but the producer supplied the mapping back to
+    text (reference behavior: pdfium honors ToUnicode)."""
+    from .pdffilters import decode_stream
+    from .pdfimage import _page_order, _scan_objects
+
+    objs = _scan_objects(data)
+    fonts: dict[int, tuple[int, dict]] = {}
+    for num, (head, raw) in objs.items():
+        if b"/Font" not in head or b"/ToUnicode" not in head:
+            continue
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", head)
+        if tm is None:
+            continue
+        chead, craw = objs.get(int(tm.group(1)), (b"", None))
+        if craw is None:
+            continue
+        nbytes, cmap = parse_tounicode(decode_stream(chead, craw))
+        if b"/Type0" in head or b"/Identity-H" in head:
+            nbytes = 2
+        fonts[num] = (nbytes, cmap)
+    if not fonts:
+        return []
+    lines: list[str] = []
+    for pnum in _page_order(data, objs):
+        head, _ = objs[pnum]
+        rm = re.search(rb"/Resources\s+(\d+)\s+0\s+R", head)
+        res = objs[int(rm.group(1))][0] if rm and int(rm.group(1)) in objs else head
+        res_fonts: dict[bytes, int] = {}
+        fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
+        if fm:
+            for mm in re.finditer(rb"/(\w+)\s+(\d+)\s+0\s+R", fm.group(1)):
+                res_fonts[mm.group(1)] = int(mm.group(2))
+        cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", head)
+        if cm is None or int(cm.group(1)) not in objs:
+            continue
+        chead, craw = objs[int(cm.group(1))]
+        if craw is None:
+            continue
+        stream = decode_stream(chead, craw)
+        lines.extend(_content_text_mapped(stream, res_fonts, fonts))
+    return lines
+
+
 def extract_pdf_text(data: bytes) -> list[str]:
     """All text lines of a PDF's native text layer, in stream order.
 
@@ -134,6 +319,13 @@ def extract_pdf_text(data: bytes) -> list[str]:
         from .pdfcrypt import decrypt_pdf
 
         data = decrypt_pdf(data)
+    if b"/ToUnicode" in data:
+        # tagged subset fonts: the string bytes are PRIVATE glyph
+        # codes, but the producer supplied the mapping back to text —
+        # decode through the CMaps (never latin-1 on subset codes)
+        lines = _extract_with_tounicode(data)
+        if lines:
+            return lines
     if (
         b"/ObjStm" not in data
         and (b"/FontFile" in data or b"/CharProcs" in data)

@@ -166,3 +166,51 @@ def test_objstm_hides_untrusted_embedded_font():
     packed = repack_with_objstm(make_truetype_pdf([["SECRET"]]))
     assert b"/FontFile" not in packed  # compressed away
     assert extract_pdf_text(packed) == []
+
+
+def test_tounicode_subset_font_text_layer():
+    """Tagged subset fonts: /ToUnicode CMaps make the private-code
+    text layer REAL — both the simple (1-byte) and composite Identity-H
+    (2-byte) forms extract exactly, with Tm-based word/line
+    segmentation; without the map the layer stays refused."""
+    from doctr_ray.sources.pdffont import make_cid_pdf, make_truetype_pdf
+
+    pages = [["hello world", "second line"], ["page two"]]
+    flat = ["hello world", "second line", "page two"]
+    assert extract_pdf_text(make_truetype_pdf(pages, to_unicode=True)) == flat
+    assert extract_pdf_text(make_cid_pdf(pages, to_unicode=True)) == flat
+    assert extract_pdf_text(make_truetype_pdf(pages)) == []  # refused
+
+
+def test_parse_tounicode_bfrange_forms():
+    from doctr_ray.sources.pdftext import parse_tounicode
+
+    cmap = (
+        b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfchar <0041> <0058> endbfchar\n"
+        b"2 beginbfrange\n"
+        b"<0010> <0012> <0061>\n"
+        b"<0020> <0021> [<0077 0078> <0079>]\n"
+        b"endbfrange"
+    )
+    nbytes, m = parse_tounicode(cmap)
+    assert nbytes == 2
+    assert m[0x41] == "X"
+    assert m[0x10] == "a" and m[0x11] == "b" and m[0x12] == "c"
+    assert m[0x20] == "wx" and m[0x21] == "y"
+
+
+def test_tounicode_short_circuits_ocr(tmp_path):
+    """A ToUnicode font PDF resolves through the NATIVE text layer in
+    the fused worker (confidence 1.0) — no rasterization."""
+    from doctr_ray.pipelines.ocr import media_to_ocr_span
+    from doctr_ray.recognition import GlyphRecognizer
+    from doctr_ray.sources.pdffont import make_truetype_pdf
+
+    p = tmp_path / "tagged.pdf"
+    p.write_bytes(
+        make_truetype_pdf([["alpha beta", "gamma"]], to_unicode=True)
+    )
+    text, conf = media_to_ocr_span("d0", f"file://{p}", 0, GlyphRecognizer())
+    assert text == "alpha beta gamma"
+    assert conf == 1.0
