@@ -255,7 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents", ["doc_id", "text"]).limit(100).map_batches(
             to_docs, batch_format="pyarrow"
         )
-        return ocr_extracted_text(docs, detect_orientation=True)
+        return ocr_extracted_text(docs, detect_orientation=True, n_docs=100)
 
     def q_ocr_skewed(sf_dir: str):
         """Skewed scans (1.5-8.4 degrees, per-doc): the exact
@@ -808,7 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs))
+        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
 
     def q_ocr_image_media(sf_dir: str):
         """file://*.{png,jpg,gif,bmp,pnm,tif} media route (reference
@@ -914,7 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs))
+        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
 
     def q_ocr_scanned_pdf(sf_dir: str):
         """Scanned-image PDF route (reference io/pdf.py analog,
@@ -1004,7 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs))
+        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
 
     def q_ocr_jbig2_pdf(sf_dir: str):
         """Scanned-image PDF route, JBIG2 flavour: each document's
@@ -1064,7 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs))
+        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
 
     def q_ocr_jpx_pdf(sf_dir: str):
         """Scanned-image PDF route, JPEG 2000 flavour: each document's
@@ -1133,7 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs))
+        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
 
     def q_ocr_truetype_pdf(sf_dir: str):
         """Font-rendered PDF route (reference io/pdf.py analog for the
@@ -1188,7 +1188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, DOCS_SCHEMA.field("spans").type)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs))
+        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
 
     def q_ocr_cff_pdf(sf_dir: str):
         """Font-rendered PDF route, PostScript flavour: the same
@@ -1242,7 +1242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, DOCS_SCHEMA.field("spans").type)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs))
+        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
 
     def q_ocr_type1_pdf(sf_dir: str):
         """Font-rendered PDF route, pre-CFF PostScript flavour: the
@@ -1296,7 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, DOCS_SCHEMA.field("spans").type)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs))
+        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
 
     def q_ocr_type3_pdf(sf_dir: str):
         """Font-rendered PDF route, bitmap-glyph flavour: the same
@@ -1351,7 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, DOCS_SCHEMA.field("spans").type)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs))
+        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
 
     def q_ocr_cid_pdf(sf_dir: str):
         """Font-rendered PDF route, composite flavour: /Type0
@@ -1410,7 +1410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, DOCS_SCHEMA.field("spans").type)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs))
+        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
 
     def q_ocr_rotated_pdf(sf_dir: str):
         """Rotated font-rendered PDFs: every page drawn with 90-degree
@@ -1464,7 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, DOCS_SCHEMA.field("spans").type)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs), detect_orientation=True)
+        return ocr_extracted_text(ray.data.from_arrow(docs), detect_orientation=True, n_docs=len(ids))
 
     def q_dsir_weights(sf_dir: str):
         """DSIR-style data selection (Xie et al. 2023): hashed
