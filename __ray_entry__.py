@@ -1064,7 +1064,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
+        return ocr_extracted_text(
+            ray.data.from_arrow(docs),
+            n_docs=len(ids),
+            recognize_concurrency=len(ids),  # arithmetic decode is heavy per doc
+        )
 
     def q_ocr_jpx_pdf(sf_dir: str):
         """Scanned-image PDF route, JPEG 2000 flavour: each document's
@@ -1133,7 +1137,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
+        return ocr_extracted_text(
+            ray.data.from_arrow(docs),
+            n_docs=len(ids),
+            # EBCOT decode is seconds of pure python PER DOC: one
+            # actor per doc, not the cheap-doc pool cap
+            recognize_concurrency=len(ids),
+        )
 
     def q_ocr_truetype_pdf(sf_dir: str):
         """Font-rendered PDF route (reference io/pdf.py analog for the
