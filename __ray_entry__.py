@@ -1065,9 +1065,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             schema=DOCS_SCHEMA,
         )
         return ocr_extracted_text(
-            ray.data.from_arrow(docs),
+            ray.data.from_arrow([docs.slice(i, 1) for i in range(len(ids))]),
             n_docs=len(ids),
             recognize_concurrency=len(ids),  # arithmetic decode is heavy per doc
+            fused_batch_size=1,
         )
 
     def q_ocr_jpx_pdf(sf_dir: str):
@@ -1098,13 +1099,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         outdir = os.path.join(
             "/tmp/doctr_ray_jpxpdf",
-            hashlib.md5((sf_dir + ":v2-lossy").encode()).hexdigest()[:10],
+            hashlib.md5((sf_dir + ":v3-bounded").encode()).hexdigest()[:10],
         )
         os.makedirs(outdir, exist_ok=True)
 
+        def _clip(t: str) -> str:
+            # bound each doc to ~1-2 rendered pages: EBCOT decode is
+            # seconds of pure python PER PAGE, and the query's wall
+            # time is the slowest doc — the oracle clips identically
+            return " ".join((t or "").split(" ")[:120])
+
         @ray.remote(num_cpus=1)
         def _write_fixture(did: str, text: str, path: str, lossy: bool) -> None:
-            pages = rasterize_synth(encode_media_ref(text or ""))
+            pages = rasterize_synth(encode_media_ref(_clip(text)))
             tmp = path + f".tmp{os.getpid()}"
             with open(tmp, "wb") as f:
                 f.write(
@@ -1138,11 +1145,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             schema=DOCS_SCHEMA,
         )
         return ocr_extracted_text(
-            ray.data.from_arrow(docs),
+            # split at the READ: one single-row arrow table per doc ->
+            # one block per doc, so the per-doc actors run in parallel
+            # (a mid-pipeline repartition DEADLOCKS under a full-width
+            # actor pool at low cpu counts — reproduced; CLAUDE.md)
+            ray.data.from_arrow([docs.slice(i, 1) for i in range(len(ids))]),
             n_docs=len(ids),
             # EBCOT decode is seconds of pure python PER DOC: one
-            # actor per doc, not the cheap-doc pool cap
+            # actor per doc AND one doc per batch, not the cheap-doc
+            # pool defaults
             recognize_concurrency=len(ids),
+            fused_batch_size=1,
         )
 
     def q_ocr_truetype_pdf(sf_dir: str):
@@ -2604,7 +2617,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 24)"
         ),
         "ocr_jpx_pdf": (
-            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text "
+            # same 120-token clip as the fixture writer
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "array_to_string(string_split(text, ' ')[1:120], ' ') AS full_text "
             "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 12)"
         ),
         "ocr_truetype_pdf": (

@@ -899,6 +899,10 @@ def _assembled(docs_ds, mode, keep_reading_order, emit, **kw):
         repartition_blocks = kw.pop("repartition_blocks", None)
         if repartition_blocks:
             docs_ds = docs_ds.repartition(repartition_blocks)
+        # heavy-decode corpora (seconds of pure python per doc) pass
+        # fused_batch_size=1 so a batch never serializes several
+        # expensive docs into one actor turn
+        fused_batch_size = kw.pop("fused_batch_size", 8)
         return docs_ds.map_batches(
             OcrDocWorker,
             fn_constructor_kwargs={
@@ -907,7 +911,7 @@ def _assembled(docs_ds, mode, keep_reading_order, emit, **kw):
                 **kw,
             },
             batch_format="pyarrow",
-            batch_size=8,
+            batch_size=fused_batch_size,
             concurrency=concurrency,
             # deterministic + idempotent: task retry / actor restart
             # after preemption is safe (actor-kill test in tests/)
