@@ -76,6 +76,19 @@ def _docs_ds(sf_dir: str, limit: int | None = None):
     return docs_dataset(sf_dir, limit=limit)
 
 
+def _docs_blocks(docs, per_block: int = 8):
+    """Arrow docs table -> Dataset pre-split at the READ (~8 docs per
+    block). ``ray.data.from_arrow(table)`` is ONE block = one serial
+    task under the fused actor pool, and a mid-pipeline repartition
+    deadlocks the split finalize under a full-width pool (CLAUDE.md);
+    passing a LIST of slices is the safe split."""
+    import ray
+
+    n = docs.num_rows
+    slices = [docs.slice(i, per_block) for i in range(0, n, per_block)]
+    return ray.data.from_arrow(slices if slices else [docs])
+
+
 def _read(sf_dir: str, table: str, columns=None):
     """Pruned parquet read with a data-sized block count.
 
@@ -808,7 +821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
+        return ocr_extracted_text(_docs_blocks(docs), n_docs=len(ids))
 
     def q_ocr_image_media(sf_dir: str):
         """file://*.{png,jpg,gif,bmp,pnm,tif} media route (reference
@@ -914,7 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
+        return ocr_extracted_text(_docs_blocks(docs), n_docs=len(ids))
 
     def q_ocr_scanned_pdf(sf_dir: str):
         """Scanned-image PDF route (reference io/pdf.py analog,
@@ -1004,7 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
+        return ocr_extracted_text(_docs_blocks(docs), n_docs=len(ids))
 
     def q_ocr_jbig2_pdf(sf_dir: str):
         """Scanned-image PDF route, JBIG2 flavour: each document's
@@ -1211,7 +1224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, DOCS_SCHEMA.field("spans").type)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
+        return ocr_extracted_text(_docs_blocks(docs), n_docs=len(ids))
 
     def q_ocr_cff_pdf(sf_dir: str):
         """Font-rendered PDF route, PostScript flavour: the same
@@ -1265,7 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, DOCS_SCHEMA.field("spans").type)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
+        return ocr_extracted_text(_docs_blocks(docs), n_docs=len(ids))
 
     def q_ocr_type1_pdf(sf_dir: str):
         """Font-rendered PDF route, pre-CFF PostScript flavour: the
@@ -1319,7 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, DOCS_SCHEMA.field("spans").type)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
+        return ocr_extracted_text(_docs_blocks(docs), n_docs=len(ids))
 
     def q_ocr_type3_pdf(sf_dir: str):
         """Font-rendered PDF route, bitmap-glyph flavour: the same
@@ -1374,7 +1387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, DOCS_SCHEMA.field("spans").type)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
+        return ocr_extracted_text(_docs_blocks(docs), n_docs=len(ids))
 
     def q_ocr_cid_pdf(sf_dir: str):
         """Font-rendered PDF route, composite flavour: /Type0
@@ -1433,7 +1446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, DOCS_SCHEMA.field("spans").type)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs), n_docs=len(ids))
+        return ocr_extracted_text(_docs_blocks(docs), n_docs=len(ids))
 
     def q_ocr_rotated_pdf(sf_dir: str):
         """Rotated font-rendered PDFs: every page drawn with 90-degree
@@ -1487,7 +1500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [pa.array(ids, pa.string()), pa.array(spans, DOCS_SCHEMA.field("spans").type)],
             schema=DOCS_SCHEMA,
         )
-        return ocr_extracted_text(ray.data.from_arrow(docs), detect_orientation=True, n_docs=len(ids))
+        return ocr_extracted_text(_docs_blocks(docs), detect_orientation=True, n_docs=len(ids))
 
     def q_dsir_weights(sf_dir: str):
         """DSIR-style data selection (Xie et al. 2023): hashed
