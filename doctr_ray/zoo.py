@@ -68,6 +68,17 @@ class PredictorConfig:
     # deterministic estimate_page_rotation when set, the reference's
     # assume_straight_pages=False wiring (models/predictor/base.py)
     orientation_instance: object | None = None
+    # layout slot (reference models/zoo.py:30-35 detect_layout /
+    # layout_arch / ignore_regions / detect_tables): a loaded layout
+    # model instance (doctr_ray.lwdetr.LWDETRNumpy or the deterministic
+    # ComponentClassifyLayout) whose page contract is
+    # ``model([page]) -> [{class_names, boxes, scores}]``
+    detect_layout: bool = False
+    layout_instance: object | None = None
+    # region classes masked out of the page BEFORE text detection
+    # (reference predictor/base.py:110-128 _mask_regions)
+    ignore_regions: tuple = ()
+    detect_tables: bool = False
 
 
 class OCRPredictor:
@@ -146,6 +157,23 @@ class OCRPredictor:
                 from .skew import recover_skewed_page
 
                 image, known, _ = recover_skewed_page(image, self._recognizer)
+            # layout regions on the working (deskewed/straightened)
+            # page, BEFORE detection so ignore_regions can mask
+            # (reference predictor/pytorch.py:103-105,137-141)
+            regions = None
+            if self.cfg.detect_layout or self.cfg.detect_tables:
+                layout_model = self.cfg.layout_instance or ComponentClassifyLayout()
+                regions = layout_model([image])[0]
+                if self.cfg.ignore_regions and len(regions["boxes"]):
+                    from .geometry import mask_regions
+
+                    keep = np.array(
+                        [n in self.cfg.ignore_regions for n in regions["class_names"]],
+                        dtype=bool,
+                    )
+                    if keep.any():
+                        boxes_r = np.asarray(regions["boxes"], np.float32)
+                        image = mask_regions(image, boxes_r[keep].reshape(-1, 4))
             if self.cfg.det_instance is not None:
                 from .geometry import rel_to_abs
 
@@ -164,6 +192,35 @@ class OCRPredictor:
                 keep_reading_order=self.cfg.keep_reading_order,
             )
             export = built.export
+            if regions is not None:
+                # LayoutElement export triple (reference builder.py:
+                # 288-312 _build_layout_elements; io/elements.py:162
+                # _exported_keys = geometry/type/confidence)
+                export["layout"] = [
+                    {
+                        "geometry": (
+                            tuple(tuple(float(c) for c in pt) for pt in np.asarray(box))
+                            if np.asarray(box).ndim == 2
+                            else (
+                                (float(box[0]), float(box[1])),
+                                (float(box[2]), float(box[3])),
+                            )
+                        ),
+                        "type": str(name),
+                        "confidence": float(score),
+                    }
+                    for name, box, score in zip(
+                        regions["class_names"], regions["boxes"], regions["scores"]
+                    )
+                ]
+            if self.cfg.detect_tables:
+                # lattice recovery on the page (the reference crops the
+                # layout model's Table regions and runs TableCenterNet;
+                # the lattice detector locates + structures in one pass)
+                from .tables import extract_tables
+
+                page_tables, _ = extract_tables(image, reco if hasattr(reco, "recognize_batch") else None)
+                export["tables"] = [t.export() for t in page_tables]
             if self.cfg.detect_language:
                 # per-page language attach (reference ocr_predictor
                 # detect_language flag, models/predictor/pytorch.py)
@@ -188,6 +245,76 @@ class OCRPredictor:
         )
 
 
+#: reference layout/zoo.py:18 ARCHS, plus this engine's stand-in
+LAYOUT_ARCHS = {"lw_detr_s", "lw_detr_m", "component_classify"}
+
+
+class ComponentClassifyLayout:
+    """Deterministic layout stand-in with the LayoutPredictor page
+    contract (reference layout/predictor/pytorch.py:36-82:
+    ``model([page]) -> [{class_names, boxes, scores}]``): detected
+    components classified by line-height conformity (the KIE
+    classifier) and mapped onto the reference's DocLayNet label set —
+    text-height components are ``Text`` regions, everything else a
+    ``Picture`` artefact."""
+
+    def __init__(self) -> None:
+        from .lwdetr import LAYOUT_CLASSES
+
+        self.class_names = list(LAYOUT_CLASSES)
+
+    def __call__(self, pages: list[np.ndarray]) -> list[dict]:
+        from .detection import detect_page
+        from .pipelines.kie import classify_components
+
+        out = []
+        for page in pages:
+            gray = page.mean(axis=2).astype(page.dtype) if page.ndim == 3 else page
+            _, rel = detect_page(gray)
+            if len(rel) == 0:
+                out.append({"class_names": [], "boxes": np.zeros((0, 4), np.float32), "scores": []})
+                continue
+            kinds = classify_components(rel, gray.shape)
+            out.append(
+                {
+                    "class_names": ["Text" if k == "words" else "Picture" for k in kinds],
+                    "boxes": rel[:, :4].astype(np.float32),
+                    "scores": [float(s) for s in rel[:, 4]],
+                }
+            )
+        return out
+
+
+def layout_predictor(
+    arch="lw_detr_s",
+    pretrained: bool = True,
+    assume_straight_pages: bool = True,
+    weights=None,
+    **kwargs,
+):
+    """The reference's ``layout_predictor`` factory (layout/zoo.py:
+    52-91), mapped onto this engine's slots. Like the other zoos it
+    accepts a loaded model INSTANCE (anything callable on a page list
+    — e.g. :class:`doctr_ray.lwdetr.LWDETRNumpy`) as well as a name;
+    a ``weights`` checkpoint routes a name to the real numpy tower,
+    otherwise names resolve to the deterministic component-classify
+    stand-in (the procedural kernels ARE the weights, as for
+    detection/recognition)."""
+    if not isinstance(arch, str):
+        if not callable(arch):
+            raise ValueError(f"unknown architecture: {type(arch)}")
+        return arch
+    if arch not in LAYOUT_ARCHS:
+        raise ValueError(f"unknown architecture '{arch}'")
+    if weights is not None and arch.startswith("lw_detr"):
+        from .lwdetr import LWDETRNumpy
+
+        return LWDETRNumpy(
+            weights, assume_straight_pages=assume_straight_pages, **kwargs
+        )
+    return ComponentClassifyLayout()
+
+
 def ocr_predictor(
     det_arch: str = "fast_base",
     reco_arch: str = "crnn_vgg16_bn",
@@ -197,6 +324,10 @@ def ocr_predictor(
     straighten_pages: bool = False,
     detect_language: bool = False,
     keep_reading_order: bool = False,
+    detect_layout: bool = False,
+    layout_arch="lw_detr_s",
+    ignore_regions: list[str] | None = None,
+    detect_tables: bool = False,
     **kwargs,
 ) -> OCRPredictor:
     """The reference's ``ocr_predictor`` signature (models/zoo.py:100-181),
@@ -233,6 +364,11 @@ def ocr_predictor(
     if reco_instance is None and reco_arch not in RECO_ARCHS:
         raise ValueError(f"unknown recognition architecture '{reco_arch}'")
     orientation_instance = kwargs.get("orientation_predictor")
+    # layout slot — built whenever layout OR tables are requested
+    # (reference models/zoo.py:57-68; tables need the layout pass)
+    layout_instance = None
+    if detect_layout or detect_tables:
+        layout_instance = layout_predictor(layout_arch, pretrained=pretrained)
     return OCRPredictor(
         PredictorConfig(
             det_arch=det_arch,
@@ -246,6 +382,10 @@ def ocr_predictor(
             reco_instance=reco_instance,
             det_instance=det_instance,
             orientation_instance=orientation_instance,
+            detect_layout=detect_layout,
+            layout_instance=layout_instance,
+            ignore_regions=tuple(ignore_regions or ()),
+            detect_tables=detect_tables,
         )
     )
 
@@ -388,6 +528,11 @@ def save_predictor_config(
     d = os.path.join(hub_dir, name)
     os.makedirs(d, exist_ok=True)
     cfg = asdict(predictor.cfg)
+    # loaded model instances are runtime state, not configuration —
+    # from_name rebuilds them from the arch names (the reference hub
+    # ships config + weights, never pickled modules)
+    for k in ("reco_instance", "det_instance", "orientation_instance", "layout_instance"):
+        cfg[k] = None
     if weights is not None:
         from .weights import save_weights
 
@@ -407,6 +552,8 @@ def from_name(name: str, hub_dir: str) -> OCRPredictor:
     with open(os.path.join(hub_dir, name, "config.json")) as f:
         raw = json.load(f)
     task = raw.pop("task", "ocr")
+    # JSON round-trips the ignore_regions tuple as a list
+    raw["ignore_regions"] = tuple(raw.get("ignore_regions") or ())
     cfg = PredictorConfig(**raw)
     if task == "kie":
         return kie_predictor(cfg.det_arch, cfg.reco_arch)

@@ -192,3 +192,13 @@ def test_hub_model_output_unchanged(tmp_path):
         ]
 
     assert words(base) == words(hubbed)
+
+
+def test_local_hub_roundtrip_layout(tmp_path):
+    from doctr_ray.zoo import from_name, ocr_predictor, save_predictor_config
+
+    p = ocr_predictor(detect_layout=True, ignore_regions=["Picture"])
+    save_predictor_config(p, "my-layout-ocr", str(tmp_path))
+    q = from_name("my-layout-ocr", str(tmp_path))
+    # instances are runtime state: rebuilt lazily, not round-tripped
+    assert q.cfg.detect_layout and q.cfg.ignore_regions == ("Picture",)
