@@ -79,6 +79,12 @@ class PredictorConfig:
     # (reference predictor/base.py:110-128 _mask_regions)
     ignore_regions: tuple = ()
     detect_tables: bool = False
+    # table-structure slot (reference models/zoo.py:70-82): a loaded
+    # model with the TablePredictor crops contract
+    # ``model([crop]) -> [{cells, num_rows, num_cols}]``
+    # (doctr_ray.tablecenternet.TableCenterNetNumpy or the lattice
+    # stand-in); None -> the page-level lattice detector
+    table_instance: object | None = None
 
 
 class OCRPredictor:
@@ -214,13 +220,21 @@ class OCRPredictor:
                     )
                 ]
             if self.cfg.detect_tables:
-                # lattice recovery on the page (the reference crops the
-                # layout model's Table regions and runs TableCenterNet;
-                # the lattice detector locates + structures in one pass)
-                from .tables import extract_tables
+                if self.cfg.table_instance is not None:
+                    # reference flow (predictor/pytorch.py:184-292
+                    # _tables_from_regions): crop the layout model's
+                    # Table regions, run the table model per crop,
+                    # remap cell geometry back to page coordinates
+                    export["tables"] = self._tables_from_regions(image, regions)
+                else:
+                    # lattice recovery on the page: the stand-in
+                    # locates + structures in one pass
+                    from .tables import extract_tables
 
-                page_tables, _ = extract_tables(image, reco if hasattr(reco, "recognize_batch") else None)
-                export["tables"] = [t.export() for t in page_tables]
+                    page_tables, _ = extract_tables(
+                        image, reco if hasattr(reco, "recognize_batch") else None
+                    )
+                    export["tables"] = [t.export() for t in page_tables]
             if self.cfg.detect_language:
                 # per-page language attach (reference ocr_predictor
                 # detect_language flag, models/predictor/pytorch.py)
@@ -230,6 +244,60 @@ class OCRPredictor:
                 export["language"] = {"value": lang, "confidence": lang_conf}
             exports.append(export)
         return exports
+
+    def _tables_from_regions(self, image: np.ndarray, regions: dict | None) -> list[dict]:
+        """Crop layout ``Table`` regions (the whole page when the
+        layout pass yielded none) and run the table-structure model on
+        each crop, remapping cell geometry to page-relative coords
+        (reference predictor/pytorch.py:213-292 without the
+        perspective warp — this engine's region boxes are straight)."""
+        h, w = image.shape[:2]
+        crops, metas = [], []
+        table_boxes = (
+            [
+                np.asarray(b, np.float32).reshape(-1)[:4]
+                for n, b in zip(regions["class_names"], regions["boxes"])
+                if n == "Table"
+            ]
+            if regions is not None
+            else []
+        )
+        if not table_boxes:
+            crops, metas = [image], [(0.0, 0.0, 1.0, 1.0)]
+        else:
+            for x0, y0, x1, y1 in table_boxes:
+                ax0, ay0 = int(x0 * w), int(y0 * h)
+                ax1, ay1 = int(np.ceil(x1 * w)), int(np.ceil(y1 * h))
+                if ax1 - ax0 < 2 or ay1 - ay0 < 2:
+                    continue
+                crops.append(image[ay0:ay1, ax0:ax1])
+                metas.append((float(x0), float(y0), float(x1 - x0), float(y1 - y0)))
+        if not crops:
+            return []
+        out = []
+        for (ox, oy, sw, sh), grid in zip(metas, self.cfg.table_instance(crops)):
+            if not grid["cells"]:
+                continue
+            cells = []
+            for cell in grid["cells"]:
+                g = np.asarray(cell["geometry"], np.float32).reshape(-1)
+                if g.size == 4:  # straight (xmin, ymin, xmax, ymax)
+                    g = np.array(
+                        [ox + g[0] * sw, oy + g[1] * sh, ox + g[2] * sw, oy + g[3] * sh],
+                        np.float32,
+                    )
+                else:  # 4-point polygon
+                    pts = g.reshape(-1, 2)
+                    pts[:, 0] = ox + pts[:, 0] * sw
+                    pts[:, 1] = oy + pts[:, 1] * sh
+                    g = pts.reshape(-1)
+                remapped = dict(cell)
+                remapped["geometry"] = g.tolist()
+                cells.append(remapped)
+            out.append(
+                {"cells": cells, "num_rows": grid["num_rows"], "num_cols": grid["num_cols"]}
+            )
+        return out
 
     def render(self, pages: list[np.ndarray], page_break: str = "\n\n\n\n") -> str:
         """Local-mode text rendering (Document.render analog)."""
@@ -315,6 +383,74 @@ def layout_predictor(
     return ComponentClassifyLayout()
 
 
+#: reference table_structure/zoo.py ARCHS, plus this engine's stand-in
+TABLE_ARCHS = {"tablecenternet", "lattice_detect"}
+
+
+class LatticeTablePredictor:
+    """Deterministic table-structure stand-in with the TablePredictor
+    crops contract (reference table_structure/predictor/pytorch.py:
+    37-80: ``model([crop]) -> [{cells, num_rows, num_cols}]``): the
+    ruled-border lattice detector structures each crop; the
+    largest-cell-count table wins when a crop holds several."""
+
+    def __call__(self, crops: list[np.ndarray]) -> list[dict]:
+        from .tables import extract_tables
+
+        out = []
+        for crop in crops:
+            gray = crop.mean(axis=2).astype(crop.dtype) if crop.ndim == 3 else crop
+            tables, _ = extract_tables(gray)
+            if not tables:
+                out.append({"cells": [], "num_rows": 0, "num_cols": 0})
+                continue
+            best = max(tables, key=lambda t: len(t.cells))
+            cells = [
+                {
+                    "geometry": list(c.geometry),
+                    "score": float(c.confidence),
+                    "row_start": int(c.row),
+                    "row_end": int(c.row),
+                    "col_start": int(c.col),
+                    "col_end": int(c.col),
+                }
+                for c in best.cells
+            ]
+            out.append(
+                {"cells": cells, "num_rows": best.num_rows, "num_cols": best.num_cols}
+            )
+        return out
+
+
+def table_predictor(
+    arch="tablecenternet",
+    pretrained: bool = True,
+    assume_straight_pages: bool = True,
+    weights=None,
+    **kwargs,
+):
+    """The reference's ``table_predictor`` factory (table_structure/
+    zoo.py:52-82), mapped onto this engine's slots: a loaded model
+    INSTANCE (anything callable on a crop list — e.g.
+    :class:`doctr_ray.tablecenternet.TableCenterNetNumpy`) passes
+    through; a ``weights`` checkpoint routes the name to the real
+    numpy tower; otherwise names resolve to the deterministic lattice
+    stand-in."""
+    if not isinstance(arch, str):
+        if not callable(arch):
+            raise ValueError(f"unknown architecture: {type(arch)}")
+        return arch
+    if arch not in TABLE_ARCHS:
+        raise ValueError(f"unknown architecture '{arch}'")
+    if weights is not None and arch == "tablecenternet":
+        from .tablecenternet import TableCenterNetNumpy
+
+        return TableCenterNetNumpy(
+            weights, assume_straight_pages=assume_straight_pages, **kwargs
+        )
+    return LatticeTablePredictor()
+
+
 def ocr_predictor(
     det_arch: str = "fast_base",
     reco_arch: str = "crnn_vgg16_bn",
@@ -328,6 +464,7 @@ def ocr_predictor(
     layout_arch="lw_detr_s",
     ignore_regions: list[str] | None = None,
     detect_tables: bool = False,
+    table_arch=None,
     **kwargs,
 ) -> OCRPredictor:
     """The reference's ``ocr_predictor`` signature (models/zoo.py:100-181),
@@ -369,6 +506,11 @@ def ocr_predictor(
     layout_instance = None
     if detect_layout or detect_tables:
         layout_instance = layout_predictor(layout_arch, pretrained=pretrained)
+    table_instance = (
+        table_predictor(table_arch, pretrained=pretrained)
+        if detect_tables and table_arch is not None
+        else None
+    )
     return OCRPredictor(
         PredictorConfig(
             det_arch=det_arch,
@@ -386,6 +528,7 @@ def ocr_predictor(
             layout_instance=layout_instance,
             ignore_regions=tuple(ignore_regions or ()),
             detect_tables=detect_tables,
+            table_instance=table_instance,
         )
     )
 
@@ -531,7 +674,8 @@ def save_predictor_config(
     # loaded model instances are runtime state, not configuration —
     # from_name rebuilds them from the arch names (the reference hub
     # ships config + weights, never pickled modules)
-    for k in ("reco_instance", "det_instance", "orientation_instance", "layout_instance"):
+    for k in ("reco_instance", "det_instance", "orientation_instance",
+              "layout_instance", "table_instance"):
         cfg[k] = None
     if weights is not None:
         from .weights import save_weights
