@@ -1789,6 +1789,129 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return apply_bpe(docs, merges)
 
+    def q_kmeans_cluster_cover(sf_dir: str):
+        """Oracled invariants of the rows-only embedding_clusters query
+        (VERDICT r4 #6): every embeddings row receives exactly one
+        in-range assignment. Computed as streaming per-batch partials
+        over the assignment Dataset (never a driver pull of the rows);
+        the SQL twin counts the table. The float clustering itself
+        stays rows-only — this companion makes its driver gate
+        value-checked."""
+        import pyarrow as pa
+
+        from doctr_ray.functions.similarity import kmeans_embeddings
+
+        assigns, _C = kmeans_embeddings(_emb(sf_dir), k=8, iters=10)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            c = batch["cluster"].to_numpy()
+            return pa.Table.from_pydict(
+                {
+                    "n_points": [len(c)],
+                    "n_in_range": [int(((c >= 0) & (c < 8)).sum())],
+                }
+            )
+
+        parts = assigns.map_batches(_partial, batch_format="pyarrow").to_pandas()
+        return pa.table(
+            {
+                "n_points": pa.array([int(parts["n_points"].sum())], pa.int64()),
+                "n_in_range": pa.array([int(parts["n_in_range"].sum())], pa.int64()),
+            }
+        )
+
+    def q_bpe_merge_growth(sf_dir: str):
+        """Oracled invariants of the rows-only bpe_merges artifact
+        (VERDICT r4 #6): the merge table carries exactly num_merges
+        contiguous ranks, every merged token is NEW (vocab grows by
+        one per merge), and every side is derivable — a base symbol
+        (single char / end-of-word) or an earlier merge's product. A
+        buggy merge loop (skipped rank, pair referencing a
+        never-created token, duplicate product) flips a count."""
+        import numpy as np
+        import pyarrow as pa
+
+        from doctr_ray.functions.bpe import train_bpe
+
+        merges = train_bpe(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            num_merges=200,
+            max_word_types=50_000,
+        ).to_pandas()  # <= 200 rows: the shipped artifact itself
+        # the merge loop may exhaust before num_merges on small
+        # corpora (sf0.01 yields 106), so the oracle pins VIOLATION
+        # counts (always 0) plus non-emptiness, not the merge count
+        n = len(merges)
+        rank_breaks = int((merges["rank"].to_numpy() != np.arange(n)).sum())
+        vocab: set[str] = set()
+        underivable = dup_product = 0
+        for left, right, merged in zip(merges["left"], merges["right"], merges["merged"]):
+            if (len(left) > 1 and left not in vocab) or (
+                len(right) > 1 and right not in vocab
+            ):
+                underivable += 1
+            if merged in vocab:
+                dup_product += 1
+            vocab.add(merged)
+        return pa.table(
+            {
+                "has_merges": pa.array([int(n > 0)], pa.int64()),
+                "n_rank_breaks": pa.array([rank_breaks], pa.int64()),
+                "n_underivable": pa.array([underivable], pa.int64()),
+                "n_dup_products": pa.array([dup_product], pa.int64()),
+            }
+        )
+
+    def q_bpe_encode_bounds(sf_dir: str):
+        """Oracled per-doc invariants of the rows-only bpe_encode query
+        (VERDICT r4 #6): the exact whitespace word count (SQL recomputes
+        it from text) and the lower bound n_bpe_tokens >= n_words
+        (every word encodes to at least one symbol)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from doctr_ray.functions.bpe import apply_bpe, train_bpe
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        merges = train_bpe(docs, num_merges=200, max_word_types=50_000).to_pandas()
+
+        def _flags(batch: pa.Table) -> pa.Table:
+            nw = batch["n_words"].to_numpy()
+            nt = batch["n_bpe_tokens"].to_numpy()
+            return pa.Table.from_arrays(
+                [
+                    batch["doc_id"],
+                    batch["n_words"],
+                    pa.array((nt >= nw).astype(np.int64)),
+                ],
+                names=["doc_id", "n_words", "lower_ok"],
+            )
+
+        return apply_bpe(docs, merges).map_batches(_flags, batch_format="pyarrow")
+
+    def q_ann_lsh_recall(sf_dir: str):
+        """Oracled recall gate for the rows-only ann_topk_lsh query
+        (VERDICT r4 #6): recall measured in-engine against the exact
+        brute-force top-k (which has its own hard SQL oracle); both
+        results are k-row pulls. Measured multiprobe-1 recall: 0.20 at
+        sf0.01, 0.30 at sf0.1 — the 0.15 bound holds with margin while
+        still failing on real breakage (recall was 0.10-0.12 before
+        multi-probe)."""
+        import pyarrow as pa
+
+        exact = ann_topk(_emb(sf_dir), _ann_queries(sf_dir), k=ANN_K).to_pandas()
+        lsh = ann_topk_lsh(_emb(sf_dir), _ann_queries(sf_dir), k=ANN_K).to_pandas()
+        expected = set(zip(exact["query_id"], exact["vec_id"]))
+        hits = sum((q, v) in expected for q, v in zip(lsh["query_id"], lsh["vec_id"]))
+        return pa.table(
+            {
+                "n_expected": pa.array([len(expected)], pa.int64()),
+                "recall_ok": pa.array(
+                    [int(hits / max(len(expected), 1) >= 0.15)], pa.int64()
+                ),
+            }
+        )
+
     def q_bm25_search(sf_dir: str):
         """Distributed lexical retrieval: two-phase BM25 top-k (stats
         pass -> broadcast -> per-batch scoring with partial top-k)."""
@@ -2354,6 +2477,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        # oracled invariant companions of the four rows-only queries
+        # (VERDICT r4 #6): the driver gate on them is value-checked
+        "kmeans_cluster_cover": q_kmeans_cluster_cover,
+        "bpe_merge_growth": q_bpe_merge_growth,
+        "bpe_encode_bounds": q_bpe_encode_bounds,
+        "ann_lsh_recall": q_ann_lsh_recall,
         "doc_repetition": q_doc_repetition,
         "pdf_native_text": q_pdf_native,
         "pii_redact": q_pii_redact,
@@ -3190,5 +3319,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         # ann_topk_lsh: single-table LSH is approximate by construction
         # (bucket-boundary recall < 1) -> rows-only; its recall is
-        # measured against ann_topk in tests.
+        # measured against ann_topk in tests AND gated by the oracled
+        # ann_lsh_recall companion below.
+        # oracled invariant companions (VERDICT r4 #6): the Ray side
+        # computes the invariant from the live result; the SQL side
+        # pins the expected counts (from the table where derivable,
+        # literals where the invariant is structural) — a violation
+        # flips a value and fails the hash compare.
+        "kmeans_cluster_cover": (
+            "SELECT count(*) AS n_points, count(*) AS n_in_range FROM embeddings"
+        ),
+        "bpe_merge_growth": (
+            "SELECT CAST(1 AS BIGINT) AS has_merges, CAST(0 AS BIGINT) AS n_rank_breaks, "
+            "CAST(0 AS BIGINT) AS n_underivable, CAST(0 AS BIGINT) AS n_dup_products"
+        ),
+        "bpe_encode_bounds": (
+            "SELECT doc_id, "
+            "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words, "
+            "CAST(1 AS BIGINT) AS lower_ok FROM documents"
+        ),
+        "ann_lsh_recall": (
+            f"SELECT CAST({N_ANN_QUERIES * ANN_K} AS BIGINT) AS n_expected, CAST(1 AS BIGINT) AS recall_ok"
+        ),
     }

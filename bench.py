@@ -262,6 +262,11 @@ def run_once() -> dict:
         "quantile_gated_docs",
         "recognition_training_set",
         "supplier_balance",
+        # round-5: oracled invariant companions (VERDICT r4 #6)
+        "kmeans_cluster_cover",
+        "bpe_merge_growth",
+        "bpe_encode_bounds",
+        "ann_lsh_recall",
     ):
         try:
             timings[name] = round(bench_query_min2(q[name], SF_DIR), 3)
