@@ -250,6 +250,14 @@ def media_to_ocr_span(
         from ..media import fetch_html
 
         return extract_main_content(fetch_html(media_ref)), 1.0
+    if media_ref.startswith(("http://", "https://")):
+        # live URL: fetch (stdlib urllib; localhost services reachable,
+        # external routes raise naming the constraint) then the same
+        # DOM main-content short-circuit as file HTML below
+        from ..functions.html_extract import extract_main_content
+        from ..sources.readers import fetch_url
+
+        return extract_main_content(fetch_url(media_ref).decode("utf-8", "replace")), 1.0
     if media_ref.startswith("file://") and media_ref.lower().endswith(
         (".html", ".htm")
     ):

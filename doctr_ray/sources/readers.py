@@ -58,6 +58,32 @@ def read_image(data: bytes, output_size: tuple[int, int] | None = None) -> np.nd
     return arr
 
 
+def fetch_url(url: str, timeout: float = 5.0) -> bytes:
+    """GET a URL with stdlib urllib (the reference's ``requests.get``
+    in io/html.py from_url). Works against any reachable host — e.g.
+    a localhost service; this container has no EXTERNAL network route,
+    so public URLs fail with the underlying socket error, re-raised
+    with the real constraint named."""
+    import urllib.error
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            return resp.read()
+    except urllib.error.URLError as e:
+        raise ConnectionError(
+            f"could not fetch {url!r}: {e.reason} (this container has no "
+            "external network route; localhost/file sources work)"
+        ) from e
+
+
+def from_url(url: str) -> bytes:
+    """``DocumentFile.from_url`` analog (reference io/html.py:11-26 +
+    io/reader.py:37): fetch the page and render it to PDF bytes —
+    here the text-layer PDF :func:`read_html` composes."""
+    return read_html(url)
+
+
 def read_html(src: str | bytes) -> bytes:
     """HTML -> PDF bytes (reference io/html.py:11-26, weasyprint's
     ``HTML(string).write_pdf()``).
@@ -79,9 +105,7 @@ def read_html(src: str | bytes) -> bytes:
     if isinstance(src, bytes):
         src = src.decode("utf-8", "replace")
     if src.startswith(("http://", "https://")):
-        raise NotImplementedError(
-            "network URLs require weasyprint and network access"
-        )
+        src = fetch_url(src).decode("utf-8", "replace")
     if src.startswith(FILE_PREFIX):
         with open(src[len(FILE_PREFIX):], encoding="utf-8") as f:
             src = f.read()
@@ -167,7 +191,15 @@ def rasterize_media(media_ref: str) -> list[PageGT]:
     if media_ref.lower().endswith(".pdf") or media_ref.startswith("pdf://"):
         read_pdf(media_ref)
     if media_ref.startswith("http://") or media_ref.startswith("https://"):
-        read_html(media_ref)
+        # the TEXT path handles URLs end-to-end (fetch_url -> DOM
+        # main-content -> text-layer PDF; pipelines/ocr
+        # media_to_ocr_span short-circuits them the same way) —
+        # RASTERIZING a web page needs a browser layout engine
+        fetch_url(media_ref)  # reachability first: unreachable -> ConnectionError
+        raise NotImplementedError(
+            "web-page rasterization requires a browser engine; URL media "
+            "is handled on the text path (read_html / media_to_ocr_span)"
+        )
     if media_ref.startswith(FILE_PREFIX):
         # real encoded image on disk (PNG/BMP/PNM): decode, fold to the
         # engine's grayscale page frame; no ground truth attaches
