@@ -66,7 +66,9 @@ def test_real_format_stubs_name_their_dependency():
         read_pdf("/some/file.pdf")
     with pytest.raises(NotImplementedError, match="pypdfium2"):
         rasterize_media("pdf://whatever")
-    with pytest.raises(NotImplementedError, match="weasyprint"):
+    # URL ingestion is REAL (stdlib urllib; tests/test_url_ingest.py) —
+    # an unreachable host raises the no-external-route constraint
+    with pytest.raises(ConnectionError, match="no external network route"):
         rasterize_media("https://example.invalid/page")
     # baseline AND progressive JPEG decode for real now
     # (tests/test_jpegcodec.py); only arithmetic/lossless still stub
