@@ -69,17 +69,29 @@ def image_decode_features(batch: pa.Table, col: str = "payload") -> pa.Table:
 
 
 def decode_audio_real(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode an audio payload to PCM. REAL for RIFF/WAVE integer and
-    float PCM (sources/audiocodec — the raw interchange format needs
-    no native library); compressed codecs (mp3/aac/opus and non-PCM
-    WAV tags) still raise naming ffmpeg/torchaudio."""
+    """Decode an audio payload to PCM — REAL for:
+
+    - RIFF/WAVE integer + float PCM (sources/audiocodec);
+    - RIFF/WAVE COMPRESSED tags: G.711 mu-law (7), A-law (6) and IMA
+      ADPCM (0x11) — decoded by the in-repo companders/ADPCM decoder;
+    - FLAC (sources/flaccodec — full subframe/Rice/stereo-decorrelation
+      decoder, lossless so the decode is oracle-able sample-exactly).
+
+    Psychoacoustic codecs (mp3/aac/opus/vorbis) still raise naming
+    ffmpeg/torchaudio — those need licensed filterbank/huffman tables
+    and are the one honestly-stubbed audio branch left."""
+    if payload[:4] == b"fLaC":
+        from ..sources.flaccodec import decode_flac
+
+        return decode_flac(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from ..sources.audiocodec import decode_wav
 
         return decode_wav(payload)
     raise NotImplementedError(
-        "compressed audio decoding requires ffmpeg/torchaudio "
-        "(not in this container); RIFF/WAVE PCM decodes for real"
+        "psychoacoustic audio codecs (mp3/aac/opus) require "
+        "ffmpeg/torchaudio (not in this container); WAV PCM, G.711, "
+        "IMA ADPCM and FLAC decode for real"
     )
 
 

@@ -289,6 +289,8 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         btype = (header >> 24) & 0x7F
         length = header & 0xFFFFFF
         body = data[pos + 4 : pos + 4 + length]
+        if len(body) < length:
+            raise ValueError("truncated FLAC metadata block")
         if btype == 0:  # STREAMINFO
             if length < 34:
                 raise ValueError("truncated STREAMINFO")
@@ -459,16 +461,62 @@ def _rice_param(resid: np.ndarray) -> int:
     return min(param, 14)
 
 
-def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
+def _write_residual(
+    bw: _BitWriter, resid: np.ndarray, n: int, order: int,
+    porder: int, method: int,
+) -> None:
+    pbits = 4 if method == 0 else 5
+    bw.write(method, 2)
+    bw.write(porder, 4)
+    n_part = 1 << porder
+    at = 0
+    for p in range(n_part):
+        count = (n >> porder) - (order if p == 0 else 0)
+        part = resid[at : at + count]
+        param = min(_rice_param(part), (1 << pbits) - 2)
+        bw.write(param, pbits)
+        for r in part.tolist():
+            u = (int(r) << 1) ^ (int(r) >> 63)  # zig-zag
+            bw.write_unary(u >> param)
+            if param:
+                bw.write(u & ((1 << param) - 1), param)
+        at += count
+
+
+def _encode_subframe(
+    bw: _BitWriter, x: np.ndarray, bps: int,
+    lpc: bool = False, porder: int = 0, method: int = 0,
+) -> None:
     x = x.astype(np.int64)
     n = len(x)
-    if n and np.all(x == x[0]):
+    if n and np.all(x == x[0]) and not lpc:
         bw.write(0, 1)
         bw.write(0, 6)  # CONSTANT
         bw.write(0, 1)
         bw.write(int(x[0]), bps)
         return
+    if lpc and n > 8 and (n >> porder) > 2:
+        # order-2 LPC with fixed quantized coefficients (~1.9, -0.9):
+        # any coefficient set is lossless (residual = x - prediction),
+        # so this exercises the decoder's LPC path for real.
+        order, precision, shift = 2, 12, 10
+        coeffs = [1946, -922]
+        pred = (coeffs[0] * x[1:-1] + coeffs[1] * x[:-2]) >> shift
+        resid = x[2:] - pred
+        bw.write(0, 1)
+        bw.write(31 + order, 6)  # LPC
+        bw.write(0, 1)
+        for v in x[:order].tolist():
+            bw.write(int(v), bps)
+        bw.write(precision - 1, 4)
+        bw.write(shift, 5)
+        for c in coeffs:
+            bw.write(c, precision)
+        _write_residual(bw, resid, n, order, porder, method)
+        return
     order, resid = _best_fixed_order(x)
+    if (n >> porder) <= order:
+        order, resid, porder = 0, x, 0
     param = _rice_param(resid)
     rice_bits = int(
         n - order + (np.abs(resid).astype(np.int64) >> max(param - 1, 0)).sum()
@@ -486,19 +534,28 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
     bw.write(0, 1)  # no wasted bits
     for v in x[:order].tolist():
         bw.write(int(v), bps)
-    bw.write(0, 2)  # residual method 0 (4-bit Rice)
-    bw.write(0, 4)  # partition order 0
-    bw.write(param, 4)
-    for r in resid.tolist():
-        u = (int(r) << 1) ^ (int(r) >> 63)  # zig-zag
-        bw.write_unary(u >> param)
-        if param:
-            bw.write(u & ((1 << param) - 1), param)
+    _write_residual(bw, resid, n, order, porder, method)
 
 
-def encode_flac(samples: np.ndarray, rate: int, block_size: int = 1024) -> bytes:
-    """(n,) or (n, channels) int16 -> FLAC bytes (independent channels,
-    CONSTANT/FIXED-order-0..2/VERBATIM subframes, Rice residuals)."""
+def encode_flac(
+    samples: np.ndarray,
+    rate: int,
+    block_size: int = 1024,
+    stereo: str = "independent",
+    lpc: bool = False,
+    partition_order: int = 0,
+    method: int = 0,
+) -> bytes:
+    """(n,) or (n, channels) int16 -> FLAC bytes.
+
+    Defaults produce independent channels with CONSTANT / FIXED
+    order-0..2 / VERBATIM subframes and single-partition 4-bit Rice
+    residuals. The knobs exist so round-trip tests exercise every
+    decoder path with REAL streams: ``stereo`` in {"independent",
+    "left_side", "right_side", "mid_side"} (2-channel input only),
+    ``lpc=True`` emits order-2 LPC subframes with quantized
+    coefficients, ``partition_order`` > 0 partitions the Rice
+    residuals, ``method=1`` uses 5-bit Rice parameters."""
     if samples.ndim == 1:
         samples = samples[:, None]
     if samples.dtype != np.int16:
@@ -509,8 +566,11 @@ def encode_flac(samples: np.ndarray, rate: int, block_size: int = 1024) -> bytes
     streaminfo = bytearray()
     streaminfo += struct.pack(">HH", block_size, block_size)
     streaminfo += b"\x00\x00\x00" * 2  # min/max frame size unknown
-    sr_ch_bps = (rate << 12) | ((channels - 1) << 9) | ((16 - 1) << 4)
-    streaminfo += struct.pack(">I", (sr_ch_bps << 4) | (n >> 32))
+    # sample_rate(20) | channels-1(3) | bps-1(5) | total_samples top 4
+    streaminfo += struct.pack(
+        ">I",
+        (rate << 12) | ((channels - 1) << 9) | ((16 - 1) << 4) | (n >> 32),
+    )
     streaminfo += struct.pack(">I", n & 0xFFFFFFFF)
     streaminfo += md5
     header = b"fLaC" + struct.pack(">I", (1 << 31) | len(streaminfo)) + bytes(
@@ -536,27 +596,41 @@ def encode_flac(samples: np.ndarray, rate: int, block_size: int = 1024) -> bytes
         sr_code = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5,
                    22050: 6, 24000: 7, 32000: 8, 44100: 9, 48000: 10,
                    96000: 11}.get(rate, 0)
-        bw.write(sr_code, 4)
-        bw.write(channels - 1, 4)  # independent channels
+        bw.write(sr_code, 4)  # code 0 = rate from STREAMINFO
+        decorrelate = stereo != "independent" and channels == 2
+        chan_code = (
+            {"left_side": 8, "right_side": 9, "mid_side": 10}[stereo]
+            if decorrelate
+            else channels - 1
+        )
+        bw.write(chan_code, 4)
         bw.write(4, 3)  # 16-bit samples
         bw.write(0, 1)
         for b in _utf8_number(frame_idx):
             bw.write(b, 8)
         if bs_code == 7:
             bw.write(bs - 1, 16)
-        if sr_code == 0:
-            # rate not in the table: store in STREAMINFO only is not
-            # allowed for code 0 with nonstandard rates; use 16-bit
-            # rate-in-Hz escape (code 14: rate/10 in 16 bits) when it
-            # fits, else code 12 (kHz in 8 bits).
-            pass
         bw.align()
         head = bytes(bw.buf)
         out_frame = bytearray(head)
         out_frame.append(crc8(head))
         bw2 = _BitWriter()
-        for c in range(channels):
-            _encode_subframe(bw2, block[:, c], 16)
+        porder = partition_order if bs % (1 << partition_order) == 0 else 0
+        if decorrelate:
+            left = block[:, 0].astype(np.int64)
+            right = block[:, 1].astype(np.int64)
+            side = left - right
+            if stereo == "left_side":
+                subs = [(left, 16), (side, 17)]
+            elif stereo == "right_side":
+                subs = [(side, 17), (right, 16)]
+            else:
+                subs = [((left + right) >> 1, 16), (side, 17)]
+            for x, bps in subs:
+                _encode_subframe(bw2, x, bps, lpc, porder, method)
+        else:
+            for c in range(channels):
+                _encode_subframe(bw2, block[:, c], 16, lpc, porder, method)
         bw2.align()
         out_frame += bw2.bytes()
         out_frame += struct.pack(">H", crc16(bytes(out_frame)))

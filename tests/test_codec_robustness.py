@@ -11,6 +11,7 @@ import pytest
 from doctr_ray.sources import (
     audiocodec,
     ccittcodec,
+    flaccodec,
     gifcodec,
     imagecodec,
     jbig2codec,
@@ -44,6 +45,17 @@ CASES = [
     ),
     ("wav", audiocodec.decode_wav, audiocodec.encode_wav(_PCM, 8000)),
     ("pdf_lzw", pdffilters.lzw_decode, pdffilters.lzw_encode(_G.tobytes())),
+    ("flac", flaccodec.decode_flac, flaccodec.encode_flac(_PCM, 8000)),
+    (
+        "wav_mulaw",
+        audiocodec.decode_wav,
+        audiocodec.encode_wav_g711(_PCM, 8000, "mulaw"),
+    ),
+    (
+        "wav_ima_adpcm",
+        audiocodec.decode_wav,
+        audiocodec.encode_wav_ima_adpcm(_PCM, 8000, samples_per_block=249),
+    ),
 ]
 
 

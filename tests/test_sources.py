@@ -126,5 +126,5 @@ def test_read_html_pdf_roundtrip(tmp_path):
 
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="weasyprint"):
+    with _pytest.raises(ConnectionError, match="no external network route"):
         read_html("https://example.invalid/a")
