@@ -1704,6 +1704,136 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(audio_decode_features, batch_format="pyarrow")
         )
 
+    def q_audio_compressed(sf_dir: str):
+        """REAL compressed-audio decode (round 5): each document's
+        waveform is encoded with a rotating COMPRESSED codec — FLAC
+        (lossless; encoder knobs rotate across stereo decorrelation /
+        LPC / partitioned Rice so the full decoder surface runs
+        in-pipeline), G.711 mu-law and A-law (lossy 2:1 companders) —
+        carried as an Arrow binary column and decoded back by the
+        in-repo codecs (sources/flaccodec, sources/audiocodec) inside
+        the map stage. The oracle recomputes the decode EXACTLY in
+        SQL: FLAC rows are lossless (identity on the generated
+        samples), mu-law/A-law rows apply the G.711 compander transfer
+        function as an integer segment ladder."""
+        import numpy as np
+        import pyarrow as pa
+
+        from doctr_ray.functions.multimodal import audio_decode_features
+
+        def build(batch: pa.Table) -> pa.Table:
+            from doctr_ray.sources.audiocodec import encode_wav_g711
+            from doctr_ray.sources.flaccodec import encode_flac
+
+            ids = batch["doc_id"].to_pylist()
+            texts = batch["text"].to_pylist()
+            payloads, codecs = [], []
+            for did, t in zip(ids, texts):
+                d, L = int(did), len(t or "")
+                n = 400 + d % 200
+                a, b = d * 13 + 7, d * 31 + L
+                tt = np.arange(n, dtype=np.int64)
+                v = ((a * tt + b) % 65536 - 32768).astype(np.int16)
+                rate = 8000 + (d % 5) * 1000
+                which = d % 3
+                if which == 0:
+                    a2, b2 = d * 17 + 3, d * 29 + 11
+                    v2 = ((a2 * tt + b2) % 65536 - 32768).astype(np.int16)
+                    x = np.stack([v, v2], axis=1)
+                    stereo = (
+                        "independent", "left_side", "right_side", "mid_side"
+                    )[(d // 3) % 4]
+                    payloads.append(
+                        encode_flac(
+                            x, rate, block_size=256, stereo=stereo,
+                            lpc=bool((d // 12) % 2),
+                            partition_order=2 if (d // 24) % 2 else 0,
+                            method=(d // 48) % 2,
+                        )
+                    )
+                    codecs.append("flac")
+                elif which == 1:
+                    payloads.append(encode_wav_g711(v, rate, "mulaw"))
+                    codecs.append("mulaw")
+                else:
+                    payloads.append(encode_wav_g711(v, rate, "alaw"))
+                    codecs.append("alaw")
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": [str(i) for i in ids],
+                    "codec": codecs,
+                    "payload": pa.array(payloads, pa.binary()),
+                }
+            )
+
+        return (
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(build, batch_format="pyarrow")
+            .map_batches(audio_decode_features, batch_format="pyarrow")
+        )
+
+    def q_audio_adpcm(sf_dir: str):
+        """REAL IMA ADPCM decode (WAV tag 0x11, 4-bit blocks, ~4:1):
+        each document's triangle waveform is ADPCM-encoded and decoded
+        back by the in-repo codec inside the map stage. ADPCM's decode
+        recurrence is sequential per-nibble state (predictor + step
+        index), not SQL-expressible at reasonable cost, so the oracle
+        is the structural contract (frame count via the fact chunk,
+        rate, channels) plus a non-vacuous tracking invariant:
+        track_ok = 1 iff the decoded signal stays within 768 LSB of
+        the original everywhere (measured worst case 253 across the
+        doc_id domain) — wrong step/index tables, nibble order,
+        clamping or block/fact handling all break it."""
+        import numpy as np
+        import pyarrow as pa
+
+        def stage(batch: pa.Table) -> pa.Table:
+            from doctr_ray.sources.audiocodec import (
+                decode_wav,
+                encode_wav_ima_adpcm,
+            )
+
+            rows = {k: [] for k in (
+                "doc_id", "n_frames", "sample_rate", "channels", "track_ok"
+            )}
+            for did in batch["doc_id"].to_pylist():
+                d = int(did)
+                n = 500 + d % 300
+                period = 64 + d % 64
+                slope = 40 + d % 80
+                tt = np.arange(n, dtype=np.int64)
+                tri = np.abs((tt % (2 * period)) - period)
+                v = (tri * slope - (period * slope) // 2).astype(np.int16)
+                ch = 1 + d % 2
+                x = (
+                    v[:, None]
+                    if ch == 1
+                    else np.stack([v, (-v).astype(np.int16)], axis=1)
+                )
+                rate = 8000 + (d % 4) * 2000
+                wav = encode_wav_ima_adpcm(x, rate, samples_per_block=249)
+                dec, r = decode_wav(wav)
+                err = np.abs(dec.astype(np.int64) - x.astype(np.int64)).max()
+                rows["doc_id"].append(str(d))
+                rows["n_frames"].append(dec.shape[0])
+                rows["sample_rate"].append(r)
+                rows["channels"].append(dec.shape[1])
+                rows["track_ok"].append(int(err <= 768))
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(rows["doc_id"]),
+                    "n_frames": pa.array(rows["n_frames"], pa.int64()),
+                    "sample_rate": pa.array(rows["sample_rate"], pa.int64()),
+                    "channels": pa.array(rows["channels"], pa.int64()),
+                    "track_ok": pa.array(rows["track_ok"], pa.int64()),
+                }
+            )
+
+        return (
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(stage, batch_format="pyarrow")
+        )
+
     def q_frame_sample(sf_dir: str):
         """Video frame-sampling fan-out (stubbed decoder, deterministic
         fake): the structural contract — one payload row -> stride-
@@ -2470,6 +2600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "image_decode": q_image_decode,
         "audio_decode": q_audio_decode,
+        "audio_compressed": q_audio_compressed,
+        "audio_adpcm": q_audio_adpcm,
         "frame_sample": q_frame_sample,
         "ocr_markdown": q_ocr_markdown,
         "bm25_search": q_bm25_search,
@@ -2825,6 +2957,65 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) p "
             "JOIN generate_series(0, 598) AS g(t) ON g.t < p.n "
             "GROUP BY p.doc_id, p.n, p.rate"
+        ),
+        "audio_compressed": (
+            # the COMPRESSED decode recomputed exactly in SQL: FLAC is
+            # lossless (identity on the generated samples); mu-law and
+            # A-law apply the G.711 compander transfer function
+            # decode(encode(v)) as an integer segment ladder (Sun
+            # g711.c semantics; see sources/audiocodec).
+            "WITH p AS (SELECT doc_id AS d, CAST(doc_id AS VARCHAR) AS doc_id, "
+            "400 + doc_id % 200 AS n, 8000 + (doc_id % 5) * 1000 AS rate, "
+            "doc_id * 13 + 7 AS a, "
+            "doc_id * 31 + length(coalesce(text, '')) AS b, "
+            "doc_id * 17 + 3 AS a2, doc_id * 29 + 11 AS b2, "
+            "CASE doc_id % 3 WHEN 0 THEN 'flac' WHEN 1 THEN 'mulaw' "
+            "ELSE 'alaw' END AS codec FROM documents), "
+            "s AS (SELECT p.*, (p.a * g.t + p.b) % 65536 - 32768 AS v, "
+            "(p.a2 * g.t + p.b2) % 65536 - 32768 AS v2 "
+            "FROM p JOIN generate_series(0, 598) AS g(t) ON g.t < p.n), "
+            "s1 AS (SELECT *, CAST(floor(v / 4.0) AS BIGINT) AS mfl, "
+            "CAST(floor(v / 8.0) AS BIGINT) AS pfl FROM s), "
+            "s2 AS (SELECT *, "
+            "least(CASE WHEN v >= 0 THEN mfl ELSE -mfl END, 8159) + 33 AS mm, "
+            "CASE WHEN v >= 0 THEN pfl ELSE -pfl - 1 END AS amag FROM s1), "
+            "s3 AS (SELECT *, "
+            "CASE WHEN mm >= 4096 THEN 7 WHEN mm >= 2048 THEN 6 "
+            "WHEN mm >= 1024 THEN 5 WHEN mm >= 512 THEN 4 "
+            "WHEN mm >= 256 THEN 3 WHEN mm >= 128 THEN 2 "
+            "WHEN mm >= 64 THEN 1 ELSE 0 END AS mseg, "
+            "CASE WHEN amag > 2047 THEN 7 WHEN amag > 1023 THEN 6 "
+            "WHEN amag > 511 THEN 5 WHEN amag > 255 THEN 4 "
+            "WHEN amag > 127 THEN 3 WHEN amag > 63 THEN 2 "
+            "WHEN amag > 31 THEN 1 ELSE 0 END AS aseg FROM s2), "
+            "s4 AS (SELECT *, "
+            "(amag >> (CASE WHEN aseg < 2 THEN 1 ELSE aseg END)) & 15 "
+            "AS aman FROM s3), "
+            "dec AS (SELECT doc_id, codec, n, rate, "
+            "CASE WHEN codec = 'flac' THEN ABS(v) + ABS(v2) "
+            "WHEN codec = 'mulaw' THEN ABS("
+            "(CASE WHEN mm >= 8192 THEN 32124 ELSE "
+            "(((mm >> (mseg + 1)) & 15) * 8 + 132) * (1 << mseg) - 132 END) "
+            "* (CASE WHEN v < 0 THEN -1 ELSE 1 END)) "
+            "ELSE ABS((CASE WHEN aseg = 0 THEN (aman << 4) + 8 "
+            "WHEN aseg = 1 THEN (aman << 4) + 264 "
+            "ELSE ((aman << 4) + 264) << (aseg - 1) END) "
+            "* (CASE WHEN v >= 0 THEN 1 ELSE -1 END)) END AS a_v FROM s4) "
+            "SELECT doc_id, codec, n AS n_frames, rate AS sample_rate, "
+            "CAST(CASE WHEN codec = 'flac' THEN 2 ELSE 1 END AS BIGINT) "
+            "AS channels, CAST(SUM(a_v) AS BIGINT) AS abs_sum "
+            "FROM dec GROUP BY doc_id, codec, n, rate"
+        ),
+        "audio_adpcm": (
+            # structural contract (frame count honors the fact chunk,
+            # rate, channels) + the tracking invariant: the engine sets
+            # track_ok=1 only if its real ADPCM decode stays within
+            # 768 LSB of the source everywhere
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(500 + doc_id % 300 AS BIGINT) AS n_frames, "
+            "CAST(8000 + (doc_id % 4) * 2000 AS BIGINT) AS sample_rate, "
+            "CAST(1 + doc_id % 2 AS BIGINT) AS channels, "
+            "CAST(1 AS BIGINT) AS track_ok FROM documents"
         ),
         "frame_sample": (
             # fan-out contract: 50 source frames, stride 10 -> frame_idx
