@@ -1834,6 +1834,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(stage, batch_format="pyarrow")
         )
 
+    def q_video_frames(sf_dir: str):
+        """REAL multimodal video decode (round 5): every document gets
+        a deterministic checkerboard ANIMATION (per-frame doc-derived
+        gray values), encoded into a rotating real VIDEO container —
+        animated GIF89a (sub-rect + transparency inter-frame coding,
+        disposal rotating) or AVI with uncompressed DIB frames — both
+        lossless, carried as an Arrow binary column, and decoded back
+        inside the map stage (sources/gifcodec.decode_gif_frames /
+        sources/avicodec.decode_avi). The oracle recomputes every
+        sampled frame's dims and exact integer gray pixel sum from the
+        same integer rule. (AVI-MJPG decodes for real too but is
+        lossy; it is pinned in pytest instead of the value oracle.)"""
+        import numpy as np
+        import pyarrow as pa
+
+        from doctr_ray.functions.multimodal import video_frame_features
+
+        def build(batch: pa.Table) -> pa.Table:
+            from doctr_ray.sources.avicodec import encode_avi
+            from doctr_ray.sources.gifcodec import encode_gif_animation
+
+            ids = batch["doc_id"].to_pylist()
+            payloads, containers = [], []
+            for did in ids:
+                d = int(did)
+                nf, h, w = 6 + d % 5, 16 + d % 9, 16 + (d * 7) % 11
+                idx = (np.add.outer(np.arange(h), np.arange(w)) % 2).astype(
+                    np.uint8
+                )
+                frames = np.stack(
+                    [
+                        np.where(
+                            idx == 0,
+                            np.uint8((d * 37 + f * 11) % 256),
+                            np.uint8((d * 37 + f * 11 + 91) % 256),
+                        )
+                        for f in range(nf)
+                    ]
+                )
+                if d % 2 == 0:
+                    payloads.append(
+                        encode_gif_animation(
+                            frames,
+                            subrect=bool((d // 2) % 2),
+                            disposal=(d // 4) % 2,
+                        )
+                    )
+                    containers.append("gif")
+                else:
+                    payloads.append(encode_avi(frames, fps=10, codec="DIB "))
+                    containers.append("avi")
+            return pa.Table.from_pydict(
+                {
+                    "media_id": [str(i) for i in ids],
+                    "container": containers,
+                    "payload": pa.array(payloads, pa.binary()),
+                }
+            )
+
+        return (
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(build, batch_format="pyarrow")
+            .map_batches(video_frame_features, batch_format="pyarrow")
+        )
+
     def q_frame_sample(sf_dir: str):
         """Video frame-sampling fan-out (stubbed decoder, deterministic
         fake): the structural contract — one payload row -> stride-
@@ -2602,6 +2667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_decode": q_audio_decode,
         "audio_compressed": q_audio_compressed,
         "audio_adpcm": q_audio_adpcm,
+        "video_frames": q_video_frames,
         "frame_sample": q_frame_sample,
         "ocr_markdown": q_ocr_markdown,
         "bm25_search": q_bm25_search,
@@ -3016,6 +3082,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(8000 + (doc_id % 4) * 2000 AS BIGINT) AS sample_rate, "
             "CAST(1 + doc_id % 2 AS BIGINT) AS channels, "
             "CAST(1 AS BIGINT) AS track_ok FROM documents"
+        ),
+        "video_frames": (
+            # the decoded video recomputed exactly in SQL: stride-2
+            # sampled frames of the checkerboard animation — per-frame
+            # gray values v1/v2, doc-derived dims, n1 even-parity cells
+            # (both containers are lossless, so decode == generation)
+            "SELECT CAST(p.doc_id AS VARCHAR) AS media_id, "
+            "CAST(g.t * 2 AS BIGINT) AS frame_idx, "
+            "p.h AS height, p.w AS width, "
+            "CAST(v1 * n1 + ((v1 + 91) % 256) * (p.h * p.w - n1) AS BIGINT) "
+            "AS px_sum FROM "
+            "(SELECT doc_id, 6 + doc_id % 5 AS nf, 16 + doc_id % 9 AS h, "
+            "16 + (doc_id * 7) % 11 AS w, "
+            "((16 + doc_id % 9 + 1) // 2) * ((16 + (doc_id * 7) % 11 + 1) // 2) "
+            "+ ((16 + doc_id % 9) // 2) * ((16 + (doc_id * 7) % 11) // 2) AS n1 "
+            "FROM documents) p "
+            "JOIN generate_series(0, 5) AS g(t) ON g.t * 2 < p.nf "
+            "CROSS JOIN LATERAL (SELECT (p.doc_id * 37 + g.t * 2 * 11) % 256 "
+            "AS v1) v"
         ),
         "frame_sample": (
             # fan-out contract: 50 source frames, stride 10 -> frame_idx

@@ -123,15 +123,39 @@ def _fake_frames(payload: bytes, n_frames: int, h: int, w: int) -> np.ndarray:
     return rng.randint(0, 256, size=(n_frames, h, w), dtype=np.uint8)
 
 
+def decode_video_real(payload: bytes) -> np.ndarray:
+    """Decode a video payload to (n_frames, H, W, 3) uint8 RGB — REAL
+    for animated GIF (sources/gifcodec.decode_gif_frames: full GIF89a
+    compositing — disposal, transparency, sub-rects) and AVI
+    (sources/avicodec: DIB uncompressed + Motion-JPEG chunks via the
+    in-repo JPEG decoder). DCT video codecs (h264/vp9/av1) raise
+    naming ffmpeg — the one honestly-stubbed video branch left."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..sources.gifcodec import decode_gif_frames
+
+        frames, _delays = decode_gif_frames(payload)
+        return frames
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from ..sources.avicodec import decode_avi
+
+        frames, _fps = decode_avi(payload)
+        return frames
+    raise NotImplementedError(
+        "DCT video codecs (h264/vp9/av1) require ffmpeg (not in this "
+        "container); animated GIF and AVI (DIB/MJPG) decode for real"
+    )
+
+
 class FrameSampler:
     """Actor-pool stage: video payloads -> sampled frame rows.
 
-    ``__init__`` would load the codec once per actor; ``__call__``
-    decodes each payload and emits ``stride``-sampled frames as binary
-    rows with shape metadata. With ``use_real_decoder=True`` the real
-    branch raises the stub error; the deterministic fake keeps the
-    fan-out (one payload row -> N frame rows), batch shapes, and
-    downstream schema real.
+    ``__call__`` decodes each payload and emits ``stride``-sampled
+    frames as binary gray rows with shape metadata. With
+    ``use_real_decoder=True`` the payload decodes for REAL (animated
+    GIF / AVI-DIB / AVI-MJPG via decode_video_real); the default
+    deterministic fake (seeded by the payload hash) remains for
+    opaque formats, keeping the fan-out contract — one payload row ->
+    N frame rows — schema-identical on both branches.
     """
 
     def __init__(
@@ -148,19 +172,23 @@ class FrameSampler:
         self.use_real_decoder = use_real_decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.imagecodec import to_gray
+
         out = {"media_id": [], "frame_idx": [], "frame": [], "height": [], "width": []}
         for mid, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
             if self.use_real_decoder:
-                decode_image_real(payload)  # NotImplementedError (stub)
-            frames = _fake_frames(payload, self.source_frames, *self.shape)
+                frames = [to_gray(f) for f in decode_video_real(payload)]
+            else:
+                frames = _fake_frames(payload, self.source_frames, *self.shape)
             for fi in range(0, len(frames), self.stride):
+                f = frames[fi]
                 out["media_id"].append(mid)
                 out["frame_idx"].append(fi)
-                out["frame"].append(frames[fi].tobytes())
-                out["height"].append(self.shape[0])
-                out["width"].append(self.shape[1])
+                out["frame"].append(f.tobytes())
+                out["height"].append(f.shape[0])
+                out["width"].append(f.shape[1])
         return pa.Table.from_pydict(
             {
                 "media_id": pa.array(out["media_id"]),
@@ -170,6 +198,37 @@ class FrameSampler:
                 "width": pa.array(out["width"], pa.int32()),
             }
         )
+
+
+def video_frame_features(batch: pa.Table, stride: int = 2) -> pa.Table:
+    """map_batches stage: video payloads -> REAL per-sampled-frame
+    features (frame_idx, height, width, exact integer gray pixel sum).
+    The decoded-value analog of image_decode_features for the video
+    branch; lossless containers (GIF, AVI-DIB) make px_sum
+    SQL-oracle-able."""
+    from ..sources.imagecodec import to_gray
+
+    out = {"media_id": [], "frame_idx": [], "height": [], "width": [], "px_sum": []}
+    for mid, payload in zip(
+        batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+    ):
+        frames = decode_video_real(payload)
+        for fi in range(0, len(frames), stride):
+            gray = to_gray(frames[fi])
+            out["media_id"].append(mid)
+            out["frame_idx"].append(fi)
+            out["height"].append(gray.shape[0])
+            out["width"].append(gray.shape[1])
+            out["px_sum"].append(int(gray.astype(np.int64).sum()))
+    return pa.Table.from_pydict(
+        {
+            "media_id": pa.array(out["media_id"]),
+            "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+            "height": pa.array(out["height"], pa.int64()),
+            "width": pa.array(out["width"], pa.int64()),
+            "px_sum": pa.array(out["px_sum"], pa.int64()),
+        }
+    )
 
 
 def resize_frames(batch: pa.Table, target: tuple[int, int]) -> pa.Table:

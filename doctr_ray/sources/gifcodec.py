@@ -5,9 +5,12 @@ The reference reads GIFs through cv2 (reference io/image/base.py:16-54
 decodes for real: logical screen descriptor, global/local color
 tables, LSB-first variable-width LZW (the GIF variant — the TIFF
 variant in imagecodec.py packs MSB-first and changes width one code
-early), 4-pass interlacing, and the FIRST frame of animations (the
-still-image contract a document pipeline needs; later frames carry
-disposal/compositing semantics out of scope for page extraction).
+early), 4-pass interlacing, and — via ``decode_gif`` — the FIRST
+frame of animations (the still-image contract a document pipeline
+needs). ``decode_gif_frames`` additionally decodes FULL animations
+with the GIF89a compositing model (graphic control extensions,
+disposal methods 0-3, transparency, sub-rectangle frames) — the real
+video-frame source behind functions/multimodal.FrameSampler.
 
 ``encode_gif`` exists to generate test fixtures: it emits literal
 pixel codes while tracking the decoder's table growth exactly (code
@@ -231,4 +234,182 @@ def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
         block = lzw[i : i + 255]
         out += bytes([len(block)]) + block
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+# -------------------------------------------------------------- animation
+
+
+def decode_gif_frames(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """GIF bytes -> ((n_frames, H, W, 3) uint8 composited RGB frames,
+    (n_frames,) int64 per-frame delays in centiseconds).
+
+    Implements the GIF89a compositing model: each image descriptor
+    draws into the logical-screen canvas at its (left, top) rect;
+    graphic control extensions carry per-frame transparency (indices
+    equal to the transparent index leave the canvas untouched), delay,
+    and disposal — 0/1 keep the canvas, 2 restores the frame rect to
+    the background color, 3 restores the canvas to its pre-frame
+    state. The emitted frames are the PRESENTED canvases (what a
+    player shows), so lossless round-trips with
+    ``encode_gif_animation`` are exact."""
+    if data[:6] not in GIF_MAGICS:
+        raise ValueError(f"not a GIF (magic {data[:6]!r})")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    flags = data[10]
+    bg_index = data[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+
+    canvas = np.full((sh, sw), bg_index, np.uint8)
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    # pending graphic control state (applies to the next image)
+    disposal, transparent, delay = 0, -1, 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                packed = data[pos + 1]
+                delay = struct.unpack_from("<H", data, pos + 2)[0]
+                disposal = (packed >> 2) & 0x7
+                transparent = data[pos + 4] if packed & 1 else -1
+            while data[pos]:
+                pos += data[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left, top, w, h = struct.unpack_from("<HHHH", data, pos + 1)
+            iflags = data[pos + 9]
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                table = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                size = data[pos]
+                lzw += data[pos + 1 : pos + 1 + size]
+                pos += size + 1
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(lzw), min_code, w * h), np.uint8
+            ).reshape(h, w)
+            if iflags & 0x40:
+                idx = _deinterlace(idx)
+            saved = canvas.copy() if disposal == 3 else None
+            rect = canvas[top : top + h, left : left + w]
+            if transparent >= 0:
+                opaque = idx != transparent
+                rect[opaque] = idx[opaque]
+            else:
+                rect[:, :] = idx
+            frames.append(table[np.minimum(canvas, len(table) - 1)])
+            delays.append(delay)
+            if disposal == 2:
+                canvas[top : top + h, left : left + w] = bg_index
+            elif disposal == 3:
+                canvas = saved
+            disposal, transparent, delay = 0, -1, 0
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return np.stack(frames), np.asarray(delays, np.int64)
+
+
+def encode_gif_animation(
+    frames: np.ndarray,
+    delay_cs: int = 10,
+    subrect: bool = True,
+    disposal: int = 1,
+    loop: bool = True,
+) -> bytes:
+    """(n, H, W) gray or (n, H, W, 3) RGB uint8 -> animated GIF89a.
+
+    One global palette over all frames (<= 256 distinct colors). With
+    ``subrect=True``, frames after the first store only the bounding
+    box of changed pixels, with unchanged pixels inside the box coded
+    as a transparent index — the standard inter-frame compression —
+    which exercises the decoder's sub-rectangle + transparency
+    compositing. ``decode_gif_frames`` recovers the presented frames
+    exactly."""
+    if subrect and disposal >= 2:
+        # diffing against the previous PRESENTED frame is only valid
+        # when the canvas persists (disposal 0/1); restore-to-bg /
+        # restore-to-previous need full frames
+        raise ValueError("subrect encoding requires disposal 0 or 1")
+    frames = np.asarray(frames, np.uint8)
+    if frames.ndim == 3:
+        frames = np.stack([frames] * 3, axis=3)
+    n_frames, h, w = frames.shape[:3]
+    flat = frames.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    n_used = len(palette)
+    trans_idx = n_used  # one extra slot for transparency
+    if n_used + (1 if subrect else 0) > 256:
+        raise ValueError(f"{n_used} distinct colors exceed GIF's 256")
+    idx_frames = inverse.astype(np.uint16).reshape(n_frames, h, w)
+
+    pal_slots = n_used + (1 if subrect else 0)
+    pal_bits = max(1, int(np.ceil(np.log2(max(pal_slots, 2)))))
+    pal_n = 1 << pal_bits
+    pal = np.zeros((pal_n, 3), np.uint8)
+    pal[:n_used] = palette
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (pal_bits - 1), 0, 0])
+    out += pal.tobytes()
+    if loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code = max(2, pal_bits)
+    prev = None
+    for f in range(n_frames):
+        cur = idx_frames[f]
+        left = top = 0
+        rect = cur
+        transparent = -1
+        if subrect and prev is not None:
+            changed = cur != prev
+            if not changed.any():
+                # no pixel changed: emit a 1x1 transparent rect
+                rect = np.full((1, 1), trans_idx, np.uint16)
+                transparent = trans_idx
+            else:
+                rows = np.flatnonzero(changed.any(axis=1))
+                cols = np.flatnonzero(changed.any(axis=0))
+                top, bottom = int(rows[0]), int(rows[-1]) + 1
+                left, right = int(cols[0]), int(cols[-1]) + 1
+                rect = cur[top:bottom, left:right].copy()
+                keep = ~changed[top:bottom, left:right]
+                rect[keep] = trans_idx
+                transparent = trans_idx
+        # graphic control extension
+        packed = (disposal & 7) << 2 | (1 if transparent >= 0 else 0)
+        out += b"\x21\xf9\x04" + bytes([packed])
+        out += struct.pack("<H", delay_cs)
+        out += bytes([max(transparent, 0), 0])
+        rh, rw = rect.shape
+        out += b"\x2c" + struct.pack("<HHHH", left, top, rw, rh) + b"\x00"
+        out += bytes([min_code])
+        lzw = _gif_lzw_encode(rect.astype(np.uint8).tobytes(), min_code)
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"
+        prev = cur
+    out += b"\x3b"
     return bytes(out)

@@ -10,6 +10,7 @@ import pytest
 
 from doctr_ray.sources import (
     audiocodec,
+    avicodec,
     ccittcodec,
     flaccodec,
     gifcodec,
@@ -55,6 +56,16 @@ CASES = [
         "wav_ima_adpcm",
         audiocodec.decode_wav,
         audiocodec.encode_wav_ima_adpcm(_PCM, 8000, samples_per_block=249),
+    ),
+    (
+        "avi_dib",
+        avicodec.decode_avi,
+        avicodec.encode_avi(np.stack([_G, 255 - _G]), fps=10),
+    ),
+    (
+        "gif_anim",
+        lambda d: gifcodec.decode_gif_frames(d),
+        gifcodec.encode_gif_animation(np.stack([_BI, 255 - _BI])),
     ),
 ]
 
