@@ -31,10 +31,17 @@ branch; ``build_cff_cid`` writes the Adobe-Identity-0 form.
 
 Predefined STANDARD encoding (the spec default when the Encoding op
 is absent) resolves through the charset (SID c-31 for printable
-ASCII); ``build_cff(standard_encoding=True)`` writes that form. Out
-of scope (NotImplementedError naming the gap): the Expert predefined
-encoding, format-1 encodings. seac accent composition (Type 2
-Appendix C endchar form) resolves through Standard codes + charset.
+ASCII); ``build_cff(standard_encoding=True)`` writes that form.
+Custom encodings parse in BOTH spec formats — format 0 (code list)
+and format 1 (code ranges) — plus supplement overrides (high bit of
+the format byte; (code, SID) pairs resolved through the charset);
+``build_cff(format1_encoding=True, supplement=...)`` writes those
+forms for round-trip tests. Out of scope (NotImplementedError naming
+the gap): the Expert predefined encoding (offset 1 — the small-caps/
+fractions table from the CFF spec appendix; no in-container source of
+truth to verify a hand-typed table against, and essentially absent
+from real PDFs). seac accent composition (Type 2 Appendix C endchar
+form) resolves through Standard codes + charset.
 """
 
 from __future__ import annotations
@@ -277,16 +284,44 @@ class CFFFont:
         return self.default_width, self.nominal_width, self.subrs
 
     def _parse_encoding(self, off: int) -> dict[int, int]:
-        if off in (0, 1):  # handled by the predefined branch upstream
+        if off in (0, 1):  # offset 0 handled by the branch upstream
             raise NotImplementedError("predefined CFF Expert encoding")
-        fmt = self.data[off] & 0x7F
-        if fmt != 0:
+        fmt_byte = self.data[off]
+        fmt = fmt_byte & 0x7F
+        if fmt == 0:
+            n_codes = self.data[off + 1]
+            cmap = {
+                self.data[off + 2 + i]: i + 1  # glyph i+1 gets code[i]
+                for i in range(n_codes)
+            }
+            sup_pos = off + 2 + n_codes
+        elif fmt == 1:
+            # ranges: (first code, nLeft) — glyphs 1..n assigned in
+            # order across the ranges
+            n_ranges = self.data[off + 1]
+            cmap = {}
+            gid = 1
+            pos = off + 2
+            for _ in range(n_ranges):
+                first, n_left = self.data[pos], self.data[pos + 1]
+                for k in range(n_left + 1):
+                    if gid < self.num_glyphs:
+                        cmap[first + k] = gid
+                        gid += 1
+                pos += 2
+            sup_pos = pos
+        else:
             raise NotImplementedError(f"CFF encoding format {fmt}")
-        n_codes = self.data[off + 1]
-        return {
-            self.data[off + 2 + i]: i + 1  # glyph i+1 gets code[i]
-            for i in range(n_codes)
-        }
+        if fmt_byte & 0x80:  # supplements: (code, SID) overrides
+            n_sups = self.data[sup_pos]
+            pos = sup_pos + 1
+            for _ in range(n_sups):
+                code = self.data[pos]
+                (sid,) = struct.unpack(">H", self.data[pos + 1 : pos + 3])
+                if sid in self._sid_to_gid:
+                    cmap[code] = self._sid_to_gid[sid]
+                pos += 3
+        return cmap
 
     @property
     def advances(self) -> np.ndarray:
@@ -698,6 +733,8 @@ def build_cff(
     default_width: int,
     upem: int,
     standard_encoding: bool = False,
+    format1_encoding: bool = False,
+    supplement: tuple[int, int] | None = None,
 ) -> bytes:
     """Minimal valid bare-CFF binary (the /Type1C payload). Mirrors
     pdffont.build_ttf: ``glyphs[i]`` is glyph i's rectangle-contour
@@ -732,6 +769,28 @@ def build_cff(
         enc = b"\x00" + b"".join(
             struct.pack(">H", code - 31) for code, _ in by_gid
         )
+    elif format1_encoding:
+        # format-1 encoding: consecutive code runs as (first, nLeft)
+        # ranges; glyphs 1..n assigned in order across the ranges —
+        # requires codes ascending with gids (true for our builders)
+        codes = [code for code, _ in by_gid]
+        assert codes == sorted(codes)
+        ranges: list[tuple[int, int]] = []
+        for code in codes:
+            if ranges and code == ranges[-1][0] + ranges[-1][1] + 1:
+                ranges[-1] = (ranges[-1][0], ranges[-1][1] + 1)
+            else:
+                ranges.append((code, 0))
+        enc = bytes([1, len(ranges)]) + b"".join(
+            bytes([first, n_left]) for first, n_left in ranges
+        )
+        if supplement is not None:
+            # high bit flags supplements: (code, SID) overrides — with
+            # the identity charset SID == gid
+            code, gid = supplement
+            enc = bytes([enc[0] | 0x80]) + enc[1:] + bytes([1, code]) + (
+                struct.pack(">H", gid)
+            )
     else:
         enc = bytes([0, len(by_gid)]) + bytes(code for code, _ in by_gid)
 

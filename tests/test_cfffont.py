@@ -262,3 +262,35 @@ def test_seac_accent_composition():
     assert got[: len(base)] == base
     shifted = [[(x + 15, y + 5, on) for x, y, on in c] for c in acc]
     assert got[len(base):] == shifted
+
+
+def test_format1_encoding_and_supplements():
+    """Format-1 (range) encodings and supplement overrides parse back
+    to the exact code -> gid map the builder wrote."""
+    from doctr_ray.glyphs import FONT, GLYPH_H, GLYPH_W
+    from doctr_ray.sources.cfffont import CFFFont, build_cff
+    from doctr_ray.sources.pdffont import _bitmap_contours
+
+    chars = list("abcdefg")
+    codes = [0x21, 0x22, 0x23, 0x40, 0x41, 0x60, 0x61]  # three runs
+    glyphs = [[]]
+    encoding = {}
+    for i, (ch, c) in enumerate(zip(chars, codes)):
+        glyphs.append(_bitmap_contours(FONT[ch]))
+        encoding[c] = i + 1
+    blob = build_cff(
+        glyphs, encoding, default_width=GLYPH_W + 1, upem=GLYPH_H,
+        format1_encoding=True,
+    )
+    assert CFFFont(blob).cmap == encoding
+    # supplement: extra code mapped through the charset (SID == gid)
+    blob = build_cff(
+        glyphs, encoding, default_width=GLYPH_W + 1, upem=GLYPH_H,
+        format1_encoding=True, supplement=(0x7E, 3),
+    )
+    assert CFFFont(blob).cmap == {**encoding, 0x7E: 3}
+    # glyph outlines identical across encoding forms
+    f0 = CFFFont(build_cff(glyphs, encoding, GLYPH_W + 1, GLYPH_H))
+    f1 = CFFFont(blob)
+    for gid in range(1, len(glyphs)):
+        assert f0.glyph_contours(gid) == f1.glyph_contours(gid)
