@@ -1899,6 +1899,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(video_frame_features, batch_format="pyarrow")
         )
 
+    def q_video_mjpeg(sf_dir: str):
+        """REAL Motion-JPEG-in-AVI decode: each document's checkerboard
+        animation is MJPG-encoded (one baseline JPEG per '00dc' chunk,
+        in-repo jpegcodec) and decoded back inside the map stage. JPEG
+        is lossy so pixel sums are not SQL-recomputable; the oracle is
+        the structural contract (sampled frame indices and dims) plus
+        a non-vacuous fidelity invariant: mjpeg_ok = 1 iff every
+        decoded pixel is within 8 LSB of the two-tone source (measured
+        max 6 across the doc_id domain incl. odd block-padded dims;
+        a wrong DCT/quantizer/upsampler breaks it)."""
+        import numpy as np
+        import pyarrow as pa
+
+        def stage(batch: pa.Table) -> pa.Table:
+            from doctr_ray.sources.avicodec import decode_avi, encode_avi
+
+            rows = {k: [] for k in (
+                "media_id", "frame_idx", "height", "width", "mjpeg_ok"
+            )}
+            for did in batch["doc_id"].to_pylist():
+                d = int(did)
+                nf, h, w = 6 + d % 5, 16 + d % 9, 16 + (d * 7) % 11
+                idx = (np.add.outer(np.arange(h), np.arange(w)) % 2).astype(
+                    np.uint8
+                )
+                frames = np.stack(
+                    [
+                        np.where(
+                            idx == 0,
+                            np.uint8((d * 37 + f * 11) % 256),
+                            np.uint8((d * 37 + f * 11 + 91) % 256),
+                        )
+                        for f in range(nf)
+                    ]
+                )
+                dec, _fps = decode_avi(encode_avi(frames, codec="MJPG"))
+                src = np.stack([frames] * 3, axis=3).astype(np.int64)
+                for fi in range(0, nf, 2):
+                    err = np.abs(dec[fi].astype(np.int64) - src[fi]).max()
+                    rows["media_id"].append(str(d))
+                    rows["frame_idx"].append(fi)
+                    rows["height"].append(dec[fi].shape[0])
+                    rows["width"].append(dec[fi].shape[1])
+                    rows["mjpeg_ok"].append(int(err <= 8))
+            return pa.Table.from_pydict(
+                {
+                    "media_id": pa.array(rows["media_id"]),
+                    "frame_idx": pa.array(rows["frame_idx"], pa.int64()),
+                    "height": pa.array(rows["height"], pa.int64()),
+                    "width": pa.array(rows["width"], pa.int64()),
+                    "mjpeg_ok": pa.array(rows["mjpeg_ok"], pa.int64()),
+                }
+            )
+
+        return (
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(stage, batch_format="pyarrow")
+        )
+
     def q_frame_sample(sf_dir: str):
         """Video frame-sampling fan-out (stubbed decoder, deterministic
         fake): the structural contract — one payload row -> stride-
@@ -2668,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_compressed": q_audio_compressed,
         "audio_adpcm": q_audio_adpcm,
         "video_frames": q_video_frames,
+        "video_mjpeg": q_video_mjpeg,
         "frame_sample": q_frame_sample,
         "ocr_markdown": q_ocr_markdown,
         "bm25_search": q_bm25_search,
@@ -3101,6 +3161,18 @@ def oracle_sql() -> dict[str, str]:
             "JOIN generate_series(0, 5) AS g(t) ON g.t * 2 < p.nf "
             "CROSS JOIN LATERAL (SELECT (p.doc_id * 37 + g.t * 2 * 11) % 256 "
             "AS v1) v"
+        ),
+        "video_mjpeg": (
+            # structural contract (stride-2 sampled frames, doc-derived
+            # dims) + the fidelity invariant the engine computes from
+            # its real MJPEG decode (within 8 LSB of the source)
+            "SELECT CAST(p.doc_id AS VARCHAR) AS media_id, "
+            "CAST(g.t * 2 AS BIGINT) AS frame_idx, "
+            "p.h AS height, p.w AS width, CAST(1 AS BIGINT) AS mjpeg_ok "
+            "FROM (SELECT doc_id, 6 + doc_id % 5 AS nf, "
+            "16 + doc_id % 9 AS h, 16 + (doc_id * 7) % 11 AS w "
+            "FROM documents) p "
+            "JOIN generate_series(0, 5) AS g(t) ON g.t * 2 < p.nf"
         ),
         "frame_sample": (
             # fan-out contract: 50 source frames, stride 10 -> frame_idx
