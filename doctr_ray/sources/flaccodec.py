@@ -84,6 +84,11 @@ class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
         self.ones = np.nonzero(self.bits)[0]
+        # popcount prefix: ones inside any window in O(1), so the Rice
+        # loop advances through `ones` without re-searching
+        self.cum = np.concatenate(
+            [[0], np.cumsum(self.bits, dtype=np.int64)]
+        )
         self.pos = 0
 
     def read(self, n: int) -> int:
@@ -119,31 +124,38 @@ class _BitReader:
         return self.pos >> 3
 
     def read_rice_block(self, param: int, n: int) -> np.ndarray:
-        """n Rice(param) codes -> signed int64 residuals (zig-zag)."""
-        out = np.empty(n, np.int64)
-        bits, ones, pos = self.bits, self.ones, self.pos
-        search = np.searchsorted
+        """n Rice(param) codes -> signed int64 residuals (zig-zag).
+
+        The quotient stop bits are walked through the precomputed
+        set-bit index (each step advances past the ones inside the
+        remainder window via the popcount prefix — no per-bit work in
+        the loop); the fixed-width remainders are then gathered and
+        packed in one vectorized pass."""
+        bits, ones, cum = self.bits, self.ones, self.cum
+        pos = self.pos
+        n_ones = len(ones)
+        stops = np.empty(n, np.int64)
+        starts = np.empty(n, np.int64)
+        j = int(np.searchsorted(ones, pos))
         for i in range(n):
-            j = int(search(ones, pos))
-            if j >= len(ones):
+            if j >= n_ones:
                 raise ValueError("FLAC bitstream truncated in Rice run")
             stop = int(ones[j])
-            q = stop - pos
-            pos = stop + 1
-            if param:
-                end = pos + param
-                r = 0
-                for b in bits[pos:end].tolist():
-                    r = (r << 1) | b
-                pos = end
-                u = (q << param) | r
-            else:
-                u = q
-            out[i] = (u >> 1) ^ -(u & 1)  # zig-zag to signed
-        if pos > len(bits):
-            raise ValueError("FLAC bitstream truncated")
+            stops[i] = stop
+            starts[i] = pos
+            pos = stop + 1 + param
+            if pos > len(bits):
+                raise ValueError("FLAC bitstream truncated")
+            j += 1 + (int(cum[pos] - cum[stop + 1]) if param else 0)
         self.pos = pos
-        return out
+        u = stops - starts  # unary quotients
+        if param:
+            idx = stops[:, None] + np.arange(1, param + 1)
+            rem = bits[idx].astype(np.int64) @ (
+                1 << np.arange(param - 1, -1, -1, dtype=np.int64)
+            )
+            u = (u << param) | rem
+        return (u >> 1) ^ -(u & 1)  # zig-zag to signed
 
 
 # ------------------------------------------------------------- decode
