@@ -2662,6 +2662,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n_planes=0,  # exact within-bucket verify (oracle = O(n^2) join)
         )
 
+    def q_semdedup(sf_dir: str):
+        """SemDeDup (round 5): integer-exact semantic dedup — quantized
+        int64 embeddings, deterministic hyperplane buckets (the
+        SQL-expressible stand-in for k-means clusters), within-bucket
+        integer cosine gate (400*dot^2 >= 49*|a|^2*|b|^2, i.e. cosine
+        >= 0.35 on the quantized vectors), keep-first dominance. The
+        DuckDB oracle replays the identical integer pipeline."""
+        from doctr_ray.functions.dedup import semdedup
+
+        return semdedup(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
     def _emb(sf_dir: str):
         from doctr_ray.pool import default_pool
 
@@ -2777,6 +2788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_minhash_dups,
         "dedup_simhash": q_simhash_dups,
         "dedup_embedding": q_dedup_embedding,
+        "semdedup": q_semdedup,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
@@ -3371,6 +3383,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming "
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 8"
+        ),
+        "semdedup": (
+            # the identical integer pipeline replayed in SQL:
+            # floor(x*1024) quantization (bit-identical to numpy),
+            # small-integer hyperplane sign buckets, within-bucket
+            # integer cosine gate, keep-first dominance
+            "WITH f AS (SELECT vec_id, g.i AS i, "
+            "CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1024) AS BIGINT) AS v "
+            "FROM embeddings JOIN generate_series(1, 64) g(i) ON TRUE), "
+            "h AS (SELECT p.j, g.i, "
+            "((p.j * 131 + (g.i - 1) * 31 + 7) % 19) - 9 AS w "
+            "FROM generate_series(0, 5) p(j), generate_series(1, 64) g(i)), "
+            "dots AS (SELECT f.vec_id, h.j, SUM(f.v * h.w) AS dot "
+            "FROM f JOIN h ON f.i = h.i GROUP BY f.vec_id, h.j), "
+            "bk AS (SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 "
+            "THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket "
+            "FROM dots GROUP BY vec_id), "
+            "n2 AS (SELECT vec_id, SUM(v * v) AS n2 FROM f GROUP BY vec_id), "
+            "fb AS (SELECT f.vec_id, bk.bucket, f.i, f.v "
+            "FROM f JOIN bk USING (vec_id)), "
+            "pd AS (SELECT a.vec_id AS hi, b.vec_id AS lo, "
+            "SUM(a.v * b.v) AS dot FROM fb a JOIN fb b "
+            "ON a.bucket = b.bucket AND a.i = b.i AND b.vec_id < a.vec_id "
+            "GROUP BY a.vec_id, b.vec_id), "
+            "dom AS (SELECT DISTINCT pd.hi AS vec_id FROM pd "
+            "JOIN n2 na ON na.vec_id = pd.hi "
+            "JOIN n2 nb ON nb.vec_id = pd.lo "
+            "WHERE pd.dot > 0 AND 400 * pd.dot * pd.dot >= 49 * na.n2 * nb.n2) "
+            "SELECT bk.vec_id, bk.bucket, "
+            "CAST(CASE WHEN dom.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "AS keep FROM bk LEFT JOIN dom USING (vec_id)"
         ),
         "dedup_embedding": (
             "SELECT a.vec_id AS a, b.vec_id AS b, "

@@ -1454,3 +1454,95 @@ def winnow_fingerprints_sql(k: int = 4, w: int = 5) -> str:
         "md5(string_agg(sel, ',' ORDER BY sel)) AS fp_digest "
         "FROM sels GROUP BY doc_id"
     )
+
+
+def semdedup(
+    embeddings_ds,
+    threshold_num: int = 7,
+    threshold_den: int = 20,
+    n_planes: int = 6,
+    quant: int = 1024,
+    dim: int = 64,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication — cluster the embedding space, then drop all but one
+    representative of each within-cluster near-duplicate group.
+
+    Ray-Data shape and exactness:
+
+    - ONE ``map_batches`` pass QUANTIZES each vector to int64
+      (``floor(x * quant)`` — float32->double and the multiply are
+      bit-identical in numpy and DuckDB, so the whole operator is
+      integer-exact end-to-end with no float-ulp hazard) and buckets
+      it by deterministic small-integer hyperplanes (the
+      SQL-expressible stand-in for the paper's k-means clusters; the
+      k-means variant lives in similarity.kmeans_embeddings /
+      ``embedding_clusters``).
+    - ONE ``groupby(bucket)`` shuffle of (vec_id, bucket, quantized
+      vector) rows — vectors never co-locate beyond their bucket.
+    - Within each bucket a vectorized int64 Gram matrix applies the
+      integer gate  ``dot > 0 AND den^2 * dot^2 >= num^2 * |a|^2 *
+      |b|^2``  (the exact integer form of cosine >= num/den on the
+      quantized vectors) and a vector is KEPT iff no lower-id vector
+      in its bucket gates against it (keep-first dominance — the
+      deterministic analog of the paper's keep-one-per-group).
+
+    Emits (vec_id, bucket, keep). With unit-norm inputs, quant=1024
+    and dim=64 every intermediate fits int64 with >500x margin.
+    """
+    import numpy as np
+
+    planes = (
+        (
+            np.arange(n_planes)[:, None] * 131
+            + np.arange(dim)[None, :] * 31
+            + 7
+        )
+        % 19
+        - 9
+    ).astype(np.int64)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        q = np.floor(emb * quant).astype(np.int64)
+        signs = (q @ planes.T) > 0
+        buckets = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(
+                    [int(v) for v in batch["vec_id"].to_pylist()], pa.int64()
+                ),
+                "bucket": pa.array(buckets, pa.int64()),
+                "q": [v.tobytes() for v in q],
+            }
+        )
+
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+
+    def _keep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        q = np.stack([np.frombuffer(b, dtype=np.int64) for b in g["q"]])
+        gram = q @ q.T
+        n2 = np.diag(gram)
+        gate = (gram > 0) & (
+            den2 * gram * gram >= num2 * n2[:, None] * n2[None, :]
+        )
+        # keep[i] iff no lower-id vector gates against i
+        dominated = np.triu(gate, 1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "bucket": g["bucket"].to_numpy(),
+                "keep": (~dominated).astype(np.int64),
+            }
+        )
+
+    return (
+        embeddings_ds.map_batches(
+            _bucket, batch_format="pyarrow", batch_size=4096
+        )
+        .groupby("bucket")
+        .map_groups(_keep, batch_format="pandas")
+    )
