@@ -89,7 +89,7 @@ def _docs_blocks(docs, per_block: int = 8):
     return ray.data.from_arrow(slices if slices else [docs])
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, rows_per_block: int = 500):
     """Pruned parquet read with a data-sized block count.
 
     Ray's default read splitting targets a minimum task count, which
@@ -104,7 +104,7 @@ def _read(sf_dir: str, table: str, columns=None):
     """
     from doctr_ray.tableio import read_table_ds
 
-    return read_table_ds(sf_dir, table, columns)
+    return read_table_ds(sf_dir, table, columns, rows_per_block=rows_per_block)
 
 
 def _ann_queries(sf_dir: str):
@@ -1767,7 +1767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         return (
-            _read(sf_dir, "documents", ["doc_id", "text"])
+            _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=100)
             .map_batches(build, batch_format="pyarrow")
             .map_batches(audio_decode_features, batch_format="pyarrow")
         )
@@ -1830,7 +1830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         return (
-            _read(sf_dir, "documents", ["doc_id"])
+            _read(sf_dir, "documents", ["doc_id"], rows_per_block=100)
             .map_batches(stage, batch_format="pyarrow")
         )
 
@@ -1894,7 +1894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         return (
-            _read(sf_dir, "documents", ["doc_id"])
+            _read(sf_dir, "documents", ["doc_id"], rows_per_block=100)
             .map_batches(build, batch_format="pyarrow")
             .map_batches(video_frame_features, batch_format="pyarrow")
         )
@@ -1954,7 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         return (
-            _read(sf_dir, "documents", ["doc_id"])
+            _read(sf_dir, "documents", ["doc_id"], rows_per_block=100)
             .map_batches(stage, batch_format="pyarrow")
         )
 
