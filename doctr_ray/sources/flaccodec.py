@@ -425,6 +425,25 @@ class _BitWriter:
             q -= 32
         self.write(1, q + 1)
 
+    def write_bit_array(self, bits: np.ndarray) -> None:
+        """Append a uint8 0/1 array in one vectorized pass (packbits on
+        the byte-aligned body; only the <8-bit tail stays scalar)."""
+        if self.nbits:
+            pend = np.array(
+                [(self.acc >> (self.nbits - 1 - i)) & 1
+                 for i in range(self.nbits)],
+                np.uint8,
+            )
+            bits = np.concatenate([pend, bits])
+            self.acc = 0
+            self.nbits = 0
+        n_full = (len(bits) // 8) * 8
+        if n_full:
+            self.buf += np.packbits(bits[:n_full]).tobytes()
+        for b in bits[n_full:].tolist():
+            self.acc = (self.acc << 1) | int(b)
+            self.nbits += 1
+
     def align(self) -> None:
         if self.nbits:
             self.write(0, 8 - self.nbits)
@@ -487,11 +506,19 @@ def _write_residual(
         part = resid[at : at + count]
         param = min(_rice_param(part), (1 << pbits) - 2)
         bw.write(param, pbits)
-        for r in part.tolist():
-            u = (int(r) << 1) ^ (int(r) >> 63)  # zig-zag
-            bw.write_unary(u >> param)
-            if param:
-                bw.write(u & ((1 << param) - 1), param)
+        # vectorized Rice emission: unary stop bits + msb-first
+        # remainders scattered into one 0/1 array
+        u = (part << 1) ^ (part >> 63)  # zig-zag
+        q = u >> param
+        lengths = q + 1 + param
+        ends = np.cumsum(lengths)
+        starts = ends - lengths
+        bits = np.zeros(int(ends[-1]) if count else 0, np.uint8)
+        bits[starts + q] = 1
+        for k in range(param):
+            mask = ((u >> (param - 1 - k)) & 1).astype(bool)
+            bits[(starts + q + 1 + k)[mask]] = 1
+        bw.write_bit_array(bits)
         at += count
 
 
