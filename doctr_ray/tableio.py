@@ -33,6 +33,12 @@ def resolve_table_paths(sf_dir: str, table: str) -> list[str]:
     single = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isfile(single):
         return [single]
+    if os.path.isdir(os.path.join(sf_dir, f"{table}.lance")):
+        # Lance datasets route through read_table_ds's lance branch,
+        # not the parquet shard resolver
+        raise IsADirectoryError(
+            f"{table}.lance is a Lance dataset; use read_table_ds"
+        )
     subdir = os.path.join(sf_dir, table)
     if os.path.isdir(subdir):
         shards = sorted(
@@ -88,6 +94,23 @@ def read_table_ds(
     blocks are the resume/lineage unit at scale)."""
     import pyarrow.parquet as pq
     import ray.data as rd
+
+    lance_dir = os.path.join(sf_dir, f"{table}.lance")
+    if os.path.isdir(lance_dir):
+        # the north brief's native table format: ray.data.read_lance
+        # when pylance is installed; this container ships parquet-only
+        # test data, so the branch is import-guarded and the error
+        # names the real dependency
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                f"{lance_dir} is a Lance dataset but pylance is not "
+                "installed in this container; materialize the table as "
+                "parquet or install pylance"
+            ) from e
+        ds = rd.read_lance(lance_dir, columns=columns)
+        return ds
 
     paths = resolve_table_paths(sf_dir, table)
     n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)

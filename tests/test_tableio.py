@@ -114,3 +114,18 @@ def test_query_end_to_end_sharded(ray_session, tmp_path):
     got = shipping_priority(d).to_pandas().reset_index(drop=True)
     want = shipping_priority(SF).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_lance_dataset_branch_names_dependency(tmp_path):
+    """A {table}.lance directory routes to the Lance branch: without
+    pylance in the container it raises naming the dependency (the
+    parquet shard resolver must NOT silently miss it)."""
+    import pytest
+
+    from doctr_ray.tableio import read_table_ds, resolve_table_paths
+
+    (tmp_path / "docs.lance").mkdir()
+    with pytest.raises(NotImplementedError, match="pylance"):
+        read_table_ds(str(tmp_path), "docs")
+    with pytest.raises(IsADirectoryError, match="Lance"):
+        resolve_table_paths(str(tmp_path), "docs")
