@@ -929,6 +929,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ocr_extracted_text(_docs_blocks(docs), n_docs=len(ids))
 
+    def q_ocr_video_media(sf_dir: str):
+        """video:// media route (round 5): each document's rendered
+        pages become the FRAMES of one real video file — animated GIF
+        (sub-rect inter-frame coding) or AVI-DIB, rotating — and the
+        fused OCR worker rasterizes every frame back as a page via the
+        in-repo video decoders (the multi-page-media analog of the
+        scanned-PDF route). Exact oracle: byte-exact text
+        reconstruction across the frame-page joins."""
+        import hashlib
+        import os
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from doctr_ray.corpus import DOCS_SCHEMA, SPANS_TYPE
+        from doctr_ray.media import encode_media_ref, rasterize_synth
+        from doctr_ray.pipelines.ocr import ocr_extracted_text
+        from doctr_ray.tableio import resolve_table_paths
+
+        t = (
+            pq.read_table(
+                resolve_table_paths(sf_dir, "documents"),
+                columns=["doc_id", "text"],
+            )
+            .sort_by("doc_id")
+            .slice(0, 40)
+        )
+        outdir = os.path.join(
+            "/tmp/doctr_ray_videomedia",
+            hashlib.md5((sf_dir + ":v1").encode()).hexdigest()[:10],
+        )
+        os.makedirs(outdir, exist_ok=True)
+
+        @ray.remote(num_cpus=1)
+        def _write_video(text: str, path: str, k: int) -> None:
+            from doctr_ray.sources.avicodec import encode_avi
+            from doctr_ray.sources.gifcodec import encode_gif_animation
+
+            if os.path.exists(path):
+                return
+            frames = np.stack(
+                [
+                    pg.image
+                    for pg in rasterize_synth(encode_media_ref(text))
+                ]
+            )
+            if k % 2 == 0:
+                blob = encode_gif_animation(frames, subrect=True)
+            else:
+                blob = encode_avi(frames, fps=10, codec="DIB ")
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+
+        ids, spans, pend = [], [], []
+        for k, (did, text) in enumerate(
+            zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        ):
+            did = str(did)
+            ext = "gif" if k % 2 == 0 else "avi"
+            path = os.path.join(outdir, f"{did}.{ext}")
+            if not os.path.exists(path):
+                pend.append(_write_video.remote(text or "", path, k))
+            ids.append(did)
+            spans.append(
+                [{"kind": "media", "text": "", "media_ref": f"video://{path}",
+                  "offset": 0}]
+            )
+        if pend:
+            ray.get(pend)
+        docs = pa.Table.from_arrays(
+            [pa.array(ids, pa.string()), pa.array(spans, SPANS_TYPE)],
+            schema=DOCS_SCHEMA,
+        )
+        return ocr_extracted_text(_docs_blocks(docs), n_docs=len(ids))
+
     def q_ocr_scanned_pdf(sf_dir: str):
         """Scanned-image PDF route (reference io/pdf.py analog,
         pypdfium2-free): each document's rendered pages embedded as
@@ -2723,6 +2802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_main_content": q_html_main_content,
         "ocr_html_media": q_ocr_html_media,
         "ocr_image_media": q_ocr_image_media,
+        "ocr_video_media": q_ocr_video_media,
         "ocr_scanned_pdf": q_ocr_scanned_pdf,
         "ocr_jbig2_pdf": q_ocr_jbig2_pdf,
         "ocr_jpx_pdf": q_ocr_jpx_pdf,
@@ -3023,6 +3103,10 @@ def oracle_sql() -> dict[str, str]:
         "ocr_image_media": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text "
             "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 60)"
+        ),
+        "ocr_video_media": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text "
+            "FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 40)"
         ),
         "ocr_jbig2_pdf": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS full_text "

@@ -200,6 +200,19 @@ def rasterize_media(media_ref: str) -> list[PageGT]:
             "web-page rasterization requires a browser engine; URL media "
             "is handled on the text path (read_html / media_to_ocr_span)"
         )
+    if media_ref.startswith("video://"):
+        # real VIDEO on disk (animated GIF / AVI DIB / AVI MJPG): every
+        # decoded frame becomes a page — the multi-page-media analog of
+        # the PDF branch (a file://*.gif ref keeps the still-image
+        # first-frame contract; the explicit scheme opts into frames)
+        from ..functions.multimodal import decode_video_real
+
+        with open(media_ref[len("video://") :], "rb") as f:
+            data = f.read()
+        return [
+            PageGT(image=to_gray(frame), words=[])
+            for frame in decode_video_real(data)
+        ]
     if media_ref.startswith(FILE_PREFIX):
         # real encoded image on disk (PNG/BMP/PNM): decode, fold to the
         # engine's grayscale page frame; no ground truth attaches
@@ -208,5 +221,6 @@ def rasterize_media(media_ref: str) -> list[PageGT]:
         return [PageGT(image=to_gray(read_image(data)), words=[])]
     raise ValueError(
         f"unsupported media_ref {media_ref!r}: expected synth://, "
-        "synthhtml://, file://<png|bmp|pnm>, pdf://, or http(s)://"
+        "synthhtml://, file://<png|bmp|pnm>, video://, pdf://, or "
+        "http(s)://"
     )

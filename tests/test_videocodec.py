@@ -141,3 +141,31 @@ def test_frame_sampler_real_branch_and_features():
     ):
         assert (h, w) == (11, 15)
         assert s == int(fr[idx].astype(np.int64).sum())
+
+
+def test_video_media_ref_pages_and_ocr(tmp_path, ray_session):
+    """video:// media refs rasterize every frame as a page (the
+    multi-page-media analog of the PDF branch) and the OCR path
+    reconstructs the rendered text byte-exactly from both
+    containers."""
+    from doctr_ray.media import encode_media_ref, rasterize_synth
+    from doctr_ray.pipelines.ocr import media_to_ocr_span
+    from doctr_ray.recognition import GlyphRecognizer
+    from doctr_ray.sources.readers import rasterize_media
+
+    text = ("frame page round trip " * 60).strip()
+    pages = rasterize_synth(encode_media_ref(text))
+    assert len(pages) >= 2  # must span multiple frames
+    frames = np.stack([p.image for p in pages])
+    g = tmp_path / "doc.gif"
+    g.write_bytes(encode_gif_animation(frames, subrect=True))
+    a = tmp_path / "doc.avi"
+    a.write_bytes(encode_avi(frames, fps=10))
+    rec = GlyphRecognizer()
+    for path in (g, a):
+        got = rasterize_media(f"video://{path}")
+        assert len(got) == len(pages)
+        for x, y in zip(got, pages):
+            assert np.array_equal(x.image, y.image)
+        out, conf = media_to_ocr_span("d", f"video://{path}", 0, rec)
+        assert out == text and conf == 1.0
