@@ -438,25 +438,64 @@ _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
-    """Baseline TIFF (the common scanner output): first IFD, gray or
-    RGB, 1/8-bit samples, strip-organized, uncompressed / PackBits /
-    Deflate(AdobeDeflate) / LZW / new-style JPEG (compression 7, per-
-    strip JFIF streams with optional shared /JPEGTables spliced in) /
-    CCITT fax (compressions 2 = MH byte-aligned, 3 = T.4 G3 with
-    T4Options 1-D/2-D + fill bits, 4 = T.6 G4 — the "TIFF G4"
-    archival scan, via sources/ccittcodec); horizontal-differencing
-    predictor. Old-style JPEG (compression 6) and tiled files raise
-    naming the needed library."""
+    """Baseline TIFF (the common scanner output): FIRST IFD — see
+    :func:`decode_tiff_pages` for multi-page (fax/scanner IFD chains).
+    Gray or RGB, 1/8-bit samples, strip-organized, uncompressed /
+    PackBits / Deflate(AdobeDeflate) / LZW / new-style JPEG
+    (compression 7, per-strip JFIF streams with optional shared
+    /JPEGTables spliced in) / CCITT fax (compressions 2 = MH
+    byte-aligned, 3 = T.4 G3 with T4Options 1-D/2-D + fill bits, 4 =
+    T.6 G4 — the "TIFF G4" archival scan, via sources/ccittcodec);
+    horizontal-differencing predictor. Old-style JPEG (compression 6)
+    and tiled files raise naming the needed library."""
+    bo = _tiff_byte_order(data)
+    px, _next = _decode_tiff_ifd(
+        data, bo, struct.unpack(bo + "I", data[4:8])[0]
+    )
+    return px
+
+
+def decode_tiff_pages(data: bytes) -> list[np.ndarray]:
+    """Multi-page TIFF: walk the IFD chain (the multi-page fax /
+    scanner batch form) and decode every page. Cycles in the chain
+    raise rather than loop."""
+    bo = _tiff_byte_order(data)
+    seen: set[int] = set()
+    ifd = struct.unpack(bo + "I", data[4:8])[0]
+    pages = []
+    while ifd:
+        if ifd in seen:
+            raise ValueError("cyclic TIFF IFD chain")
+        seen.add(ifd)
+        px, ifd = _decode_tiff_ifd(data, bo, ifd)
+        pages.append(px)
+    if not pages:
+        raise ValueError("TIFF with no IFDs")
+    return pages
+
+
+def _tiff_byte_order(data: bytes) -> str:
     if data[:4] == b"II*\x00":
-        bo = "<"
-    elif data[:4] == b"MM\x00*":
-        bo = ">"
-    else:
-        raise ValueError("not a TIFF")
+        return "<"
+    if data[:4] == b"MM\x00*":
+        return ">"
+    raise ValueError("not a TIFF")
+
+
+def _decode_tiff_ifd(
+    data: bytes, bo: str, ifd: int
+) -> tuple[np.ndarray, int]:
+    """One IFD -> (decoded page, offset of the next IFD; 0 = last)."""
+    u16 = lambda off: struct.unpack(bo + "H", data[off : off + 2])[0]
+    u32 = lambda off: struct.unpack(bo + "I", data[off : off + 4])[0]
+    next_ifd = u32(ifd + 2 + 12 * u16(ifd))
+    return _decode_tiff_ifd_px(data, bo, ifd), next_ifd
+
+
+def _decode_tiff_ifd_px(data: bytes, bo: str, ifd: int) -> np.ndarray:
     u16 = lambda off: struct.unpack(bo + "H", data[off : off + 2])[0]
     u32 = lambda off: struct.unpack(bo + "I", data[off : off + 4])[0]
 
-    ifd = u32(4)
     n_entries = u16(ifd)
     tags: dict[str, list[int]] = {}
     for i in range(n_entries):
@@ -835,6 +874,43 @@ def encode_tiff(
     ``compression``: 'none', 'packbits', 'lzw', 'deflate', or the
     bilevel fax codings 'g4' / 'g3' (0/255 gray input — the "TIFF G4"
     archival sink, PhotometricInterpretation WhiteIsZero)."""
+    return b"II*\x00" + struct.pack("<I", 8) + _render_tiff_ifd(
+        img, compression, tile, 8, 0
+    )
+
+
+def encode_tiff_multipage(
+    imgs: list[np.ndarray], compression: str = "none"
+) -> bytes:
+    """Multi-page TIFF (the fax / scanner-batch form): one IFD per
+    page, chained through the next-IFD pointers;
+    :func:`decode_tiff_pages` walks them back. Block lengths are
+    base-independent, so a sizing pass fixes each page's absolute
+    position before the real render."""
+    if not imgs:
+        raise ValueError("encode_tiff_multipage needs at least one page")
+    lengths = [
+        len(_render_tiff_ifd(img, compression, None, 0, 0)) for img in imgs
+    ]
+    bases = [8]
+    for ln in lengths[:-1]:
+        bases.append(bases[-1] + ln)
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    for k, img in enumerate(imgs):
+        nxt = bases[k + 1] if k + 1 < len(imgs) else 0
+        out += _render_tiff_ifd(img, compression, None, bases[k], nxt)
+    return bytes(out)
+
+
+def _render_tiff_ifd(
+    img: np.ndarray,
+    compression: str,
+    tile: tuple[int, int] | None,
+    base: int,
+    next_off: int,
+) -> bytes:
+    """IFD + out-of-line values + pixel chunks, laid out at absolute
+    file offset ``base`` with the trailing pointer ``next_off``."""
     h, w = img.shape[:2]
     spp = 1 if img.ndim == 2 else img.shape[2]
     fax = compression in ("g4", "g3")
@@ -907,7 +983,7 @@ def encode_tiff(
         offsets_tag = 324
     n = len(entries) + 1  # + the offsets array
     ifd_size = 2 + 12 * (n) + 4
-    data_start = 8 + ifd_size
+    data_start = base + ifd_size
     extra = bytearray()
 
     def val(vals, typ):
@@ -931,12 +1007,12 @@ def encode_tiff(
         at += len(c)
     rendered.append((offsets_tag, 4, len(chunks), val(offs, 4)))
     rendered.sort(key=lambda e: e[0])
-    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out = bytearray()
     out += struct.pack("<H", n)
     for tag, typ, count, v in rendered:
         out += struct.pack("<HHI", tag, typ, count) + v
-    out += struct.pack("<I", 0)
-    assert len(out) == data_start
+    out += struct.pack("<I", next_off)
+    assert base + len(out) == data_start
     out += extra
     for c in chunks:
         out += c

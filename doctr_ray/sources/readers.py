@@ -214,10 +214,20 @@ def rasterize_media(media_ref: str) -> list[PageGT]:
             for frame in decode_video_real(data)
         ]
     if media_ref.startswith(FILE_PREFIX):
-        # real encoded image on disk (PNG/BMP/PNM): decode, fold to the
-        # engine's grayscale page frame; no ground truth attaches
+        # real encoded image on disk (PNG/BMP/PNM/...): decode, fold to
+        # the engine's grayscale page frame; no ground truth attaches.
+        # Multi-page TIFFs (the fax / scanner-batch IFD chain) return
+        # ONE PAGE PER IFD — like the PDF branch; single-IFD files are
+        # unchanged.
         with open(media_ref[len(FILE_PREFIX) :], "rb") as f:
             data = f.read()
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            from .imagecodec import decode_tiff_pages
+
+            return [
+                PageGT(image=to_gray(img), words=[])
+                for img in decode_tiff_pages(data)
+            ]
         return [PageGT(image=to_gray(read_image(data)), words=[])]
     raise ValueError(
         f"unsupported media_ref {media_ref!r}: expected synth://, "

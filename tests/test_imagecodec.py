@@ -705,3 +705,61 @@ def test_tiff_oldstyle_jpeg_interchange_format_decodes():
     got = decode_tiff(bytes(out))
     assert got.shape == img.shape
     assert np.abs(got.astype(int) - img.astype(int)).mean() < 3
+
+
+def test_multipage_tiff_ifd_chain():
+    """Multi-page TIFF (fax/scanner-batch IFD chain): every page
+    round-trips; decode_tiff keeps the first-IFD still contract."""
+    import numpy as np
+
+    from doctr_ray.sources.imagecodec import (
+        decode_tiff,
+        decode_tiff_pages,
+        encode_tiff,
+        encode_tiff_multipage,
+    )
+
+    rng = np.random.RandomState(1)
+    pages = [
+        rng.randint(0, 256, (20 + i * 3, 31 - i)).astype(np.uint8)
+        for i in range(4)
+    ]
+    for comp in ("none", "lzw", "deflate", "packbits"):
+        blob = encode_tiff_multipage(pages, comp)
+        dec = decode_tiff_pages(blob)
+        assert len(dec) == 4
+        assert all(np.array_equal(a, b) for a, b in zip(dec, pages))
+        assert np.array_equal(decode_tiff(blob), pages[0])
+    bw = [
+        np.where(rng.random((40, 50)) < 0.4, 0, 255).astype(np.uint8)
+        for _ in range(3)
+    ]
+    blob = encode_tiff_multipage(bw, "g4")  # the multi-page G4 fax form
+    assert all(
+        np.array_equal(a, b) for a, b in zip(decode_tiff_pages(blob), bw)
+    )
+    single = encode_tiff(pages[0], "lzw")
+    assert len(decode_tiff_pages(single)) == 1
+
+
+def test_multipage_tiff_fax_ocr_roundtrip(tmp_path, ray_session):
+    """A multi-page G4 fax TIFF media ref rasterizes one page per IFD
+    and OCRs back byte-exactly (the fax-document route)."""
+    import numpy as np
+
+    from doctr_ray.media import encode_media_ref, rasterize_synth
+    from doctr_ray.pipelines.ocr import media_to_ocr_span
+    from doctr_ray.recognition import GlyphRecognizer
+    from doctr_ray.sources.imagecodec import encode_tiff_multipage
+    from doctr_ray.sources.readers import rasterize_media
+
+    text = ("fax page chain round trip " * 50).strip()
+    pages = rasterize_synth(encode_media_ref(text))
+    assert len(pages) >= 2
+    f = tmp_path / "fax.tif"
+    f.write_bytes(encode_tiff_multipage([p.image for p in pages], "g4"))
+    got = rasterize_media(f"file://{f}")
+    assert len(got) == len(pages)
+    assert all(np.array_equal(x.image, y.image) for x, y in zip(got, pages))
+    out, conf = media_to_ocr_span("d", f"file://{f}", 0, GlyphRecognizer())
+    assert out == text and conf == 1.0
