@@ -16,7 +16,9 @@ flow through the extraction pipeline in this container:
   and delta markers).
 - **PNM**: P1-P6 (ASCII + binary bitmap/gray/RGB), any maxval up to
   65535 (16-bit samples are big-endian per the spec, scaled to 8-bit).
-- **TIFF**: baseline scanner output — first IFD, strip-organized
+- **TIFF**: baseline scanner output — full IFD CHAINS (multi-page
+  fax / scanner batches via ``decode_tiff_pages``; ``decode_tiff``
+  keeps the first-IFD still contract), strip-organized
   1/8/16-bit gray/RGB (16-bit folds to the high byte; differencing
   runs in the 16-bit domain), uncompressed / PackBits / Deflate / LZW
   (TIFF-variant early code-width change, round-trip-tested incl. table
