@@ -1918,10 +1918,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         a deterministic checkerboard ANIMATION (per-frame doc-derived
         gray values), encoded into a rotating real VIDEO container —
         animated GIF89a (sub-rect + transparency inter-frame coding,
-        disposal rotating) or AVI with uncompressed DIB frames — both
-        lossless, carried as an Arrow binary column, and decoded back
-        inside the map stage (sources/gifcodec.decode_gif_frames /
-        sources/avicodec.decode_avi). The oracle recomputes every
+        disposal rotating), AVI with uncompressed DIB frames, or APNG
+        (acTL/fcTL/fdAT, sub-rect rotating) — all lossless, carried as
+        an Arrow binary column, and decoded back inside the map stage
+        (sources/gifcodec.decode_gif_frames / sources/avicodec.
+        decode_avi / sources/imagecodec.decode_apng_frames). The oracle recomputes every
         sampled frame's dims and exact integer gray pixel sum from the
         same integer rule. (AVI-MJPG decodes for real too but is
         lossy; it is pinned in pytest instead of the value oracle.)"""
@@ -1933,6 +1934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def build(batch: pa.Table) -> pa.Table:
             from doctr_ray.sources.avicodec import encode_avi
             from doctr_ray.sources.gifcodec import encode_gif_animation
+            from doctr_ray.sources.imagecodec import encode_apng
 
             ids = batch["doc_id"].to_pylist()
             payloads, containers = [], []
@@ -1952,18 +1954,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         for f in range(nf)
                     ]
                 )
-                if d % 2 == 0:
+                if d % 3 == 0:
                     payloads.append(
                         encode_gif_animation(
                             frames,
-                            subrect=bool((d // 2) % 2),
-                            disposal=(d // 4) % 2,
+                            subrect=bool((d // 3) % 2),
+                            disposal=(d // 6) % 2,
                         )
                     )
                     containers.append("gif")
-                else:
+                elif d % 3 == 1:
                     payloads.append(encode_avi(frames, fps=10, codec="DIB "))
                     containers.append("avi")
+                else:
+                    payloads.append(
+                        encode_apng(frames, subrect=bool((d // 3) % 2))
+                    )
+                    containers.append("apng")
             return pa.Table.from_pydict(
                 {
                     "media_id": [str(i) for i in ids],

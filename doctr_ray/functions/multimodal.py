@@ -3,15 +3,23 @@
 The large-scale training-data pattern from the north brief: image/
 audio/video payloads travel as Arrow ``binary`` columns with typed
 metadata columns; decode / feature-extract / resize / frame-sample run
-as actor-pool ``map_batches`` stages. IMAGE decode is REAL — the
-in-repo codec matrix (PNG/JPEG/GIF/BMP/PNM/TIFF, sources/imagecodec)
-decodes payloads inside the stage, oracled end-to-end by the
-``image_decode`` query. Audio/video decoders (ffmpeg/torchaudio) are
-absent from this container, so THOSE stay stubbed exactly as the
-brief prescribes: a clearly-marked ``NotImplementedError`` on the
-real branch and a deterministic fake (seeded by the payload's own
-hash) that keeps every piece of Ray-side plumbing — schemas, batch
-sizes, actor signature, output layout — real and tested.
+as ``map_batches`` stages. IMAGE, AUDIO and VIDEO decode are all REAL:
+
+- images via the in-repo codec matrix (PNG/JPEG/GIF/BMP/PNM/TIFF,
+  sources/imagecodec), oracled by ``image_decode``;
+- audio via WAV PCM + the COMPRESSED codecs FLAC / G.711 mu-law and
+  A-law / IMA ADPCM (sources/flaccodec, sources/audiocodec), oracled
+  by ``audio_decode`` / ``audio_compressed`` / ``audio_adpcm``;
+- video via animated GIF, APNG and AVI (DIB + Motion-JPEG)
+  (sources/gifcodec, imagecodec, avicodec), oracled by
+  ``video_frames`` / ``video_mjpeg``.
+
+Only psychoacoustic/DCT codecs (mp3/aac/opus, h264/vp9/av1) remain
+stubbed exactly as the brief prescribes: a clearly-marked
+``NotImplementedError`` naming ffmpeg, plus a deterministic fake
+(seeded by the payload's own hash) that keeps the Ray-side plumbing —
+schemas, batch sizes, actor signature, output layout — real and
+tested for opaque formats.
 """
 
 from __future__ import annotations
@@ -126,10 +134,13 @@ def _fake_frames(payload: bytes, n_frames: int, h: int, w: int) -> np.ndarray:
 def decode_video_real(payload: bytes) -> np.ndarray:
     """Decode a video payload to (n_frames, H, W, 3) uint8 RGB — REAL
     for animated GIF (sources/gifcodec.decode_gif_frames: full GIF89a
-    compositing — disposal, transparency, sub-rects) and AVI
+    compositing — disposal, transparency, sub-rects), AVI
     (sources/avicodec: DIB uncompressed + Motion-JPEG chunks via the
-    in-repo JPEG decoder). DCT video codecs (h264/vp9/av1) raise
-    naming ffmpeg — the one honestly-stubbed video branch left."""
+    in-repo JPEG decoder) and APNG (sources/imagecodec.
+    decode_apng_frames: acTL/fcTL/fdAT with dispose/blend compositing,
+    every frame region decoded by the full still-PNG path). DCT video
+    codecs (h264/vp9/av1) raise naming ffmpeg — the one
+    honestly-stubbed video branch left."""
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from ..sources.gifcodec import decode_gif_frames
 
@@ -140,9 +151,17 @@ def decode_video_real(payload: bytes) -> np.ndarray:
 
         frames, _fps = decode_avi(payload)
         return frames
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..sources.imagecodec import decode_apng_frames
+
+        frames, _delays = decode_apng_frames(payload)
+        if frames.ndim == 3:  # gray animation -> RGB contract
+            frames = np.stack([frames] * 3, axis=3)
+        return frames[..., :3]
     raise NotImplementedError(
         "DCT video codecs (h264/vp9/av1) require ffmpeg (not in this "
-        "container); animated GIF and AVI (DIB/MJPG) decode for real"
+        "container); animated GIF, APNG and AVI (DIB/MJPG) decode for "
+        "real"
     )
 
 

@@ -253,6 +253,184 @@ def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
     return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", compressed) + chunk(b"IEND", b"")
 
 
+# --------------------------------------------------------------------- APNG
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+    return (
+        struct.pack(">I", len(payload)) + ctype + payload
+        + struct.pack(">I", crc)
+    )
+
+
+def decode_apng_frames(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """APNG bytes -> ((n, H, W[, 3]) uint8 PRESENTED frames, (n,)
+    int64 delays in ms).
+
+    The animated-PNG compositing model (the PNG third sibling of
+    decode_gif_frames / decode_avi): acTL declares the animation,
+    each fcTL carries the frame rect, delay, dispose_op (0 none /
+    1 background / 2 previous) and blend_op; fdAT chunks are IDAT
+    payloads with a 4-byte sequence prefix. Every frame region is
+    rebuilt as a standalone PNG and decoded by :func:`decode_png`, so
+    all bit depths / color types / filters the still decoder supports
+    work inside animations too. A plain PNG (no acTL) decodes as one
+    frame."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    ihdr = None
+    shared = []  # PLTE/tRNS chunks shared by every frame
+    frames_meta = []  # (fctl, [raw idat payloads])
+    default_idat = bytearray()
+    default_is_frame = False
+    n_frames = None
+    for ctype, cdata in _png_chunks(data):
+        if ctype == b"IHDR":
+            ihdr = cdata
+        elif ctype in (b"PLTE", b"tRNS"):
+            shared.append((ctype, cdata))
+        elif ctype == b"acTL":
+            n_frames = struct.unpack(">I", cdata[:4])[0]
+        elif ctype == b"fcTL":
+            frames_meta.append((cdata, []))
+            if not default_idat:
+                default_is_frame = True
+        elif ctype == b"fdAT":
+            if not frames_meta:
+                raise ValueError("APNG fdAT before fcTL")
+            frames_meta[-1][1].append(cdata[4:])  # strip sequence no.
+        elif ctype == b"IDAT":
+            default_idat.extend(cdata)
+            if default_is_frame and frames_meta:
+                frames_meta[0][1].append(cdata)
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    sw, sh = struct.unpack(">II", ihdr[:8])
+
+    def _decode_region(w, h, idat_parts):
+        sub = bytearray(PNG_SIG)
+        sub += _png_chunk(b"IHDR", struct.pack(">II", w, h) + ihdr[8:])
+        for ct, cd in shared:
+            sub += _png_chunk(ct, cd)
+        sub += _png_chunk(b"IDAT", b"".join(idat_parts))
+        sub += _png_chunk(b"IEND", b"")
+        return decode_png(bytes(sub))
+
+    if n_frames is None or not frames_meta:
+        # plain PNG: single presented frame
+        img = decode_png(data)
+        return img[None, ...], np.zeros(1, np.int64)
+
+    canvas = None
+    out = []
+    delays = []
+    for fctl, idat_parts in frames_meta:
+        if not idat_parts:
+            raise ValueError("APNG frame without data")
+        _seq, w, h, x, y, dnum, dden, dispose, blend = struct.unpack(
+            ">IIIIIHHBB", fctl
+        )
+        region = _decode_region(w, h, idat_parts)
+        if canvas is None:
+            if (w, h, x, y) != (sw, sh, 0, 0):
+                raise ValueError("APNG first frame must cover the canvas")
+            canvas = region.copy()
+            before = None
+        else:
+            before = (
+                canvas[y : y + h, x : x + w].copy() if dispose == 2 else None
+            )
+            if blend == 1 and region.ndim == 3 and region.shape[2] == 4:
+                alpha = region[:, :, 3:4].astype(np.uint16)
+                base = canvas[y : y + h, x : x + w].astype(np.uint16)
+                mixed = (
+                    region[:, :, :3].astype(np.uint16) * alpha
+                    + base[:, :, :3] * (255 - alpha)
+                ) // 255
+                canvas[y : y + h, x : x + w, :3] = mixed.astype(np.uint8)
+            else:
+                canvas[y : y + h, x : x + w] = region
+        out.append(canvas.copy())
+        delays.append(
+            int(round(1000 * dnum / (dden or 100))) if dnum else 0
+        )
+        if dispose == 1:  # background: clear the rect
+            canvas[y : y + h, x : x + w] = 0
+        elif dispose == 2 and before is not None:  # previous: revert
+            canvas[y : y + h, x : x + w] = before
+    return np.stack(out), np.asarray(delays, np.int64)
+
+
+def encode_apng(
+    frames: np.ndarray, delay_ms: int = 100, subrect: bool = True
+) -> bytes:
+    """(n, H, W) gray or (n, H, W, 3) RGB uint8 -> APNG bytes.
+
+    First frame covers the canvas; with ``subrect=True`` later frames
+    store only the changed-pixel bounding box (dispose 0, blend 0 —
+    source overwrite), the standard APNG inter-frame compression.
+    ``decode_apng_frames`` recovers the presented frames exactly."""
+    frames = np.asarray(frames, np.uint8)
+    n = frames.shape[0]
+    if n == 0:
+        raise ValueError("encode_apng needs at least one frame")
+    sh, sw = frames.shape[1:3]
+    color_type = 0 if frames.ndim == 3 else 2
+    channels = 1 if color_type == 0 else 3
+
+    def _idat(img) -> bytes:
+        px = img[:, :, None] if img.ndim == 2 else img
+        h, w = px.shape[:2]
+        lines = np.zeros((h, 1 + w * channels), np.uint8)
+        lines[:, 1:] = px.reshape(h, w * channels)
+        return zlib.compress(lines.tobytes(), 6)
+
+    out = bytearray(PNG_SIG)
+    out += _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", sw, sh, 8, color_type, 0, 0, 0)
+    )
+    out += _png_chunk(b"acTL", struct.pack(">II", n, 0))
+    seq = 0
+
+    def _fctl(w, h, x, y) -> bytes:
+        nonlocal seq
+        payload = struct.pack(
+            ">IIIIIHHBB", seq, w, h, x, y, delay_ms, 1000, 0, 0
+        )
+        seq += 1
+        return _png_chunk(b"fcTL", payload)
+
+    out += _fctl(sw, sh, 0, 0)
+    out += _png_chunk(b"IDAT", _idat(frames[0]))
+    prev = frames[0]
+    for f in range(1, n):
+        cur = frames[f]
+        x = y = 0
+        region = cur
+        if subrect:
+            changed = (
+                (cur != prev)
+                if cur.ndim == 2
+                else (cur != prev).any(axis=2)
+            )
+            if not changed.any():
+                region = cur[:1, :1]
+            else:
+                rows = np.flatnonzero(changed.any(axis=1))
+                cols = np.flatnonzero(changed.any(axis=0))
+                y, x = int(rows[0]), int(cols[0])
+                region = cur[y : rows[-1] + 1, x : cols[-1] + 1]
+        h, w = region.shape[:2]
+        out += _fctl(w, h, x, y)
+        body = _idat(region)
+        out += _png_chunk(b"fdAT", struct.pack(">I", seq) + body)
+        seq += 1
+        prev = cur
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------- BMP
 
 

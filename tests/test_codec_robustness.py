@@ -67,6 +67,11 @@ CASES = [
         lambda d: gifcodec.decode_gif_frames(d),
         gifcodec.encode_gif_animation(np.stack([_BI, 255 - _BI])),
     ),
+    (
+        "apng",
+        lambda d: imagecodec.decode_apng_frames(d),
+        imagecodec.encode_apng(np.stack([_G, 255 - _G])),
+    ),
 ]
 
 

@@ -169,3 +169,34 @@ def test_video_media_ref_pages_and_ocr(tmp_path, ray_session):
             assert np.array_equal(x.image, y.image)
         out, conf = media_to_ocr_span("d", f"video://{path}", 0, rec)
         assert out == text and conf == 1.0
+
+
+def test_apng_animation_roundtrip_and_dispatch():
+    """APNG (acTL/fcTL/fdAT): gray + RGB animations round-trip the
+    presented frames exactly in both sub-rect and full-frame modes;
+    plain PNGs decode as one frame; decode_video_real dispatches it."""
+    from doctr_ray.sources.imagecodec import (
+        decode_apng_frames,
+        encode_apng,
+        encode_png,
+    )
+
+    fr = _anim(7, 19, 13)
+    for subrect in (True, False):
+        dec, delays = decode_apng_frames(encode_apng(fr, subrect=subrect))
+        assert np.array_equal(dec, fr)
+        assert delays.tolist() == [100] * 7
+    rgb = np.stack([fr, fr // 2, 255 - fr], axis=3)
+    dec, _ = decode_apng_frames(encode_apng(rgb))
+    assert np.array_equal(dec, rgb)
+    one, _ = decode_apng_frames(encode_png(fr[0]))
+    assert one.shape == (1, 19, 13) and np.array_equal(one[0], fr[0])
+    # real-video dispatch normalizes gray animations to the RGB contract
+    out = decode_video_real(encode_apng(fr))
+    assert np.array_equal(out, np.stack([fr] * 3, axis=3))
+    # partial-change subrect stays exact
+    mv = np.full((5, 18, 24), 30, np.uint8)
+    for f in range(5):
+        mv[f, 4:7, f * 4 : f * 4 + 4] = 220
+    dec, _ = decode_apng_frames(encode_apng(mv, subrect=True))
+    assert np.array_equal(dec, mv)
