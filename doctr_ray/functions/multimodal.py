@@ -47,8 +47,7 @@ def binary_features(batch: pa.Table, col: str = "payload") -> pa.Table:
 def decode_image_real(payload: bytes) -> np.ndarray:
     """Decode an encoded image payload — REAL, via the in-repo codec
     matrix (PNG/JPEG/GIF/BMP/PNM/TIFF, sources/imagecodec dispatch by
-    magic bytes). The brief's 'stub the decode step' caveat no longer
-    applies to images; audio/video below remain honestly stubbed."""
+    magic bytes)."""
     from ..sources.imagecodec import decode_image
 
     return decode_image(payload)
@@ -171,7 +170,7 @@ class FrameSampler:
     ``__call__`` decodes each payload and emits ``stride``-sampled
     frames as binary gray rows with shape metadata. With
     ``use_real_decoder=True`` the payload decodes for REAL (animated
-    GIF / AVI-DIB / AVI-MJPG via decode_video_real); the default
+    GIF / APNG / AVI-DIB / AVI-MJPG via decode_video_real); the default
     deterministic fake (seeded by the payload hash) remains for
     opaque formats, keeping the fan-out contract — one payload row ->
     N frame rows — schema-identical on both branches.

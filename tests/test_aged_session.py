@@ -27,6 +27,7 @@ SEQUENCE = [
     "ocr_scanned_pdf",
     "ocr_image_media",
     "ocr_html_media",
+    "ocr_video_media",  # round 5: frame-per-page video route
 ]
 
 #: generous per-query ceiling at 4 cpus / fixture scale: normal is
