@@ -144,7 +144,7 @@ def run_once() -> dict:
     # long-running job never sees (steady state is what BASELINE.md
     # records)
     q["doc_token_stats"](SF_DIR).count()
-    for name in (
+    curated = (
         "doc_token_stats",
         "doc_fingerprint",
         "doc_lang_id",
@@ -228,7 +228,6 @@ def run_once() -> dict:
         "power_users",
         "source_mad",
         "rolling_active_users",
-        # round-4: the full queries() surface is timed (VERDICT r3 #10)
         "ann_topk_lsh",
         "bpe_merges",
         "dedup_jaccard",
@@ -262,12 +261,17 @@ def run_once() -> dict:
         "quantile_gated_docs",
         "recognition_training_set",
         "supplier_balance",
-        # round-5: oracled invariant companions (VERDICT r4 #6)
         "kmeans_cluster_cover",
         "bpe_merge_growth",
         "bpe_encode_bounds",
         "ann_lsh_recall",
-    ):
+    )
+    # any queries() entry not curated above is appended automatically,
+    # so the bench list can never drift from the full surface (the
+    # round-4 gate: bench list == queries())
+    for name in curated + tuple(sorted(set(q) - set(curated))):
+        if name in timings:
+            continue
         try:
             timings[name] = round(bench_query_min2(q[name], SF_DIR), 3)
         except Exception as e:  # keep the bench alive; report the failure
