@@ -211,3 +211,52 @@ def test_decode_audio_real_dispatch_compressed():
     assert rate == 16000 and dec.shape == (800, 1)
     with pytest.raises(NotImplementedError, match="ffmpeg|torchaudio"):
         decode_audio_real(b"\xff\xfb\x90\x00mp3 frames")
+
+
+# ------------------------------------------- third-party differential
+#
+# CPython 3.11 ships audioop (an INDEPENDENT C implementation of the
+# G.711 companders and Intel/DVI ADPCM, removed in 3.13) — the closest
+# thing this container has to a golden reference for compressed audio.
+
+audioop = pytest.importorskip("audioop")
+
+
+def test_g711_bit_exact_vs_audioop_full_domain():
+    """Both laws, both directions, EVERY input: encode over all 65536
+    int16 samples and decode over all 256 codes match audioop
+    bit-for-bit."""
+    t = np.arange(-32768, 32768, dtype=np.int16)
+    raw = t.astype("<i2").tobytes()
+    assert np.array_equal(
+        np.frombuffer(audioop.lin2ulaw(raw, 2), np.uint8), mulaw_encode(t)
+    )
+    assert np.array_equal(
+        np.frombuffer(audioop.lin2alaw(raw, 2), np.uint8), alaw_encode(t)
+    )
+    codes = bytes(range(256))
+    assert np.array_equal(
+        np.frombuffer(audioop.ulaw2lin(codes, 2), "<i2"), _MULAW_DECODE_TABLE
+    )
+    assert np.array_equal(
+        np.frombuffer(audioop.alaw2lin(codes, 2), "<i2"), _ALAW_DECODE_TABLE
+    )
+
+
+def test_ima_adpcm_bit_exact_vs_audioop():
+    """The nibble decode recurrence matches audioop's DVI ADPCM
+    bit-for-bit from arbitrary (predictor, index) states."""
+    from doctr_ray.sources.audiocodec import _ima_decode_channel
+
+    rng = np.random.RandomState(3)
+    for seed_pred, seed_idx in ((100, 20), (0, 0), (-7000, 60), (32000, 88)):
+        nibbles = rng.randint(0, 16, 200).astype(np.uint8)
+        packed = bytes(
+            (int(a) << 4) | int(b)
+            for a, b in zip(nibbles[0::2], nibbles[1::2])
+        )
+        dec = np.frombuffer(
+            audioop.adpcm2lin(packed, 2, (seed_pred, seed_idx))[0], "<i2"
+        )
+        ours = _ima_decode_channel(nibbles, seed_pred, seed_idx)
+        assert np.array_equal(dec, ours)
