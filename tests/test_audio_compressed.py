@@ -260,3 +260,31 @@ def test_ima_adpcm_bit_exact_vs_audioop():
         )
         ours = _ima_decode_channel(nibbles, seed_pred, seed_idx)
         assert np.array_equal(dec, ours)
+
+
+def test_wav_container_parity_vs_stdlib_wave():
+    """Stdlib ``wave`` reads our WAV files sample-exactly and we read
+    its output sample-exactly — independent container verification."""
+    import io
+    import wave
+
+    from doctr_ray.sources.audiocodec import encode_wav
+
+    sig = _wave(500, 1, seed=999)[:, 0]
+    w = wave.open(io.BytesIO(encode_wav(sig, 22050)))
+    assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (
+        22050, 1, 2,
+    )
+    assert np.array_equal(
+        np.frombuffer(w.readframes(w.getnframes()), "<i2"), sig
+    )
+    buf = io.BytesIO()
+    ww = wave.open(buf, "wb")
+    ww.setnchannels(2)
+    ww.setsampwidth(2)
+    ww.setframerate(44100)
+    st = np.stack([sig, (-sig).astype(np.int16)], axis=1)
+    ww.writeframes(st.astype("<i2").tobytes())
+    ww.close()
+    dec, rate = decode_wav(buf.getvalue())
+    assert rate == 44100 and np.array_equal(dec, st)
