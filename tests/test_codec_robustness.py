@@ -85,3 +85,21 @@ def test_truncated_streams_fail_fast(name, dec, blob):
         except Exception:
             pass  # a clean raise is the expected outcome
         assert time.perf_counter() - t0 < 5.0, (name, frac)
+
+
+@pytest.mark.parametrize("name,dec,blob", CASES, ids=[c[0] for c in CASES])
+def test_mutated_streams_fail_fast(name, dec, blob):
+    """Byte corruption (not just truncation) must also terminate
+    promptly — either a clean raise or a decoded (possibly wrong)
+    result; never a hang or unbounded loop."""
+    rng = np.random.default_rng(11)
+    for _ in range(6):
+        buf = bytearray(blob)
+        for pos in rng.integers(0, len(buf), size=3):
+            buf[pos] ^= int(rng.integers(1, 256))
+        t0 = time.time()
+        try:
+            dec(bytes(buf))
+        except Exception:
+            pass  # clean raise is acceptable
+        assert time.time() - t0 < 5.0, name
