@@ -932,7 +932,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_ocr_video_media(sf_dir: str):
         """video:// media route (round 5): each document's rendered
         pages become the FRAMES of one real video file — animated GIF
-        (sub-rect inter-frame coding) or AVI-DIB, rotating — and the
+        (sub-rect inter-frame coding), AVI-DIB, or LOSSY AVI-MJPG,
+        rotating — and the
         fused OCR worker rasterizes every frame back as a page via the
         in-repo video decoders (the multi-page-media analog of the
         scanned-PDF route). Exact oracle: byte-exact text
@@ -977,10 +978,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     for pg in rasterize_synth(encode_media_ref(text))
                 ]
             )
-            if k % 2 == 0:
+            if k % 3 == 0:
                 blob = encode_gif_animation(frames, subrect=True)
-            else:
+            elif k % 3 == 1:
                 blob = encode_avi(frames, fps=10, codec="DIB ")
+            else:
+                # Motion-JPEG: LOSSY frames — the glyph pipeline still
+                # reconstructs text byte-exactly (<=6-LSB ringing on the
+                # two-tone pages never crosses the ink threshold)
+                blob = encode_avi(frames, fps=10, codec="MJPG")
             tmp = path + f".tmp{os.getpid()}"
             with open(tmp, "wb") as f:
                 f.write(blob)
@@ -991,7 +997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
         ):
             did = str(did)
-            ext = "gif" if k % 2 == 0 else "avi"
+            ext = ("gif", "avi", "avi")[k % 3]
             path = os.path.join(outdir, f"{did}.{ext}")
             if not os.path.exists(path):
                 pend.append(_write_video.remote(text or "", path, k))

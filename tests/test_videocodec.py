@@ -200,3 +200,21 @@ def test_apng_animation_roundtrip_and_dispatch():
         mv[f, 4:7, f * 4 : f * 4 + 4] = 220
     dec, _ = decode_apng_frames(encode_apng(mv, subrect=True))
     assert np.array_equal(dec, mv)
+
+
+def test_video_media_mjpeg_ocr_exact(tmp_path, ray_session):
+    """OCR survives LOSSY Motion-JPEG page frames byte-exactly: the
+    <=6-LSB ringing on two-tone glyph pages never crosses the ink
+    threshold, so detection runs and recognition templates are
+    unchanged."""
+    from doctr_ray.media import encode_media_ref, rasterize_synth
+    from doctr_ray.pipelines.ocr import media_to_ocr_span
+    from doctr_ray.recognition import GlyphRecognizer
+
+    text = ("lossy motion jpeg page stream " * 50).strip()
+    pages = rasterize_synth(encode_media_ref(text))
+    frames = np.stack([p.image for p in pages])
+    f = tmp_path / "doc.avi"
+    f.write_bytes(encode_avi(frames, fps=10, codec="MJPG"))
+    out, conf = media_to_ocr_span("d", f"video://{f}", 0, GlyphRecognizer())
+    assert out == text and conf == 1.0
