@@ -2754,6 +2754,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n_planes=0,  # exact within-bucket verify (oracle = O(n^2) join)
         )
 
+    def q_gopher_quality(sf_dir: str):
+        """The FULL Gopher quality rule set (Rae et al. 2021 A1.1) as
+        integer counts + flags per document — ratio thresholds
+        cross-multiplied so the whole filter is integer-exact (round
+        5). One vectorized streaming pass, zero shuffle."""
+        from doctr_ray.functions.text import gopher_quality_stats
+
+        return gopher_quality_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
     def q_semdedup(sf_dir: str):
         """SemDeDup (round 5): integer-exact semantic dedup — quantized
         int64 embeddings, deterministic hyperplane buckets (the
@@ -2882,6 +2891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_simhash_dups,
         "dedup_embedding": q_dedup_embedding,
         "semdedup": q_semdedup,
+        "gopher_quality": q_gopher_quality,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
@@ -2987,6 +2997,12 @@ def _decontam_sql() -> str:
         + "' ELSE '' END"
     )
     return decontaminate_sql(text_expr=aug)
+
+
+def _gopher_sql() -> str:
+    from doctr_ray.functions.text import gopher_quality_sql
+
+    return gopher_quality_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3481,6 +3497,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 8"
         ),
+        "gopher_quality": _gopher_sql(),
         "semdedup": (
             # the identical integer pipeline replayed in SQL:
             # floor(x*1024) quantization (bit-identical to numpy),

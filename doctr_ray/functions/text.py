@@ -957,3 +957,121 @@ def token_cooccurrence_sql(min_df: int = 5, k: int = 20) -> str:
         "GROUP BY token_a, token_b "
         f"ORDER BY n DESC, token_a, token_b LIMIT {k}"
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_stats(docs_ds):
+    """The FULL Gopher document-quality rule set (Rae et al. 2021,
+    arXiv:2112.11446 A1.1) as one vectorized pass — every rule emitted
+    as integer counts plus an integer flag, so the DuckDB oracle is
+    hash-exact (ratio thresholds are cross-multiplied: mean word
+    length in [3,10] becomes 3*n_words <= chars <= 10*n_words, etc.):
+
+    - word count in [50, 100_000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (# or ellipsis) <= 0.1
+    - lines starting with a bullet <= 90%
+    - lines ending with an ellipsis <= 30%
+    - words containing an alphabetic character >= 80%
+    - at least 2 of the 8 Gopher stop words present
+
+    One streaming map_batches; all regexes compiled by pandas' re
+    cache; zero shuffle."""
+
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("")
+        n_words = s.str.split().str.len().fillna(0).astype("int64")
+        word_chars = (
+            s.str.replace(r"\s+", "", regex=True).str.len().astype("int64")
+        )
+        n_lines = (s.str.count("\n") + 1).astype("int64")
+        bullet_lines = s.str.count(r"(?m)^[ \t]*[-•*]").astype("int64")
+        ellipsis_lines = s.str.count(r"(?m)(?:\.\.\.|…)$").astype("int64")
+        symbols = (s.str.count("#") + s.str.count("…")).astype("int64")
+        alpha_words = s.str.count(r"(?<!\S)\S*?[A-Za-z]\S*(?!\S)").astype(
+            "int64"
+        )
+        n_stop = sum(
+            s.str.contains(rf"(?<!\S){w}(?!\S)", regex=True).astype("int64")
+            for w in GOPHER_STOPWORDS
+        )
+        r_wordcount = ((n_words >= 50) & (n_words <= 100_000)).astype("int64")
+        r_meanlen = (
+            (3 * n_words <= word_chars) & (word_chars <= 10 * n_words)
+        ).astype("int64")
+        r_symbol = (10 * symbols <= n_words).astype("int64")
+        r_bullet = (10 * bullet_lines <= 9 * n_lines).astype("int64")
+        r_ellipsis = (10 * ellipsis_lines <= 3 * n_lines).astype("int64")
+        r_alpha = (5 * alpha_words >= 4 * n_words).astype("int64")
+        r_stop = (n_stop >= 2).astype("int64")
+        gopher_pass = (
+            r_wordcount & r_meanlen & r_symbol & r_bullet & r_ellipsis
+            & r_alpha & r_stop
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(str),
+                "n_words": n_words,
+                "word_chars": word_chars,
+                "n_stop": n_stop,
+                "r_wordcount": r_wordcount,
+                "r_meanlen": r_meanlen,
+                "r_symbol": r_symbol,
+                "r_bullet": r_bullet,
+                "r_ellipsis": r_ellipsis,
+                "r_alpha": r_alpha,
+                "r_stop": r_stop,
+                "gopher_pass": gopher_pass,
+            }
+        )
+
+    return docs_ds.map_batches(_stats, batch_format="pandas")
+
+
+def gopher_quality_sql() -> str:
+    """The identical integer rule set in DuckDB (RE2 — the per-token
+    predicates run on the split list, so no lookarounds needed)."""
+    stop_sum = " + ".join(
+        f"CAST(list_contains(toks, '{w}') AS BIGINT)"
+        for w in GOPHER_STOPWORDS
+    )
+    return (
+        "WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        "coalesce(text, '') AS t FROM documents), "
+        "tok AS (SELECT doc_id, t, "
+        "list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS toks, "
+        "string_split(t, chr(10)) AS lines FROM base), "
+        "c AS (SELECT doc_id, "
+        "CAST(len(toks) AS BIGINT) AS n_words, "
+        "CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS BIGINT) "
+        "AS word_chars, "
+        "CAST(len(lines) AS BIGINT) AS n_lines, "
+        "CAST(len(list_filter(lines, l -> "
+        "regexp_matches(l, '^[ \\t]*[-•*]'))) AS BIGINT) AS bullet_lines, "
+        "CAST(len(list_filter(lines, l -> "
+        "regexp_matches(l, '(\\.\\.\\.|…)$'))) AS BIGINT) AS ellipsis_lines, "
+        "CAST(length(t) - length(replace(t, '#', '')) + "
+        "length(t) - length(replace(t, '…', '')) "
+        "AS BIGINT) AS symbols, "
+        "CAST(len(list_filter(toks, x -> "
+        "regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words, "
+        f"CAST({stop_sum} AS BIGINT) AS n_stop "
+        "FROM tok) "
+        "SELECT doc_id, n_words, word_chars, n_stop, "
+        "CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_wordcount, "
+        "CAST(3 * n_words <= word_chars AND word_chars <= 10 * n_words "
+        "AS BIGINT) AS r_meanlen, "
+        "CAST(10 * symbols <= n_words AS BIGINT) AS r_symbol, "
+        "CAST(10 * bullet_lines <= 9 * n_lines AS BIGINT) AS r_bullet, "
+        "CAST(10 * ellipsis_lines <= 3 * n_lines AS BIGINT) AS r_ellipsis, "
+        "CAST(5 * alpha_words >= 4 * n_words AS BIGINT) AS r_alpha, "
+        "CAST(n_stop >= 2 AS BIGINT) AS r_stop, "
+        "CAST((n_words >= 50 AND n_words <= 100000) AND "
+        "(3 * n_words <= word_chars AND word_chars <= 10 * n_words) AND "
+        "(10 * symbols <= n_words) AND (10 * bullet_lines <= 9 * n_lines) "
+        "AND (10 * ellipsis_lines <= 3 * n_lines) AND "
+        "(5 * alpha_words >= 4 * n_words) AND (n_stop >= 2) AS BIGINT) "
+        "AS gopher_pass FROM c"
+    )

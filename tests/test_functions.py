@@ -543,3 +543,42 @@ def test_rag_chunks_windows(ray_session):
     assert len(got) == 6
     with pytest.raises(ValueError, match="stride"):
         rag_chunks(docs, size=4, stride=5)
+
+
+def test_gopher_quality_rules(ray_session):
+    """Every Gopher rule flips on crafted documents, and the integer
+    cross-multiplied flags match hand-computed expectations."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doctr_ray.functions.text import gopher_quality_stats
+
+    good = "the quick brown fox jumps with energy " * 8  # 64 words, stops
+    docs = {
+        "good": good + "of and",  # 3 distinct stop words
+        "short": "tiny doc",  # fails word count + stops
+        "longsyms": ("#### " * 60) + good + "of",  # symbol ratio fails
+        "bullets": "\n".join("- item here" for _ in range(10))
+        + "\n" + good + "of",  # >90% bullet lines fails
+        "dots": "\n".join("trailing line..." for _ in range(9))
+        + "\n" + good + "of",  # 9/10 ellipsis lines fails
+        "nums": ("12345 " * 60) + "the of",  # alpha fraction fails
+    }
+    tbl = pa.Table.from_pydict(
+        {"doc_id": list(docs), "text": list(docs.values())}
+    )
+    out = (
+        gopher_quality_stats(rd.from_arrow(tbl))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc["good", "gopher_pass"] == 1
+    assert out.loc["short", "r_wordcount"] == 0
+    assert out.loc["short", "r_stop"] == 0
+    assert out.loc["longsyms", "r_symbol"] == 0
+    assert out.loc["bullets", "r_bullet"] == 0
+    assert out.loc["dots", "r_ellipsis"] == 0
+    assert out.loc["nums", "r_alpha"] == 0
+    # every failing doc fails overall
+    for k in ("short", "longsyms", "bullets", "dots", "nums"):
+        assert out.loc[k, "gopher_pass"] == 0
