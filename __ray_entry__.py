@@ -2763,6 +2763,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return gopher_quality_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_gopher_repetition(sf_dir: str):
+        """The FULL Gopher repetition rule set (Rae et al. 2021 A1.2)
+        — top-{2,3,4}-gram and duplicated-{5..10}-gram character
+        masses with the paper's caps as integer cross-multiplied
+        flags; hash-exact oracle (round 5)."""
+        from doctr_ray.functions.text import gopher_repetition_stats
+
+        return gopher_repetition_stats(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+        )
+
     def q_semdedup(sf_dir: str):
         """SemDeDup (round 5): integer-exact semantic dedup — quantized
         int64 embeddings, deterministic hyperplane buckets (the
@@ -2892,6 +2903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q_dedup_embedding,
         "semdedup": q_semdedup,
         "gopher_quality": q_gopher_quality,
+        "gopher_repetition": q_gopher_repetition,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
@@ -3003,6 +3015,12 @@ def _gopher_sql() -> str:
     from doctr_ray.functions.text import gopher_quality_sql
 
     return gopher_quality_sql()
+
+
+def _gopher_rep_sql() -> str:
+    from doctr_ray.functions.text import gopher_repetition_sql
+
+    return gopher_repetition_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3498,6 +3516,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 8"
         ),
         "gopher_quality": _gopher_sql(),
+        "gopher_repetition": _gopher_rep_sql(),
         "semdedup": (
             # the identical integer pipeline replayed in SQL:
             # floor(x*1024) quantization (bit-identical to numpy),

@@ -1075,3 +1075,114 @@ def gopher_quality_sql() -> str:
         "(5 * alpha_words >= 4 * n_words) AND (n_stop >= 2) AS BIGINT) "
         "AS gopher_pass FROM c"
     )
+
+
+# (mass threshold numerators/denominators per the Gopher A1.2 table:
+# top-{2,3,4}-gram char fraction <= .20/.18/.16, duplicated-{5..10}-gram
+# char fraction <= .15/.14/.13/.12/.11/.10 — cross-multiplied to stay
+# integer-exact)
+GOPHER_REP_THRESHOLDS = {
+    2: (20, 100), 3: (18, 100), 4: (16, 100), 5: (15, 100),
+    6: (14, 100), 7: (13, 100), 8: (12, 100), 9: (11, 100), 10: (10, 100),
+}
+
+
+def gopher_repetition_stats(docs_ds):
+    """The FULL Gopher repetition rule set (Rae et al. 2021 A1.2) —
+    the companion of :func:`gopher_quality_stats`:
+
+    - for n in 2..4: character mass of the heaviest n-gram (count x
+      joined length; deterministic max over c*L — the paper's
+      'most frequent n-gram' leaves count ties ambiguous, so the max
+      mass form is used on BOTH engines) vs the .20/.18/.16 caps;
+    - for n in 5..10: character mass of all DUPLICATED n-grams
+      (count >= 2, multiset mass c*L — positional-union overlap
+      handling is unspecified in the paper; the multiset form is the
+      deterministic SQL-expressible reading) vs the .15..-.10 caps.
+
+    All masses and flags are integers (fractions cross-multiplied
+    against the joined-token character total), so the DuckDB oracle is
+    hash-exact. One streaming pass; the per-doc Counter loop is
+    bounded by tokens x 9 window sizes."""
+    from collections import Counter
+
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": df["doc_id"].astype(str).tolist()}
+        cols: dict[str, list] = {"total_chars": []}
+        for n in GOPHER_REP_THRESHOLDS:
+            cols[f"mass_{n}"] = []
+            cols[f"r_rep_{n}"] = []
+        cols["repetition_pass"] = []
+        for text in df["text"].fillna(""):
+            toks = text.split()
+            total = len(" ".join(toks))
+            cols["total_chars"].append(total)
+            ok_all = 1
+            for n, (num, den) in GOPHER_REP_THRESHOLDS.items():
+                grams = Counter(
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+                if n <= 4:
+                    mass = max(
+                        (c * len(g) for g, c in grams.items()), default=0
+                    )
+                else:
+                    mass = sum(
+                        c * len(g) for g, c in grams.items() if c >= 2
+                    )
+                ok = int(den * mass <= num * total)
+                cols[f"mass_{n}"].append(mass)
+                cols[f"r_rep_{n}"].append(ok)
+                ok_all &= ok
+            cols["repetition_pass"].append(ok_all)
+        out.update(cols)
+        res = pd.DataFrame(out)
+        for c in res.columns:
+            if c != "doc_id":
+                res[c] = res[c].astype("int64")
+        return res
+
+    return docs_ds.map_batches(_stats, batch_format="pandas")
+
+
+def gopher_repetition_sql() -> str:
+    """The identical integer A1.2 rule set in DuckDB (positional
+    n-grams via list slices, multiset masses)."""
+    mass_exprs, flag_exprs, pass_terms = [], [], []
+    for n, (num, den) in GOPHER_REP_THRESHOLDS.items():
+        agg = (
+            f"MAX(CASE WHEN n = {n} THEN c * L ELSE 0 END)"
+            if n <= 4
+            else f"SUM(CASE WHEN n = {n} AND c >= 2 THEN c * L ELSE 0 END)"
+        )
+        mass_exprs.append(f"CAST(coalesce({agg}, 0) AS BIGINT) AS mass_{n}")
+        flag_exprs.append(
+            f"CAST({den} * mass_{n} <= {num} * total_chars AS BIGINT) "
+            f"AS r_rep_{n}"
+        )
+        pass_terms.append(f"({den} * mass_{n} <= {num} * total_chars)")
+    return (
+        "WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        "list_filter(string_split_regex(coalesce(text, ''), '\\s+'), "
+        "x -> x <> '') AS toks FROM documents), "
+        "tot AS (SELECT doc_id, "
+        "CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS total_chars "
+        "FROM base), "
+        "g AS (SELECT b.doc_id, nn.n AS n, "
+        "array_to_string(b.toks[ii.i : ii.i + nn.n - 1], ' ') AS gram "
+        "FROM base b "
+        "JOIN generate_series(2, 10) nn(n) ON len(b.toks) >= nn.n "
+        "JOIN generate_series(1, 100000) ii(i) "
+        "ON ii.i <= len(b.toks) - nn.n + 1), "
+        "cnt AS (SELECT doc_id, n, gram, COUNT(*) AS c, "
+        "CAST(length(gram) AS BIGINT) AS L FROM g GROUP BY doc_id, n, gram), "
+        "m AS (SELECT doc_id, " + ", ".join(mass_exprs) + " "
+        "FROM cnt GROUP BY doc_id) "
+        "SELECT t.doc_id, t.total_chars, "
+        + ", ".join(f"coalesce(mass_{n}, 0) AS mass_{n}" for n in GOPHER_REP_THRESHOLDS)
+        + ", " + ", ".join(flag_exprs) + ", "
+        "CAST(" + " AND ".join(pass_terms) + " AS BIGINT) "
+        "AS repetition_pass "
+        "FROM tot t LEFT JOIN m USING (doc_id)"
+    )

@@ -582,3 +582,33 @@ def test_gopher_quality_rules(ray_session):
     # every failing doc fails overall
     for k in ("short", "longsyms", "bullets", "dots", "nums"):
         assert out.loc[k, "gopher_pass"] == 0
+
+
+def test_gopher_repetition_rules(ray_session):
+    """Repetitive documents trip the A1.2 caps: a doc that repeats one
+    long phrase fails the duplicated-n-gram mass rules; diverse text
+    passes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doctr_ray.functions.text import gopher_repetition_stats
+
+    phrase = "one two three four five six seven eight nine ten "
+    docs = {
+        "looped": phrase * 12,  # every 5..10-gram duplicated
+        "diverse": " ".join(f"tok{i}" for i in range(120)),
+        "bigram": "ha ha " * 40 + " ".join(f"w{i}" for i in range(30)),
+    }
+    tbl = pa.Table.from_pydict(
+        {"doc_id": list(docs), "text": list(docs.values())}
+    )
+    out = (
+        gopher_repetition_stats(rd.from_arrow(tbl))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc["diverse", "repetition_pass"] == 1
+    for n in range(5, 11):
+        assert out.loc["looped", f"r_rep_{n}"] == 0
+    assert out.loc["bigram", "r_rep_2"] == 0  # 'ha ha' mass dominates
+    assert out.loc["looped", "repetition_pass"] == 0
