@@ -981,8 +981,22 @@ def gopher_quality_stats(docs_ds):
     cache; zero shuffle."""
 
     def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         s = df["text"].fillna("")
-        n_words = s.str.split().str.len().fillna(0).astype("int64")
+        # one whitespace split, then flat-token Arrow kernels + prefix
+        # sums back to rows (the quality_score pattern — zero Python
+        # per token); stopword presence = per-row count > 0 per word
+        texts = pa.array(s.tolist(), pa.string())
+        # split_pattern_regex keeps empty leading/trailing tokens; the
+        # masks below treat '' as a non-word so counts still match the
+        # python str.split() semantics
+        toks = pc.split_pattern_regex(texts, r"\s+")
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        n_words = pd.Series(
+            _per_row_token_counts(toks, nonempty), index=s.index
+        ).astype("int64")
         word_chars = (
             s.str.replace(r"\s+", "", regex=True).str.len().astype("int64")
         )
@@ -990,11 +1004,19 @@ def gopher_quality_stats(docs_ds):
         bullet_lines = s.str.count(r"(?m)^[ \t]*[-•*]").astype("int64")
         ellipsis_lines = s.str.count(r"(?m)(?:\.\.\.|…)$").astype("int64")
         symbols = (s.str.count("#") + s.str.count("…")).astype("int64")
-        alpha_words = s.str.count(r"(?<!\S)\S*?[A-Za-z]\S*(?!\S)").astype(
-            "int64"
-        )
+        alpha_words = pd.Series(
+            _per_row_token_counts(
+                toks, pc.match_substring_regex(flat, "[A-Za-z]")
+            ),
+            index=s.index,
+        ).astype("int64")
         n_stop = sum(
-            s.str.contains(rf"(?<!\S){w}(?!\S)", regex=True).astype("int64")
+            pd.Series(
+                (
+                    _per_row_token_counts(toks, pc.equal(flat, w)) > 0
+                ).astype("int64"),
+                index=s.index,
+            )
             for w in GOPHER_STOPWORDS
         )
         r_wordcount = ((n_words >= 50) & (n_words <= 100_000)).astype("int64")
